@@ -1,0 +1,120 @@
+"""Deterministic, engine-portable hashing + sketches (MinHash, SimHash).
+
+Design constraint: every hash here must be reproducible bit-for-bit in ANSI
+SQL (the DuckDB oracle), so we build on md5 — identical across engines —
+rather than Spark's xxhash64/hash (engine-specific seeds).
+
+Primitive: ``h60(s) = int(md5(s)[:15], 16)`` — a 60-bit non-negative hash
+that fits a signed int64 with headroom for modular arithmetic.
+
+MinHash uses the classic universal-hash family ``(a_i * h + b_i) mod P`` with
+P = 2^31 - 1 (Mersenne); ``h mod P`` first keeps every product < 2^62, so no
+int64 overflow on either engine. Parameters a_i/b_i are themselves derived
+from h60 of the seed index — no RNG, no state to ship.
+
+At 100 TB: everything below is a projection or a groupBy on (doc, seed) —
+embarrassingly parallel, no driver participation, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+MERSENNE_P = (1 << 31) - 1
+
+
+def h60(col: Column) -> Column:
+    """60-bit md5-based hash; matches DuckDB
+    ``('0x' || substr(md5(s), 1, 15))::BIGINT``."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def h60_sql(expr: str) -> str:
+    """The DuckDB-side twin of :func:`h60` (for oracle construction)."""
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
+def minhash_a(i: Column) -> Column:
+    """Universal-hash slope for seed i: 1 + h60('a'||i) mod (P-1)."""
+    return F.lit(1) + h60(F.concat(F.lit("mh_a_"), i.cast("string"))) % F.lit(MERSENNE_P - 1)
+
+
+def minhash_b(i: Column) -> Column:
+    """Universal-hash intercept for seed i: h60('b'||i) mod P."""
+    return h60(F.concat(F.lit("mh_b_"), i.cast("string"))) % F.lit(MERSENNE_P)
+
+
+def minhash_value(shingle_hash: Column, i: Column) -> Column:
+    """(a_i * (h mod P) + b_i) mod P — one MinHash draw."""
+    hm = shingle_hash % F.lit(MERSENNE_P)
+    return (minhash_a(i) * hm + minhash_b(i)) % F.lit(MERSENNE_P)
+
+
+def minhash_signatures(shingled: DataFrame, id_col: str, shingle_col: str,
+                       num_hashes: int = 64) -> DataFrame:
+    """(id, shingle) rows -> (id, seed, minhash) rows.
+
+    One explode over the seed range + one (id, seed) groupBy — a single
+    shuffle keyed on (id, seed), partial min computed map-side.
+    """
+    seeded = (shingled
+              .select(F.col(id_col),
+                      h60(F.col(shingle_col)).alias("__sh"))
+              .select(F.col(id_col), "__sh",
+                      F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")))
+    return (seeded
+            .select(F.col(id_col), "seed",
+                    minhash_value(F.col("__sh"), F.col("seed")).alias("mh"))
+            .groupBy(id_col, "seed")
+            .agg(F.min("mh").alias("minhash")))
+
+
+def lsh_band_keys(signatures: DataFrame, id_col: str,
+                  num_hashes: int = 64, bands: int = 16) -> DataFrame:
+    """Fold a (id, seed, minhash) signature into (id, band, band_key) rows.
+
+    band = seed // rows_per_band; band_key = md5 of the ordered minhash list.
+    Docs sharing any band_key are LSH candidates. Join on (band, band_key)
+    is an equi-join Catalyst can hash-partition — no similarity math until
+    the (tiny) candidate set is known.
+    """
+    rows_per_band = num_hashes // bands
+    return (signatures
+            .withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+            .groupBy(id_col, "band")
+            .agg(F.md5(F.concat_ws(",", F.sort_array(
+                F.collect_list(F.struct("seed", "minhash"))).minhash))
+                 .alias("band_key")))
+
+
+def simhash(tokened: DataFrame, id_col: str, token_col: str,
+            bits: int = 60, out_col: str = "simhash") -> DataFrame:
+    """(id, token) rows -> (id, simhash) with a ``bits``-wide SimHash.
+
+    Each token votes +1/-1 per bit position from its h60 bits; the sketch
+    sets bit j iff the vote sum is positive. Implemented as explode over bit
+    positions + one groupBy — pure builtins, oracle-reproducible.
+    """
+    th = tokened.select(F.col(id_col), h60(F.col(token_col)).alias("__th"))
+    # shiftright/shiftleft builtins take a literal shift amount; the SQL
+    # operator form accepts a column, so drop to expr for the variable shift.
+    votes = (th.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+        F.col("__th"))
+        .withColumn("vote", F.when(
+            F.expr("shiftright(__th, bit)").bitwiseAND(F.lit(1)) == 1,
+            F.lit(1)).otherwise(F.lit(-1))))
+    return (votes.groupBy(id_col, "bit")
+            .agg(F.sum("vote").alias("v"))
+            .withColumn("bitval",
+                        F.when(F.col("v") > 0,
+                               F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+                        .otherwise(F.lit(0).cast("bigint")))
+            .groupBy(id_col)
+            .agg(F.sum("bitval").alias(out_col)))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two int64 sketches."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,119 @@
+"""Text-analysis functions: tokenization, shingling, language ID, quality
+scoring, fingerprinting.
+
+Generalizes the reference's string-cleaning surface (SURVEY.md §2.2 T3-T5,
+§2.7) into the text ops a training-data pipeline needs. Everything is
+builtin column expressions (WholeStageCodegen) — no Python in the hot path —
+and deterministic so the DuckDB oracle can mirror it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .hashing import MERSENNE_P, h60
+
+WORD_RE = r"[A-Za-z0-9']+"
+# Marker-word tables for the n-gram/stopword language heuristic. Scoring is
+# count-of-hits per language; deterministic tie-break by language code.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that"],
+    "es": ["el", "la", "de", "que", "y", "los", "en", "un"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "que"],
+    "de": ["der", "die", "und", "das", "nicht", "ein", "ist", "zu"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2", "you3", "wo3", "ta1"],
+}
+STOPWORDS = LANG_MARKERS["en"]
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization, lowercased, empties dropped."""
+    return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
+
+
+def regex_token_count(col: Column) -> Column:
+    """BPE-ish token proxy: count of word-regex matches (the 'how many
+    tokens will the tokenizer see' estimator)."""
+    return F.size(F.regexp_extract_all(col, F.lit(WORD_RE), 0))
+
+
+def shingles(tok_col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from a token array (distinct not applied here)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(tok_col) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(tok_col, i, n)))
+
+
+def explode_shingles(df: DataFrame, id_col: str, text_col: str,
+                     n: int = 3, distinct: bool = True) -> DataFrame:
+    """(id, text) -> (id, shingle) rows; set semantics when ``distinct``."""
+    out = df.select(F.col(id_col),
+                    F.explode(shingles(tokens(F.col(text_col)), n)).alias("shingle"))
+    return out.dropDuplicates([id_col, "shingle"]) if distinct else out
+
+
+def explode_tokens(df: DataFrame, id_col: str, text_col: str,
+                   with_pos: bool = False) -> DataFrame:
+    if with_pos:
+        return df.select(F.col(id_col),
+                         F.posexplode(tokens(F.col(text_col))).alias("pos", "token"))
+    return df.select(F.col(id_col),
+                     F.explode(tokens(F.col(text_col))).alias("token"))
+
+
+def lang_score(col: Column, lang: str) -> Column:
+    """Count of ``lang`` marker-word hits in a token array column."""
+    markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+    return F.size(F.filter(col, lambda t: F.array_contains(markers, t)))
+
+
+def lang_id(text_col: Column) -> Column:
+    """Pick the language with the most marker hits; deterministic tie-break
+    on (score desc, code asc); 'und' when nothing matches."""
+    toks = tokens(text_col)
+    scored = F.array(*[
+        F.struct(lang_score(toks, code).alias("score"),
+                 F.lit(code).alias("code"))
+        for code in sorted(LANG_MARKERS)])
+    max_score = F.array_max(F.transform(scored, lambda s: s.score))
+    winner = F.array_min(F.filter(scored, lambda s: s.score == max_score).code)
+    return F.when(max_score > 0, winner).otherwise(F.lit("und"))
+
+
+def quality_features(text_col: Column) -> dict[str, Column]:
+    """Length / punctuation / stopword-ratio / mean-word-length features —
+    the standard cheap quality signals."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    n_chars = F.length(text_col)
+    punct = F.length(text_col) - F.length(F.regexp_replace(text_col, r"[^\w\s]", ""))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    mean_wl = F.when(n_tok > 0,
+                     F.aggregate(toks, F.lit(0).cast("bigint"),
+                                 lambda acc, t: acc + F.length(t)).cast("double") / n_tok
+                     ).otherwise(F.lit(0.0))
+    return {
+        "n_chars": n_chars.cast("bigint"),
+        "n_tokens": n_tok.cast("bigint"),
+        "punct_ratio": F.when(n_chars > 0, punct.cast("double") / n_chars).otherwise(0.0),
+        "stopword_ratio": F.when(n_tok > 0, n_stop.cast("double") / n_tok).otherwise(0.0),
+        "mean_word_len": mean_wl,
+    }
+
+
+def doc_fingerprint(df: DataFrame, id_col: str, text_col: str,
+                    out_col: str = "fingerprint") -> DataFrame:
+    """Position-sensitive document fingerprint (rolling-hash flavor).
+
+    term(pos, tok) = (h60(tok) mod P) * ((pos * 2654435761) mod P + 1) mod P,
+    folded with bit_xor. Position-sensitive (reordered docs differ), bounded
+    (< 2^31 per term), and reproducible in the oracle. One explode + one
+    groupBy, map-side partial xor.
+    """
+    toked = explode_tokens(df, id_col, text_col, with_pos=True)
+    term = ((h60(F.col("token")) % MERSENNE_P)
+            * ((F.col("pos") * F.lit(2654435761)) % MERSENNE_P + 1)) % MERSENNE_P
+    return (toked.select(F.col(id_col), term.alias("__t"))
+            .groupBy(id_col)
+            .agg(F.bit_xor("__t").alias(out_col)))

@@ -1,0 +1,108 @@
+"""Partitioned Parquet I/O + keyed upsert writer.
+
+Replaces the reference's manual path math + read-merge-dedup-rewrite cycle
+(src/s3_io/s3_client.py:102-145, src/data_collectors/*_collector.py:28-51)
+with Spark-native equivalents:
+
+- reads: ``spark.read.parquet`` — Catalyst does the partition pruning /
+  column pruning / predicate pushdown the reference's README teaches users
+  to do by hand (README.md:121-167).
+- writes: ``partitionBy("year","month")`` Hive layout, identical on-disk
+  shape to the reference (README.md:43-60).
+- upsert: dynamic-partition-overwrite of only the partitions present in the
+  incoming batch, after union + keyed window dedup. At 100 TB this touches
+  O(changed partitions), not O(table).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .operators.dedup import dedup_keep_latest
+
+PARTITION_COLS = ("year", "month")
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver testdata table (TESTDATA.md)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: read_table(spark, sf_dir, n) for n in names}
+
+
+def with_partition_cols(df: DataFrame, ts_col: str = "timestamp") -> DataFrame:
+    """Derive Hive partition columns from the event-time column.
+
+    Reference: manual f-string path construction
+    (odds_data_collector.py:28, team_rankings_data_collector.py:32).
+    """
+    return (df
+            .withColumn("year", F.year(ts_col))
+            .withColumn("month", F.month(ts_col)))
+
+
+def write_partitioned(df: DataFrame, path: str, ts_col: str = "timestamp",
+                      mode: str = "overwrite") -> None:
+    """Snappy Parquet, Hive year/month layout (s3_client.py:116-121 analog).
+
+    One output file per partition matches the reference's small-file policy;
+    at scale drop the coalesce and let a compaction job handle file counts.
+    """
+    (with_partition_cols(df, ts_col)
+     .repartition(*[F.col(c) for c in PARTITION_COLS])
+     .write.mode(mode)
+     .partitionBy(*PARTITION_COLS)
+     .parquet(path, compression="snappy"))
+
+
+def upsert_partitioned(spark: SparkSession, new_df: DataFrame, path: str,
+                       key_cols: list[str] | None, ts_col: str = "timestamp") -> None:
+    """Keyed upsert into a year/month-partitioned Parquet table.
+
+    Semantics of the reference's read-concat-dedup-rewrite
+    (team_rankings_data_collector.py:34-50):
+      * ``key_cols=None``  -> full-row dedup (odds idempotency guard,
+        odds_data_collector.py:40-44)
+      * ``key_cols=[...]`` -> keep the newest ``ts_col`` per key (rankings
+        upsert, team_rankings_data_collector.py:41-45)
+
+    Implementation is Spark-native: read ONLY the partitions the new batch
+    touches (partition-pruned by the year/month IN-list predicate), union,
+    window-dedup, and dynamic-partition-overwrite exactly those partitions.
+    Idempotent: running the same batch twice is a fixed point.
+    """
+    new_part = with_partition_cols(new_df, ts_col)
+    touched = [tuple(r) for r in
+               new_part.select(*PARTITION_COLS).distinct().collect()]
+    merged = new_part
+    if _table_exists(path):
+        existing = spark.read.parquet(path)
+        pred = F.lit(False)
+        for (y, m) in touched:
+            pred = pred | ((F.col("year") == y) & (F.col("month") == m))
+        existing = existing.filter(pred).select(*new_part.columns)
+        merged = existing.unionByName(new_part)
+    if key_cols is None:
+        merged = merged.dropDuplicates()
+    else:
+        merged = dedup_keep_latest(merged, key_cols, ts_col)
+    # partitionOverwriteMode=dynamic (session.py) -> only touched partitions
+    # are replaced; untouched history is never read or written.
+    (merged
+     .repartition(*[F.col(c) for c in PARTITION_COLS])
+     .write.mode("overwrite")
+     .partitionBy(*PARTITION_COLS)
+     .parquet(path, compression="snappy"))
+
+
+def _table_exists(path: str) -> bool:
+    if not os.path.isdir(path):
+        return False
+    for root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False

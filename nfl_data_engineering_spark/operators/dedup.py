@@ -1,0 +1,39 @@
+"""Deduplication operators (SURVEY.md §2.4 A1/A2).
+
+Reference semantics:
+- A1 full-row dedup: ``drop_duplicates(keep='last')`` over all columns —
+  the odds double-run idempotency guard (odds_data_collector.py:40-44).
+  keep='last' is irrelevant when duplicates are exact, so Spark's
+  order-insensitive ``dropDuplicates()`` is semantically identical.
+- A2 keyed keep-latest: ``drop_duplicates(subset=cols_minus_timestamp,
+  keep='last')`` — the rankings upsert (team_rankings_data_collector.py:41-45).
+  In Spark: row_number over a descending-timestamp window, the canonical
+  shuffle-on-key dedup. AQE skew-join/partition handling keeps hot keys from
+  stalling a 1000-executor run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def dedup_full_row(df: DataFrame) -> DataFrame:
+    """A1: DISTINCT over the full row."""
+    return df.dropDuplicates()
+
+
+def dedup_keep_latest(df: DataFrame, key_cols: list[str], ts_col: str = "timestamp",
+                      tiebreak_cols: list[str] | None = None) -> DataFrame:
+    """A2: keep the newest ``ts_col`` row per key.
+
+    ``tiebreak_cols`` makes the winner deterministic when timestamps tie
+    (the reference's keep='last' depends on arrival order — not a property
+    a distributed engine should preserve, so we pin a total order instead).
+    """
+    order = [F.col(ts_col).desc()]
+    for c in (tiebreak_cols or []):
+        order.append(F.col(c).desc())
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (df.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") == 1)
+              .drop("__rn"))

@@ -1,0 +1,50 @@
+"""Plumbing shared by the query catalog.
+
+Determinism rules (the driver hash-compares Spark vs DuckDB values):
+
+1. Money/metric sums go through DECIMAL then cast to DOUBLE — decimal
+   aggregation is exact in both engines, so the final double is bit-equal
+   regardless of row/partition order.
+2. Averages are computed as exact-decimal-sum :: double / count.
+3. Every ranking window pins a total order (unique-id tiebreak).
+4. All hash-based ops use the md5-derived h60 primitive (identical across
+   engines); no engine-native hash functions in results.
+5. Every computed column is aliased identically in the Spark plan and the
+   oracle SQL.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None          # ANSI SQL for DuckDB; None -> rows-only check
+    ops: str                    # SURVEY.md §2 operator ids covered
+    bench: bool = False         # include in bench.py headline set
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read a testdata table.
+
+    The events table is written with nanosecond timestamps, which Spark's
+    parquet reader rejects; read them as int64 nanos and convert losslessly
+    (the generator emits microsecond-aligned values) with integer division —
+    double division would lose precision above 2^53 epoch-nanos.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)

@@ -1,0 +1,746 @@
+"""Core relational query catalog (SURVEY.md §2.1-§2.7, §2.9).
+
+Each QueryDef pairs a Spark DataFrame plan with the DuckDB oracle SQL that
+the driver runs side-by-side. Operator ids in ``ops`` map back to the
+SURVEY.md §2 inventory. See plans/base.py for the determinism rules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..operators.clean import clean_string, pct_to_fraction
+from ..operators.dedup import dedup_full_row, dedup_keep_latest
+from ..operators.joins import asof_join, matchup_join
+from ..operators.records import split_record
+from ..operators.timeseries import zero_filled_counts
+from ..operators.windows import exp_weighted_mean, topk_per_group, trailing_mean
+from .base import QueryDef, load
+
+
+def _dec(c, p="18,2"):
+    return F.col(c).cast(f"decimal({p})")
+
+
+# ---------------------------------------------------------------------------
+# Aggregation over a filtered scan (reference read-side pattern README.md:121-167)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: filter T11 + groupBy agg A5/X-avg. Filter pushes to
+    the parquet scan; sums are exact decimals cast to double."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-12-01").cast("timestamp"))
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(8,2)") - _dec("l_discount", "8,2"))
+    charge = disc_price * (F.lit(1).cast("decimal(8,2)") + _dec("l_tax", "8,2"))
+    return (li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+        (F.sum(_dec("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
+        F.count("*").alias("count_order")))
+
+
+ORACLE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2))) * (CAST(1 AS DECIMAL(8,2)) + CAST(l_tax AS DECIMAL(8,2)))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multi-way joins (J2 equi-join shape; broadcast of small dims)
+# ---------------------------------------------------------------------------
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter broadcast into two fact joins,
+    then agg + deterministic top-10."""
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1999-01-01").cast("timestamp"))
+    revenue = F.sum(_dec("l_extendedprice")
+                    * (F.lit(1).cast("decimal(8,2)") - _dec("l_discount", "8,2")))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(revenue.cast("double").alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+            .limit(10))
+
+
+ORACLE_SHIPPING = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table chain; region/nation/supplier broadcast, the
+    orders-lineitem join is the only real shuffle (J1-shaped chain)."""
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation")
+    customer = load(spark, sf_dir, "customer")
+    supplier = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
+    li = load(spark, sf_dir, "lineitem")
+    revenue = F.sum(_dec("l_extendedprice")
+                    * (F.lit(1).cast("decimal(8,2)") - _dec("l_discount", "8,2")))
+    return (li
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+            .join(customer, orders.o_custkey == customer.c_custkey)
+            .filter(customer.c_nationkey == supplier.s_nationkey)
+            .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+            .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+            .groupBy("n_name")
+            .agg(revenue.cast("double").alias("revenue")))
+
+
+ORACLE_REGION_VOLUME = """
+SELECT n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Top-k per group (X3 "best line"), dedup (A1/A2), distinct/set ops (A3/A4/A5)
+# ---------------------------------------------------------------------------
+
+def q_best_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: the 'best available line per (game, market, outcome)' pattern
+    (get_odds.py:62-66 sort -> top-1 per key) over the events feed: highest
+    value per (user, event_type), total order pinned by (ts, event_id)."""
+    ev = load(spark, sf_dir, "events")
+    top = topk_per_group(
+        ev, ["user_id", "event_type"],
+        [F.col("value").desc(), F.col("ts").desc(), F.col("event_id").desc()], k=1)
+    return top.select(
+        "user_id", "event_type",
+        F.col("event_id").alias("best_event_id"),
+        F.col("value").alias("best_value"),
+        F.col("ts").alias("best_ts"))
+
+
+ORACLE_BEST_SNAPSHOT = """
+SELECT user_id, event_type, event_id AS best_event_id, value AS best_value, ts AS best_ts
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY user_id, event_type
+        ORDER BY value DESC, ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+
+def q_dedup_full_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: full-row DISTINCT as the double-run idempotency guard
+    (odds_data_collector.py:40-44) — the feed unioned with itself collapses
+    back to one copy."""
+    ev = load(spark, sf_dir, "events")
+    return dedup_full_row(ev.unionByName(ev))
+
+
+ORACLE_DEDUP_FULL_ROW = """
+SELECT DISTINCT * FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
+"""
+
+
+def q_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: keyed keep-latest upsert dedup
+    (team_rankings_data_collector.py:41-45)."""
+    ev = load(spark, sf_dir, "events")
+    return (dedup_keep_latest(ev, ["user_id", "event_type"], "ts",
+                              tiebreak_cols=["event_id"])
+            .select("user_id", "event_type", "event_id", "ts", "value"))
+
+
+ORACLE_DEDUP_KEEP_LATEST = """
+SELECT user_id, event_type, event_id, ts, value
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+
+def q_distinct_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: distinct values of a column (get_odds.py:70 market coverage)."""
+    return load(spark, sf_dir, "events").select("event_type").distinct()
+
+
+ORACLE_DISTINCT_EVENT_TYPES = "SELECT DISTINCT event_type FROM events"
+
+EXPECTED_EVENT_TYPES = ["click", "view", "purchase", "signup", "error",
+                        "refund", "chargeback"]
+
+
+def q_expected_minus_found(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: set-difference completeness check (get_odds.py:74-77
+    expected_markets - found) as a left-anti join."""
+    expected = spark.createDataFrame([(x,) for x in EXPECTED_EVENT_TYPES],
+                                     "missing_event_type string")
+    found = (load(spark, sf_dir, "events")
+             .select(F.col("event_type").alias("missing_event_type")).distinct())
+    return expected.join(found, "missing_event_type", "left_anti")
+
+
+ORACLE_EXPECTED_MINUS_FOUND = """
+SELECT missing_event_type
+FROM (VALUES ('click'),('view'),('purchase'),('signup'),('error'),('refund'),('chargeback'))
+     t(missing_event_type)
+WHERE missing_event_type NOT IN (SELECT DISTINCT event_type FROM events)
+"""
+
+
+def q_table_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 + U1: per-table row counts unioned (len(df) logging deltas,
+    odds_data_collector.py:45)."""
+    parts = []
+    for t in ("lineitem", "orders", "events"):
+        parts.append(load(spark, sf_dir, t)
+                     .agg(F.count("*").alias("n"))
+                     .select(F.lit(t).alias("table_name"), "n"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+ORACLE_TABLE_COUNTS = """
+SELECT 'lineitem' AS table_name, COUNT(*) AS n FROM lineitem
+UNION ALL SELECT 'orders', COUNT(*) FROM orders
+UNION ALL SELECT 'events', COUNT(*) FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# Windowed aggregations (X1 exp-weighted mean, trailing means)
+# ---------------------------------------------------------------------------
+
+def q_exp_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: the declared downstream aggregation (config.py:3-5 —
+    exp_weighted_mean, decay 0.88, last 16) per user over the event feed."""
+    ev = load(spark, sf_dir, "events")
+    out = exp_weighted_mean(ev, ["user_id"], "ts", "value",
+                            decay=0.88, last_n=16, tiebreak=["event_id"])
+    return out.select("user_id", F.round("ewm_value", 6).alias("ewm_value"))
+
+
+ORACLE_EXP_WEIGHTED = """
+WITH r AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+SELECT user_id,
+       ROUND(SUM(value * pow(0.88, rn - 1)) / SUM(pow(0.88, rn - 1)), 6) AS ewm_value
+FROM r WHERE rn <= 16 GROUP BY user_id
+"""
+
+
+def q_trailing_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Last 3' trailing split (xlsx cols_to_keep; SURVEY §2.4 note) computed
+    from grain data with an explicit window frame."""
+    ev = load(spark, sf_dir, "events")
+    out = trailing_mean(ev, ["user_id"], "ts", "value", 3, "trailing_avg3",
+                        tiebreak=["event_id"])
+    return out.select("event_id", "user_id", "ts",
+                      F.round("trailing_avg3", 6).alias("trailing_avg3"))
+
+
+ORACLE_TRAILING_AVG = """
+SELECT event_id, user_id, ts,
+       ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS trailing_avg3
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# Matchup self-join + differentials (J2/X2), as-of join (J3)
+# ---------------------------------------------------------------------------
+
+def q_matchup_differential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2+X2: home/road double-join of a keyed stats frame onto a spine with
+    *_matchup_differential projection (config.py:6-101 contract). Spine =
+    nation pairs within a region; stats = per-nation avg customer balance."""
+    nation = load(spark, sf_dir, "nation")
+    customer = load(spark, sf_dir, "customer")
+    stats = (customer.groupBy("c_nationkey")
+             .agg((F.sum(_dec("c_acctbal")).cast("double") / F.count("*"))
+                  .alias("avg_acctbal"))
+             .select(F.col("c_nationkey").alias("team"), "avg_acctbal"))
+    n1 = nation.select(F.col("n_nationkey").alias("home_team"),
+                       F.col("n_regionkey").alias("rk1"))
+    n2 = nation.select(F.col("n_nationkey").alias("road_team"),
+                       F.col("n_regionkey").alias("rk2"))
+    spine = (n1.join(n2, (n1.rk1 == n2.rk2)
+                     & (n1.home_team < n2.road_team))
+             .select(F.col("rk1").alias("region_key"), "home_team", "road_team"))
+    out = matchup_join(spine, stats, "team", "home_team", "road_team",
+                       ["avg_acctbal"])
+    return out.select(
+        "region_key", "home_team", "road_team",
+        F.round("home_avg_acctbal", 6).alias("home_avg_acctbal"),
+        F.round("road_avg_acctbal", 6).alias("road_avg_acctbal"),
+        F.round("avg_acctbal_matchup_differential", 6)
+         .alias("avg_acctbal_matchup_differential"))
+
+
+ORACLE_MATCHUP = """
+WITH stats AS (
+  SELECT c_nationkey AS team,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_acctbal
+  FROM customer GROUP BY c_nationkey),
+spine AS (
+  SELECT n1.n_regionkey AS region_key, n1.n_nationkey AS home_team, n2.n_nationkey AS road_team
+  FROM nation n1 JOIN nation n2
+    ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey)
+SELECT region_key, home_team, road_team,
+       ROUND(h.avg_acctbal, 6) AS home_avg_acctbal,
+       ROUND(r.avg_acctbal, 6) AS road_avg_acctbal,
+       ROUND(h.avg_acctbal - r.avg_acctbal, 6) AS avg_acctbal_matchup_differential
+FROM spine
+LEFT JOIN stats h ON spine.home_team = h.team
+LEFT JOIN stats r ON spine.road_team = r.team
+"""
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: as-of temporal join ('stats as of game time', README.md:64-67):
+    each purchase gets the latest click at-or-before it per user. Implemented
+    join-free (union + last-non-null window, operators/joins.py:asof_join)."""
+    ev = load(spark, sf_dir, "events")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts", "value"))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .groupBy("user_id", "ts")
+              .agg(F.max_by("value", "event_id").alias("click_value")))
+    out = asof_join(purchases, clicks, ["user_id"], "ts", "ts",
+                    ["click_value"], suffix="_asof")
+    return out.select("event_id", "user_id", "ts", "value", "click_value_asof")
+
+
+ORACLE_ASOF = """
+WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts, arg_max(value, event_id) AS click_value
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+SELECT p.event_id, p.user_id, p.ts, p.value, c.click_value AS click_value_asof
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits (O1), unions (U1), scans (T11/T12)
+# ---------------------------------------------------------------------------
+
+def q_multi_key_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1: multi-key mixed-direction sort + limit (get_odds.py:62-66)."""
+    ev = load(spark, sf_dir, "events")
+    return (ev.orderBy(F.col("event_type").asc(), F.col("value").desc(),
+                       F.col("ts").asc(), F.col("event_id").asc())
+            .limit(100))
+
+
+ORACLE_MULTI_KEY_SORT = """
+SELECT * FROM events
+ORDER BY event_type ASC, value DESC, ts ASC, event_id ASC
+LIMIT 100
+"""
+
+
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: by-name union with missing columns (pandas concat alignment,
+    get_odds.py:89 / box_score_cllector.py:31)."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "value")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "value", "props")
+    return clicks.unionByName(errors, allowMissingColumns=True)
+
+
+ORACLE_UNION_BY_NAME = """
+SELECT event_id, user_id, value FROM events WHERE event_type = 'click'
+UNION ALL BY NAME
+SELECT event_id, user_id, value, props FROM events WHERE event_type = 'error'
+"""
+
+
+def q_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T11+T12: the documented read-side pattern (README.md:121-167) —
+    time-range predicate + 3-column projection, both pushed to the scan."""
+    li = load(spark, sf_dir, "lineitem")
+    return (li.filter((F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp"))
+                      & (F.col("l_shipdate") < F.lit("2000-04-01").cast("timestamp")))
+            .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"))
+
+
+ORACLE_FILTER_PUSHDOWN = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '2000-04-01 00:00:00'
+"""
+
+
+# ---------------------------------------------------------------------------
+# String / regex transforms (T3/T4/T5/T8/T9/T10), json (§2.7)
+# ---------------------------------------------------------------------------
+
+def q_record_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3: 'W-L(-T)' record split (team_rankings_scraper.py:48-82) over
+    synthesized records; aggregated per order status."""
+    orders = load(spark, sf_dir, "orders")
+    rec = F.concat((F.col("o_orderkey") % 17).cast("string"), F.lit("-"),
+                   (F.col("o_custkey") % 13).cast("string"),
+                   F.when(F.col("o_orderkey") % 3 == 0,
+                          F.concat(F.lit("-"), (F.col("o_orderkey") % 5).cast("string")))
+                   .otherwise(F.lit("")))
+    split = split_record(orders.withColumn("record", rec), "record", prefix="record")
+    return (split.groupBy("o_orderstatus").agg(
+        F.sum("record_wins").alias("sum_wins"),
+        F.sum("record_losses").alias("sum_losses"),
+        F.sum("record_ties").alias("sum_ties"),
+        F.sum("record_games_played").alias("sum_games_played")))
+
+
+ORACLE_RECORD_SPLIT = """
+WITH rec AS (
+  SELECT o_orderstatus,
+         (o_orderkey % 17) AS wins,
+         (o_custkey % 13) AS losses,
+         CASE WHEN o_orderkey % 3 = 0 THEN o_orderkey % 5 ELSE 0 END AS ties
+  FROM orders)
+SELECT o_orderstatus,
+       SUM(wins) AS sum_wins, SUM(losses) AS sum_losses, SUM(ties) AS sum_ties,
+       SUM(wins + losses + ties) AS sum_games_played
+FROM rec GROUP BY o_orderstatus
+"""
+
+
+def q_pct_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5: percentage-string -> fraction (team_rankings_scraper.py:133-141)
+    with '--'/'' dirty values (T4/T8) folded in; exact-decimal aggregation."""
+    li = load(spark, sf_dir, "lineitem")
+    pct = (F.when(F.col("l_orderkey") % 7 == 0, F.lit("--"))
+           .when(F.col("l_orderkey") % 5 == 0, F.lit(""))
+           .otherwise(F.concat((F.col("l_orderkey") % 90 + 10).cast("string"),
+                               F.lit(".5%"))))
+    parsed = pct_to_fraction(clean_string(pct)).cast("decimal(18,6)")
+    return (li.withColumn("__p", parsed)
+            .groupBy("l_returnflag")
+            .agg((F.sum("__p").cast("double") / F.count("__p")).alias("avg_pct_frac"),
+                 F.count("__p").alias("n_parsed"),
+                 F.count("*").alias("n_rows")))
+
+
+ORACLE_PCT_PARSE = """
+WITH raw AS (
+  SELECT l_returnflag,
+         CASE WHEN l_orderkey % 7 = 0 THEN '--'
+              WHEN l_orderkey % 5 = 0 THEN ''
+              ELSE ((l_orderkey % 90 + 10)::VARCHAR || '.5%') END AS pct
+  FROM lineitem),
+cleaned AS (
+  SELECT l_returnflag,
+         CASE WHEN pct IN ('--', '') THEN NULL
+              ELSE CAST(replace(pct, '%', '')::DOUBLE / 100 AS DECIMAL(18,6)) END AS p
+  FROM raw)
+SELECT l_returnflag,
+       CAST(SUM(p) AS DOUBLE) / COUNT(p) AS avg_pct_frac,
+       COUNT(p) AS n_parsed, COUNT(*) AS n_rows
+FROM cleaned GROUP BY l_returnflag
+"""
+
+
+def q_clean_sentinels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2/T8/T9: ''/sentinel/'--' normalization chain (s3_client.py:96-98,
+    team_rankings_data_collector.py:26) then a group count over the cleaned
+    values, with a null-fill default (T2)."""
+    cust = load(spark, sf_dir, "customer")
+    dirty = (F.when(F.col("c_custkey") % 11 == 0, F.lit("None"))
+             .when(F.col("c_custkey") % 11 == 1, F.lit("nan"))
+             .when(F.col("c_custkey") % 11 == 2, F.lit("<NA>"))
+             .when(F.col("c_custkey") % 11 == 3, F.lit(""))
+             .when(F.col("c_custkey") % 11 == 4, F.lit("--"))
+             .otherwise(F.col("c_mktsegment")))
+    cleaned = F.coalesce(clean_string(dirty), F.lit("UNKNOWN"))
+    return (cust.select(cleaned.alias("segment_clean"))
+            .groupBy("segment_clean").agg(F.count("*").alias("n")))
+
+
+ORACLE_CLEAN_SENTINELS = """
+WITH dirty AS (
+  SELECT CASE WHEN c_custkey % 11 = 0 THEN 'None'
+              WHEN c_custkey % 11 = 1 THEN 'nan'
+              WHEN c_custkey % 11 = 2 THEN '<NA>'
+              WHEN c_custkey % 11 = 3 THEN ''
+              WHEN c_custkey % 11 = 4 THEN '--'
+              ELSE c_mktsegment END AS v
+  FROM customer)
+SELECT COALESCE(CASE WHEN v IN ('None','nan','<NA>','','--') THEN NULL ELSE v END,
+                'UNKNOWN') AS segment_clean,
+       COUNT(*) AS n
+FROM dirty GROUP BY 1
+"""
+
+
+def q_coerce_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10: the type-coercion engine (s3_client.py:45-100) as a declared-
+    schema coercion: dirty string columns -> typed numerics, then exact
+    aggregation. Uses operators.clean.coerce_types."""
+    from pyspark.sql import types as T
+
+    from ..operators.clean import coerce_types
+    li = load(spark, sf_dir, "lineitem")
+    dirty = li.select(
+        "l_returnflag",
+        F.when(F.col("l_orderkey") % 13 == 0, F.lit("--"))
+         .when(F.col("l_orderkey") % 13 == 1, F.lit(""))
+         .when(F.col("l_orderkey") % 13 == 2, F.lit("nan"))
+         .when(F.col("l_orderkey") % 13 == 3,
+               F.concat((F.col("l_quantity") * 2).cast("string"), F.lit("%")))
+         .otherwise(F.col("l_quantity").cast("string")).alias("qty_str"))
+    target = T.StructType([
+        T.StructField("l_returnflag", T.StringType()),
+        T.StructField("qty_str", T.DoubleType()),
+    ])
+    coerced = coerce_types(dirty, target)
+    return (coerced
+            .groupBy("l_returnflag")
+            .agg(F.sum(F.col("qty_str").cast("decimal(18,6)")).cast("double")
+                 .alias("sum_qty_coerced"),
+                 F.count("qty_str").alias("n_coerced"),
+                 F.count("*").alias("n_rows")))
+
+
+ORACLE_COERCE_TYPES = """
+WITH dirty AS (
+  SELECT l_returnflag,
+         CASE WHEN l_orderkey % 13 = 0 THEN '--'
+              WHEN l_orderkey % 13 = 1 THEN ''
+              WHEN l_orderkey % 13 = 2 THEN 'nan'
+              WHEN l_orderkey % 13 = 3 THEN ((l_quantity * 2)::VARCHAR || '%')
+              ELSE l_quantity::VARCHAR END AS qty_str
+  FROM lineitem),
+coerced AS (
+  SELECT l_returnflag,
+         CASE WHEN qty_str IN ('--','','nan','None','<NA>','NaN') THEN NULL
+              WHEN right(qty_str, 1) = '%'
+                THEN replace(qty_str, '%', '')::DOUBLE / 100
+              ELSE qty_str::DOUBLE END AS qty
+  FROM dirty)
+SELECT l_returnflag,
+       CAST(SUM(CAST(qty AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty_coerced,
+       COUNT(qty) AS n_coerced, COUNT(*) AS n_rows
+FROM coerced GROUP BY l_returnflag
+"""
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 JSON field access (get_odds.py:45-57 .get() chain) via
+    get_json_object over the events props column."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (ev.withColumn("__k", k)
+            .groupBy("event_type")
+            .agg((F.sum("__k").cast("double") / F.count("__k")).alias("avg_k"),
+                 F.sum("__k").alias("sum_k"),
+                 F.count("__k").alias("n_k")))
+
+
+ORACLE_JSON_EXTRACT = """
+WITH j AS (SELECT event_type, json_extract_string(props, '$.k')::BIGINT AS k FROM events)
+SELECT event_type,
+       CAST(SUM(k) AS DOUBLE) / COUNT(k) AS avg_k,
+       SUM(k) AS sum_k, COUNT(k) AS n_k
+FROM j GROUP BY event_type
+"""
+
+
+def q_priority_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 regexp_extract (team_rankings_scraper.py:60): pull the numeric
+    rank out of 'N-LABEL' priority strings."""
+    orders = load(spark, sf_dir, "orders")
+    prio = F.regexp_extract("o_orderpriority", r"^(\d+)", 1).cast("int")
+    return (orders.withColumn("prio_num", prio)
+            .groupBy("prio_num")
+            .agg(F.count("*").alias("n"),
+                 F.sum(_dec("o_totalprice")).cast("double").alias("sum_totalprice")))
+
+
+ORACLE_PRIORITY_EXTRACT = """
+SELECT regexp_extract(o_orderpriority, '^(\\d+)', 1)::INTEGER AS prio_num,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_totalprice
+FROM orders GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Time ops (T13/T14), streaming-shaped windows (§2.9)
+# ---------------------------------------------------------------------------
+
+def q_tz_hour_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T13: UTC -> venue-timezone conversion (src/main.py:31-35,
+    weather_client.py:131-138) + local-hour histogram."""
+    ev = load(spark, sf_dir, "events")
+    local = F.from_utc_timestamp("ts", "America/New_York")
+    return (ev.select(F.hour(local).alias("hour_local"),
+                      _dec("value").alias("__v"))
+            .groupBy("hour_local")
+            .agg(F.count("*").alias("n"),
+                 F.sum("__v").cast("double").alias("sum_value")))
+
+
+ORACLE_TZ_HOUR = """
+SELECT hour((ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York') AS hour_local,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+def q_hourly_zero_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T14: hourly spine via sequence+explode (pd.date_range analog,
+    weather_client.py:132-137) with zero-filled gap buckets."""
+    ev = (load(spark, sf_dir, "events")
+          .filter(F.col("event_type") == "signup"))
+    return zero_filled_counts(ev, "ts", "1 hour", out_count="n")
+
+
+ORACLE_HOURLY_ZERO_FILL = """
+WITH ev AS (SELECT ts FROM events WHERE event_type = 'signup'),
+bounds AS (SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi FROM ev),
+spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM bounds),
+counts AS (SELECT date_trunc('hour', ts) AS bucket, COUNT(*) AS n FROM ev GROUP BY 1)
+SELECT spine.bucket, COALESCE(counts.n, 0) AS n
+FROM spine LEFT JOIN counts ON spine.bucket = counts.bucket
+"""
+
+
+def q_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9: tumbling weekly windows over the append feed (the 'last 12
+    weeks' read pattern, README.md:124-137)."""
+    ev = load(spark, sf_dir, "events")
+    return (ev.groupBy(F.date_trunc("week", F.col("ts")).alias("week_start"),
+                       "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum(_dec("value")).cast("double").alias("sum_value")))
+
+
+ORACLE_WEEKLY_ROLLUP = """
+SELECT date_trunc('week', ts)::TIMESTAMP AS week_start, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 restructure: long->wide pivot (the scale-safe replacement for the
+    reference's 221 chained left-joins, team_rankings_scraper.py:229-235)."""
+    ev = load(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    wide = (ev.groupBy("user_id")
+            .pivot("event_type", types)
+            .agg(F.sum(_dec("value"))))
+    return wide.select("user_id",
+                       *[F.col(t).cast("double").alias(f"sum_{t}") for t in types])
+
+
+ORACLE_PIVOT_WIDE = """
+SELECT user_id,
+  CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_click,
+  CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_view,
+  CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_purchase,
+  CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_signup,
+  CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_error
+FROM events GROUP BY user_id
+"""
+
+
+def q_explode_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: array explode (the odds JSON unnest, get_odds.py:44-59) over the
+    embeddings vectors: per-dimension stats via posexplode."""
+    emb = load(spark, sf_dir, "embeddings")
+    return (emb.select(F.posexplode("embedding").alias("pos0", "val"))
+            .select((F.col("pos0") + 1).alias("dim"),
+                    F.col("val").cast("double").cast("decimal(18,8)").alias("__v"))
+            .groupBy("dim")
+            .agg((F.sum("__v").cast("double") / F.count("*")).alias("avg_val"),
+                 F.count("*").alias("n")))
+
+
+ORACLE_EXPLODE_ARRAY = """
+WITH u AS (
+  SELECT unnest(embedding) AS val, generate_subscripts(embedding, 1) AS dim
+  FROM embeddings)
+SELECT dim,
+       CAST(SUM(CAST(val::DOUBLE AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*) AS avg_val,
+       COUNT(*) AS n
+FROM u GROUP BY dim
+"""
+
+
+RELATIONAL_QUERIES = [
+    QueryDef("pricing_summary", q_pricing_summary, ORACLE_PRICING, "T11,A5,X-avg,S4", bench=True),
+    QueryDef("shipping_priority", q_shipping_priority, ORACLE_SHIPPING, "J2,O1,A5", bench=True),
+    QueryDef("region_volume", q_region_volume, ORACLE_REGION_VOLUME, "J1,J2,T11", bench=True),
+    QueryDef("best_snapshot", q_best_snapshot, ORACLE_BEST_SNAPSHOT, "X3,O1", bench=True),
+    QueryDef("dedup_full_row", q_dedup_full_row, ORACLE_DEDUP_FULL_ROW, "A1,U1"),
+    QueryDef("dedup_keep_latest", q_dedup_keep_latest, ORACLE_DEDUP_KEEP_LATEST, "A2", bench=True),
+    QueryDef("distinct_event_types", q_distinct_event_types, ORACLE_DISTINCT_EVENT_TYPES, "A3"),
+    QueryDef("expected_minus_found", q_expected_minus_found, ORACLE_EXPECTED_MINUS_FOUND, "A4"),
+    QueryDef("table_counts", q_table_counts, ORACLE_TABLE_COUNTS, "A5,U1"),
+    QueryDef("exp_weighted_value", q_exp_weighted_value, ORACLE_EXP_WEIGHTED, "X1", bench=True),
+    QueryDef("trailing_avg", q_trailing_avg, ORACLE_TRAILING_AVG, "X1-window"),
+    QueryDef("matchup_differential", q_matchup_differential, ORACLE_MATCHUP, "J2,X2"),
+    QueryDef("asof_join", q_asof_join, ORACLE_ASOF, "J3", bench=True),
+    QueryDef("multi_key_sort", q_multi_key_sort, ORACLE_MULTI_KEY_SORT, "O1"),
+    QueryDef("union_by_name", q_union_by_name, ORACLE_UNION_BY_NAME, "U1,U2"),
+    QueryDef("filter_pushdown", q_filter_pushdown, ORACLE_FILTER_PUSHDOWN, "T11,T12,S4", bench=True),
+    QueryDef("record_split", q_record_split, ORACLE_RECORD_SPLIT, "T3"),
+    QueryDef("pct_parse", q_pct_parse, ORACLE_PCT_PARSE, "T4,T5,T8"),
+    QueryDef("clean_sentinels", q_clean_sentinels, ORACLE_CLEAN_SENTINELS, "T2,T8,T9"),
+    QueryDef("coerce_types", q_coerce_types, ORACLE_COERCE_TYPES, "T10"),
+    QueryDef("json_extract", q_json_extract, ORACLE_JSON_EXTRACT, "T1-json"),
+    QueryDef("priority_extract", q_priority_extract, ORACLE_PRIORITY_EXTRACT, "T3-regex"),
+    QueryDef("tz_hour_histogram", q_tz_hour_histogram, ORACLE_TZ_HOUR, "T13"),
+    QueryDef("hourly_zero_fill", q_hourly_zero_fill, ORACLE_HOURLY_ZERO_FILL, "T14"),
+    QueryDef("weekly_rollup", q_weekly_rollup, ORACLE_WEEKLY_ROLLUP, "W-window", bench=True),
+    QueryDef("pivot_wide", q_pivot_wide, ORACLE_PIVOT_WIDE, "J1-pivot", bench=True),
+    QueryDef("explode_array", q_explode_array, ORACLE_EXPLODE_ARRAY, "T1"),
+]

@@ -1,0 +1,412 @@
+"""Text-analysis + document-dedup query catalog (LLM-pipeline extension).
+
+Every sketch (MinHash, SimHash, fingerprint) is built on the md5-based h60
+primitive so the DuckDB oracle reproduces the *same algorithm* bit-for-bit —
+the oracle checks the full pipeline, not just a weaker proxy.
+
+Scale notes (100 TB):
+- shingle/token explodes are map-side only; every groupBy keys on (doc, ...)
+  — uniform, no skew.
+- LSH candidate generation joins on (band, band_key): equi-join, tiny output;
+  exact jaccard verification runs only on candidates.
+- the exact-jaccard baseline (no LSH) keys the self-join on shingle; at scale
+  add a document-frequency cap on shingles (drop df > threshold) — noted
+  inline, not needed at sf.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.hashing import (MERSENNE_P, lsh_band_keys,
+                                 minhash_signatures, simhash)
+from ..functions.text import (LANG_MARKERS, STOPWORDS, WORD_RE, doc_fingerprint,
+                              explode_shingles, explode_tokens, lang_id,
+                              quality_features, regex_token_count, tokens)
+from .base import QueryDef, load
+
+# DuckDB twins of functions/text.py tokens() and functions/hashing.py h60().
+SQL_TOKENS = "list_filter(regexp_split_to_array(lower({col}), '\\s+'), t -> t != '')"
+SQL_H60 = "(('0x' || substr(md5({e}), 1, 15))::BIGINT)"
+
+
+def _sql_shingles_cte(n: int = 3) -> str:
+    """CTEs producing (doc_id, shingle) distinct word-3-gram rows."""
+    toks = SQL_TOKENS.format(col="text")
+    return f"""
+toks AS (SELECT doc_id, {toks} AS tk FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(tk) - {n - 1}, 0)),
+                               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
+  FROM toks)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: one groupBy on md5(text) — the A1
+    full-row dedup generalized to content identity."""
+    docs = load(spark, sf_dir, "documents")
+    return (docs.groupBy(F.md5("text").alias("text_hash"))
+            .agg(F.min("doc_id").alias("keep_doc_id"),
+                 F.count("*").alias("n_copies")))
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dedup (the scale path)
+# ---------------------------------------------------------------------------
+
+NUM_HASHES = 64
+NUM_BANDS = 16
+JACCARD_THRESHOLD = 0.8
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) -> 16-band LSH bucketing -> candidate pairs -> exact
+    jaccard verification on candidates only.
+
+    The only all-pairs work happens inside LSH buckets; everything else is
+    linear scans + equi-joins. This is the 100 TB near-dedup shape."""
+    docs = load(spark, sf_dir, "documents")
+    sh = explode_shingles(docs, "doc_id", "text", n=3).cache()
+    sig = minhash_signatures(sh, "doc_id", "shingle", NUM_HASHES)
+    bands = lsh_band_keys(sig, "doc_id", NUM_HASHES, NUM_BANDS)
+    b1 = bands.select(F.col("doc_id").alias("d1"), "band", "band_key")
+    b2 = bands.select(F.col("doc_id").alias("d2"), "band", "band_key")
+    cand = (b1.join(b2, ["band", "band_key"])
+            .filter(F.col("d1") < F.col("d2"))
+            .select("d1", "d2").distinct())
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    s1 = sh.select(F.col("doc_id").alias("d1"), "shingle")
+    s2 = sh.select(F.col("doc_id").alias("d2"), "shingle")
+    inter = (cand.join(s1, "d1").join(s2, ["d2", "shingle"])
+             .groupBy("d1", "d2").agg(F.count("*").alias("i")))
+    jac = (F.col("i").cast("double")
+           / (F.col("sz1") + F.col("sz2") - F.col("i")).cast("double"))
+    return (inter
+            .join(sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1")), "d1")
+            .join(sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2")), "d2")
+            .filter(jac >= JACCARD_THRESHOLD)
+            .select("d1", "d2", F.round(jac, 6).alias("jaccard")))
+
+
+ORACLE_MINHASH_LSH = f"""
+WITH {_sql_shingles_cte(3)},
+shh AS (SELECT doc_id, {SQL_H60.format(e='shingle')} AS sh60 FROM sh),
+params AS (
+  SELECT seed,
+         1 + ({SQL_H60.format(e="'mh_a_' || seed")} % {MERSENNE_P - 1}) AS a,
+         ({SQL_H60.format(e="'mh_b_' || seed")} % {MERSENNE_P}) AS b
+  FROM (SELECT unnest(generate_series(0, {NUM_HASHES - 1})) AS seed)),
+sig AS (
+  SELECT doc_id, seed, MIN((a * (sh60 % {MERSENNE_P}) + b) % {MERSENNE_P}) AS minhash
+  FROM shh CROSS JOIN params GROUP BY doc_id, seed),
+bands AS (
+  SELECT doc_id, seed // {NUM_HASHES // NUM_BANDS} AS band,
+         md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
+  FROM sig GROUP BY 1, 2),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.d1, c.d2, COUNT(*) AS i
+  FROM cand c JOIN sh x ON x.doc_id = c.d1 JOIN sh y ON y.doc_id = c.d2 AND y.shingle = x.shingle
+  GROUP BY 1, 2)
+SELECT d1, d2,
+       ROUND(i::DOUBLE / (s1.sz + s2.sz - i)::DOUBLE, 6) AS jaccard
+FROM inter
+JOIN sizes s1 ON s1.doc_id = d1
+JOIN sizes s2 ON s2.doc_id = d2
+WHERE i::DOUBLE / (s1.sz + s2.sz - i)::DOUBLE >= {JACCARD_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram jaccard (no LSH) — correctness baseline for the LSH path
+# ---------------------------------------------------------------------------
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs 3-gram jaccard >= 0.7 via shingle-keyed self-join (no
+    sketching). At 100 TB, cap shingle document frequency before the join
+    (ultra-common shingles dominate the pair blowup); at testdata scale the
+    raw join is exact and cheap."""
+    docs = load(spark, sf_dir, "documents")
+    sh = explode_shingles(docs, "doc_id", "text", n=3).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    s1 = sh.select(F.col("doc_id").alias("d1"), "shingle")
+    s2 = sh.select(F.col("doc_id").alias("d2"), "shingle")
+    inter = (s1.join(s2, "shingle").filter(F.col("d1") < F.col("d2"))
+             .groupBy("d1", "d2").agg(F.count("*").alias("i")))
+    jac = (F.col("i").cast("double")
+           / (F.col("sz1") + F.col("sz2") - F.col("i")).cast("double"))
+    return (inter
+            .join(sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1")), "d1")
+            .join(sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2")), "d2")
+            .filter(jac >= 0.7)
+            .select("d1", "d2", F.round(jac, 6).alias("jaccard")))
+
+
+ORACLE_NGRAM_JACCARD = f"""
+WITH {_sql_shingles_cte(3)},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT x.doc_id AS d1, y.doc_id AS d2, COUNT(*) AS i
+  FROM sh x JOIN sh y ON y.shingle = x.shingle AND x.doc_id < y.doc_id
+  GROUP BY 1, 2)
+SELECT d1, d2,
+       ROUND(i::DOUBLE / (s1.sz + s2.sz - i)::DOUBLE, 6) AS jaccard
+FROM inter
+JOIN sizes s1 ON s1.doc_id = d1
+JOIN sizes s2 ON s2.doc_id = d2
+WHERE i::DOUBLE / (s1.sz + s2.sz - i)::DOUBLE >= 0.7
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dedup
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 60
+SIMHASH_MAX_HAMMING = 3
+SIMHASH_CHUNKS = 4          # 4 chunks of 15 bits; hamming<=3 => >=1 equal chunk
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(60-bit) near-dedup: candidate pairs via pigeonhole chunk join
+    (hamming <= 3 guarantees one of 4 15-bit chunks equal), verified with
+    bit_count(xor). The chunk join is the scale path — no all-pairs scan."""
+    docs = load(spark, sf_dir, "documents")
+    toked = explode_tokens(docs, "doc_id", "text")
+    sims = simhash(toked, "doc_id", "token", bits=SIMHASH_BITS).cache()
+    chunk_width = SIMHASH_BITS // SIMHASH_CHUNKS
+    mask = (1 << chunk_width) - 1
+    chunks = sims.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("chunk"),
+                     F.shiftright(F.col("simhash"), j * chunk_width)
+                      .bitwiseAND(F.lit(mask)).alias("ckey"))
+            for j in range(SIMHASH_CHUNKS)])).alias("c")
+    ).select("doc_id", "simhash", "c.chunk", "c.ckey")
+    c1 = chunks.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("h1"),
+                       "chunk", "ckey")
+    c2 = chunks.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("h2"),
+                       "chunk", "ckey")
+    ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    return (c1.join(c2, ["chunk", "ckey"])
+            .filter(F.col("d1") < F.col("d2"))
+            .select("d1", "d2", ham.alias("hamming")).distinct()
+            .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING))
+
+
+ORACLE_SIMHASH = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({SQL_TOKENS.format(col='text')}) AS token FROM documents),
+th AS (SELECT doc_id, {SQL_H60.format(e='token')} AS h FROM tok),
+votes AS (
+  SELECT doc_id, bit,
+         SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th CROSS JOIN (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS bit)
+  GROUP BY doc_id, bit),
+sims AS (
+  SELECT doc_id,
+         SUM(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+  FROM votes GROUP BY doc_id)
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: language id, quality, token counts, fingerprints
+# ---------------------------------------------------------------------------
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language heuristic per doc vs the labeled lang column."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.col("lang").alias("lang_actual"),
+        lang_id(F.col("text")).alias("lang_pred"),
+        F.when(lang_id(F.col("text")) == F.col("lang"), F.lit(1))
+         .otherwise(F.lit(0)).alias("is_match"))
+
+
+def _sql_lang_scores() -> str:
+    toks = SQL_TOKENS.format(col="text")
+    score_exprs = []
+    for code in sorted(LANG_MARKERS):
+        markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[code])
+        score_exprs.append(
+            f"len(list_filter({toks}, t -> list_contains([{markers}], t))) AS s_{code}")
+    return ", ".join(score_exprs)
+
+
+_LANG_PRED_CASE = """
+CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+     WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+     WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+     WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+     WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+     ELSE 'zh' END
+"""
+
+ORACLE_LANG_ID = f"""
+WITH scored AS (SELECT doc_id, lang, {_sql_lang_scores()} FROM documents)
+SELECT doc_id, lang AS lang_actual,
+       {_LANG_PRED_CASE} AS lang_pred,
+       CASE WHEN {_LANG_PRED_CASE} = lang THEN 1 ELSE 0 END AS is_match
+FROM scored
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheap quality signals per doc: length, punctuation ratio, stopword
+    ratio, mean word length, and a blended 0-1 score."""
+    docs = load(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    score = (0.25 * F.least(feats["n_tokens"], F.lit(100)).cast("double") / 100
+             + 0.25 * (1 - feats["punct_ratio"])
+             + 0.25 * F.least(feats["stopword_ratio"] * 4, F.lit(1.0))
+             + 0.25 * F.least(feats["mean_word_len"] / 8, F.lit(1.0)))
+    return docs.select(
+        "doc_id", feats["n_chars"].alias("n_chars"),
+        feats["n_tokens"].alias("n_tokens"),
+        F.round(feats["punct_ratio"], 6).alias("punct_ratio"),
+        F.round(feats["stopword_ratio"], 6).alias("stopword_ratio"),
+        F.round(feats["mean_word_len"], 6).alias("mean_word_len"),
+        F.round(score, 6).alias("quality_score"))
+
+
+_STOP_LIST = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+ORACLE_TEXT_QUALITY = f"""
+WITH f AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len({SQL_TOKENS.format(col='text')}) AS n_tokens,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+         len(list_filter({SQL_TOKENS.format(col='text')},
+                         t -> list_contains([{_STOP_LIST}], t))) AS n_stop,
+         list_sum(list_transform({SQL_TOKENS.format(col='text')}, t -> length(t))) AS tok_chars
+  FROM documents),
+r AS (
+  SELECT doc_id, n_chars::BIGINT AS n_chars, n_tokens::BIGINT AS n_tokens,
+         CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0.0 END AS punct_ratio,
+         CASE WHEN n_tokens > 0 THEN n_stop::DOUBLE / n_tokens ELSE 0.0 END AS stopword_ratio,
+         CASE WHEN n_tokens > 0 THEN tok_chars::DOUBLE / n_tokens ELSE 0.0 END AS mean_word_len
+  FROM f)
+SELECT doc_id, n_chars, n_tokens,
+       ROUND(punct_ratio, 6) AS punct_ratio,
+       ROUND(stopword_ratio, 6) AS stopword_ratio,
+       ROUND(mean_word_len, 6) AS mean_word_len,
+       ROUND(0.25 * least(n_tokens, 100)::DOUBLE / 100
+             + 0.25 * (1 - punct_ratio)
+             + 0.25 * least(stopword_ratio * 4, 1.0)
+             + 0.25 * least(mean_word_len / 8, 1.0), 6) AS quality_score
+FROM r
+"""
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting per source: whitespace tokens + regex (BPE-proxy)
+    tokens — all integer aggregates, exact on both engines."""
+    docs = load(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("ws"),
+        regex_token_count(F.col("text")).cast("bigint").alias("re"))
+    return (per_doc.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("ws").alias("sum_ws_tokens"),
+                 F.sum("re").alias("sum_regex_tokens"),
+                 F.max("ws").alias("max_ws_tokens")))
+
+
+ORACLE_TOKEN_COUNTS = f"""
+SELECT source, COUNT(*) AS n_docs,
+       SUM(len({SQL_TOKENS.format(col='text')})) AS sum_ws_tokens,
+       SUM(len(regexp_extract_all(text, '{WORD_RE.replace(chr(39), chr(39) * 2)}'))) AS sum_regex_tokens,
+       MAX(len({SQL_TOKENS.format(col='text')})) AS max_ws_tokens
+FROM documents GROUP BY source
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-sensitive rolling-hash fingerprint per document
+    (functions/text.py:doc_fingerprint)."""
+    docs = load(spark, sf_dir, "documents")
+    return doc_fingerprint(docs, "doc_id", "text").select("doc_id", "fingerprint")
+
+
+ORACLE_FINGERPRINT = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest({SQL_TOKENS.format(col='text')}) AS token,
+         generate_subscripts({SQL_TOKENS.format(col='text')}, 1) - 1 AS pos
+  FROM documents)
+SELECT doc_id,
+       bit_xor((({SQL_H60.format(e='token')} % {MERSENNE_P})
+                * ((pos * 2654435761) % {MERSENNE_P} + 1)) % {MERSENNE_P}) AS fingerprint
+FROM tok GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal column plumbing (binary payloads + typed metadata)
+# ---------------------------------------------------------------------------
+
+def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary multimodal columns: payload = utf8 bytes of text (the
+    deterministic stand-in for image/audio bytes — see sources/multimodal.py
+    for the mapInPandas decode plumbing), typed metadata derived per doc."""
+    docs = load(spark, sf_dir, "documents")
+    modal = F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                         (F.col("doc_id") % 3 + 1).cast("int"))
+    payload = F.encode(F.col("text"), "UTF-8")
+    return (docs.select(modal.alias("modality"),
+                        F.octet_length(payload).cast("bigint").alias("payload_bytes"))
+            .groupBy("modality")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("payload_bytes").alias("total_bytes"),
+                 (F.sum("payload_bytes").cast("double") / F.count("*")).alias("avg_bytes"),
+                 F.max("payload_bytes").alias("max_bytes")))
+
+
+ORACLE_MULTIMODAL = """
+WITH m AS (
+  SELECT (['image', 'audio', 'video'])[(doc_id % 3 + 1)::INTEGER] AS modality,
+         octet_length(encode(text))::BIGINT AS payload_bytes
+  FROM documents)
+SELECT modality, COUNT(*) AS n_docs,
+       SUM(payload_bytes) AS total_bytes,
+       CAST(SUM(payload_bytes) AS DOUBLE) / COUNT(*) AS avg_bytes,
+       MAX(payload_bytes) AS max_bytes
+FROM m GROUP BY modality
+"""
+
+
+TEXT_QUERIES = [
+    QueryDef("dedup_exact_text", q_dedup_exact_text, ORACLE_DEDUP_EXACT, "LLM-dedup-exact"),
+    QueryDef("dedup_minhash_lsh", q_dedup_minhash_lsh, ORACLE_MINHASH_LSH, "LLM-dedup-minhash", bench=True),
+    QueryDef("ngram_jaccard_pairs", q_ngram_jaccard_pairs, ORACLE_NGRAM_JACCARD, "LLM-dedup-jaccard"),
+    QueryDef("dedup_simhash", q_dedup_simhash, ORACLE_SIMHASH, "LLM-dedup-simhash"),
+    QueryDef("lang_id", q_lang_id, ORACLE_LANG_ID, "LLM-text-langid"),
+    QueryDef("text_quality", q_text_quality, ORACLE_TEXT_QUALITY, "LLM-text-quality"),
+    QueryDef("token_counts", q_token_counts, ORACLE_TOKEN_COUNTS, "LLM-text-tokens"),
+    QueryDef("doc_fingerprint", q_doc_fingerprint, ORACLE_FINGERPRINT, "LLM-text-fingerprint"),
+    QueryDef("multimodal_stats", q_multimodal_stats, ORACLE_MULTIMODAL, "LLM-multimodal"),
+]

@@ -1,0 +1,45 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (default ``local[*]``),
+but every knob below is chosen for the 1000-executor / 100 TB target:
+
+- AQE on: runtime shuffle-partition coalescing + skew-join splitting means
+  the same plan survives a 1000x scale-up without re-tuning.
+- ``spark.sql.shuffle.partitions`` seeds AQE; at cluster scale you'd raise
+  the *initial* number (AQE coalesces down, never splits wide).
+- Arrow execution for the Pandas-UDF paths (similarity / multimodal ops).
+- Dynamic partition overwrite so the upsert writer (io.upsert_partitioned)
+  rewrites only touched year/month partitions — the reference rewrites one
+  month per run (src/data_collectors/odds_data_collector.py:30-51); we keep
+  that locality but let Catalyst prune.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "nfl-data-engineering-spark",
+              shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if shuffle_partitions is None:
+        shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 4)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        # files.maxPartitionBytes default 128m is right for the target; on
+        # the tiny local testdata AQE coalescing handles the small files.
+    )
+    return builder.getOrCreate()
