@@ -38,27 +38,53 @@ def regex_token_count(col: Column) -> Column:
 
 
 def shingles(tok_col: Column, n: int = 3) -> Column:
-    """Word n-gram shingles from a token array (distinct not applied here)."""
+    """Word n-gram shingles from a token array (distinct not applied here).
+
+    element_at is O(1) per lookup, so the whole shingle array is O(tokens);
+    the slice-based formulation is O(tokens^2) and measurably slower on
+    long documents.
+    """
     return F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(tok_col) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(tok_col, i, n)))
+        lambda i: F.concat_ws(" ", *[F.element_at(tok_col, i + k) for k in range(n)]))
+
+
+def _spread(df: DataFrame, id_col: str, repartition: bool) -> DataFrame:
+    """Pre-partition documents by id before CPU-heavy explodes.
+
+    Shuffling the (small) raw docs instead of the (large) exploded rows:
+    every downstream per-doc groupBy/dropDuplicates then satisfies its
+    required distribution from this partitioning and skips its own shuffle —
+    and locally it breaks the one-file-one-task bottleneck.
+    """
+    return df.repartition(F.col(id_col)) if repartition else df
 
 
 def explode_shingles(df: DataFrame, id_col: str, text_col: str,
-                     n: int = 3, distinct: bool = True) -> DataFrame:
-    """(id, text) -> (id, shingle) rows; set semantics when ``distinct``."""
-    out = df.select(F.col(id_col),
-                    F.explode(shingles(tokens(F.col(text_col)), n)).alias("shingle"))
+                     n: int = 3, distinct: bool = True,
+                     repartition: bool = True) -> DataFrame:
+    """(id, text) -> (id, shingle) rows; set semantics when ``distinct``.
+
+    The token array is materialized as its own projection first: passing the
+    split() expression straight into shingles() would inline it once per
+    element_at reference and re-tokenize the document per shingle position
+    (measured ~10x slowdown). A named column is computed once per row.
+    """
+    out = (_spread(df, id_col, repartition)
+           .select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+           .select(F.col(id_col),
+                   F.explode(shingles(F.col("__toks"), n)).alias("shingle")))
     return out.dropDuplicates([id_col, "shingle"]) if distinct else out
 
 
 def explode_tokens(df: DataFrame, id_col: str, text_col: str,
-                   with_pos: bool = False) -> DataFrame:
+                   with_pos: bool = False, repartition: bool = True) -> DataFrame:
+    src = (_spread(df, id_col, repartition)
+           .select(F.col(id_col), tokens(F.col(text_col)).alias("__toks")))
     if with_pos:
-        return df.select(F.col(id_col),
-                         F.posexplode(tokens(F.col(text_col))).alias("pos", "token"))
-    return df.select(F.col(id_col),
-                     F.explode(tokens(F.col(text_col))).alias("token"))
+        return src.select(F.col(id_col),
+                          F.posexplode(F.col("__toks")).alias("pos", "token"))
+    return src.select(F.col(id_col), F.explode(F.col("__toks")).alias("token"))
 
 
 def lang_score(col: Column, lang: str) -> Column:

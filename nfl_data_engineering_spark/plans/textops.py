@@ -18,8 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..functions.hashing import (MERSENNE_P, lsh_band_keys,
-                                 minhash_signatures, simhash)
+from ..functions.hashing import MERSENNE_P, minhash_bands_fast, simhash
 from ..functions.text import (LANG_MARKERS, STOPWORDS, WORD_RE, doc_fingerprint,
                               explode_shingles, explode_tokens, lang_id,
                               quality_features, regex_token_count, tokens)
@@ -79,8 +78,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear scans + equi-joins. This is the 100 TB near-dedup shape."""
     docs = load(spark, sf_dir, "documents")
     sh = explode_shingles(docs, "doc_id", "text", n=3).cache()
-    sig = minhash_signatures(sh, "doc_id", "shingle", NUM_HASHES)
-    bands = lsh_band_keys(sig, "doc_id", NUM_HASHES, NUM_BANDS)
+    bands = minhash_bands_fast(sh, "doc_id", "shingle", NUM_HASHES, NUM_BANDS)
     b1 = bands.select(F.col("doc_id").alias("d1"), "band", "band_key")
     b2 = bands.select(F.col("doc_id").alias("d2"), "band", "band_key")
     cand = (b1.join(b2, ["band", "band_key"])
