@@ -1,0 +1,82 @@
+"""Streaming ingestion: the odds append-feed semantics, Spark-native.
+
+The reference implements streaming semantics by hand: scheduled batch runs
+that read-modify-write a month partition with a full-row dedup as the
+idempotency guard (odds_data_collector.py:30-51). Structured Streaming
+replaces that with:
+
+- ``readStream`` over an arriving-files directory (or any source),
+- event-time watermark bounding state,
+- ``dropDuplicatesWithinWatermark`` as the exactly-once-per-row guard,
+- partitioned parquet sink with checkpointing (exactly-once file sink),
+- ``trigger(availableNow=True)`` so the same pipeline runs as an
+  incremental batch job — the reference's scheduled-Lambda cadence without
+  the manual merge.
+
+Late data: the watermark bounds how out-of-order an arrival may be; the
+reference's explicit-date backfill runs (src/main.py:27-35) stay a batch
+path via io.upsert_partitioned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+EVENTS_STREAM_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+])
+
+
+def read_event_stream(spark: SparkSession, src_dir: str,
+                      schema: T.StructType = EVENTS_STREAM_SCHEMA,
+                      fmt: str = "json") -> DataFrame:
+    return (spark.readStream.format(fmt).schema(schema)
+            .option("maxFilesPerTrigger", 64)
+            .load(src_dir))
+
+
+def deduped_stream(stream: DataFrame, watermark: str = "1 day",
+                   key_cols: list[str] | None = None) -> DataFrame:
+    """Watermarked dedup: the streaming twin of A1 full-row dedup.
+    ``key_cols=None`` dedups on all non-ts columns + ts (exact row)."""
+    keys = key_cols or [c for c in stream.columns]
+    return (stream
+            .withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(keys))
+
+
+def write_partitioned_stream(df: DataFrame, out_dir: str, checkpoint_dir: str,
+                             available_now: bool = True) -> StreamingQuery:
+    """Hive year/month partitioned sink, exactly-once via checkpoint; the
+    on-disk layout matches the batch writer (io.write_partitioned) and the
+    reference (README.md:43-60)."""
+    out = (df.withColumn("year", F.year("ts"))
+             .withColumn("month", F.month("ts")))
+    writer = (out.writeStream.format("parquet")
+              .option("path", out_dir)
+              .option("checkpointLocation", checkpoint_dir)
+              .partitionBy("year", "month")
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_counts_stream(stream: DataFrame, window: str = "1 hour",
+                           watermark: str = "1 day") -> DataFrame:
+    """Streaming tumbling-window aggregation (the 'last 12 weeks' rollup
+    pattern, README.md:124-137, computed incrementally)."""
+    return (stream
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("w"), "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum("value").alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "event_type", "n", "sum_value"))

@@ -1,0 +1,134 @@
+"""Unit tests for operators/: the schema-contract + dirty-input styles the
+reference uses (SURVEY.md §5), upgraded with explicit edge cases."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nfl_data_engineering_spark.operators.clean import (clean_string,
+                                                        coerce_types,
+                                                        pct_to_fraction)
+from nfl_data_engineering_spark.operators.dedup import (dedup_full_row,
+                                                        dedup_keep_latest)
+from nfl_data_engineering_spark.operators.joins import (asof_join,
+                                                        matchup_join,
+                                                        pivot_wide)
+from nfl_data_engineering_spark.operators.records import split_record
+from nfl_data_engineering_spark.operators.timeseries import zero_filled_counts
+from nfl_data_engineering_spark.operators.windows import (exp_weighted_mean,
+                                                          topk_per_group)
+
+
+def test_clean_string_sentinels(spark):
+    # the 7 problematic-value classes from test_s3_data_type_handling.py
+    df = spark.createDataFrame(
+        [("ok",), ("",), ("--",), ("None",), ("nan",), ("<NA>",), ("+3.5",)],
+        "v string")
+    out = [r["c"] for r in df.select(clean_string(F.col("v")).alias("c")).collect()]
+    assert out == ["ok", None, None, None, None, None, "3.5"]
+
+
+def test_pct_to_fraction(spark):
+    df = spark.createDataFrame([("75.5%",), ("0.3",), ("100%",)], "v string")
+    out = [r["c"] for r in df.select(pct_to_fraction(F.col("v")).alias("c")).collect()]
+    assert out == [0.755, 0.3, 1.0]
+
+
+def test_coerce_types_named_regression(spark):
+    # offense_scoring_ep_pcnt_last3 regression from
+    # test_s3_data_type_handling.py:128-146: ['50%', '', '75.5%'] -> numeric
+    df = spark.createDataFrame([("50%",), ("",), ("75.5%",)],
+                               "offense_scoring_ep_pcnt_last3 string")
+    schema = T.StructType([T.StructField("offense_scoring_ep_pcnt_last3",
+                                         T.DoubleType())])
+    out = [r[0] for r in coerce_types(df, schema).collect()]
+    assert out == [0.5, None, 0.755]
+
+
+def test_split_record(spark):
+    df = spark.createDataFrame([("3-1",), ("2-1-1",), ("--",)], "rec string")
+    out = split_record(df, "rec", prefix="r").collect()
+    assert (out[0]["r_wins"], out[0]["r_losses"], out[0]["r_ties"],
+            out[0]["r_games_played"]) == (3, 1, 0, 4)
+    assert (out[1]["r_wins"], out[1]["r_ties"], out[1]["r_games_played"]) == (2, 1, 4)
+    assert out[2]["r_wins"] is None and out[2]["r_games_played"] is None
+
+
+def test_dedup_full_row_idempotent(spark):
+    df = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], "k int, v string")
+    assert dedup_full_row(df).count() == 2
+    assert dedup_full_row(dedup_full_row(df)).count() == 2
+
+
+def test_dedup_keep_latest(spark):
+    t = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, "x", t), (1, "y", t + dt.timedelta(hours=1)), (2, "z", t)],
+        "k int, v string, timestamp timestamp")
+    out = {r["k"]: r["v"] for r in dedup_keep_latest(df, ["k"]).collect()}
+    assert out == {1: "y", 2: "z"}
+
+
+def test_topk_per_group_deterministic(spark):
+    df = spark.createDataFrame(
+        [("g", 5, 1), ("g", 5, 2), ("g", 3, 3)], "grp string, v int, id int")
+    out = topk_per_group(df, ["grp"], [F.col("v").desc(), F.col("id").desc()], k=1)
+    r = out.collect()[0]
+    assert (r["v"], r["id"]) == (5, 2)  # tie broken by id desc
+
+
+def test_exp_weighted_mean_matches_closed_form(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, t0 + dt.timedelta(days=i), float(i)) for i in range(4)]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, v double")
+    out = exp_weighted_mean(df, ["k"], "ts", "v", decay=0.5, last_n=3).collect()[0]
+    # newest first: v=3 w=1, v=2 w=.5, v=1 w=.25 (v=0 outside last_n)
+    expected = (3 * 1 + 2 * 0.5 + 1 * 0.25) / (1 + 0.5 + 0.25)
+    assert abs(out["ewm_value"] - expected) < 1e-12
+
+
+def test_asof_join_at_and_before_semantics(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, t0), (1, t0 + dt.timedelta(hours=2)), (2, t0)],
+        "user_id int, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, t0, 10.0), (1, t0 + dt.timedelta(hours=1), 20.0)],
+        "user_id int, ts timestamp, val double")
+    out = asof_join(left, right, ["user_id"], "ts", "ts", ["val"])
+    got = {(r["user_id"], r["ts"]): r["val_asof"] for r in out.collect()}
+    assert got[(1, t0)] == 10.0                       # right row AT left ts visible
+    assert got[(1, t0 + dt.timedelta(hours=2))] == 20.0  # latest before
+    assert got[(2, t0)] is None                       # no right rows for key
+
+
+def test_matchup_join_differentials(spark):
+    games = spark.createDataFrame([("g1", "A", "B")],
+                                  "game_id string, home string, road string")
+    stats = spark.createDataFrame([("A", 10.0), ("B", 4.0)],
+                                  "team string, score double")
+    out = matchup_join(games, stats, "team", "home", "road", ["score"]).collect()[0]
+    assert out["home_score"] == 10.0 and out["road_score"] == 4.0
+    assert out["score_matchup_differential"] == 6.0
+
+
+def test_pivot_wide(spark):
+    df = spark.createDataFrame(
+        [("A", "m1", 1.0), ("A", "m2", 2.0), ("B", "m1", 3.0)],
+        "team string, metric string, value double")
+    out = pivot_wide(df, ["team"], "metric", "value", ["m1", "m2"])
+    got = {r["team"]: (r["m1"], r["m2"]) for r in out.collect()}
+    assert got == {"A": (1.0, 2.0), "B": (3.0, None)}
+
+
+def test_zero_filled_counts_has_gap_buckets(spark):
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    df = spark.createDataFrame(
+        [(t0,), (t0 + dt.timedelta(hours=3),)], "ts timestamp")
+    out = {r["bucket"]: r["n"] for r in zero_filled_counts(df, "ts").collect()}
+    assert len(out) == 4  # hours 0..3 inclusive
+    assert out[dt.datetime(2024, 1, 1, 1)] == 0
+    assert out[dt.datetime(2024, 1, 1, 3)] == 1

@@ -1,0 +1,111 @@
+"""Connector adapters: odds JSON flatten contract, scraper fan-out,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from nfl_data_engineering_spark.sources.html_table import scrape_tables_long
+from nfl_data_engineering_spark.sources.multimodal import (decode_features,
+                                                           sample_frames,
+                                                           synthesize_multimodal)
+from nfl_data_engineering_spark.sources.rest_json import (build_odds_snapshot,
+                                                          flatten_odds,
+                                                          market_coverage_gaps,
+                                                          odds_from_json_strings)
+
+SAMPLE_ODDS = [{
+    "id": "game123",
+    "commence_time": "2025-11-03T18:00:00Z",
+    "home_team": "Team A", "away_team": "Team B",
+    "bookmakers": [{
+        "key": "bookx",
+        "markets": [
+            {"key": "h2h", "outcomes": [
+                {"name": "Team A", "price": -200, "point": None},
+                {"name": "Team B", "price": 170, "point": None}]},
+            {"key": "totals", "outcomes": [
+                {"name": "Over", "price": -110, "point": 45.5},
+                {"name": "Under", "price": -110, "point": 45.5}]},
+            {"key": "spreads", "outcomes": [
+                {"name": "Team A", "price": -105, "point": -3.5},
+                {"name": "Team B", "price": -115, "point": 3.5}]},
+        ],
+    }],
+}]
+
+
+def test_odds_flatten_nine_column_contract(spark):
+    # the exact schema contract from test_odds_collector.py:170-172
+    raw = odds_from_json_strings(spark, [json.dumps(SAMPLE_ODDS)])
+    flat = flatten_odds(raw)
+    assert flat.columns == ["game_id", "game_time", "home_team", "away_team",
+                            "book", "market", "outcome", "price", "point"]
+    rows = flat.collect()
+    assert len(rows) == 6
+    markets = {r["market"] for r in rows}
+    assert markets == {"h2h", "spreads", "totals"}
+    # h2h point null-filled to 0.0 (get_odds.py:61)
+    h2h = [r for r in rows if r["market"] == "h2h"]
+    assert all(r["point"] == 0.0 for r in h2h)
+    totals = {r["outcome"] for r in rows if r["market"] == "totals"}
+    assert totals == {"Over", "Under"}
+
+
+def test_market_coverage_check(spark):
+    raw = odds_from_json_strings(spark, [json.dumps(SAMPLE_ODDS)])
+    flat = flatten_odds(raw).filter(F.col("market") != "totals")
+    assert market_coverage_gaps(flat) == ["totals"]
+
+
+def test_odds_snapshot_timestamp(spark):
+    raw = odds_from_json_strings(spark, [json.dumps(SAMPLE_ODDS)])
+    snap = build_odds_snapshot(raw, dt.datetime(2025, 11, 1, 12, 0, 0))
+    assert snap.schema["timestamp"].dataType.typeName() == "timestamp"
+    assert snap.count() == 6
+
+
+def test_scraper_long_form(spark):
+    # defined inside the test so cloudpickle ships it by value — workers
+    # cannot import the tests package
+    def _fake_fetch(category, table_name, base_url, date):
+        return pd.DataFrame({
+            "Team": ["Bears (3-1)", "Lions (2-2)"],
+            "2025": ["55.5%", "44.1%"],
+            "Last 3": ["12.0", "--"],
+        })
+
+    registry = spark.createDataFrame(
+        [("rankings", "predictive", "http://x", "2025,Last 3", "")],
+        "category string, table_name string, base_url string, cols_to_keep string, record_cols string")
+    out = scrape_tables_long(registry, "2025-11-03", fetcher=_fake_fetch,
+                             num_tasks=2)
+    rows = out.collect()
+    assert len(rows) == 4  # 2 teams x 2 kept cols
+    metrics = {r["metric"] for r in rows}
+    # {category}_{table}_{col} naming (team_rankings_scraper.py:190-194)
+    assert metrics == {"rankings_predictive_2025", "rankings_predictive_last_3"}
+    assert all(r["date"] == dt.date(2025, 11, 3) for r in rows)
+
+
+def test_multimodal_decode_plumbing(spark):
+    docs = spark.createDataFrame([(1, "hello world"), (2, "abc")],
+                                 "doc_id long, text string")
+    mm = synthesize_multimodal(docs)
+    assert mm.schema["payload"].dataType.typeName() == "binary"
+    feats = decode_features(mm).collect()
+    by_id = {r["doc_id"]: r for r in feats}
+    assert by_id[1]["payload_bytes"] == len(b"hello world")
+    assert by_id[1]["feat_mean"] == sum(b"hello world") / len(b"hello world")
+    assert len(by_id[1]["content_hash"]) == 32
+
+
+def test_video_sampling_is_gated(spark):
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(NotImplementedError):
+        sample_frames(synthesize_multimodal(docs))

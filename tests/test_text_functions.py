@@ -1,0 +1,83 @@
+"""Text/hashing/similarity function properties."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nfl_data_engineering_spark.functions.hashing import (MERSENNE_P, h60,
+                                                          h60_py,
+                                                          minhash_bands_fast,
+                                                          simhash)
+from nfl_data_engineering_spark.functions.similarity import (brute_force_topk,
+                                                             cosine)
+from nfl_data_engineering_spark.functions.text import (doc_fingerprint,
+                                                       explode_shingles,
+                                                       lang_id)
+
+
+def test_h60_matches_python_twin(spark):
+    got = spark.range(1).select(h60(F.lit("hello")).alias("h")).collect()[0]["h"]
+    assert got == h60_py("hello") == 419982666956583591
+
+
+def test_shingles_set_semantics(spark):
+    df = spark.createDataFrame([(1, "a b c a b c a b c")], "doc_id int, text string")
+    out = {r["shingle"] for r in explode_shingles(df, "doc_id", "text", 3).collect()}
+    assert out == {"a b c", "b c a", "c a b"}
+
+
+def test_minhash_identical_docs_share_all_bands(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog")],
+        "doc_id int, text string")
+    sh = explode_shingles(df, "doc_id", "text", 3)
+    bands = minhash_bands_fast(sh, "doc_id", "shingle", 64, 16)
+    keys = (bands.groupBy("band")
+            .agg(F.countDistinct("band_key").alias("k")).collect())
+    assert all(r["k"] == 1 for r in keys)
+
+
+def test_simhash_identical_docs_hamming_zero(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "x y z w q")],
+        "doc_id int, text string")
+    toked = df.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    sims = {r["doc_id"]: r["simhash"]
+            for r in simhash(toked, "doc_id", "token").collect()}
+    assert sims[1] == sims[2]
+    assert sims[1] != sims[3]
+
+
+def test_fingerprint_is_position_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "c b a"), (3, "a b c")], "doc_id int, text string")
+    fps = {r["doc_id"]: r["fingerprint"]
+           for r in doc_fingerprint(df, "doc_id", "text").collect()}
+    assert fps[1] == fps[3]
+    assert fps[1] != fps[2]
+    assert all(0 <= v < MERSENNE_P for v in fps.values())
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog"), (2, "el perro y la casa de que"),
+         (3, "zzz qqq www")],
+        "doc_id int, text string")
+    out = {r["doc_id"]: r["p"]
+           for r in df.select("doc_id", lang_id(F.col("text")).alias("p")).collect()}
+    assert out[1] == "en" and out[2] == "es" and out[3] == "und"
+
+
+def test_cosine_and_topk(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.1]), (2, [0.0, 1.0]), (3, [-1.0, 0.0])],
+        "vec_id int, embedding array<float>")
+    c = (spark.createDataFrame([([1.0, 0.0], [0.0, 1.0])], "a array<float>, b array<float>")
+         .select(cosine(F.col("a"), F.col("b")).alias("c")).collect()[0]["c"])
+    assert abs(c) < 1e-12
+    q = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    out = brute_force_topk(df, q, k=3).orderBy("rank").collect()
+    assert [r["vec_id"] for r in out] == [1, 2, 3]   # by descending cosine
+    assert all(r["q_id"] == 0 and r["vec_id"] != 0 for r in out)
