@@ -20,26 +20,37 @@ from nfl_data_engineering_spark.plans.registry import bench_queries  # noqa: E40
 from nfl_data_engineering_spark.session import get_spark  # noqa: E402
 
 
+WARMUP_SF_DIR = "/root/testdata/sf0.001"
+
+
+def _run(q, spark, sf_dir) -> float:
+    """Execute one query to full materialization (noop sink computes every
+    output column; count() would let Catalyst skip projections)."""
+    t0 = time.time()
+    q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM/codegen warm-up on a trivial job so the first query isn't charged
-    # for session start.
-    spark.range(1000).selectExpr("sum(id)").collect()
+    # Warm-up: run every headline plan once at sf0.001. Whole-stage codegen
+    # compiles per plan *shape*, so this charges JIT/codegen to the warm-up
+    # pass, not the measured run — at the target scale compilation is noise,
+    # but at sf0.1 it would dominate and mis-rank the queries.
+    for q in bench_queries():
+        _run(q, spark, WARMUP_SF_DIR)
 
     timings: dict[str, float] = {}
     total = 0.0
     for q in bench_queries():
-        t0 = time.time()
-        df = q.spark(spark, sf_dir)
-        n = df.count() if df.isStreaming is False else -1
-        dt = time.time() - t0
+        dt = _run(q, spark, sf_dir)
         timings[q.name] = round(dt, 3)
         total += dt
-        print(f"# {q.name}: {n} rows in {dt:.2f}s", file=sys.stderr)
+        print(f"# {q.name}: {dt:.2f}s", file=sys.stderr)
 
     print(json.dumps({
         "metric": "headline_queries_total_wall",

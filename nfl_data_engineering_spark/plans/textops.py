@@ -18,9 +18,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..functions.hashing import MERSENNE_P, minhash_bands_fast, simhash
+from ..functions.hashing import MERSENNE_P, h60, minhash_bands_fast, simhash
 from ..functions.text import (LANG_MARKERS, STOPWORDS, WORD_RE, doc_fingerprint,
-                              explode_shingles, explode_tokens, lang_id,
+                              explode_shingle_hashes, explode_tokens, lang_id,
                               quality_features, regex_token_count, tokens)
 from .base import QueryDef, load
 
@@ -75,19 +75,26 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     jaccard verification on candidates only.
 
     The only all-pairs work happens inside LSH buckets; everything else is
-    linear scans + equi-joins. This is the 100 TB near-dedup shape."""
+    linear scans + equi-joins. This is the 100 TB near-dedup shape.
+
+    Shingles are reduced to their 60-bit hash once, up front: the minhash
+    draws, the size counts, and the intersection join all run on int64 keys
+    instead of shingle strings (same result on both engines — the oracle
+    hashes identically), and within-doc shingle dedup happens row-locally
+    via array_distinct — no dropDuplicates shuffle."""
     docs = load(spark, sf_dir, "documents")
-    sh = explode_shingles(docs, "doc_id", "text", n=3).cache()
-    bands = minhash_bands_fast(sh, "doc_id", "shingle", NUM_HASHES, NUM_BANDS)
+    sh = explode_shingle_hashes(docs, "doc_id", "text", n=3).cache()
+    bands = minhash_bands_fast(sh, "doc_id", "sh60", NUM_HASHES, NUM_BANDS,
+                               hashed=True)
     b1 = bands.select(F.col("doc_id").alias("d1"), "band", "band_key")
     b2 = bands.select(F.col("doc_id").alias("d2"), "band", "band_key")
     cand = (b1.join(b2, ["band", "band_key"])
             .filter(F.col("d1") < F.col("d2"))
             .select("d1", "d2").distinct())
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    s1 = sh.select(F.col("doc_id").alias("d1"), "shingle")
-    s2 = sh.select(F.col("doc_id").alias("d2"), "shingle")
-    inter = (cand.join(s1, "d1").join(s2, ["d2", "shingle"])
+    s1 = sh.select(F.col("doc_id").alias("d1"), "sh60")
+    s2 = sh.select(F.col("doc_id").alias("d2"), "sh60")
+    inter = (cand.join(s1, "d1").join(s2, ["d2", "sh60"])
              .groupBy("d1", "d2").agg(F.count("*").alias("i")))
     jac = (F.col("i").cast("double")
            / (F.col("sz1") + F.col("sz2") - F.col("i")).cast("double"))
@@ -100,7 +107,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_MINHASH_LSH = f"""
 WITH {_sql_shingles_cte(3)},
-shh AS (SELECT doc_id, {SQL_H60.format(e='shingle')} AS sh60 FROM sh),
+shh AS (SELECT DISTINCT doc_id, {SQL_H60.format(e='shingle')} AS sh60 FROM sh),
 params AS (
   SELECT seed,
          1 + ({SQL_H60.format(e="'mh_a_' || seed")} % {MERSENNE_P - 1}) AS a,
@@ -117,10 +124,10 @@ cand AS (
   SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
   FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
   WHERE a.doc_id < b.doc_id),
-sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shh GROUP BY 1),
 inter AS (
   SELECT c.d1, c.d2, COUNT(*) AS i
-  FROM cand c JOIN sh x ON x.doc_id = c.d1 JOIN sh y ON y.doc_id = c.d2 AND y.shingle = x.shingle
+  FROM cand c JOIN shh x ON x.doc_id = c.d1 JOIN shh y ON y.doc_id = c.d2 AND y.sh60 = x.sh60
   GROUP BY 1, 2)
 SELECT d1, d2,
        ROUND(i::DOUBLE / (s1.sz + s2.sz - i)::DOUBLE, 6) AS jaccard
@@ -139,13 +146,15 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs 3-gram jaccard >= 0.7 via shingle-keyed self-join (no
     sketching). At 100 TB, cap shingle document frequency before the join
     (ultra-common shingles dominate the pair blowup); at testdata scale the
-    raw join is exact and cheap."""
+    raw join is exact and cheap. Shingles join by 60-bit hash, not string
+    (identical result on both engines; int64 shuffle keys; row-local
+    within-doc dedup)."""
     docs = load(spark, sf_dir, "documents")
-    sh = explode_shingles(docs, "doc_id", "text", n=3).cache()
+    sh = explode_shingle_hashes(docs, "doc_id", "text", n=3).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    s1 = sh.select(F.col("doc_id").alias("d1"), "shingle")
-    s2 = sh.select(F.col("doc_id").alias("d2"), "shingle")
-    inter = (s1.join(s2, "shingle").filter(F.col("d1") < F.col("d2"))
+    s1 = sh.select(F.col("doc_id").alias("d1"), "sh60")
+    s2 = sh.select(F.col("doc_id").alias("d2"), "sh60")
+    inter = (s1.join(s2, "sh60").filter(F.col("d1") < F.col("d2"))
              .groupBy("d1", "d2").agg(F.count("*").alias("i")))
     jac = (F.col("i").cast("double")
            / (F.col("sz1") + F.col("sz2") - F.col("i")).cast("double"))
@@ -158,10 +167,11 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_NGRAM_JACCARD = f"""
 WITH {_sql_shingles_cte(3)},
-sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+shh AS (SELECT DISTINCT doc_id, {SQL_H60.format(e='shingle')} AS sh60 FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shh GROUP BY 1),
 inter AS (
   SELECT x.doc_id AS d1, y.doc_id AS d2, COUNT(*) AS i
-  FROM sh x JOIN sh y ON y.shingle = x.shingle AND x.doc_id < y.doc_id
+  FROM shh x JOIN shh y ON y.sh60 = x.sh60 AND x.doc_id < y.doc_id
   GROUP BY 1, 2)
 SELECT d1, d2,
        ROUND(i::DOUBLE / (s1.sz + s2.sz - i)::DOUBLE, 6) AS jaccard

@@ -26,6 +26,22 @@ def test_shingles_set_semantics(spark):
     assert out == {"a b c", "b c a", "c a b"}
 
 
+def test_shingles_short_docs_yield_nothing(spark):
+    # regression: Spark sequence(1, 0) is DESCENDING [1, 0], so the unguarded
+    # shingle index crashed element_at on docs with < n tokens
+    from collections import Counter
+
+    from nfl_data_engineering_spark.functions.text import explode_shingle_hashes
+    df = spark.createDataFrame(
+        [(1, "only two"), (2, ""), (3, "   "), (4, "a b c"),
+         (5, "x x x x x x")],
+        "doc_id int, text string")
+    hashed = explode_shingle_hashes(df, "doc_id", "text", 3).collect()
+    assert dict(Counter(r["doc_id"] for r in hashed)) == {4: 1, 5: 1}
+    strings = explode_shingles(df, "doc_id", "text", 3).collect()
+    assert dict(Counter(r["doc_id"] for r in strings)) == {4: 1, 5: 1}
+
+
 def test_minhash_identical_docs_share_all_bands(spark):
     df = spark.createDataFrame(
         [(1, "the quick brown fox jumps over the lazy dog"),
