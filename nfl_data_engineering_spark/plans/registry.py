@@ -9,9 +9,11 @@ from pyspark.sql import DataFrame, SparkSession
 from .base import QueryDef
 from .relational import RELATIONAL_QUERIES
 from .textops import TEXT_QUERIES
+from .training import TRAINING_QUERIES
 from .vector import VECTOR_QUERIES
 
-CATALOG: list[QueryDef] = [*RELATIONAL_QUERIES, *TEXT_QUERIES, *VECTOR_QUERIES]
+CATALOG: list[QueryDef] = [*RELATIONAL_QUERIES, *TEXT_QUERIES,
+                           *VECTOR_QUERIES, *TRAINING_QUERIES]
 
 _BY_NAME = {q.name: q for q in CATALOG}
 assert len(_BY_NAME) == len(CATALOG), "duplicate query names in catalog"

@@ -1,0 +1,228 @@
+"""Training-data pipeline + metadata-op query catalog.
+
+Covers the remaining SURVEY.md §2 ids that are pure metadata/plumbing
+(T6 column-name normalization, T7 literal column insert, T15 row renumber),
+a genuine Structured Streaming entry for §2.9 (file stream -> watermarked
+tumbling windows -> memory sink, oracle-checked against the batch twin),
+and the sampling/splitting/vocab ops a 100 TB training-data pipeline needs:
+
+- deterministic stratified sampling (hash-gated, per-stratum rates — no RNG,
+  so resumable and engine-portable),
+- train/test split by key hash (stable across runs and engines),
+- vocabulary building with document frequency (the n-gram/vocab prep step).
+
+All hashing uses the md5-derived h60 primitive so the DuckDB oracle
+reproduces results bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions.hashing import h60
+from ..functions.text import tokens
+from .base import QueryDef, load
+
+SQL_H60 = "(('0x' || substr(md5({e}), 1, 15))::BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# T6/T7/T15: metadata ops — rename-normalize, literal columns, renumber
+# ---------------------------------------------------------------------------
+
+def q_rename_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6+T7+T15: the scraper's column-name normalization contract
+    (team_rankings_scraper.py:84-125 lowercase/de-space/prefix) applied as a
+    pure-metadata select (no shuffle), a literal date + load timestamp column
+    (T7, team_rankings_scraper.py:34-46), and a deterministic row renumber
+    (T15 — reference reset_index, here row_number over a pinned total order).
+    """
+    sup = load(spark, sf_dir, "supplier")
+    # {category}_{table}_{col} naming applied to supplier "metrics"
+    renamed = sup.select(
+        F.col("s_suppkey").alias("team"),
+        F.col("s_acctbal").alias("rankings_supplier_acct_bal"),
+        F.col("s_nationkey").alias("rankings_supplier_nation_key"))
+    stamped = (renamed
+               .withColumn("date", F.lit("2025-11-03").cast("date"))
+               .withColumn("load_ts",
+                           F.lit("2025-11-03 12:00:00").cast("timestamp")))
+    w = F.row_number().over(
+        Window.orderBy(F.col("rankings_supplier_acct_bal").desc(),
+                       F.col("team")))
+    return stamped.select(
+        w.alias("row_num"), "team", "rankings_supplier_acct_bal",
+        "rankings_supplier_nation_key", "date", "load_ts")
+
+
+ORACLE_RENAME_NORMALIZE = """
+SELECT row_number() OVER (ORDER BY s_acctbal DESC, s_suppkey) AS row_num,
+       s_suppkey AS team,
+       s_acctbal AS rankings_supplier_acct_bal,
+       s_nationkey AS rankings_supplier_nation_key,
+       DATE '2025-11-03' AS date,
+       TIMESTAMP '2025-11-03 12:00:00' AS load_ts
+FROM supplier
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.9: genuine Structured Streaming entry (oracle-checked)
+# ---------------------------------------------------------------------------
+
+def q_streaming_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A real Structured Streaming run, not a batch stand-in: the events
+    parquet is consumed via readStream (file source), aggregated into
+    epoch-aligned 1-day tumbling windows with an event-time watermark, and
+    emitted complete-mode into a memory sink with trigger(availableNow).
+    With availableNow the stream drains the full input then terminates, so
+    the result equals the batch rollup — which is exactly what the DuckDB
+    oracle computes. Day windows are epoch-aligned, so window.start ==
+    date_trunc('day') in UTC on both engines.
+    """
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema
+    # the file-stream source requires a directory; events.parquet is a single
+    # file, so stream the parent dir gated to just that file
+    stream = (spark.readStream.schema(raw_schema)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir))
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (stream
+           .withWatermark("ts", "1 day")
+           .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+           .agg(F.count("*").alias("n"),
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                 .alias("sum_value")))
+    sink = "streaming_daily_rollup_sink"
+    q = (agg.writeStream.format("memory").queryName(sink)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(sink)
+            .select(F.col("w.start").alias("day"), "event_type", "n",
+                    "sum_value"))
+
+
+ORACLE_STREAMING_DAILY = """
+SELECT date_trunc('day', ts)::TIMESTAMP AS day, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-pipeline: sampling / splitting / vocab
+# ---------------------------------------------------------------------------
+
+SAMPLE_RATES_PERMILLE = {"en": 300, "es": 150, "fr": 150, "de": 150, "zh": 100}
+DEFAULT_RATE_PERMILLE = 50
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: keep a document iff
+    h60('sample_' || doc_id) % 1000 < rate(lang). Hash-gated sampling is the
+    100 TB shape — a pure row-local filter (pushable, no shuffle, no RNG
+    state), reproducible across engines, resumable across reruns, and the
+    per-stratum rate rebalances skewed language mixes."""
+    docs = load(spark, sf_dir, "documents")
+    gate = h60(F.concat(F.lit("sample_"), F.col("doc_id").cast("string"))) % 1000
+    rate = F.lit(DEFAULT_RATE_PERMILLE)
+    for lang, r in sorted(SAMPLE_RATES_PERMILLE.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return (docs.filter(gate < rate)
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_sampled"),
+                 F.min("doc_id").alias("min_doc_id"),
+                 F.max("doc_id").alias("max_doc_id")))
+
+
+_RATE_CASE = ("CASE " + " ".join(
+    f"WHEN lang = '{lang}' THEN {r}"
+    for lang, r in sorted(SAMPLE_RATES_PERMILLE.items()))
+    + f" ELSE {DEFAULT_RATE_PERMILLE} END")
+
+ORACLE_STRATIFIED_SAMPLE = f"""
+SELECT lang, COUNT(*) AS n_sampled,
+       MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+FROM documents
+WHERE {SQL_H60.format(e="'sample_' || doc_id::VARCHAR")} % 1000 < {_RATE_CASE}
+GROUP BY lang
+"""
+
+
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-bucketed train/validation/test split (80/10/10 by key hash):
+    stable under reruns and appends — a given doc never migrates between
+    splits — and computable on any engine. The split column is a row-local
+    projection; at 100 TB you'd persist it partitioned by split."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = h60(F.concat(F.lit("split_"), F.col("doc_id").cast("string"))) % 10
+    split = (F.when(bucket <= 7, F.lit("train"))
+             .when(bucket == 8, F.lit("valid"))
+             .otherwise(F.lit("test")))
+    return (docs.select("source", split.alias("split"))
+            .groupBy("source", "split")
+            .agg(F.count("*").alias("n_docs")))
+
+
+ORACLE_TRAIN_TEST_SPLIT = f"""
+WITH b AS (
+  SELECT source,
+         {SQL_H60.format(e="'split_' || doc_id::VARCHAR")} % 10 AS bucket
+  FROM documents)
+SELECT source,
+       CASE WHEN bucket <= 7 THEN 'train'
+            WHEN bucket = 8 THEN 'valid' ELSE 'test' END AS split,
+       COUNT(*) AS n_docs
+FROM b GROUP BY 1, 2
+"""
+
+
+VOCAB_TOPK = 50
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building with document frequency: distinct tokens per doc
+    (row-local array_distinct — no dedup shuffle), one token-keyed count,
+    top-k by (df desc, token). The groupBy key is the token itself; at
+    100 TB ultra-common tokens are still one partial-aggregated row each —
+    map-side combine keeps the shuffle at |vocab|, not |tokens|."""
+    docs = load(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("token"))
+    df_counts = per_doc.groupBy("token").agg(F.count("*").alias("doc_freq"))
+    return (df_counts
+            .orderBy(F.col("doc_freq").desc(), F.col("token"))
+            .limit(VOCAB_TOPK))
+
+
+SQL_TOKENS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t != '')"
+
+ORACLE_VOCAB_TOPK = f"""
+WITH per_doc AS (
+  SELECT DISTINCT doc_id, unnest({SQL_TOKENS}) AS token FROM documents)
+SELECT token, COUNT(*) AS doc_freq
+FROM per_doc GROUP BY token
+ORDER BY doc_freq DESC, token
+LIMIT {VOCAB_TOPK}
+"""
+
+
+TRAINING_QUERIES = [
+    QueryDef("rename_normalize", q_rename_normalize, ORACLE_RENAME_NORMALIZE,
+             "T6,T7,T15"),
+    QueryDef("streaming_daily_rollup", q_streaming_daily_rollup,
+             ORACLE_STREAMING_DAILY, "S2.9-streaming"),
+    QueryDef("stratified_sample", q_stratified_sample,
+             ORACLE_STRATIFIED_SAMPLE, "LLM-sampling"),
+    QueryDef("train_test_split", q_train_test_split, ORACLE_TRAIN_TEST_SPLIT,
+             "LLM-split"),
+    QueryDef("vocab_topk", q_vocab_topk, ORACLE_VOCAB_TOPK, "LLM-vocab",
+             bench=True),
+]
