@@ -11,7 +11,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..functions.similarity import brute_force_topk, cosine
+from ..functions.hashing import h60_py
+from ..functions.similarity import brute_force_topk, cosine, dot
 from .base import QueryDef, load
 
 TOPK = 5
@@ -129,8 +130,100 @@ WHERE {SQL_COS.format(a='a.embedding', b='b.embedding')} >= {COSINE_PAIR_THRESHO
 """
 
 
+# ---------------------------------------------------------------------------
+# SRP-LSH near-dup: the bucketed scale path for cosine pairs
+# ---------------------------------------------------------------------------
+
+SRP_BANDS = 8
+SRP_BITS_PER_BAND = 4
+SRP_DIM = 64                      # embeddings table dimension (TESTDATA)
+SRP_THRESHOLD = 0.45
+
+
+def _srp_signs() -> list[list[float]]:
+    """Deterministic Rademacher hyperplanes: sign of plane j, dim d is
+    h60('srp_{j}_{d}') parity — no RNG, identical in the oracle."""
+    nplanes = SRP_BANDS * SRP_BITS_PER_BAND
+    return [[1.0 if h60_py(f"srp_{j}_{d}") % 2 else -1.0
+             for d in range(SRP_DIM)] for j in range(nplanes)]
+
+
+def q_cosine_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine near-dup via signed-random-projection LSH: each vector gets
+    32 sign bits (8 bands x 4 bits); vectors sharing any band key become
+    candidates; exact cosine verifies candidates only.
+
+    This is the 100 TB twin of q_cosine_neardup_pairs: the all-pairs cross
+    join is replaced by an equi-join on (band, band_key) — linear scans plus
+    a join whose output is ~the number of true near-dups. Recall at the 0.45
+    threshold is ~0.8 per the SRP collision bound (1-(1-p^4)^8, p = 1-θ/π);
+    tighter thresholds push recall toward 1. The sketch is 32 fused
+    dot-products per row — one codegen stage, no shuffle until the
+    candidate join."""
+    signs = _srp_signs()
+    emb = load(spark, sf_dir, "embeddings")
+    bits = [(dot(F.col("embedding"),
+                 F.array(*[F.lit(s) for s in signs[j]])) > 0).cast("int")
+            for j in range(SRP_BANDS * SRP_BITS_PER_BAND)]
+    band_structs = [
+        F.struct(F.lit(b).alias("band"),
+                 F.md5(F.concat_ws(",", *[
+                     bits[b * SRP_BITS_PER_BAND + r].cast("string")
+                     for r in range(SRP_BITS_PER_BAND)])).alias("band_key"))
+        for b in range(SRP_BANDS)]
+    bands = (emb.select("vec_id",
+                        F.explode(F.array(*band_structs)).alias("b"))
+             .select("vec_id", F.col("b.band"), F.col("b.band_key")))
+    b1 = bands.select(F.col("vec_id").alias("v1"), "band", "band_key")
+    b2 = bands.select(F.col("vec_id").alias("v2"), "band", "band_key")
+    cand = (b1.join(b2, ["band", "band_key"])
+            .filter(F.col("v1") < F.col("v2"))
+            .select("v1", "v2").distinct())
+    e1 = emb.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"))
+    e2 = emb.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"))
+    verified = (cand.join(e1, "v1").join(e2, "v2")
+                .select("v1", "v2", cosine(F.col("e1"), F.col("e2")).alias("score"))
+                .filter(F.col("score") >= SRP_THRESHOLD))
+    return verified.select("v1", "v2", F.round("score", 6).alias("cosine"))
+
+
+def _srp_oracle() -> str:
+    signs = _srp_signs()
+    nplanes = SRP_BANDS * SRP_BITS_PER_BAND
+    bit_cols = ", ".join(
+        "CASE WHEN list_dot_product(embedding::DOUBLE[], ["
+        + ", ".join(str(s) for s in signs[j])
+        + f"]) > 0 THEN 1 ELSE 0 END AS b{j}"
+        for j in range(nplanes))
+    band_rows = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, md5("
+        + " || ',' || ".join(
+            f"b{b * SRP_BITS_PER_BAND + r}::VARCHAR"
+            for r in range(SRP_BITS_PER_BAND))
+        + ") AS band_key FROM bits"
+        for b in range(SRP_BANDS))
+    return f"""
+WITH bits AS (SELECT vec_id, {bit_cols} FROM embeddings),
+bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.vec_id < b.vec_id)
+SELECT c.v1, c.v2,
+       ROUND({SQL_COS.format(a='x.embedding', b='y.embedding')}, 6) AS cosine
+FROM cand c
+JOIN embeddings x ON x.vec_id = c.v1
+JOIN embeddings y ON y.vec_id = c.v2
+WHERE {SQL_COS.format(a='x.embedding', b='y.embedding')} >= {SRP_THRESHOLD}
+"""
+
+
+ORACLE_COSINE_LSH = _srp_oracle()
+
+
 VECTOR_QUERIES = [
     QueryDef("embedding_topk", q_embedding_topk, ORACLE_EMBEDDING_TOPK, "LLM-sim-bruteforce", bench=True),
     QueryDef("ann_ivf_topk", q_ann_ivf_topk, ORACLE_ANN_IVF, "LLM-sim-ivf"),
     QueryDef("cosine_neardup_pairs", q_cosine_neardup_pairs, ORACLE_COSINE_NEARDUP, "LLM-dedup-cosine"),
+    QueryDef("cosine_neardup_lsh", q_cosine_neardup_lsh, ORACLE_COSINE_LSH, "LLM-dedup-cosine-lsh"),
 ]
