@@ -1,0 +1,163 @@
+"""Connector / sink roundtrip query catalog (SURVEY.md §2.1 S-ops).
+
+Sources and sinks are library surface (sources/, streaming/, io.py), but the
+sink paths are exercised here as REAL queries: write through the engine's
+writer, read back through the engine's reader, aggregate, and hash-match a
+DuckDB oracle computed over the original input. That proves the storage
+layer (partition layout, dynamic-overwrite upsert, type fidelity) end to
+end, not just in unit tests.
+
+The network-bound sources (S1 REST, S2 HTML scraper) run on deterministic
+in-process payloads — a literal odds JSON and an injected fetcher — and are
+rows-only entries (no meaningful SQL oracle for connector plumbing; the
+driver records the weaker check, schema + row count).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..io import upsert_partitioned
+from ..sources.html_table import scrape_tables_long
+from ..sources.rest_json import flatten_odds, odds_from_json_strings
+from .base import QueryDef, load
+
+
+def _tmp_path(tag: str, sf_dir: str) -> str:
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_{tag}_{h}")
+
+
+# ---------------------------------------------------------------------------
+# S4/S5/S6 + A1: partitioned-parquet upsert roundtrip
+# ---------------------------------------------------------------------------
+
+def q_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write events through the upsert writer in two overlapping batches
+    (months <= 6, then everything), read the table back, aggregate per
+    partition year/month. The overlap is collapsed by the full-row dedup
+    idempotency guard (odds_data_collector.py:40-44 semantics), so the
+    readback equals the source — which is what the oracle checks. Exercises
+    S5 parquet sink, S6 hive partition derivation, dynamic partition
+    overwrite, and S4 readback in one query."""
+    path = _tmp_path("upsert", sf_dir)
+    ev = load(spark, sf_dir, "events").withColumnRenamed("ts", "timestamp")
+    first = ev.filter(F.month("timestamp") <= 6)
+    upsert_partitioned(spark, first, path, key_cols=None, ts_col="timestamp")
+    upsert_partitioned(spark, ev, path, key_cols=None, ts_col="timestamp")
+    back = spark.read.parquet(path)
+    return (back.groupBy("year", "month")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                  .alias("sum_value")))
+
+
+ORACLE_UPSERT_ROUNDTRIP = """
+SELECT year(ts)::INTEGER AS year, month(ts)::INTEGER AS month,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# S9: CSV sink roundtrip
+# ---------------------------------------------------------------------------
+
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink (box_score_cllector.py:38 analog) + schema'd readback.
+    Java's Double.toString round-trips exactly, so the value sums are
+    bit-identical to the source — the oracle aggregates the original
+    parquet."""
+    path = _tmp_path("csv", sf_dir)
+    ev = load(spark, sf_dir, "events")
+    (ev.select("event_id", "user_id", "event_type", "value")
+     .write.mode("overwrite").option("header", "true").csv(path))
+    back = spark.read.schema(
+        "event_id bigint, user_id bigint, event_type string, value double"
+    ).option("header", "true").csv(path)
+    return (back.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum("event_id").alias("sum_event_id"),
+                 F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                  .alias("sum_value")))
+
+
+ORACLE_CSV_ROUNDTRIP = """
+SELECT event_type, COUNT(*) AS n, SUM(event_id) AS sum_event_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# S1/T1: odds REST-JSON flatten (rows-only: connector demo on literal data)
+# ---------------------------------------------------------------------------
+
+_ODDS_PAYLOAD = [{
+    "id": f"game{i}",
+    "commence_time": f"2025-11-{10 + i:02d}T18:00:00Z",
+    "home_team": f"Home{i}", "away_team": f"Away{i}",
+    "bookmakers": [{
+        "key": book,
+        "markets": [
+            {"key": "h2h", "outcomes": [
+                {"name": f"Home{i}", "price": -150 - i, "point": None},
+                {"name": f"Away{i}", "price": 130 + i, "point": None}]},
+            {"key": "spreads", "outcomes": [
+                {"name": f"Home{i}", "price": -110, "point": -2.5 - i},
+                {"name": f"Away{i}", "price": -110, "point": 2.5 + i}]},
+            {"key": "totals", "outcomes": [
+                {"name": "Over", "price": -105, "point": 40.5 + i},
+                {"name": "Under", "price": -115, "point": 40.5 + i}]},
+        ],
+    } for book in ("alpha", "beta")],
+} for i in range(4)]
+
+
+def q_odds_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+T1: the odds connector's triple-explode flatten on a deterministic
+    literal payload (4 games x 2 books x 3 markets x 2 outcomes = 48 rows,
+    the exact 9-column contract of test_odds_collector.py:170-172)."""
+    raw = odds_from_json_strings(spark, [json.dumps(_ODDS_PAYLOAD)])
+    return flatten_odds(raw).orderBy("game_id", "book", "market", "outcome")
+
+
+def q_scraper_longform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2+T6: the distributed scraper adapter with an injected deterministic
+    fetcher — registry DataFrame fans out via mapInPandas, tables melt to
+    the long form with {category}_{table}_{col} metric naming. O2: only the
+    first table parse is kept per config (the fetcher returns one table,
+    mirroring tables[0] at team_rankings_scraper.py:168-169)."""
+    import pandas as pd  # noqa: F401  (workers need it; imported in closure)
+
+    def fetcher(category, table_name, base_url, date):
+        import pandas as pd
+        n = {"predictive": 3, "scoring": 2}[table_name]
+        return pd.DataFrame({
+            "Team": [f"team_{k}" for k in range(n)],
+            "Rating": [f"{10.5 + k}" for k in range(n)],
+            "Pct": [f"{50 + k}.0%" for k in range(n)],
+        })
+
+    registry = spark.createDataFrame(
+        [("rankings", "predictive", "http://r/p", "Rating,Pct", ""),
+         ("offense_scoring", "scoring", "http://o/s", "Rating", "")],
+        "category string, table_name string, base_url string, cols_to_keep string, record_cols string")
+    out = scrape_tables_long(registry, "2025-11-03", fetcher=fetcher,
+                             num_tasks=2)
+    return out.orderBy("team", "metric")
+
+
+CONNECTOR_QUERIES = [
+    QueryDef("upsert_roundtrip", q_upsert_roundtrip, ORACLE_UPSERT_ROUNDTRIP,
+             "S4,S5,S6,A1,A2"),
+    QueryDef("csv_roundtrip", q_csv_roundtrip, ORACLE_CSV_ROUNDTRIP, "S9"),
+    QueryDef("odds_flatten", q_odds_flatten, None, "S1,T1"),
+    QueryDef("scraper_longform", q_scraper_longform, None, "S2,T6,O2"),
+]

@@ -7,13 +7,15 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .base import QueryDef
+from .connectors import CONNECTOR_QUERIES
 from .relational import RELATIONAL_QUERIES
 from .textops import TEXT_QUERIES
 from .training import TRAINING_QUERIES
 from .vector import VECTOR_QUERIES
 
 CATALOG: list[QueryDef] = [*RELATIONAL_QUERIES, *TEXT_QUERIES,
-                           *VECTOR_QUERIES, *TRAINING_QUERIES]
+                           *VECTOR_QUERIES, *TRAINING_QUERIES,
+                           *CONNECTOR_QUERIES]
 
 _BY_NAME = {q.name: q for q in CATALOG}
 assert len(_BY_NAME) == len(CATALOG), "duplicate query names in catalog"
