@@ -36,11 +36,15 @@ def strip_parenthetical(col: Column) -> Column:
 
 def pct_to_fraction(col: Column) -> Column:
     """T5: '75.5%' -> 0.755, numeric pass-through
-    (team_rankings_scraper.py:133-141) — builtin-only, no Python UDF."""
+    (team_rankings_scraper.py:133-141) — builtin-only, no Python UDF.
+
+    try_cast, not cast: the reference engine is best-effort
+    (to_numeric(errors='coerce')), and Spark 4's default ANSI mode would
+    otherwise throw on unparseable survivors instead of nulling them."""
     return F.when(
         col.endswith("%"),
-        F.regexp_replace(col, "%$", "").cast("double") / F.lit(100.0),
-    ).otherwise(col.cast("double"))
+        F.regexp_replace(col, "%$", "").try_cast("double") / F.lit(100.0),
+    ).otherwise(col.try_cast("double"))
 
 
 def empty_to_null(col: Column) -> Column:
@@ -79,10 +83,13 @@ def coerce_types(df: DataFrame, schema: T.StructType) -> DataFrame:
         col = F.col(name)
         src_is_str = isinstance(df.schema[name].dataType, T.StringType)
         if src_is_str and isinstance(dt, numeric):
+            # try_cast throughout: best-effort semantics (s3_client.py's
+            # to_numeric(errors='coerce')); plain cast would raise under
+            # ANSI mode on any unparseable survivor
             cleaned = clean_string(col)
             e = F.when(cleaned.endswith("%"),
-                       F.regexp_replace(cleaned, "%$", "").cast("double") / 100
-                       ).otherwise(cleaned.cast("double")).cast(dt)
+                       F.regexp_replace(cleaned, "%$", "").try_cast("double") / 100
+                       ).otherwise(cleaned.try_cast("double")).try_cast(dt)
         elif src_is_str and isinstance(dt, T.StringType):
             e = sentinels_to_null(empty_to_null(col))
         else:

@@ -154,10 +154,28 @@ def q_scraper_longform(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("team", "metric")
 
 
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 Pandas-UDF surface: the multimodal decode pipeline — binary
+    payload column through an Arrow-batched mapInPandas feature extractor
+    (payload dropped before any shuffle; only narrow feature rows move).
+    Rows-only: per-byte blob arithmetic is the part DuckDB SQL can't mirror;
+    the plumbing (schema contract, batch shape) is what this entry checks."""
+    from ..sources.multimodal import decode_features, synthesize_multimodal
+    docs = load(spark, sf_dir, "documents")
+    mm = synthesize_multimodal(docs.select("doc_id", "text"))
+    feats = decode_features(mm)
+    return (feats.groupBy("modality")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("payload_bytes").alias("total_bytes"),
+                 F.round(F.avg("feat_mean"), 6).alias("avg_feat_mean")))
+
+
 CONNECTOR_QUERIES = [
     QueryDef("upsert_roundtrip", q_upsert_roundtrip, ORACLE_UPSERT_ROUNDTRIP,
              "S4,S5,S6,A1,A2"),
     QueryDef("csv_roundtrip", q_csv_roundtrip, ORACLE_CSV_ROUNDTRIP, "S9"),
     QueryDef("odds_flatten", q_odds_flatten, None, "S1,T1"),
     QueryDef("scraper_longform", q_scraper_longform, None, "S2,T6,O2"),
+    QueryDef("multimodal_decode", q_multimodal_decode, None,
+             "LLM-multimodal-udf"),
 ]
