@@ -99,6 +99,43 @@ def upsert_partitioned(spark: SparkSession, new_df: DataFrame, path: str,
      .parquet(path, compression="snappy"))
 
 
+def compact_partitions(spark: SparkSession, path: str,
+                       target_files_per_partition: int = 1,
+                       partitions: list[tuple] | None = None) -> None:
+    """Small-file compaction (the §4 'needs our policy' gap).
+
+    Incremental appends (streaming sink, repeated upserts) accumulate files
+    per partition; scans then pay per-file open cost. This rewrites each
+    partition down to ``target_files_per_partition`` files. ``partitions``
+    limits the rewrite to the listed (year, month) tuples — the periodic
+    compaction job passes the recently-written ones; None compacts the whole
+    table (reference-scale only; at 100 TB always pass the touched set).
+
+    Safe with dynamic partition overwrite: only the partitions present in
+    the rewritten frame are replaced, atomically per partition.
+    """
+    df = spark.read.parquet(path)
+    if partitions is not None:
+        pred = F.lit(False)
+        for (y, m) in partitions:
+            pred = pred | ((F.col("year") == y) & (F.col("month") == m))
+        df = df.filter(pred)
+    part_cols = [F.col(c) for c in PARTITION_COLS]
+    if target_files_per_partition <= 1:
+        shuffled = df.repartition(*part_cols)
+    else:
+        # hash-salt within the partition key: k salt values -> k shuffle
+        # groups -> k files per table partition
+        salt = F.abs(F.hash(*df.columns)) % target_files_per_partition
+        shuffled = (df.withColumn("__salt", salt)
+                    .repartition(*part_cols, F.col("__salt"))
+                    .drop("__salt"))
+    (shuffled
+     .write.mode("overwrite")
+     .partitionBy(*PARTITION_COLS)
+     .parquet(path, compression="snappy"))
+
+
 def _table_exists(path: str) -> bool:
     if not os.path.isdir(path):
         return False

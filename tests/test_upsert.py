@@ -6,7 +6,9 @@ from __future__ import annotations
 import datetime as dt
 import os
 
-from nfl_data_engineering_spark.io import upsert_partitioned, write_partitioned
+from nfl_data_engineering_spark.io import (compact_partitions,
+                                           upsert_partitioned,
+                                           write_partitioned)
 
 
 def _batch(spark, rows):
@@ -46,6 +48,40 @@ def test_upsert_touches_only_new_partitions(spark, tmp_path):
     # dynamic partition overwrite must leave January untouched
     assert before == after
     assert spark.read.parquet(path).count() == 2
+
+
+def _parquet_files(d):
+    return [f for f in os.listdir(d) if f.endswith(".parquet")]
+
+
+def test_compaction_reduces_files_and_preserves_rows(spark, tmp_path):
+    from nfl_data_engineering_spark.io import with_partition_cols
+    path = str(tmp_path / "tbl")
+    # simulate incremental appends: many small files in one month partition
+    for day in range(1, 6):
+        b = _batch(spark, [(day * 10 + i, f"v{day}_{i}",
+                            dt.datetime(2024, 5, day)) for i in range(3)])
+        (with_partition_cols(b).write.mode("append")
+         .partitionBy("year", "month").parquet(path))
+    may_dir = os.path.join(path, "year=2024", "month=5")
+    assert len(_parquet_files(may_dir)) > 1   # precondition: fragmented
+    before_rows = sorted(map(tuple, spark.read.parquet(path).collect()))
+    compact_partitions(spark, path, target_files_per_partition=1,
+                       partitions=[(2024, 5)])
+    assert len(_parquet_files(may_dir)) == 1
+    after_rows = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert before_rows == after_rows
+
+
+def test_compaction_salted_multi_file(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    b = _batch(spark, [(i, f"v{i}", dt.datetime(2024, 6, 1 + i % 20))
+                       for i in range(200)])
+    upsert_partitioned(spark, b, path, key_cols=None)
+    compact_partitions(spark, path, target_files_per_partition=3)
+    jun_dir = os.path.join(path, "year=2024", "month=6")
+    assert 1 <= len(_parquet_files(jun_dir)) <= 3
+    assert spark.read.parquet(path).count() == 200
 
 
 def test_write_partitioned_layout(spark, tmp_path):
