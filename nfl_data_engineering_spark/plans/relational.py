@@ -651,6 +651,57 @@ FROM spine LEFT JOIN counts ON spine.bucket = counts.bucket
 """
 
 
+def q_hourly_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T14+interp: hourly averages for a sparse event type with NULL gaps
+    linearly interpolated (the weather client's dense-frame contract,
+    weather_client.py:132-150, when observations are missing)."""
+    from ..operators.timeseries import interpolate_linear, spine_from_bounds
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    hourly = (ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"))
+              .agg((F.sum(_dec("value")).cast("double") / F.count("*"))
+                   .alias("avg_value")))
+    spine = spine_from_bounds(ev, "ts", "1 hour")
+    sparse = spine.join(hourly, "bucket", "left")
+    out = interpolate_linear(sparse, "bucket", "avg_value",
+                             out_col="value_interp")
+    return out.select("bucket",
+                      F.round("avg_value", 6).alias("avg_value"),
+                      F.round("value_interp", 6).alias("value_interp"))
+
+
+ORACLE_HOURLY_INTERPOLATE = """
+WITH ev AS (SELECT ts, value FROM events WHERE event_type = 'error'),
+bounds AS (SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi FROM ev),
+spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM bounds),
+hourly AS (
+  SELECT date_trunc('hour', ts) AS bucket,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
+  FROM ev GROUP BY 1),
+sparse AS (SELECT spine.bucket, hourly.avg_value
+           FROM spine LEFT JOIN hourly ON spine.bucket = hourly.bucket),
+filled AS (
+  SELECT bucket, avg_value,
+    last_value(avg_value IGNORE NULLS) OVER
+      (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+    last_value(CASE WHEN avg_value IS NOT NULL THEN bucket END IGNORE NULLS) OVER
+      (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_ts,
+    first_value(avg_value IGNORE NULLS) OVER
+      (ORDER BY bucket ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+    first_value(CASE WHEN avg_value IS NOT NULL THEN bucket END IGNORE NULLS) OVER
+      (ORDER BY bucket ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_ts
+  FROM sparse)
+SELECT bucket, ROUND(avg_value, 6) AS avg_value,
+  ROUND(CASE WHEN avg_value IS NOT NULL THEN avg_value
+             WHEN prev_v IS NULL THEN next_v
+             WHEN next_v IS NULL THEN prev_v
+             ELSE prev_v + (next_v - prev_v)
+                  * (CAST(epoch(bucket) - epoch(prev_ts) AS DOUBLE)
+                     / CAST(epoch(next_ts) - epoch(prev_ts) AS DOUBLE)) END,
+        6) AS value_interp
+FROM filled
+"""
+
+
 def q_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9: tumbling weekly windows over the append feed (the 'last 12
     weeks' read pattern, README.md:124-137)."""
@@ -740,6 +791,7 @@ RELATIONAL_QUERIES = [
     QueryDef("priority_extract", q_priority_extract, ORACLE_PRIORITY_EXTRACT, "T3-regex"),
     QueryDef("tz_hour_histogram", q_tz_hour_histogram, ORACLE_TZ_HOUR, "T13"),
     QueryDef("hourly_zero_fill", q_hourly_zero_fill, ORACLE_HOURLY_ZERO_FILL, "T14"),
+    QueryDef("hourly_interpolate", q_hourly_interpolate, ORACLE_HOURLY_INTERPOLATE, "T14-interp"),
     QueryDef("weekly_rollup", q_weekly_rollup, ORACLE_WEEKLY_ROLLUP, "W-window", bench=True),
     QueryDef("pivot_wide", q_pivot_wide, ORACLE_PIVOT_WIDE, "J1-pivot", bench=True),
     QueryDef("explode_array", q_explode_array, ORACLE_EXPLODE_ARRAY, "T1"),

@@ -214,6 +214,27 @@ LIMIT {VOCAB_TOPK}
 """
 
 
+def q_zscore_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 grouped-map Pandas surface: per-event-type feature
+    standardization via applyInPandas (the z-score step of a training
+    pipeline). Arrow ships each group to pandas and back; the output drops
+    to narrow rows before any shuffle. Rows-only: pandas' pairwise float
+    summation differs from SQL engines in the last ulp, so the check is
+    schema + cardinality (the math is pinned by tests instead)."""
+    def zscore(pdf):
+        m = pdf["value"].mean()
+        s = pdf["value"].std(ddof=1)
+        pdf = pdf.copy()
+        pdf["z"] = (pdf["value"] - m) / s if s and s > 0 else 0.0
+        return pdf
+
+    ev = load(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    return (ev.groupBy("event_type")
+            .applyInPandas(zscore,
+                           schema="event_type string, event_id long, "
+                                  "value double, z double"))
+
+
 TRAINING_QUERIES = [
     QueryDef("rename_normalize", q_rename_normalize, ORACLE_RENAME_NORMALIZE,
              "T6,T7,T15"),
@@ -225,4 +246,5 @@ TRAINING_QUERIES = [
              "LLM-split"),
     QueryDef("vocab_topk", q_vocab_topk, ORACLE_VOCAB_TOPK, "LLM-vocab",
              bench=True),
+    QueryDef("zscore_groups", q_zscore_groups, None, "LLM-standardize-udf"),
 ]
