@@ -1,0 +1,84 @@
+"""End-to-end collection pipelines + event dispatch — the reference's
+top-level API surface, Spark-native.
+
+Mirrors the contract of src/main.py:25-40 (event dict -> dispatch to
+collectors by name, optional explicit run date) and the two collector
+pipelines:
+
+- odds (src/data_collectors/odds_data_collector.py:20-51): fetch -> flatten
+  -> timestamp -> append with full-row dedup into year/month partitions.
+- rankings (src/data_collectors/team_rankings_data_collector.py:21-50):
+  registry fan-out scrape -> long-form normalize -> timestamp -> keyed
+  keep-latest upsert.
+
+Network access is injected (payloads / fetcher), so the pipelines are
+deterministic and testable offline; the connector modules own HTTP.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .io import upsert_partitioned
+from .sources.html_table import Fetcher, scrape_tables_long
+from .sources.rest_json import (build_odds_snapshot, market_coverage_gaps,
+                                odds_from_json_strings)
+
+RANKINGS_KEY_COLS = ["team", "date", "metric"]
+
+
+def run_odds_collection(spark: SparkSession, payloads: list[str],
+                        table_path: str, collected_at: dt.datetime) -> dict:
+    """The odds pipeline: payload JSON -> 9-col snapshot -> idempotent
+    append (full-row dedup guards double runs, odds_data_collector.py:40-44).
+    Returns collection stats incl. the market-coverage check
+    (get_odds.py:68-79)."""
+    raw = odds_from_json_strings(spark, payloads)
+    snap = build_odds_snapshot(raw, collected_at)
+    gaps = market_coverage_gaps(snap)
+    n = snap.count()
+    upsert_partitioned(spark, snap, table_path, key_cols=None)
+    return {"rows_collected": n, "missing_markets": gaps,
+            "table_path": table_path}
+
+
+def run_rankings_collection(spark: SparkSession, registry: DataFrame,
+                            date: str, fetcher: Fetcher, table_path: str,
+                            collected_at: dt.datetime,
+                            num_tasks: int = 32) -> dict:
+    """The rankings pipeline: registry fan-out scrape (distributed, vs the
+    reference's 221 sequential fetches) -> long form -> keyed keep-latest
+    upsert on (team, date, metric) — re-collections replace stale values
+    (team_rankings_data_collector.py:41-45)."""
+    long_df = scrape_tables_long(registry, date, fetcher=fetcher,
+                                 num_tasks=num_tasks)
+    stamped = long_df.withColumn(
+        "timestamp", F.lit(collected_at).cast("timestamp"))
+    n = stamped.count()
+    upsert_partitioned(spark, stamped, table_path,
+                       key_cols=RANKINGS_KEY_COLS)
+    return {"rows_collected": n, "table_path": table_path}
+
+
+def handler(spark: SparkSession, event: dict,
+            collectors: dict[str, Callable[[SparkSession, dt.datetime], dict]],
+            ) -> dict[str, dict]:
+    """Event dispatch (src/main.py:25-40 contract): ``event`` carries
+    ``collectors_to_run`` (list of names) and an optional explicit ``date``
+    (backfill); without a date the run stamps now-UTC. Unknown collector
+    names raise — the reference silently KeyErrors, which is the same
+    outcome with a clearer message."""
+    if event.get("date"):
+        run_dt = dt.datetime.fromisoformat(event["date"])
+    else:
+        run_dt = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    results = {}
+    for name in event.get("collectors_to_run") or []:
+        if name not in collectors:
+            raise KeyError(f"unknown collector '{name}'; "
+                           f"registered: {sorted(collectors)}")
+        results[name] = collectors[name](spark, run_dt)
+    return results

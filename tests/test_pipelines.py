@@ -1,0 +1,85 @@
+"""End-to-end collector pipelines + dispatch (the reference's top-level API,
+src/main.py + both data_collectors)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from nfl_data_engineering_spark.pipelines import (handler,
+                                                  run_odds_collection,
+                                                  run_rankings_collection)
+
+PAYLOAD = [{
+    "id": "g1", "commence_time": "2025-11-03T18:00:00Z",
+    "home_team": "A", "away_team": "B",
+    "bookmakers": [{"key": "bk", "markets": [
+        {"key": "h2h", "outcomes": [
+            {"name": "A", "price": -200, "point": None},
+            {"name": "B", "price": 170, "point": None}]},
+        {"key": "spreads", "outcomes": [
+            {"name": "A", "price": -105, "point": -3.5},
+            {"name": "B", "price": -115, "point": 3.5}]},
+        {"key": "totals", "outcomes": [
+            {"name": "Over", "price": -110, "point": 45.5},
+            {"name": "Under", "price": -110, "point": 45.5}]},
+    ]}],
+}]
+
+
+def test_odds_collection_idempotent(spark, tmp_path):
+    path = str(tmp_path / "odds")
+    t = dt.datetime(2025, 11, 1, 12)
+    stats = run_odds_collection(spark, [json.dumps(PAYLOAD)], path, t)
+    assert stats["rows_collected"] == 6 and stats["missing_markets"] == []
+    # double run (the reference's idempotency guard) is a fixed point
+    run_odds_collection(spark, [json.dumps(PAYLOAD)], path, t)
+    back = spark.read.parquet(path)
+    assert back.count() == 6
+    assert set(back.columns) >= {"game_id", "book", "market", "outcome",
+                                 "price", "point", "timestamp", "year", "month"}
+
+
+def test_rankings_collection_keeps_latest(spark, tmp_path):
+    path = str(tmp_path / "rankings")
+    registry = spark.createDataFrame(
+        [("rankings", "predictive", "http://x", "Rating", "")],
+        "category string, table_name string, base_url string, cols_to_keep string, record_cols string")
+
+    def mk_fetcher(rating):
+        def fetch(category, table_name, base_url, date):
+            import pandas as pd
+            return pd.DataFrame({"Team": ["Bears"], "Rating": [rating]})
+        return fetch
+
+    t1, t2 = dt.datetime(2025, 11, 1, 8), dt.datetime(2025, 11, 1, 20)
+    run_rankings_collection(spark, registry, "2025-11-03", mk_fetcher("10.0"),
+                            path, t1, num_tasks=2)
+    run_rankings_collection(spark, registry, "2025-11-03", mk_fetcher("12.5"),
+                            path, t2, num_tasks=2)
+    out = spark.read.parquet(path).collect()
+    # same (team, date, metric) re-collected -> newest timestamp wins
+    assert len(out) == 1
+    assert out[0]["value"] == "12.5"
+    assert out[0]["timestamp"] == t2
+
+
+def test_handler_dispatch_and_backfill_date(spark, tmp_path):
+    seen = {}
+
+    def fake_collector(s, run_dt):
+        seen["dt"] = run_dt
+        return {"ok": True}
+
+    out = handler(spark, {"collectors_to_run": ["odds"],
+                          "date": "2024-11-18T00:00:00"},
+                  {"odds": fake_collector})
+    assert out == {"odds": {"ok": True}}
+    assert seen["dt"] == dt.datetime(2024, 11, 18)   # explicit backfill date
+    with pytest.raises(KeyError, match="unknown collector"):
+        handler(spark, {"collectors_to_run": ["nope"]}, {"odds": fake_collector})
+    # no collectors -> no-op, mirroring an empty event
+    assert handler(spark, {}, {"odds": fake_collector}) == {}
