@@ -85,6 +85,21 @@ def test_lang_id_markers(spark):
     assert out[1] == "en" and out[2] == "es" and out[3] == "und"
 
 
+def test_udtf_expand_record(spark):
+    # §2.8 UDTF surface: lateral table function, variable row expansion
+    from nfl_data_engineering_spark.functions.udtfs import ExpandRecord
+    spark.udtf.register("expand_record_t", ExpandRecord)
+    rows = spark.sql("""
+        SELECT t.team, r.outcome, r.n
+        FROM VALUES ('Bears', '3-1-1'), ('Lions', '--'), ('Packers', '0-2')
+             AS t(team, rec),
+        LATERAL expand_record_t(t.rec) r
+    """).collect()
+    got = sorted((r["team"], r["outcome"], r["n"]) for r in rows)
+    assert got == [("Bears", "loss", 1), ("Bears", "tie", 1),
+                   ("Bears", "win", 3), ("Packers", "loss", 2)]
+
+
 def test_cosine_and_topk(spark):
     df = spark.createDataFrame(
         [(0, [1.0, 0.0]), (1, [1.0, 0.1]), (2, [0.0, 1.0]), (3, [-1.0, 0.0])],
