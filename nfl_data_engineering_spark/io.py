@@ -99,6 +99,26 @@ def upsert_partitioned(spark: SparkSession, new_df: DataFrame, path: str,
      .parquet(path, compression="snappy"))
 
 
+def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
+                   num_buckets: int = 32, sort_cols: list[str] | None = None,
+                   mode: str = "overwrite") -> None:
+    """Bucketed parquet table: pre-shuffle the data ONCE at write time so
+    every later join/aggregation on ``bucket_cols`` is exchange-free.
+
+    The 100 TB pattern for hot join keys (e.g. facts repeatedly joined on
+    the same key): both sides bucketed with the same count join with zero
+    runtime shuffle — the one-time write shuffle is amortized over every
+    subsequent query. ``sort_cols`` additionally pre-sorts within buckets,
+    removing the sort from sort-merge joins. Requires the session catalog
+    (saveAsTable); warehouse location is configured in session.py.
+    """
+    w = (df.write.mode(mode).format("parquet")
+         .bucketBy(num_buckets, *bucket_cols))
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
 def compact_partitions(spark: SparkSession, path: str,
                        target_files_per_partition: int = 1,
                        partitions: list[tuple] | None = None) -> None:

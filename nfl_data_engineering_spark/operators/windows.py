@@ -26,6 +26,32 @@ def topk_per_group(df: DataFrame, group_cols: list[str], order: list[Column],
               .filter(F.col(rank_col) <= k))
 
 
+def topk_per_group_salted(df: DataFrame, group_cols: list[str],
+                          order: list[Column], k: int = 1,
+                          salt_buckets: int = 32,
+                          rank_col: str = "rnk") -> DataFrame:
+    """Skew-safe top-k per key: two-phase ranking.
+
+    A single window on a hot key serializes that key through one task. Phase
+    one ranks within (key, salt) — the hot key spreads over ``salt_buckets``
+    tasks and each keeps only its local top-k; phase two ranks the surviving
+    k x salt_buckets rows per key. The salt is a row hash, so results are
+    identical to :func:`topk_per_group` for any total order — only the
+    physical distribution changes. Use when a key can exceed a single task's
+    share (the as-of/dedup skew cliff in SCALE.md).
+    """
+    salt = F.pmod(F.hash(F.struct(*[F.col(c) for c in df.columns])),
+                  F.lit(salt_buckets))
+    w1 = Window.partitionBy(*group_cols, "__salt").orderBy(*order)
+    local = (df.withColumn("__salt", salt)
+             .withColumn("__r1", F.row_number().over(w1))
+             .filter(F.col("__r1") <= k)
+             .drop("__salt", "__r1"))
+    w2 = Window.partitionBy(*group_cols).orderBy(*order)
+    return (local.withColumn(rank_col, F.row_number().over(w2))
+            .filter(F.col(rank_col) <= k))
+
+
 def exp_weighted_mean(df: DataFrame, key_cols: list[str], ts_col: str,
                       value_col: str, decay: float = 0.88, last_n: int = 16,
                       tiebreak: list[str] | None = None,

@@ -17,6 +17,7 @@ but every knob below is chosen for the 1000-executor / 100 TB target:
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -39,6 +40,12 @@ def get_spark(app_name: str = "nfl-data-engineering-spark",
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # bucketed-table writes (io.write_bucketed) need a warehouse; keep
+        # it out of the repo tree
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("SPARK_GRAFT_WAREHOUSE",
+                               os.path.join(tempfile.gettempdir(),
+                                            "spark_graft_warehouse")))
         # files.maxPartitionBytes default 128m is right for the target; on
         # the tiny local testdata AQE coalescing handles the small files.
     )

@@ -19,7 +19,22 @@ from nfl_data_engineering_spark.operators.joins import (asof_join,
 from nfl_data_engineering_spark.operators.records import split_record
 from nfl_data_engineering_spark.operators.timeseries import zero_filled_counts
 from nfl_data_engineering_spark.operators.windows import (exp_weighted_mean,
-                                                          topk_per_group)
+                                                          topk_per_group,
+                                                          topk_per_group_salted)
+
+
+def test_salted_topk_matches_plain_on_skewed_keys(spark):
+    # one hot key with 5000 rows, several cold keys; any total order
+    rows = [(0, i, float((i * 37) % 1000)) for i in range(5000)]
+    rows += [(g, i, float(i % 97)) for g in range(1, 6) for i in range(20)]
+    df = spark.createDataFrame(rows, "g int, i int, v double")
+    order = [F.col("v").desc(), F.col("i").asc()]
+    plain = {(r["g"], r["rnk"]): r["i"]
+             for r in topk_per_group(df, ["g"], order, k=3, rank_col="rnk").collect()}
+    salted = {(r["g"], r["rnk"]): r["i"]
+              for r in topk_per_group_salted(df, ["g"], order, k=3,
+                                             salt_buckets=8).collect()}
+    assert plain == salted and len(plain) == 6 * 3
 
 
 def test_clean_string_sentinels(spark):

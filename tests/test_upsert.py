@@ -8,6 +8,7 @@ import os
 
 from nfl_data_engineering_spark.io import (compact_partitions,
                                            upsert_partitioned,
+                                           write_bucketed,
                                            write_partitioned)
 
 
@@ -82,6 +83,25 @@ def test_compaction_salted_multi_file(spark, tmp_path):
     jun_dir = os.path.join(path, "year=2024", "month=6")
     assert 1 <= len(_parquet_files(jun_dir)) <= 3
     assert spark.read.parquet(path).count() == 200
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    left = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS a")
+    right = spark.range(0, 1000).selectExpr("id AS k", "id * 3 AS b")
+    write_bucketed(left, "bkt_left", ["k"], num_buckets=8, sort_cols=["k"])
+    write_bucketed(right, "bkt_right", ["k"], num_buckets=8, sort_cols=["k"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a non-broadcast join so bucketing is what avoids the shuffle
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")
 
 
 def test_write_partitioned_layout(spark, tmp_path):
