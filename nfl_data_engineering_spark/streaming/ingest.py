@@ -35,9 +35,10 @@ EVENTS_STREAM_SCHEMA = T.StructType([
 
 def read_event_stream(spark: SparkSession, src_dir: str,
                       schema: T.StructType = EVENTS_STREAM_SCHEMA,
-                      fmt: str = "json") -> DataFrame:
+                      fmt: str = "json",
+                      max_files_per_trigger: int = 64) -> DataFrame:
     return (spark.readStream.format(fmt).schema(schema)
-            .option("maxFilesPerTrigger", 64)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
             .load(src_dir))
 
 
@@ -66,6 +67,48 @@ def write_partitioned_stream(df: DataFrame, out_dir: str, checkpoint_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def keep_latest_stream(stream: DataFrame, key_cols: list[str], ts_col: str,
+                       value_cols: list[str]) -> DataFrame:
+    """Stateful keep-latest-per-key over a stream — the rankings upsert
+    (team_rankings_data_collector.py:34-50) as a continuously-maintained
+    state instead of a read-modify-write batch.
+
+    ``applyInPandasWithState``: per-key state holds the newest (ts, values)
+    seen; each microbatch emits the key's current latest row (update
+    semantics). State is one tuple per key — size is O(|keys|), independent
+    of stream length. Pair with ``writeStream.outputMode("update")``.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    key_fields = [stream.schema[c] for c in key_cols]
+    val_fields = [stream.schema[c] for c in value_cols]
+    ts_field = stream.schema[ts_col]
+    out_schema = T.StructType(
+        key_fields + [ts_field] + val_fields)
+    state_schema = T.StructType([ts_field] + val_fields)
+
+    def fn(key: tuple, pdfs, state: GroupState):
+        best = tuple(state.get) if state.exists else None
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            local = pdf.sort_values(ts_col, kind="mergesort").iloc[-1]
+            cand = (local[ts_col].to_pydatetime(),
+                    *[v.item() if hasattr(v, "item") else v
+                      for v in (local[c] for c in value_cols)])
+            if best is None or cand[0] > best[0]:
+                best = cand
+        if best is not None:
+            state.update(best)
+            yield pd.DataFrame([key + best],
+                               columns=[*key_cols, ts_col, *value_cols])
+
+    return (stream.groupBy(*key_cols)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "update", GroupStateTimeout.NoTimeout))
 
 
 def windowed_counts_stream(stream: DataFrame, window: str = "1 hour",

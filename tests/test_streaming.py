@@ -7,6 +7,7 @@ import json
 import os
 
 from nfl_data_engineering_spark.streaming.ingest import (deduped_stream,
+                                                         keep_latest_stream,
                                                          read_event_stream,
                                                          windowed_counts_stream,
                                                          write_partitioned_stream)
@@ -50,6 +51,46 @@ def test_stream_dedup_and_partitioned_sink(spark, tmp_path):
                                                  "2 days"), out, ckpt)
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == 2
+
+
+def test_keep_latest_stateful_stream(spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # two files -> two microbatches (maxFilesPerTrigger=1); user 7's value
+    # is re-collected in the second batch with a newer timestamp
+    b1 = [{"event_id": 1, "ts": "2024-01-10T00:00:00.000Z", "user_id": 7,
+           "event_type": "rank", "value": 10.0},
+          {"event_id": 2, "ts": "2024-01-10T00:00:00.000Z", "user_id": 8,
+           "event_type": "rank", "value": 20.0}]
+    b2 = [{"event_id": 3, "ts": "2024-01-12T00:00:00.000Z", "user_id": 7,
+           "event_type": "rank", "value": 11.5},
+          # stale arrival for user 8 — older ts must NOT replace state
+          {"event_id": 4, "ts": "2024-01-05T00:00:00.000Z", "user_id": 8,
+           "event_type": "rank", "value": 19.0}]
+    with open(os.path.join(src, "a_batch1.json"), "w") as f:
+        for r in b1:
+            f.write(json.dumps(r) + "\n")
+    with open(os.path.join(src, "b_batch2.json"), "w") as f:
+        for r in b2:
+            f.write(json.dumps(r) + "\n")
+
+    # one file per trigger -> two microbatches -> state must persist across
+    stream = (read_event_stream(spark, src, max_files_per_trigger=1)
+              .selectExpr("user_id", "ts", "value"))
+    stream = stream.withWatermark("ts", "30 days")
+    latest = keep_latest_stream(stream, ["user_id"], "ts", ["value"])
+    q = (latest.writeStream.format("memory").queryName("kls")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    hist = spark.sql("SELECT * FROM kls").collect()
+    # last emitted update per key == keep-latest state
+    final = {}
+    for r in hist:
+        cur = final.get(r["user_id"])
+        if cur is None or r["ts"] >= cur[0]:
+            final[r["user_id"]] = (r["ts"], r["value"])
+    assert final[7][1] == 11.5          # newer re-collection wins
+    assert final[8][1] == 20.0          # stale arrival did not regress state
 
 
 def test_windowed_counts_stream(spark, tmp_path):
