@@ -743,6 +743,69 @@ FROM events GROUP BY user_id
 """
 
 
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event type (Spark ``percentile`` ==
+    ANSI continuous quantile == DuckDB ``quantile_cont``) plus a
+    deterministic sample variance computed from exact decimal sums — the
+    descriptive-stats read-side pattern. percentile_approx/t-digest sketches
+    are the at-scale variant; the exact form is the oracle-able baseline."""
+    ev = load(spark, sf_dir, "events")
+    sum_v = F.sum(_dec("value")).cast("double")
+    sum_sq = F.sum(_dec("value") * _dec("value")).cast("double")
+    n = F.count("*")
+    # try_divide: a single-row group makes (n-1)=0, which under ANSI mode is
+    # a DIVIDE_BY_ZERO error; NULL matches DuckDB's x/0 behavior
+    var = F.try_divide(sum_sq - sum_v * sum_v / n, (n - 1).cast("double"))
+    return (ev.groupBy("event_type").agg(
+        n.alias("n"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        F.round(var, 6).alias("var_sample")))
+
+
+ORACLE_VALUE_PERCENTILES = """
+SELECT event_type, COUNT(*) AS n,
+  ROUND(quantile_cont(value, 0.5), 6) AS p50,
+  ROUND(quantile_cont(value, 0.9), 6) AS p90,
+  ROUND(quantile_cont(value, 0.99), 6) AS p99,
+  ROUND((CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+         - CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+           * CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+        / (COUNT(*) - 1), 6) AS var_sample
+FROM events GROUP BY event_type
+"""
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP ROLLUP: order revenue by (status, priority-prefix) with subtotal
+    and grand-total rows — the multi-granularity report shape. NULL grouping
+    keys are coalesced to sentinels so both engines label subtotal rows
+    identically."""
+    orders = load(spark, sf_dir, "orders")
+    prio = F.regexp_extract("o_orderpriority", r"^(\d+)", 1)
+    return (orders
+            .withColumn("prio", prio)
+            .rollup("o_orderstatus", "prio")
+            .agg(F.count("*").alias("n"),
+                 F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"))
+            .select(F.coalesce(F.col("o_orderstatus"), F.lit("<ALL>")).alias("status"),
+                    F.coalesce(F.col("prio"), F.lit("<ALL>")).alias("prio"),
+                    "n", "sum_price"))
+
+
+ORACLE_ROLLUP_REVENUE = """
+SELECT COALESCE(o_orderstatus, '<ALL>') AS status,
+       COALESCE(prio, '<ALL>') AS prio,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM (SELECT o_orderstatus, regexp_extract(o_orderpriority, '^(\\d+)', 1) AS prio,
+             o_totalprice
+      FROM orders)
+GROUP BY ROLLUP (o_orderstatus, prio)
+"""
+
+
 def q_explode_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1: array explode (the odds JSON unnest, get_odds.py:44-59) over the
     embeddings vectors: per-dimension stats via posexplode."""
@@ -795,4 +858,6 @@ RELATIONAL_QUERIES = [
     QueryDef("weekly_rollup", q_weekly_rollup, ORACLE_WEEKLY_ROLLUP, "W-window", bench=True),
     QueryDef("pivot_wide", q_pivot_wide, ORACLE_PIVOT_WIDE, "J1-pivot", bench=True),
     QueryDef("explode_array", q_explode_array, ORACLE_EXPLODE_ARRAY, "T1"),
+    QueryDef("value_percentiles", q_value_percentiles, ORACLE_VALUE_PERCENTILES, "A-quantile"),
+    QueryDef("rollup_revenue", q_rollup_revenue, ORACLE_ROLLUP_REVENUE, "A-rollup"),
 ]
