@@ -33,7 +33,10 @@ def l2norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2norm(a) * l2norm(b))
+    # try_divide: a zero vector has norm 0, which under ANSI mode is a
+    # DIVIDE_BY_ZERO error; NULL matches SQL division semantics (and the
+    # DuckDB oracle), and NULL scores sort last in every top-k window here
+    return F.try_divide(dot(a, b), l2norm(a) * l2norm(b))
 
 
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
