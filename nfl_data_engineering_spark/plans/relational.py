@@ -854,10 +854,10 @@ RELATIONAL_QUERIES = [
     QueryDef("priority_extract", q_priority_extract, ORACLE_PRIORITY_EXTRACT, "T3-regex"),
     QueryDef("tz_hour_histogram", q_tz_hour_histogram, ORACLE_TZ_HOUR, "T13"),
     QueryDef("hourly_zero_fill", q_hourly_zero_fill, ORACLE_HOURLY_ZERO_FILL, "T14"),
-    QueryDef("hourly_interpolate", q_hourly_interpolate, ORACLE_HOURLY_INTERPOLATE, "T14-interp"),
+    QueryDef("hourly_interpolate", q_hourly_interpolate, ORACLE_HOURLY_INTERPOLATE, "T14-interp", bench=True),
     QueryDef("weekly_rollup", q_weekly_rollup, ORACLE_WEEKLY_ROLLUP, "W-window", bench=True),
     QueryDef("pivot_wide", q_pivot_wide, ORACLE_PIVOT_WIDE, "J1-pivot", bench=True),
     QueryDef("explode_array", q_explode_array, ORACLE_EXPLODE_ARRAY, "T1"),
     QueryDef("value_percentiles", q_value_percentiles, ORACLE_VALUE_PERCENTILES, "A-quantile"),
-    QueryDef("rollup_revenue", q_rollup_revenue, ORACLE_ROLLUP_REVENUE, "A-rollup"),
+    QueryDef("rollup_revenue", q_rollup_revenue, ORACLE_ROLLUP_REVENUE, "A-rollup", bench=True),
 ]
