@@ -112,11 +112,20 @@ def q_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (>= {thr}). All-pairs at testdata
     scale; at 100 TB route through IVF cells / LSH buckets first (the
     candidate-generation pattern of q_dedup_minhash_lsh)."""
+    from ..functions.similarity import dot as _dot, l2norm
     emb = load(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"))
-    b = emb.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"))
+    enorm = emb.select("vec_id", "embedding",
+                       l2norm(F.col("embedding")).alias("nrm"))
+    a = enorm.select(F.col("vec_id").alias("v1"),
+                     F.col("embedding").alias("e1"), F.col("nrm").alias("n1"))
+    b = enorm.select(F.col("vec_id").alias("v2"),
+                     F.col("embedding").alias("e2"), F.col("nrm").alias("n2"))
     pairs = a.join(b, F.col("v1") < F.col("v2"))
-    score = cosine(F.col("e1"), F.col("e2"))
+    # norms precomputed once per vector: each of the O(n^2) pairs costs one
+    # dot product, not three array aggregations (same float sequence as the
+    # oracle's dot/(sqrt*sqrt) => hash-identical)
+    score = F.try_divide(_dot(F.col("e1"), F.col("e2")),
+                         F.col("n1") * F.col("n2"))
     return (pairs.select("v1", "v2", score.alias("score"))
             .filter(F.col("score") >= COSINE_PAIR_THRESHOLD)
             .select("v1", "v2", F.round("score", 6).alias("cosine")))
