@@ -22,6 +22,45 @@ def dedup_full_row(df: DataFrame) -> DataFrame:
     return df.dropDuplicates()
 
 
+def connected_components(edges: DataFrame, src: str = "a",
+                         dst: str = "b") -> DataFrame:
+    """Undirected connected components by iterative min-label propagation:
+    returns (n, label) — every node mapped to its component's minimum id.
+
+    Each round every node takes the min label among itself and its
+    neighbors; labels decrease monotonically, so a stable label sum is the
+    fixpoint, reached in O(graph diameter) rounds. One equi-join + one
+    groupBy per round; the driver reads only a scalar. Near-dup graphs are
+    shallow (diameter a few hops), so this is a handful of shuffles — the
+    survivor-selection step of a dedup pipeline at any scale.
+    """
+    bi = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+          .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+          .distinct().cache())
+    # localCheckpoint, not cache: each round's plan references the previous
+    # round's twice (self + neighbors), so without lineage truncation the
+    # logical plan DOUBLES per iteration — a 50-hop chain OOMs the driver on
+    # plan analysis alone. Checkpointing keeps every round's plan flat.
+    labels = (bi.select(F.col("a").alias("n")).distinct()
+              .withColumn("label", F.col("n"))
+              .localCheckpoint(eager=True))
+    old_sum = labels.agg(F.sum("label")).collect()[0][0]
+    while True:
+        neigh = (bi.join(labels.withColumnRenamed("n", "a")
+                         .withColumnRenamed("label", "nlabel"), "a")
+                 .select(F.col("b").alias("n"),
+                         F.col("nlabel").alias("label")))
+        labels = (labels.unionByName(neigh)
+                  .groupBy("n").agg(F.min("label").alias("label"))
+                  .localCheckpoint(eager=True))
+        new_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if new_sum == old_sum:
+            break
+        old_sum = new_sum
+    bi.unpersist()
+    return labels
+
+
 def dedup_keep_latest(df: DataFrame, key_cols: list[str], ts_col: str = "timestamp",
                       tiebreak_cols: list[str] | None = None) -> DataFrame:
     """A2: keep the newest ``ts_col`` row per key.

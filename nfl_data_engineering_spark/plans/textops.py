@@ -70,18 +70,10 @@ NUM_BANDS = 16
 JACCARD_THRESHOLD = 0.8
 
 
-def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(64) -> 16-band LSH bucketing -> candidate pairs -> exact
-    jaccard verification on candidates only.
-
-    The only all-pairs work happens inside LSH buckets; everything else is
-    linear scans + equi-joins. This is the 100 TB near-dedup shape.
-
-    Shingles are reduced to their 60-bit hash once, up front: the minhash
-    draws, the size counts, and the intersection join all run on int64 keys
-    instead of shingle strings (same result on both engines — the oracle
-    hashes identically), and within-doc shingle dedup happens row-locally
-    via array_distinct — no dropDuplicates shuffle."""
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH verified near-dup pairs: (d1, d2, jaccard) with
+    jaccard >= JACCARD_THRESHOLD. Shared by the pairs query and the
+    connected-components query."""
     docs = load(spark, sf_dir, "documents")
     sh = explode_shingle_hashes(docs, "doc_id", "text", n=3).cache()
     bands = minhash_bands_fast(sh, "doc_id", "sh60", NUM_HASHES, NUM_BANDS,
@@ -102,11 +94,46 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1")), "d1")
             .join(sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2")), "d2")
             .filter(jac >= JACCARD_THRESHOLD)
-            .select("d1", "d2", F.round(jac, 6).alias("jaccard")))
+            .select("d1", "d2", jac.alias("jaccard")))
 
 
-ORACLE_MINHASH_LSH = f"""
-WITH {_sql_shingles_cte(3)},
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) -> 16-band LSH bucketing -> candidate pairs -> exact
+    jaccard verification on candidates only.
+
+    The only all-pairs work happens inside LSH buckets; everything else is
+    linear scans + equi-joins. This is the 100 TB near-dedup shape.
+
+    Shingles are reduced to their 60-bit hash once, up front: the minhash
+    draws, the size counts, and the intersection join all run on int64 keys
+    instead of shingle strings (same result on both engines — the oracle
+    hashes identically), and within-doc shingle dedup happens row-locally
+    via array_distinct — no dropDuplicates shuffle."""
+    return (_minhash_pairs(spark, sf_dir)
+            .select("d1", "d2", F.round("jaccard", 6).alias("jaccard")))
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup survivor selection: connected components over the MinHash
+    pair graph, canonical document = component minimum.
+
+    The 'given pairs, keep one copy per cluster' step every dedup pipeline
+    ends with. Iterative min-label propagation: each round every node takes
+    the min label among itself and its neighbors; converges in O(graph
+    diameter) rounds (near-dup clusters are shallow — a handful of joins).
+    Each round is one equi-join + one groupBy; the driver only checks a
+    scalar convergence sum (operators/dedup.py:connected_components).
+    Oracle: DuckDB recursive CTE computing min reachable id — same
+    fixpoint, declaratively."""
+    from ..operators.dedup import connected_components
+    pairs = _minhash_pairs(spark, sf_dir).select("d1", "d2")
+    labels = connected_components(pairs, "d1", "d2")
+    return (labels.groupBy(F.col("label").alias("component"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.max("n").alias("max_doc_id")))
+
+
+_SQL_MINHASH_PAIR_CTES = f"""{_sql_shingles_cte(3)},
 shh AS (SELECT DISTINCT doc_id, {SQL_H60.format(e='shingle')} AS sh60 FROM sh),
 params AS (
   SELECT seed,
@@ -128,13 +155,30 @@ sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shh GROUP BY 1),
 inter AS (
   SELECT c.d1, c.d2, COUNT(*) AS i
   FROM cand c JOIN shh x ON x.doc_id = c.d1 JOIN shh y ON y.doc_id = c.d2 AND y.sh60 = x.sh60
-  GROUP BY 1, 2)
-SELECT d1, d2,
-       ROUND(i::DOUBLE / (s1.sz + s2.sz - i)::DOUBLE, 6) AS jaccard
-FROM inter
-JOIN sizes s1 ON s1.doc_id = d1
-JOIN sizes s2 ON s2.doc_id = d2
-WHERE i::DOUBLE / (s1.sz + s2.sz - i)::DOUBLE >= {JACCARD_THRESHOLD}
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT d1, d2, i::DOUBLE / (s1.sz + s2.sz - i)::DOUBLE AS jaccard
+  FROM inter
+  JOIN sizes s1 ON s1.doc_id = d1
+  JOIN sizes s2 ON s2.doc_id = d2
+  WHERE i::DOUBLE / (s1.sz + s2.sz - i)::DOUBLE >= {JACCARD_THRESHOLD})"""
+
+ORACLE_MINHASH_LSH = f"""
+WITH {_SQL_MINHASH_PAIR_CTES}
+SELECT d1, d2, ROUND(jaccard, 6) AS jaccard FROM pairs
+"""
+
+ORACLE_COMPONENTS = f"""
+WITH RECURSIVE {_SQL_MINHASH_PAIR_CTES},
+bi AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+nodes AS (SELECT DISTINCT a AS n FROM bi),
+r AS (
+  SELECT n AS a, n AS b FROM nodes
+  UNION
+  SELECT r.a, bi.b FROM r JOIN bi ON r.b = bi.a),
+comp AS (SELECT a AS doc_id, MIN(b) AS component FROM r GROUP BY a)
+SELECT component, COUNT(*) AS n_docs, MAX(doc_id) AS max_doc_id
+FROM comp GROUP BY component
 """
 
 
@@ -410,6 +454,7 @@ FROM m GROUP BY modality
 TEXT_QUERIES = [
     QueryDef("dedup_exact_text", q_dedup_exact_text, ORACLE_DEDUP_EXACT, "LLM-dedup-exact"),
     QueryDef("dedup_minhash_lsh", q_dedup_minhash_lsh, ORACLE_MINHASH_LSH, "LLM-dedup-minhash", bench=True),
+    QueryDef("dedup_components", q_dedup_components, ORACLE_COMPONENTS, "LLM-dedup-components"),
     QueryDef("ngram_jaccard_pairs", q_ngram_jaccard_pairs, ORACLE_NGRAM_JACCARD, "LLM-dedup-jaccard"),
     QueryDef("dedup_simhash", q_dedup_simhash, ORACLE_SIMHASH, "LLM-dedup-simhash", bench=True),
     QueryDef("lang_id", q_lang_id, ORACLE_LANG_ID, "LLM-text-langid"),

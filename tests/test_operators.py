@@ -37,6 +37,20 @@ def test_salted_topk_matches_plain_on_skewed_keys(spark):
     assert plain == salted and len(plain) == 6 * 3
 
 
+def test_connected_components_chain_cycle_pair(spark):
+    from nfl_data_engineering_spark.operators.dedup import connected_components
+    # chain 1-2-3-4-5 (diameter 4 -> multiple propagation rounds),
+    # cycle 10-11-12-10, isolated pair 20-21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),
+         (10, 11), (11, 12), (12, 10),
+         (20, 21)], "a long, b long")
+    out = {r["n"]: r["label"] for r in connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20}
+
+
 def test_clean_string_sentinels(spark):
     # the 7 problematic-value classes from test_s3_data_type_handling.py
     df = spark.createDataFrame(
