@@ -829,6 +829,105 @@ FROM u GROUP BY dim
 """
 
 
+KMV_K = 64
+H60_SPACE = float(1 << 60)
+
+
+def q_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic distinct-count sketch: K-minimum-values over h60.
+
+    The 100 TB shape for COUNT DISTINCT: instead of shuffling every distinct
+    key, each partition keeps its K smallest key hashes (a tiny bounded
+    state, mergeable like any sketch); the estimate is (K-1) / (kth-min
+    normalized to [0,1]). Unlike HLL implementations, KMV over the md5-h60
+    primitive is bit-reproducible in ANSI SQL, so the ORACLE CHECKS THE
+    SKETCH ITSELF, not just a tolerance. Exact count included for the
+    accuracy comparison."""
+    from ..functions.hashing import h60
+    ev = load(spark, sf_dir, "events")
+    hashed = (ev.select("event_type",
+                        h60(F.col("user_id").cast("string")).alias("h"))
+              .distinct())
+    w = Window.partitionBy("event_type").orderBy("h")
+    kth = (hashed.withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") <= KMV_K)
+           .groupBy("event_type")
+           .agg(F.max("h").alias("kth"), F.count("*").alias("got")))
+    est = (F.when(F.col("got") < KMV_K, F.col("got").cast("double"))
+           .otherwise((KMV_K - 1) * H60_SPACE / F.col("kth").cast("double")))
+    exact = (ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("exact_distinct")))
+    return (kth.join(exact, "event_type")
+            .select("event_type", "exact_distinct",
+                    F.round(est, 3).alias("kmv_estimate")))
+
+
+ORACLE_DISTINCT_KMV = f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type,
+         (('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT) AS h
+  FROM events),
+ranked AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM hashed),
+kth AS (
+  SELECT event_type, MAX(h) AS kth, COUNT(*) AS got
+  FROM ranked WHERE rn <= {KMV_K} GROUP BY event_type),
+exact AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY event_type)
+SELECT k.event_type, e.exact_distinct,
+       ROUND(CASE WHEN k.got < {KMV_K} THEN k.got::DOUBLE
+                  ELSE ({KMV_K} - 1) * {H60_SPACE} / k.kth::DOUBLE END,
+             3) AS kmv_estimate
+FROM kth k JOIN exact e ON k.event_type = e.event_type
+"""
+
+
+SESSION_GAP = "30 minutes"
+
+
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's native session_window: per-user event
+    sessions split at >30-minute gaps, aggregated per session. The oracle is
+    the classic gaps-and-islands SQL — lag + cumulative break-sum — proving
+    the built-in window's semantics (session end = last event + gap)
+    against first principles."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return (ev.groupBy("user_id",
+                       F.session_window("ts", SESSION_GAP).alias("w"))
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(_dec("value")).cast("double").alias("sum_value"))
+            .select("user_id",
+                    F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"),
+                    "n_events", "sum_value"))
+
+
+ORACLE_USER_SESSIONS = """
+WITH ev AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                      > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM ev),
+islands AS (
+  SELECT user_id, ts, value,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       (MAX(ts) + INTERVAL 30 MINUTE)::TIMESTAMP AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM islands GROUP BY user_id, sid
+"""
+
+
 RELATIONAL_QUERIES = [
     QueryDef("pricing_summary", q_pricing_summary, ORACLE_PRICING, "T11,A5,X-avg,S4", bench=True),
     QueryDef("shipping_priority", q_shipping_priority, ORACLE_SHIPPING, "J2,O1,A5", bench=True),
@@ -859,5 +958,7 @@ RELATIONAL_QUERIES = [
     QueryDef("pivot_wide", q_pivot_wide, ORACLE_PIVOT_WIDE, "J1-pivot", bench=True),
     QueryDef("explode_array", q_explode_array, ORACLE_EXPLODE_ARRAY, "T1"),
     QueryDef("value_percentiles", q_value_percentiles, ORACLE_VALUE_PERCENTILES, "A-quantile"),
+    QueryDef("distinct_kmv", q_distinct_kmv, ORACLE_DISTINCT_KMV, "A-sketch-kmv"),
+    QueryDef("user_sessions", q_user_sessions, ORACLE_USER_SESSIONS, "W-session"),
     QueryDef("rollup_revenue", q_rollup_revenue, ORACLE_ROLLUP_REVENUE, "A-rollup", bench=True),
 ]
