@@ -214,6 +214,78 @@ LIMIT {VOCAB_TOPK}
 """
 
 
+TFIDF_TOPK = 3
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top terms per document (the keyword-extraction step):
+    tf = in-doc term count, idf = ln(N / doc-frequency), top-3 terms per doc
+    by (tfidf desc, term). Two token-keyed aggregations + one broadcast-able
+    doc-frequency join; ln agrees across engines to the ulp, far inside the
+    round(6) comparison."""
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    terms = docs.select("doc_id",
+                        F.explode(tokens(F.col("text"))).alias("token"))
+    tf = terms.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_counts = (terms.select("doc_id", "token").distinct()
+                 .groupBy("token").agg(F.count("*").alias("df")))
+    tfidf = (tf.join(df_counts, "token")
+             .withColumn("tfidf",
+                         F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))))
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    return (tfidf.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= TFIDF_TOPK)
+            .select("doc_id", "rnk", "token",
+                    F.round("tfidf", 6).alias("tfidf")))
+
+
+ORACLE_TFIDF = f"""
+WITH terms AS (
+  SELECT doc_id, unnest({SQL_TOKENS.format(col='text')}) AS token FROM documents),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+dfc AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+n AS (SELECT COUNT(*)::DOUBLE AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf * ln(n.n_docs / dfc.df) AS tfidf
+  FROM tf JOIN dfc ON tf.token = dfc.token CROSS JOIN n),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, token) AS rnk
+      FROM scored)
+SELECT doc_id, rnk, token, ROUND(tfidf, 6) AS tfidf FROM r WHERE rnk <= {TFIDF_TOPK}
+"""
+
+
+BIGRAM_TOPK = 30
+
+
+def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram counts, top-k — the n-gram language-model prep step.
+    Bigrams are assembled row-locally from the token array (zip of the array
+    with its tail — no self-join, no explode-then-window), then one
+    token-pair-keyed count."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    bigrams = F.zip_with(F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                         F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                         lambda a, b: F.concat_ws(" ", a, b))
+    return (docs.select(F.explode(bigrams).alias("bigram"))
+            .groupBy("bigram").agg(F.count("*").alias("n"))
+            .orderBy(F.col("n").desc(), "bigram")
+            .limit(BIGRAM_TOPK))
+
+
+ORACLE_BIGRAM = f"""
+WITH t AS (SELECT {SQL_TOKENS.format(col='text')} AS tk FROM documents),
+b AS (
+  SELECT unnest(list_transform(generate_series(1, greatest(len(tk) - 1, 0)),
+                               i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+  FROM t)
+SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram
+ORDER BY n DESC, bigram LIMIT {BIGRAM_TOPK}
+"""
+
+
 def q_zscore_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 grouped-map Pandas surface: per-event-type feature
     standardization via applyInPandas (the z-score step of a training
@@ -247,4 +319,7 @@ TRAINING_QUERIES = [
     QueryDef("vocab_topk", q_vocab_topk, ORACLE_VOCAB_TOPK, "LLM-vocab",
              bench=True),
     QueryDef("zscore_groups", q_zscore_groups, None, "LLM-standardize-udf"),
+    QueryDef("tfidf_top_terms", q_tfidf_top_terms, ORACLE_TFIDF,
+             "LLM-tfidf", bench=True),
+    QueryDef("bigram_topk", q_bigram_topk, ORACLE_BIGRAM, "LLM-ngram"),
 ]
