@@ -928,6 +928,105 @@ FROM islands GROUP BY user_id, sid
 """
 
 
+def q_daily_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day value delta per event type (lag window over the daily
+    rollup — the trend-report read pattern, README.md:124-137). The lag runs
+    on the aggregated relation (|types| x |days| rows), so the window
+    shuffle is tiny no matter how large the raw feed is."""
+    ev = load(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type",
+                        F.date_trunc("day", F.col("ts")).alias("day"))
+             .agg(F.sum(_dec("value")).cast("double").alias("day_value")))
+    w = Window.partitionBy("event_type").orderBy("day")
+    return daily.select(
+        "event_type", "day", "day_value",
+        F.round(F.col("day_value") - F.lag("day_value").over(w), 6)
+        .alias("delta"))
+
+
+ORACLE_DAILY_DELTA = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts)::TIMESTAMP AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+  FROM events GROUP BY 1, 2)
+SELECT event_type, day, day_value,
+       ROUND(day_value - lag(day_value) OVER
+               (PARTITION BY event_type ORDER BY day), 6) AS delta
+FROM daily
+"""
+
+
+def q_cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) with grouping_id — the full
+    grouping-sets surface next to q_rollup_revenue's ROLLUP. gid bitmask:
+    MSB = first cube column, identical to SQL GROUPING(a, b)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (li.cube("l_returnflag", "l_linestatus")
+            .agg(F.grouping_id().alias("gid"),
+                 F.count("*").alias("n"),
+                 F.sum(_dec("l_quantity")).cast("double").alias("sum_qty")))
+
+
+ORACLE_CUBE_SALES = """
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag, l_linestatus) AS gid,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+
+def q_status_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 INTERSECT: customers with BOTH an open ('O') and a fulfilled
+    ('F') order. Catalyst plans intersect-distinct as a left-semi join
+    after per-side aggregation — one shuffle on the key, no row explosion."""
+    o = load(spark, sf_dir, "orders")
+    open_c = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    done_c = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_c.intersect(done_c)
+
+
+ORACLE_STATUS_INTERSECT = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+def q_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-spend quartiles: ntile(4) over total spend (pinned order:
+    spend desc, custkey), then per-quartile count + exact-decimal mean.
+    Scale note: the global ntile funnels the per-customer aggregate through
+    one partition — fine for a quartile REPORT (output is 4 rows and input
+    is 1 row/customer), but for bucketing 10^8+ customers switch to
+    percentile_approx cutoffs joined back (no single-partition sort)."""
+    o = load(spark, sf_dir, "orders")
+    spend = (o.groupBy("o_custkey")
+             .agg(F.sum(_dec("o_totalprice")).cast("double").alias("spend")))
+    w = Window.orderBy(F.col("spend").desc(), "o_custkey")
+    q = spend.withColumn("quartile", F.ntile(4).over(w))
+    return (q.groupBy("quartile")
+            .agg(F.count("*").alias("n_customers"),
+                 F.round(F.sum(F.col("spend").cast("decimal(18,2)"))
+                         .cast("double") / F.count("*"), 6)
+                 .alias("avg_spend")))
+
+
+ORACLE_SPEND_QUARTILES = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+  FROM orders GROUP BY o_custkey),
+q AS (SELECT o_custkey, spend,
+             ntile(4) OVER (ORDER BY spend DESC, o_custkey) AS quartile
+      FROM spend)
+SELECT quartile, COUNT(*) AS n_customers,
+       ROUND(CAST(SUM(CAST(spend AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6)
+         AS avg_spend
+FROM q GROUP BY quartile
+"""
+
+
 RELATIONAL_QUERIES = [
     QueryDef("pricing_summary", q_pricing_summary, ORACLE_PRICING, "T11,A5,X-avg,S4", bench=True),
     QueryDef("shipping_priority", q_shipping_priority, ORACLE_SHIPPING, "J2,O1,A5", bench=True),
@@ -961,4 +1060,8 @@ RELATIONAL_QUERIES = [
     QueryDef("distinct_kmv", q_distinct_kmv, ORACLE_DISTINCT_KMV, "A-sketch-kmv"),
     QueryDef("user_sessions", q_user_sessions, ORACLE_USER_SESSIONS, "W-session"),
     QueryDef("rollup_revenue", q_rollup_revenue, ORACLE_ROLLUP_REVENUE, "A-rollup", bench=True),
+    QueryDef("daily_delta", q_daily_delta, ORACLE_DAILY_DELTA, "X-lag,T14"),
+    QueryDef("cube_sales", q_cube_sales, ORACLE_CUBE_SALES, "A-cube"),
+    QueryDef("status_intersect", q_status_intersect, ORACLE_STATUS_INTERSECT, "U-intersect"),
+    QueryDef("spend_quartiles", q_spend_quartiles, ORACLE_SPEND_QUARTILES, "A-ntile"),
 ]

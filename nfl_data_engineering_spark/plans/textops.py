@@ -451,6 +451,31 @@ FROM m GROUP BY modality
 """
 
 
+def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-repetition ratio (1 - distinct/total tokens) — the
+    boilerplate/low-information filter of a training-data quality pass.
+    Entirely row-local (array ops inside the scan projection): zero shuffle,
+    trivially linear at 100 TB."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks)
+    rep = F.round(
+        F.lit(1.0) - F.try_divide(F.size(F.array_distinct(toks))
+                                  .cast("double"),
+                                  n_tok.cast("double")), 6)
+    return docs.select("doc_id", n_tok.alias("n_tokens"),
+                       rep.alias("repetition"))
+
+
+ORACLE_REPETITION = f"""
+WITH t AS (SELECT doc_id, {SQL_TOKENS.format(col='text')} AS tk FROM documents)
+SELECT doc_id, len(tk) AS n_tokens,
+       ROUND(1.0 - len(list_distinct(tk))::DOUBLE / len(tk)::DOUBLE, 6)
+         AS repetition
+FROM t
+"""
+
+
 TEXT_QUERIES = [
     QueryDef("dedup_exact_text", q_dedup_exact_text, ORACLE_DEDUP_EXACT, "LLM-dedup-exact"),
     QueryDef("dedup_minhash_lsh", q_dedup_minhash_lsh, ORACLE_MINHASH_LSH, "LLM-dedup-minhash", bench=True),
@@ -462,4 +487,5 @@ TEXT_QUERIES = [
     QueryDef("token_counts", q_token_counts, ORACLE_TOKEN_COUNTS, "LLM-text-tokens"),
     QueryDef("doc_fingerprint", q_doc_fingerprint, ORACLE_FINGERPRINT, "LLM-text-fingerprint"),
     QueryDef("multimodal_stats", q_multimodal_stats, ORACLE_MULTIMODAL, "LLM-multimodal"),
+    QueryDef("repetition_score", q_repetition_score, ORACLE_REPETITION, "LLM-text-repetition"),
 ]
