@@ -1027,6 +1027,223 @@ FROM q GROUP BY quartile
 """
 
 
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.3 LEFT SEMI: customers holding at least one open URGENT order.
+    The dedup-free existence check — Catalyst keeps the build side as a
+    broadcast/semi hash join, never materializing the match multiplicity.
+    At 100 TB the probe side streams; no row explosion is possible by
+    construction (vs join+distinct which shuffles the blowup first)."""
+    cust = load(spark, sf_dir, "customer")
+    urgent_open = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderstatus") == "O"))
+    return (cust.join(urgent_open, cust.c_custkey == urgent_open.o_custkey,
+                      "left_semi")
+            .select("c_custkey", "c_name", "c_mktsegment"))
+
+
+ORACLE_SEMI_JOIN = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT' AND o.o_orderstatus = 'O')
+"""
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.3 LEFT ANTI: customers with NO open order — the negated existence
+    check (the reference's expected-minus-found A4 generalized to a keyed
+    anti-join). Same single-shuffle shape as the semi join."""
+    cust = load(spark, sf_dir, "customer")
+    open_orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "O")
+    return (cust.join(open_orders, cust.c_custkey == open_orders.o_custkey,
+                      "left_anti")
+            .select("c_custkey", "c_name", "c_acctbal"))
+
+
+ORACLE_ANTI_JOIN = """
+SELECT c_custkey, c_name, c_acctbal FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((flag, status), (flag), ()) — the general
+    form under ROLLUP/CUBE (q_rollup_revenue / q_cube_sales). One pass:
+    Catalyst expands the sets with a single Expand node over the scan, so
+    three aggregation grains cost one shuffle, not three jobs."""
+    li = load(spark, sf_dir, "lineitem")
+    return (li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag", "l_linestatus")
+        .agg(F.grouping_id().alias("gid"),
+             F.count("*").alias("n"),
+             F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price")))
+
+
+ORACLE_GROUPING_SETS = """
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag, l_linestatus) AS gid,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 EXCEPT ALL (bag difference): order-holders minus fulfilled-order
+    holders, keeping multiplicity — each custkey survives once per non-'F'
+    order. Catalyst plans this as a single hash aggregation over tagged
+    counts (no per-row sort), the multiset twin of A4's set difference."""
+    o = load(spark, sf_dir, "orders")
+    all_holders = o.select("o_custkey")
+    fulfilled = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return all_holders.exceptAll(fulfilled)
+
+
+ORACLE_EXCEPT_ALL = """
+SELECT o_custkey FROM orders
+EXCEPT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+def q_acctbal_pctrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist over account balance within market segment —
+    the distribution-position windows next to ntile (q_spend_quartiles).
+    Both are tie-stable (equal inputs get equal ranks), so no tiebreak
+    column is needed for determinism. One shuffle on the partition key;
+    the per-segment sort is the usual window cost at scale."""
+    cust = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    return cust.select(
+        "c_custkey", "c_mktsegment", "c_acctbal",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"))
+
+
+ORACLE_ACCTBAL_PCTRANK = """
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       ROUND(percent_rank() OVER w, 6) AS pct_rank,
+       ROUND(cume_dist() OVER w, 6) AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)
+"""
+
+
+def q_qty_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + least-squares slope/intercept of quantity vs
+    extended price per return flag, built from EXACT decimal moments
+    (n, Σx, Σy, Σxx, Σyy, Σxy) rather than the engines' native corr()/
+    regr_slope() — float aggregation is order-dependent, so native
+    aggregates can differ in the last bits between partitioned Spark and
+    sequential DuckDB. Decimal sums are exact in any order; the closing
+    arithmetic runs on doubles with an identical expression tree in both
+    engines, so results are bit-equal. Single map-side-combined groupBy:
+    the 100 TB cost is one scan + one tiny shuffle of 6 moments per group."""
+    li = load(spark, sf_dir, "lineitem")
+    x = _dec("l_quantity")
+    y = _dec("l_extendedprice")
+    g = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum((x * x).cast("decimal(38,4)")).cast("double").alias("sxx"),
+        F.sum((y * y).cast("decimal(38,4)")).cast("double").alias("syy"),
+        F.sum((x * y).cast("decimal(38,4)")).cast("double").alias("sxy"))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    slope = F.try_divide(cov_n, var_x)
+    return g.select(
+        "l_returnflag", n.cast("bigint").alias("n_rows"),
+        F.round(F.try_divide(cov_n, F.sqrt(var_x * var_y)), 6).alias("corr_qty_price"),
+        F.round(slope, 6).alias("regr_slope"),
+        F.round((sy - slope * sx) / n, 6).alias("regr_intercept"))
+
+
+ORACLE_QTY_PRICE_CORR = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+       ROUND((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_qty_price,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS regr_slope,
+       ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS regr_intercept
+FROM m
+"""
+
+
+def q_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.3 range join: per purchase event, how many clicks the same user
+    made in the preceding hour — the temporal-interval sibling of the as-of
+    join (J3). Equi key (user_id) + range predicate: Spark shuffles both
+    sides on user only, evaluating the time band inside the join — no
+    cross-product stage. At 100 TB pre-bucket events by user_id so this
+    join (and every per-user window) is shuffle-free."""
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id"), F.col("user_id"), F.col("ts"))
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+    cond = ((p.user_id == F.col("c_user"))
+            & (F.col("c_ts") >= p.ts - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("c_ts") < p.ts))
+    return (p.join(c, cond, "left")
+            .groupBy("event_id", "user_id", "ts")
+            .agg(F.count("c_ts").alias("n_prior_clicks")))
+
+
+ORACLE_CLICKS_BEFORE_PURCHASE = """
+SELECT p.event_id, p.user_id, p.ts, COUNT(c.ts) AS n_prior_clicks
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+GROUP BY p.event_id, p.user_id, p.ts
+"""
+
+
+def q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding time windows (1 h length, 15 min slide) per event type — the
+    batch twin of the Structured Streaming windowed aggregation (§2.9):
+    F.window() assigns each event to its 4 overlapping epoch-aligned
+    windows via a row-local Expand (fan-out = length/slide), then one
+    groupBy. The oracle reconstructs the same 4 windows arithmetically.
+    Fan-out happens map-side before the shuffle, so at 100 TB the cost is
+    4× map rows into a partial-aggregated exchange — no state, no sort."""
+    ev = load(spark, sf_dir, "events")
+    w = F.window("ts", "1 hour", "15 minutes")
+    return (ev.groupBy(w.alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.countDistinct("user_id").alias("n_users"))
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n_events", "n_users"))
+
+
+ORACLE_SLIDING_WINDOWS = """
+WITH e AS (
+  SELECT time_bucket(INTERVAL '15 minutes', ts)
+           - k * INTERVAL '15 minutes' AS window_start,
+         event_type, user_id
+  FROM events
+  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k))
+SELECT window_start, event_type,
+       COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+FROM e GROUP BY window_start, event_type
+"""
+
+
 RELATIONAL_QUERIES = [
     QueryDef("pricing_summary", q_pricing_summary, ORACLE_PRICING, "T11,A5,X-avg,S4", bench=True),
     QueryDef("shipping_priority", q_shipping_priority, ORACLE_SHIPPING, "J2,O1,A5", bench=True),
@@ -1064,4 +1281,12 @@ RELATIONAL_QUERIES = [
     QueryDef("cube_sales", q_cube_sales, ORACLE_CUBE_SALES, "A-cube"),
     QueryDef("status_intersect", q_status_intersect, ORACLE_STATUS_INTERSECT, "U-intersect"),
     QueryDef("spend_quartiles", q_spend_quartiles, ORACLE_SPEND_QUARTILES, "A-ntile"),
+    QueryDef("semi_join", q_semi_join, ORACLE_SEMI_JOIN, "J-semi"),
+    QueryDef("anti_join", q_anti_join, ORACLE_ANTI_JOIN, "J-anti,A4"),
+    QueryDef("grouping_sets", q_grouping_sets, ORACLE_GROUPING_SETS, "A-gsets"),
+    QueryDef("except_all", q_except_all, ORACLE_EXCEPT_ALL, "U-exceptall"),
+    QueryDef("acctbal_pctrank", q_acctbal_pctrank, ORACLE_ACCTBAL_PCTRANK, "A-prank"),
+    QueryDef("qty_price_corr", q_qty_price_corr, ORACLE_QTY_PRICE_CORR, "A-stats"),
+    QueryDef("clicks_before_purchase", q_clicks_before_purchase, ORACLE_CLICKS_BEFORE_PURCHASE, "J-range"),
+    QueryDef("sliding_windows", q_sliding_windows, ORACLE_SLIDING_WINDOWS, "W-sliding"),
 ]

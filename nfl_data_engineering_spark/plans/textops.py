@@ -476,6 +476,67 @@ FROM t
 """
 
 
+def q_fuzzy_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy dedup over part names, blocked on the head noun
+    (last token): candidate pairs come from an equi-join on the blocking
+    key, and levenshtein() (JVM builtin) verifies only within blocks —
+    never all-pairs. The standard record-linkage shape: at 100 TB widen
+    the blocking key (noun + length band) to keep blocks bounded; the
+    join stays a plain shuffle-hash equi-join either way."""
+    parts = load(spark, sf_dir, "part")
+    keyed = parts.select(
+        "p_partkey", "p_name",
+        F.element_at(F.split("p_name", " "), -1).alias("blk"))
+    a = keyed.select(F.col("p_partkey").alias("p1"),
+                     F.col("p_name").alias("name1"), "blk")
+    b = keyed.select(F.col("p_partkey").alias("p2"),
+                     F.col("p_name").alias("name2"), "blk")
+    dist = F.levenshtein("name1", "name2")
+    return (a.join(b, "blk")
+            .filter(F.col("p1") < F.col("p2"))
+            .select("p1", "p2", dist.alias("edit_dist"))
+            .filter(F.col("edit_dist") <= 2))
+
+
+ORACLE_FUZZY_EDITDIST = """
+WITH k AS (
+  SELECT p_partkey, p_name,
+         (string_split(p_name, ' '))[-1] AS blk
+  FROM part)
+SELECT a.p_partkey AS p1, b.p_partkey AS p2,
+       levenshtein(a.p_name, b.p_name) AS edit_dist
+FROM k a JOIN k b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+"""
+
+
+def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed document-length histogram — the corpus-profile report
+    every training-data pass starts with. The bucket is bit_length-1
+    (= floor(log2(n)) computed in integer arithmetic, so both engines
+    agree exactly — no float log). Row-local projection + tiny groupBy."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = (F.length(F.bin("n_chars")) - 1).cast("int")
+    return (docs.select(bucket.alias("log2_bucket"), "n_chars")
+            .groupBy("log2_bucket")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("n_chars").alias("min_chars"),
+                 F.max("n_chars").alias("max_chars"))
+            .select("log2_bucket",
+                    F.expr("shiftleft(1L, log2_bucket)").alias("bucket_lo"),
+                    "n_docs", "min_chars", "max_chars"))
+
+
+ORACLE_DOC_LENGTH_HISTOGRAM = """
+WITH b AS (
+  SELECT CAST(length(bin(n_chars)) - 1 AS INTEGER) AS log2_bucket, n_chars
+  FROM documents)
+SELECT log2_bucket, (1::BIGINT << log2_bucket) AS bucket_lo,
+       COUNT(*) AS n_docs, MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+FROM b GROUP BY log2_bucket
+"""
+
+
 TEXT_QUERIES = [
     QueryDef("dedup_exact_text", q_dedup_exact_text, ORACLE_DEDUP_EXACT, "LLM-dedup-exact"),
     QueryDef("dedup_minhash_lsh", q_dedup_minhash_lsh, ORACLE_MINHASH_LSH, "LLM-dedup-minhash", bench=True),
@@ -488,4 +549,6 @@ TEXT_QUERIES = [
     QueryDef("doc_fingerprint", q_doc_fingerprint, ORACLE_FINGERPRINT, "LLM-text-fingerprint"),
     QueryDef("multimodal_stats", q_multimodal_stats, ORACLE_MULTIMODAL, "LLM-multimodal"),
     QueryDef("repetition_score", q_repetition_score, ORACLE_REPETITION, "LLM-text-repetition"),
+    QueryDef("fuzzy_editdist", q_fuzzy_editdist, ORACLE_FUZZY_EDITDIST, "LLM-dedup-editdist"),
+    QueryDef("doc_length_histogram", q_doc_length_histogram, ORACLE_DOC_LENGTH_HISTOGRAM, "LLM-text-lenhist"),
 ]
