@@ -95,6 +95,56 @@ FROM events GROUP BY event_type
 """
 
 
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + schema'd readback — the interchange format of the
+    reference's REST sources (get_odds.py:14-39) exercised as a sink.
+    Jackson writes doubles shortest-round-trip, so values survive exactly;
+    the oracle aggregates the original parquet."""
+    path = _tmp_path("json", sf_dir)
+    ev = load(spark, sf_dir, "events")
+    (ev.select("event_id", "user_id", "event_type", "value")
+     .write.mode("overwrite").json(path))
+    back = spark.read.schema(
+        "event_id bigint, user_id bigint, event_type string, value double"
+    ).json(path)
+    return (back.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum("user_id").alias("sum_user_id"),
+                 F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                  .alias("sum_value")))
+
+
+ORACLE_JSON_ROUNDTRIP = """
+SELECT event_type, COUNT(*) AS n, SUM(user_id) AS sum_user_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + readback — the second columnar format next to parquet
+    (S5): binary-exact for every type, predicate pushdown on read. The
+    readback filter prunes ORC stripes the same way parquet row-groups
+    prune (the oracle applies the same predicate to the parquet source)."""
+    path = _tmp_path("orc", sf_dir)
+    orders = load(spark, sf_dir, "orders")
+    orders.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path).filter(F.col("o_totalprice") > 1000.0)
+    return (back.groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                  .cast("double").alias("sum_price"),
+                 F.max("o_orderdate").alias("max_date")))
+
+
+ORACLE_ORC_ROUNDTRIP = """
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       MAX(o_orderdate) AS max_date
+FROM orders WHERE o_totalprice > 1000.0 GROUP BY o_orderstatus
+"""
+
+
 # ---------------------------------------------------------------------------
 # S1/T1: odds REST-JSON flatten (rows-only: connector demo on literal data)
 # ---------------------------------------------------------------------------
@@ -174,6 +224,8 @@ CONNECTOR_QUERIES = [
     QueryDef("upsert_roundtrip", q_upsert_roundtrip, ORACLE_UPSERT_ROUNDTRIP,
              "S4,S5,S6,A1,A2"),
     QueryDef("csv_roundtrip", q_csv_roundtrip, ORACLE_CSV_ROUNDTRIP, "S9"),
+    QueryDef("json_roundtrip", q_json_roundtrip, ORACLE_JSON_ROUNDTRIP, "S1-sink"),
+    QueryDef("orc_roundtrip", q_orc_roundtrip, ORACLE_ORC_ROUNDTRIP, "S5-orc"),
     QueryDef("odds_flatten", q_odds_flatten, None, "S1,T1"),
     QueryDef("scraper_longform", q_scraper_longform, None, "S2,T6,O2"),
     QueryDef("multimodal_decode", q_multimodal_decode, None,

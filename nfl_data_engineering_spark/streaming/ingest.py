@@ -111,6 +111,32 @@ def keep_latest_stream(stream: DataFrame, key_cols: list[str], ts_col: str,
                                     "update", GroupStateTimeout.NoTimeout))
 
 
+def interval_join_streams(left: DataFrame, right: DataFrame,
+                          key: str = "user_id", ts_col: str = "ts",
+                          lookback: str = "1 hour",
+                          watermark: str = "1 day") -> DataFrame:
+    """Stream-stream interval join: pair each left event with the right
+    events of the same key from the preceding ``lookback`` window — the
+    streaming twin of the batch range join (plans/relational.py:
+    q_clicks_before_purchase), e.g. purchases joined to their recent clicks.
+
+    Both sides carry watermarks and the join condition bounds right-side
+    event time to [left_ts - lookback, left_ts), so Spark can expire join
+    state: each side's buffer holds at most watermark + lookback of data
+    per key — bounded state, which is what makes this runnable forever at
+    100 TB/day. Right columns come back suffixed ``_r``."""
+    renamed = right.select(
+        F.col(key).alias(f"{key}_r"), F.col(ts_col).alias(f"{ts_col}_r"),
+        *[F.col(c).alias(f"{c}_r") for c in right.columns
+          if c not in (key, ts_col)])
+    l = left.withWatermark(ts_col, watermark)
+    r = renamed.withWatermark(f"{ts_col}_r", watermark)
+    cond = ((F.col(key) == F.col(f"{key}_r"))
+            & (F.col(f"{ts_col}_r") >= F.col(ts_col) - F.expr(f"INTERVAL {lookback}"))
+            & (F.col(f"{ts_col}_r") < F.col(ts_col)))
+    return l.join(r, cond, "inner").drop(f"{key}_r")
+
+
 def windowed_counts_stream(stream: DataFrame, window: str = "1 hour",
                            watermark: str = "1 day") -> DataFrame:
     """Streaming tumbling-window aggregation (the 'last 12 weeks' rollup

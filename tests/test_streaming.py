@@ -103,3 +103,36 @@ def test_windowed_counts_stream(spark, tmp_path):
     rows = spark.sql("SELECT * FROM win_counts").collect()
     got = {(r["event_type"]): r["n"] for r in rows}
     assert got == {"click": 2, "view": 1}  # complete mode counts pre-watermark
+
+
+def test_interval_join_streams(spark, tmp_path):
+    from nfl_data_engineering_spark.streaming.ingest import interval_join_streams
+
+    src = str(tmp_path / "src")
+    _write_events_json(src, [
+        {"event_id": 10, "ts": "2024-01-10T12:00:00.000Z", "user_id": 7,
+         "event_type": "purchase", "value": 9.0},
+        # click 30 min before the purchase -> joins
+        {"event_id": 11, "ts": "2024-01-10T11:30:00.000Z", "user_id": 7,
+         "event_type": "click", "value": 1.0},
+        # click 2 h before -> outside the 1 h lookback
+        {"event_id": 12, "ts": "2024-01-10T10:00:00.000Z", "user_id": 7,
+         "event_type": "click", "value": 1.0},
+        # click AFTER the purchase -> excluded (strict upper bound)
+        {"event_id": 13, "ts": "2024-01-10T12:10:00.000Z", "user_id": 7,
+         "event_type": "click", "value": 1.0},
+        # other user's click in-window -> key mismatch, excluded
+        {"event_id": 14, "ts": "2024-01-10T11:45:00.000Z", "user_id": 8,
+         "event_type": "click", "value": 1.0},
+    ])
+
+    ev = read_event_stream(spark, src)
+    purchases = ev.filter("event_type = 'purchase'")
+    clicks = (ev.filter("event_type = 'click'")
+              .select("user_id", "ts", "event_id"))
+    joined = interval_join_streams(purchases, clicks, lookback="1 hour")
+    q = (joined.writeStream.format("memory").queryName("ivj")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT event_id, event_id_r FROM ivj").collect()
+    assert [(r["event_id"], r["event_id_r"]) for r in rows] == [(10, 11)]
