@@ -1244,6 +1244,91 @@ FROM e GROUP BY window_start, event_type
 """
 
 
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide numeric columns → long (metric, value) rows —
+    the exact inverse of q_pivot_wide and the long-form storage step of
+    the design stance (§7.1: store rankings long, pivot on export).
+    df.unpivot is a row-local Expand (map-side fan-out, no shuffle); the
+    one exchange is the final per-metric aggregation."""
+    li = load(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_returnflag"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="metric", valueColumnName="val")
+    return (long.groupBy("l_returnflag", "metric")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("val").cast("decimal(18,2)")).cast("double")
+                  .alias("sum_val")))
+
+
+ORACLE_UNPIVOT_METRICS = """
+WITH long AS (
+  SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
+SELECT l_returnflag, metric, COUNT(*) AS n,
+       CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+FROM long GROUP BY l_returnflag, metric
+"""
+
+
+def q_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward: every event carries the value of
+    the user's most recent PURCHASE at that point in the stream — the
+    step-function gap fill next to q_hourly_interpolate's linear one.
+    F.last(ignorenulls) over a running frame pinned by (ts, event_id);
+    one shuffle on user_id, and the fill value is copied, never computed,
+    so the result is bit-exact on both engines."""
+    ev = load(spark, sf_dir, "events")
+    pv = F.when(F.col("event_type") == "purchase", F.col("value"))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return ev.select(
+        "user_id", "event_id", "ts", "event_type",
+        F.last(pv, ignorenulls=True).over(w).alias("last_purchase_value"))
+
+
+ORACLE_LOCF_FILL = """
+SELECT user_id, event_id, ts, event_type,
+       last_value(CASE WHEN event_type = 'purchase' THEN value END
+                  IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS last_purchase_value
+FROM events
+"""
+
+
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery through the spark.sql() surface: top-2
+    orders per customer — the per-group top-k (X3) expressed as SQL the
+    way an analyst would write it. Catalyst decorrelates the LIMIT'd
+    lateral into the same ranked-window plan as topk_per_group, so the
+    SQL front door and the DataFrame API meet at one physical shape
+    (one shuffle on the correlation key)."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_lv")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_lv")
+    return spark.sql("""
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer_lv c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders_lv
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o""")
+
+
+ORACLE_LATERAL_TOPK = """
+SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+"""
+
+
 RELATIONAL_QUERIES = [
     QueryDef("pricing_summary", q_pricing_summary, ORACLE_PRICING, "T11,A5,X-avg,S4", bench=True),
     QueryDef("shipping_priority", q_shipping_priority, ORACLE_SHIPPING, "J2,O1,A5", bench=True),
@@ -1289,4 +1374,7 @@ RELATIONAL_QUERIES = [
     QueryDef("qty_price_corr", q_qty_price_corr, ORACLE_QTY_PRICE_CORR, "A-stats"),
     QueryDef("clicks_before_purchase", q_clicks_before_purchase, ORACLE_CLICKS_BEFORE_PURCHASE, "J-range"),
     QueryDef("sliding_windows", q_sliding_windows, ORACLE_SLIDING_WINDOWS, "W-sliding"),
+    QueryDef("unpivot_metrics", q_unpivot_metrics, ORACLE_UNPIVOT_METRICS, "J1-unpivot"),
+    QueryDef("locf_fill", q_locf_fill, ORACLE_LOCF_FILL, "T14-locf"),
+    QueryDef("lateral_topk", q_lateral_topk, ORACLE_LATERAL_TOPK, "X3-sql"),
 ]
