@@ -307,6 +307,111 @@ def q_zscore_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   "value double, z double"))
 
 
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-cleaning pass every training-data pipeline runs:
+    exact-dedup survivor ∧ confident language id ∧ quality score ≥ 0.5 ∧
+    token-repetition ≤ 0.5, in ONE scan. Each signal is the same expression
+    proven individually (q_dedup_exact_text, q_lang_id, q_text_quality,
+    q_repetition_score); composing them row-locally means the whole filter
+    is a projection + one window over md5(text) — at 100 TB this pass costs
+    a single shuffle regardless of how many signals it blends."""
+    from ..functions.text import lang_id, quality_features, tokens
+    docs = load(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    score = F.round(
+        0.25 * F.least(feats["n_tokens"], F.lit(100)).cast("double") / 100
+        + 0.25 * (1 - feats["punct_ratio"])
+        + 0.25 * F.least(feats["stopword_ratio"] * 4, F.lit(1.0))
+        + 0.25 * F.least(feats["mean_word_len"] / 8, F.lit(1.0)), 6)
+    toks = tokens(F.col("text"))
+    rep = F.lit(1.0) - F.try_divide(
+        F.size(F.array_distinct(toks)).cast("double"),
+        F.size(toks).cast("double"))
+    keep_w = Window.partitionBy(F.md5("text"))
+    staged = docs.select(
+        "doc_id", "source",
+        F.min("doc_id").over(keep_w).alias("keep_id"),
+        lang_id(F.col("text")).alias("lang_pred"),
+        score.alias("quality_score"), rep.alias("rep"))
+    return (staged
+            .filter((F.col("doc_id") == F.col("keep_id"))
+                    & (F.col("lang_pred") != "und")
+                    & (F.col("quality_score") >= 0.5)
+                    & (F.col("rep") <= 0.5))
+            .select("doc_id", "source", "lang_pred", "quality_score"))
+
+
+def _oracle_corpus_filter() -> str:
+    from .textops import SQL_TOKENS, _LANG_PRED_CASE, _STOP_LIST, _sql_lang_scores
+    tk = SQL_TOKENS.format(col="text")
+    return f"""
+WITH f AS (
+  SELECT doc_id, source, text,
+         MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id,
+         length(text) AS n_chars,
+         len({tk}) AS n_tokens,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+         len(list_filter({tk}, t -> list_contains([{_STOP_LIST}], t))) AS n_stop,
+         list_sum(list_transform({tk}, t -> length(t))) AS tok_chars,
+         1.0 - len(list_distinct({tk}))::DOUBLE / len({tk})::DOUBLE AS rep,
+         {_sql_lang_scores()}
+  FROM documents),
+r AS (
+  SELECT doc_id, source, keep_id, rep,
+         {_LANG_PRED_CASE} AS lang_pred,
+         ROUND(0.25 * least(n_tokens, 100)::DOUBLE / 100
+               + 0.25 * (1 - CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0.0 END)
+               + 0.25 * least(CASE WHEN n_tokens > 0 THEN n_stop::DOUBLE / n_tokens ELSE 0.0 END * 4, 1.0)
+               + 0.25 * least(CASE WHEN n_tokens > 0 THEN tok_chars::DOUBLE / n_tokens ELSE 0.0 END / 8, 1.0), 6)
+           AS quality_score
+  FROM f)
+SELECT doc_id, source, lang_pred, quality_score
+FROM r
+WHERE doc_id = keep_id AND lang_pred != 'und'
+  AND quality_score >= 0.5 AND rep <= 0.5
+"""
+
+
+MIX_RATES = {"src0": 100, "src1": 80, "src2": 60, "src3": 40, "src4": 20}
+MIX_DEFAULT_RATE = 50
+
+
+def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source-mixture subsampling — the data-mixing step of
+    corpus assembly: each source keeps a configured percentage of its
+    documents, selected by content-stable hash (h60), NOT rand(), so the
+    mixture is reproducible run-to-run and shard-by-shard. Row-local
+    keep/drop + one tiny groupBy; rescaling weights never reshuffles."""
+    docs = load(spark, sf_dir, "documents")
+    rate = F.lit(MIX_DEFAULT_RATE)
+    for src, r in sorted(MIX_RATES.items()):
+        rate = F.when(F.col("source") == src, F.lit(r)).otherwise(rate)
+    kept = (h60(F.concat(F.lit("mix_"), F.col("doc_id").cast("string")))
+            % 100 < rate)
+    return (docs.select("source", rate.alias("rate"),
+                        kept.cast("int").alias("kept"))
+            .groupBy("source", "rate")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("kept").alias("n_kept")))
+
+
+def _oracle_source_mixture() -> str:
+    from ..functions.hashing import h60_sql
+    cases = " ".join(f"WHEN '{s}' THEN {r}"
+                     for s, r in sorted(MIX_RATES.items()))
+    h = h60_sql("'mix_' || doc_id::VARCHAR")
+    return f"""
+WITH m AS (
+  SELECT source,
+         CASE source {cases} ELSE {MIX_DEFAULT_RATE} END AS rate,
+         CASE WHEN {h} % 100 < CASE source {cases} ELSE {MIX_DEFAULT_RATE} END
+              THEN 1 ELSE 0 END AS kept
+  FROM documents)
+SELECT source, rate, COUNT(*) AS n_docs, SUM(kept) AS n_kept
+FROM m GROUP BY source, rate
+"""
+
+
 TRAINING_QUERIES = [
     QueryDef("rename_normalize", q_rename_normalize, ORACLE_RENAME_NORMALIZE,
              "T6,T7,T15"),
@@ -322,4 +427,8 @@ TRAINING_QUERIES = [
     QueryDef("tfidf_top_terms", q_tfidf_top_terms, ORACLE_TFIDF,
              "LLM-tfidf", bench=True),
     QueryDef("bigram_topk", q_bigram_topk, ORACLE_BIGRAM, "LLM-ngram"),
+    QueryDef("corpus_filter", q_corpus_filter, _oracle_corpus_filter(),
+             "LLM-corpus-filter"),
+    QueryDef("source_mixture", q_source_mixture, _oracle_source_mixture(),
+             "LLM-mixing"),
 ]
