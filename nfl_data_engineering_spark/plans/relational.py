@@ -1329,6 +1329,34 @@ FROM customer c, LATERAL (
 """
 
 
+def q_trailing_7d_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame: per user, the running 7-day trailing
+    value sum — the value-range sibling of the ROWS-frame trailing mean
+    (q_trailing_avg). The frame is defined on epoch seconds (integer, so
+    both engines bound it identically); peers at the same second share a
+    frame, which makes the result tie-stable without a tiebreak column.
+    One shuffle on user_id; at 100 TB this rides the same user bucketing
+    as every other per-user window."""
+    ev = load(spark, sf_dir, "events")
+    sec = F.expr("unix_micros(ts) div 1000000")
+    w = (Window.partitionBy("user_id").orderBy(sec.alias("sec"))
+         .rangeBetween(-7 * 86400, 0))
+    return ev.select(
+        "user_id", "event_id", "ts",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w)
+         .cast("double").alias("sum_7d"))
+
+
+ORACLE_TRAILING_7D = """
+SELECT user_id, event_id, ts,
+       CAST(SUM(CAST(value AS DECIMAL(18,2)))
+            OVER (PARTITION BY user_id ORDER BY (epoch_us(ts) // 1000000)
+                  RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS sum_7d
+FROM events
+"""
+
+
 RELATIONAL_QUERIES = [
     QueryDef("pricing_summary", q_pricing_summary, ORACLE_PRICING, "T11,A5,X-avg,S4", bench=True),
     QueryDef("shipping_priority", q_shipping_priority, ORACLE_SHIPPING, "J2,O1,A5", bench=True),
@@ -1377,4 +1405,5 @@ RELATIONAL_QUERIES = [
     QueryDef("unpivot_metrics", q_unpivot_metrics, ORACLE_UNPIVOT_METRICS, "J1-unpivot"),
     QueryDef("locf_fill", q_locf_fill, ORACLE_LOCF_FILL, "T14-locf"),
     QueryDef("lateral_topk", q_lateral_topk, ORACLE_LATERAL_TOPK, "X3-sql"),
+    QueryDef("trailing_7d_sum", q_trailing_7d_sum, ORACLE_TRAILING_7D, "X1-range-frame"),
 ]

@@ -9,6 +9,7 @@ can't leak into results.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.hashing import h60_py
@@ -253,9 +254,37 @@ WHERE {SQL_COS.format(a='x.embedding', b='y.embedding')} >= {SRP_THRESHOLD}
 ORACLE_COSINE_LSH = _srp_oracle()
 
 
+def q_norms_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar `@pandas_udf` surface (§2.8): per-vector L2 norm
+    via Arrow-batched numpy — the pattern for numeric kernels Spark
+    expressions can't say (here they could: `aggregate` computes the same
+    norm JVM-side — this entry exists to prove the Arrow path end-to-end
+    with exact parity). Batches stream through Arrow; no per-row Python.
+    float32 inputs are widened to float64 BEFORE the dot product, and
+    round(6) absorbs numpy's pairwise-vs-sequential summation order."""
+    @F.pandas_udf("double")
+    def l2_norm(vs: pd.Series) -> pd.Series:
+        import numpy as np
+        return vs.map(lambda a: float(
+            np.sqrt(np.dot(a64 := np.asarray(a, dtype="float64"), a64))))
+
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", "label",
+                      F.round(l2_norm("embedding"), 6).alias("l2_norm"))
+
+
+ORACLE_NORMS_PANDAS = """
+SELECT vec_id, label,
+       ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6)
+         AS l2_norm
+FROM embeddings
+"""
+
+
 VECTOR_QUERIES = [
     QueryDef("embedding_topk", q_embedding_topk, ORACLE_EMBEDDING_TOPK, "LLM-sim-bruteforce", bench=True),
     QueryDef("ann_ivf_topk", q_ann_ivf_topk, ORACLE_ANN_IVF, "LLM-sim-ivf"),
     QueryDef("cosine_neardup_pairs", q_cosine_neardup_pairs, ORACLE_COSINE_NEARDUP, "LLM-dedup-cosine"),
     QueryDef("cosine_neardup_lsh", q_cosine_neardup_lsh, ORACLE_COSINE_LSH, "LLM-dedup-cosine-lsh", bench=True),
+    QueryDef("norms_pandas_udf", q_norms_pandas_udf, ORACLE_NORMS_PANDAS, "S2.8-pandas-udf"),
 ]
