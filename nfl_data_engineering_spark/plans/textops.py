@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..functions.hashing import MERSENNE_P, h60, minhash_bands_fast, simhash
 from ..functions.text import (LANG_MARKERS, STOPWORDS, WORD_RE, doc_fingerprint,
                               explode_shingle_hashes, explode_tokens, lang_id,
-                              quality_features, regex_token_count, tokens)
+                              regex_token_count, tokens)
 from .base import QueryDef, load
 
 # DuckDB twins of functions/text.py tokens() and functions/hashing.py h60().
@@ -325,51 +325,103 @@ FROM scored
 """
 
 
+def _quality_scaled_cols(docs: DataFrame) -> DataFrame:
+    """Integer quality counts + millionth-scaled ratios per document.
+
+    Why integers: the obvious float form (0.25*a + 0.25*b + ...) differs by
+    1 ulp between Spark and DuckDB (FMA/reassociation freedom), which flips
+    round(6) whenever a score lands on an exact half — found by the sf0.1
+    parity sweep (2026-08-13). Every ratio here is therefore computed as
+    ``numerator * 10^6 DIV denominator`` in int64 (exact, order-free); the
+    only float op left is a single division by 1e6 of identical integers,
+    which is bit-identical on both engines. Same one-scan plan shape."""
+    toks = tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    return docs.select(
+        "doc_id", "source", "text",
+        F.length("text").cast("bigint").alias("nc"),
+        F.size(toks).cast("bigint").alias("nt"),
+        (F.length("text")
+         - F.length(F.regexp_replace(F.col("text"), r"[^\w\s]", "")))
+        .cast("bigint").alias("np"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+        .cast("bigint").alias("ns"),
+        F.aggregate(toks, F.lit(0).cast("bigint"),
+                    lambda acc, t: acc + F.length(t)).alias("tc"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("nd"),
+    ).select(
+        "doc_id", "source", "text", "nc", "nt",
+        F.expr("CASE WHEN nc > 0 THEN (np * 1000000) div nc ELSE 0 END")
+         .alias("punct_ppm"),
+        F.expr("CASE WHEN nt > 0 THEN (ns * 1000000) div nt ELSE 0 END")
+         .alias("stop_ppm"),
+        F.expr("CASE WHEN nt > 0 THEN (tc * 1000000) div nt ELSE 0 END")
+         .alias("mwl_ppm"),
+        F.expr("CASE WHEN nt > 0 THEN ((nt - nd) * 1000000) div nt END")
+         .alias("rep_ppm"),
+    ).withColumn(
+        "score_ppm",
+        F.expr("2500 * least(nt, 100)"
+               " + (250000 - punct_ppm div 4)"
+               " + least(stop_ppm, 250000)"
+               " + least(mwl_ppm div 32, 250000)"))
+
+
+# DuckDB twin of _quality_scaled_cols (shared by quality + corpus filter).
+_SQL_QUALITY_SCALED = f"""
+counts AS (
+  SELECT doc_id, source, text,
+         length(text)::BIGINT AS nc,
+         len({SQL_TOKENS.format(col='text')})::BIGINT AS nt,
+         (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::BIGINT AS np,
+         len(list_filter({SQL_TOKENS.format(col='text')},
+                         t -> list_contains([{{stoplist}}], t)))::BIGINT AS ns,
+         coalesce(list_sum(list_transform({SQL_TOKENS.format(col='text')},
+                                          t -> length(t))), 0)::BIGINT AS tc,
+         len(list_distinct({SQL_TOKENS.format(col='text')}))::BIGINT AS nd
+  FROM documents),
+scaled AS (
+  SELECT doc_id, source, text, nc, nt,
+         CASE WHEN nc > 0 THEN (np * 1000000) // nc ELSE 0 END AS punct_ppm,
+         CASE WHEN nt > 0 THEN (ns * 1000000) // nt ELSE 0 END AS stop_ppm,
+         CASE WHEN nt > 0 THEN (tc * 1000000) // nt ELSE 0 END AS mwl_ppm,
+         CASE WHEN nt > 0 THEN ((nt - nd) * 1000000) // nt END AS rep_ppm,
+         2500 * least(nt, 100)
+           + (250000 - CASE WHEN nc > 0 THEN (np * 1000000) // nc ELSE 0 END // 4)
+           + least(CASE WHEN nt > 0 THEN (ns * 1000000) // nt ELSE 0 END, 250000)
+           + least(CASE WHEN nt > 0 THEN (tc * 1000000) // nt ELSE 0 END // 32, 250000)
+           AS score_ppm
+  FROM counts)
+"""
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cheap quality signals per doc: length, punctuation ratio, stopword
-    ratio, mean word length, and a blended 0-1 score."""
+    ratio, mean word length, and a blended 0-1 score. All ratios are
+    millionth-truncated integers divided by 1e6 (see _quality_scaled_cols
+    for why floats would not parity-match)."""
     docs = load(spark, sf_dir, "documents")
-    feats = quality_features(F.col("text"))
-    score = (0.25 * F.least(feats["n_tokens"], F.lit(100)).cast("double") / 100
-             + 0.25 * (1 - feats["punct_ratio"])
-             + 0.25 * F.least(feats["stopword_ratio"] * 4, F.lit(1.0))
-             + 0.25 * F.least(feats["mean_word_len"] / 8, F.lit(1.0)))
-    return docs.select(
-        "doc_id", feats["n_chars"].alias("n_chars"),
-        feats["n_tokens"].alias("n_tokens"),
-        F.round(feats["punct_ratio"], 6).alias("punct_ratio"),
-        F.round(feats["stopword_ratio"], 6).alias("stopword_ratio"),
-        F.round(feats["mean_word_len"], 6).alias("mean_word_len"),
-        F.round(score, 6).alias("quality_score"))
+    scaled = _quality_scaled_cols(docs)
+    return scaled.select(
+        "doc_id", F.col("nc").alias("n_chars"), F.col("nt").alias("n_tokens"),
+        (F.col("punct_ppm") / 1e6).alias("punct_ratio"),
+        (F.col("stop_ppm") / 1e6).alias("stopword_ratio"),
+        (F.col("mwl_ppm") / 1e6).alias("mean_word_len"),
+        (F.col("score_ppm") / 1e6).alias("quality_score"))
 
 
 _STOP_LIST = ", ".join(f"'{s}'" for s in STOPWORDS)
 
+SQL_QUALITY_SCALED = _SQL_QUALITY_SCALED.format(stoplist=_STOP_LIST)
+
 ORACLE_TEXT_QUALITY = f"""
-WITH f AS (
-  SELECT doc_id,
-         length(text) AS n_chars,
-         len({SQL_TOKENS.format(col='text')}) AS n_tokens,
-         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
-         len(list_filter({SQL_TOKENS.format(col='text')},
-                         t -> list_contains([{_STOP_LIST}], t))) AS n_stop,
-         list_sum(list_transform({SQL_TOKENS.format(col='text')}, t -> length(t))) AS tok_chars
-  FROM documents),
-r AS (
-  SELECT doc_id, n_chars::BIGINT AS n_chars, n_tokens::BIGINT AS n_tokens,
-         CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0.0 END AS punct_ratio,
-         CASE WHEN n_tokens > 0 THEN n_stop::DOUBLE / n_tokens ELSE 0.0 END AS stopword_ratio,
-         CASE WHEN n_tokens > 0 THEN tok_chars::DOUBLE / n_tokens ELSE 0.0 END AS mean_word_len
-  FROM f)
-SELECT doc_id, n_chars, n_tokens,
-       ROUND(punct_ratio, 6) AS punct_ratio,
-       ROUND(stopword_ratio, 6) AS stopword_ratio,
-       ROUND(mean_word_len, 6) AS mean_word_len,
-       ROUND(0.25 * least(n_tokens, 100)::DOUBLE / 100
-             + 0.25 * (1 - punct_ratio)
-             + 0.25 * least(stopword_ratio * 4, 1.0)
-             + 0.25 * least(mean_word_len / 8, 1.0), 6) AS quality_score
-FROM r
+WITH {SQL_QUALITY_SCALED}
+SELECT doc_id, nc AS n_chars, nt AS n_tokens,
+       punct_ppm / 1e6 AS punct_ratio,
+       stop_ppm / 1e6 AS stopword_ratio,
+       mwl_ppm / 1e6 AS mean_word_len,
+       score_ppm / 1e6 AS quality_score
+FROM scaled
 """
 
 
@@ -457,22 +509,17 @@ def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Entirely row-local (array ops inside the scan projection): zero shuffle,
     trivially linear at 100 TB."""
     docs = load(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    n_tok = F.size(toks)
-    rep = F.round(
-        F.lit(1.0) - F.try_divide(F.size(F.array_distinct(toks))
-                                  .cast("double"),
-                                  n_tok.cast("double")), 6)
-    return docs.select("doc_id", n_tok.alias("n_tokens"),
-                       rep.alias("repetition"))
+    scaled = _quality_scaled_cols(docs)
+    return scaled.select("doc_id",
+                         F.col("nt").cast("int").alias("n_tokens"),
+                         (F.col("rep_ppm") / 1e6).alias("repetition"))
 
 
-ORACLE_REPETITION = f"""
-WITH t AS (SELECT doc_id, {SQL_TOKENS.format(col='text')} AS tk FROM documents)
-SELECT doc_id, len(tk) AS n_tokens,
-       ROUND(1.0 - len(list_distinct(tk))::DOUBLE / len(tk)::DOUBLE, 6)
-         AS repetition
-FROM t
+def _oracle_repetition() -> str:
+    return f"""
+WITH {SQL_QUALITY_SCALED}
+SELECT doc_id, nt::INTEGER AS n_tokens, rep_ppm / 1e6 AS repetition
+FROM scaled
 """
 
 
@@ -548,7 +595,7 @@ TEXT_QUERIES = [
     QueryDef("token_counts", q_token_counts, ORACLE_TOKEN_COUNTS, "LLM-text-tokens"),
     QueryDef("doc_fingerprint", q_doc_fingerprint, ORACLE_FINGERPRINT, "LLM-text-fingerprint"),
     QueryDef("multimodal_stats", q_multimodal_stats, ORACLE_MULTIMODAL, "LLM-multimodal"),
-    QueryDef("repetition_score", q_repetition_score, ORACLE_REPETITION, "LLM-text-repetition"),
+    QueryDef("repetition_score", q_repetition_score, _oracle_repetition(), "LLM-text-repetition"),
     QueryDef("fuzzy_editdist", q_fuzzy_editdist, ORACLE_FUZZY_EDITDIST, "LLM-dedup-editdist"),
     QueryDef("doc_length_histogram", q_doc_length_histogram, ORACLE_DOC_LENGTH_HISTOGRAM, "LLM-text-lenhist"),
 ]

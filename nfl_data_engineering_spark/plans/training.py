@@ -315,60 +315,39 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_repetition_score); composing them row-locally means the whole filter
     is a projection + one window over md5(text) — at 100 TB this pass costs
     a single shuffle regardless of how many signals it blends."""
-    from ..functions.text import lang_id, quality_features, tokens
+    from ..functions.text import lang_id
+    from .textops import _quality_scaled_cols
     docs = load(spark, sf_dir, "documents")
-    feats = quality_features(F.col("text"))
-    score = F.round(
-        0.25 * F.least(feats["n_tokens"], F.lit(100)).cast("double") / 100
-        + 0.25 * (1 - feats["punct_ratio"])
-        + 0.25 * F.least(feats["stopword_ratio"] * 4, F.lit(1.0))
-        + 0.25 * F.least(feats["mean_word_len"] / 8, F.lit(1.0)), 6)
-    toks = tokens(F.col("text"))
-    rep = F.lit(1.0) - F.try_divide(
-        F.size(F.array_distinct(toks)).cast("double"),
-        F.size(toks).cast("double"))
+    scaled = _quality_scaled_cols(docs)
     keep_w = Window.partitionBy(F.md5("text"))
-    staged = docs.select(
-        "doc_id", "source",
+    staged = scaled.select(
+        "doc_id", "source", "score_ppm", "rep_ppm",
         F.min("doc_id").over(keep_w).alias("keep_id"),
-        lang_id(F.col("text")).alias("lang_pred"),
-        score.alias("quality_score"), rep.alias("rep"))
+        lang_id(F.col("text")).alias("lang_pred"))
     return (staged
             .filter((F.col("doc_id") == F.col("keep_id"))
                     & (F.col("lang_pred") != "und")
-                    & (F.col("quality_score") >= 0.5)
-                    & (F.col("rep") <= 0.5))
-            .select("doc_id", "source", "lang_pred", "quality_score"))
+                    & (F.col("score_ppm") >= 500000)
+                    & (F.col("rep_ppm") <= 500000))
+            .select("doc_id", "source", "lang_pred",
+                    (F.col("score_ppm") / 1e6).alias("quality_score")))
 
 
 def _oracle_corpus_filter() -> str:
-    from .textops import SQL_TOKENS, _LANG_PRED_CASE, _STOP_LIST, _sql_lang_scores
-    tk = SQL_TOKENS.format(col="text")
+    from .textops import SQL_QUALITY_SCALED, _LANG_PRED_CASE, _sql_lang_scores
     return f"""
-WITH f AS (
-  SELECT doc_id, source, text,
-         MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id,
-         length(text) AS n_chars,
-         len({tk}) AS n_tokens,
-         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
-         len(list_filter({tk}, t -> list_contains([{_STOP_LIST}], t))) AS n_stop,
-         list_sum(list_transform({tk}, t -> length(t))) AS tok_chars,
-         1.0 - len(list_distinct({tk}))::DOUBLE / len({tk})::DOUBLE AS rep,
-         {_sql_lang_scores()}
-  FROM documents),
-r AS (
-  SELECT doc_id, source, keep_id, rep,
-         {_LANG_PRED_CASE} AS lang_pred,
-         ROUND(0.25 * least(n_tokens, 100)::DOUBLE / 100
-               + 0.25 * (1 - CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0.0 END)
-               + 0.25 * least(CASE WHEN n_tokens > 0 THEN n_stop::DOUBLE / n_tokens ELSE 0.0 END * 4, 1.0)
-               + 0.25 * least(CASE WHEN n_tokens > 0 THEN tok_chars::DOUBLE / n_tokens ELSE 0.0 END / 8, 1.0), 6)
-           AS quality_score
-  FROM f)
-SELECT doc_id, source, lang_pred, quality_score
-FROM r
+WITH {SQL_QUALITY_SCALED},
+langed AS (
+  SELECT s.doc_id, s.source, s.score_ppm, s.rep_ppm,
+         MIN(s.doc_id) OVER (PARTITION BY md5(s.text)) AS keep_id,
+         {_LANG_PRED_CASE} AS lang_pred
+  FROM scaled s
+  JOIN (SELECT doc_id, {_sql_lang_scores()} FROM documents) l
+    ON l.doc_id = s.doc_id)
+SELECT doc_id, source, lang_pred, score_ppm / 1e6 AS quality_score
+FROM langed
 WHERE doc_id = keep_id AND lang_pred != 'und'
-  AND quality_score >= 0.5 AND rep <= 0.5
+  AND score_ppm >= 500000 AND rep_ppm <= 500000
 """
 
 
