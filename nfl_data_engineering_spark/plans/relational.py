@@ -1357,6 +1357,34 @@ FROM events
 """
 
 
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 history build: each per-user observation becomes a
+    validity interval [valid_from, valid_to) closed by the next
+    observation, open (NULL) on the current row — the dimension-history
+    twin of keep-latest (A2), which keeps only the interval that never
+    closed. One lead() window pinned by (ts, event_id); one shuffle on the
+    key, and the history table stays one row per observation — no
+    point-in-time self-join is ever needed to query it."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    valid_to = F.lead("ts").over(w)
+    return ev.select(
+        "user_id", "event_id", F.col("value").alias("observed_value"),
+        F.col("ts").alias("valid_from"), valid_to.alias("valid_to"),
+        valid_to.isNull().cast("int").alias("is_current"))
+
+
+ORACLE_SCD2 = """
+SELECT user_id, event_id, value AS observed_value,
+       ts AS valid_from,
+       LEAD(ts) OVER w AS valid_to,
+       CASE WHEN LEAD(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+FROM events WHERE event_type = 'purchase'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 RELATIONAL_QUERIES = [
     QueryDef("pricing_summary", q_pricing_summary, ORACLE_PRICING, "T11,A5,X-avg,S4", bench=True),
     QueryDef("shipping_priority", q_shipping_priority, ORACLE_SHIPPING, "J2,O1,A5", bench=True),
@@ -1406,4 +1434,5 @@ RELATIONAL_QUERIES = [
     QueryDef("locf_fill", q_locf_fill, ORACLE_LOCF_FILL, "T14-locf"),
     QueryDef("lateral_topk", q_lateral_topk, ORACLE_LATERAL_TOPK, "X3-sql"),
     QueryDef("trailing_7d_sum", q_trailing_7d_sum, ORACLE_TRAILING_7D, "X1-range-frame"),
+    QueryDef("scd2_intervals", q_scd2_intervals, ORACLE_SCD2, "A2-scd2"),
 ]
