@@ -138,12 +138,18 @@ def interval_join_streams(left: DataFrame, right: DataFrame,
 
 
 def windowed_counts_stream(stream: DataFrame, window: str = "1 hour",
-                           watermark: str = "1 day") -> DataFrame:
-    """Streaming tumbling-window aggregation (the 'last 12 weeks' rollup
-    pattern, README.md:124-137, computed incrementally)."""
+                           watermark: str = "1 day",
+                           slide: str | None = None) -> DataFrame:
+    """Streaming windowed aggregation (the 'last 12 weeks' rollup pattern,
+    README.md:124-137, computed incrementally). ``slide=None`` gives
+    tumbling windows; a slide shorter than the window gives overlapping
+    sliding windows (each event feeds window/slide open windows — the
+    streaming twin of the batch q_sliding_windows). State is bounded by the
+    watermark either way: windows older than it are finalized and dropped."""
     return (stream
             .withWatermark("ts", watermark)
-            .groupBy(F.window("ts", window).alias("w"), "event_type")
+            .groupBy(F.window("ts", window, slide or window).alias("w"),
+                     "event_type")
             .agg(F.count("*").alias("n"),
                  F.sum("value").alias("sum_value"))
             .select(F.col("w.start").alias("window_start"),

@@ -136,3 +136,19 @@ def test_interval_join_streams(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.sql("SELECT event_id, event_id_r FROM ivj").collect()
     assert [(r["event_id"], r["event_id_r"]) for r in rows] == [(10, 11)]
+
+
+def test_sliding_windowed_counts_stream(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write_events_json(src, EVENTS)
+    agg = windowed_counts_stream(read_event_stream(spark, src), "1 hour",
+                                 slide="15 minutes")
+    q = (agg.writeStream.format("memory").queryName("win_slide")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM win_slide").collect()
+    # every event lands in window/slide = 4 overlapping windows
+    per_type = {}
+    for r in rows:
+        per_type[r["event_type"]] = per_type.get(r["event_type"], 0) + r["n"]
+    assert per_type == {"click": 2 * 4, "view": 1 * 4}
