@@ -281,10 +281,45 @@ FROM embeddings
 """
 
 
+def q_median_value_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate `@pandas_udf` surface (§2.8, the UDAF flavor next
+    to the scalar q_norms_pandas_udf): per-event-type median via numpy.
+    Median is selection + one midpoint average — no float summation — so
+    the Arrow path hash-matches DuckDB's quantile_cont(0.5) exactly, no
+    rounding slack needed. Spark plans it as a full-shuffle group agg (no
+    partial aggregation for arbitrary UDAFs — the documented cost of the
+    Python escape hatch vs builtin percentile)."""
+    from .base import load as _load
+
+    @F.pandas_udf("double")
+    def pd_median(v: pd.Series) -> float:
+        import numpy as np
+        vv = v.dropna()
+        return float(np.median(vv)) if len(vv) else None
+
+    # Spark forbids mixing pandas UDAFs with JVM aggregates in one agg, so
+    # the row count is a pandas UDAF as well.
+    @F.pandas_udf("long")
+    def pd_count(v: pd.Series) -> int:
+        return len(v)
+
+    ev = _load(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(pd_count("value").alias("n"),
+                 pd_median("value").alias("median_value")))
+
+
+ORACLE_MEDIAN_UDAF = """
+SELECT event_type, COUNT(*) AS n, median(value) AS median_value
+FROM events GROUP BY event_type
+"""
+
+
 VECTOR_QUERIES = [
     QueryDef("embedding_topk", q_embedding_topk, ORACLE_EMBEDDING_TOPK, "LLM-sim-bruteforce", bench=True),
     QueryDef("ann_ivf_topk", q_ann_ivf_topk, ORACLE_ANN_IVF, "LLM-sim-ivf"),
     QueryDef("cosine_neardup_pairs", q_cosine_neardup_pairs, ORACLE_COSINE_NEARDUP, "LLM-dedup-cosine"),
     QueryDef("cosine_neardup_lsh", q_cosine_neardup_lsh, ORACLE_COSINE_LSH, "LLM-dedup-cosine-lsh", bench=True),
     QueryDef("norms_pandas_udf", q_norms_pandas_udf, ORACLE_NORMS_PANDAS, "S2.8-pandas-udf"),
+    QueryDef("median_value_udaf", q_median_value_udaf, ORACLE_MEDIAN_UDAF, "S2.8-pandas-udaf"),
 ]
