@@ -1385,6 +1385,30 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def q_user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user chronological event-type sequence as an array column — the
+    sequence-building step of behavioral/training pipelines (and the
+    collect_list/array aggregation surface). Determinism: collect_list has
+    no order guarantee under partial aggregation, so elements are collected
+    as (ts, event_id, type) structs and array_sort'ed row-locally — the
+    unique (ts, event_id) prefix pins a total order on both engines. One
+    shuffle on user_id; array width = per-user event count (bound it with
+    a window top-N at 100 TB if users are unbounded)."""
+    ev = load(spark, sf_dir, "events")
+    seq = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+        lambda x: x["event_type"])
+    return (ev.groupBy("user_id")
+            .agg(F.count("*").alias("n_events"), seq.alias("event_seq")))
+
+
+ORACLE_USER_EVENT_SEQUENCES = """
+SELECT user_id, COUNT(*) AS n_events,
+       list(event_type ORDER BY ts, event_id) AS event_seq
+FROM events GROUP BY user_id
+"""
+
+
 RELATIONAL_QUERIES = [
     QueryDef("pricing_summary", q_pricing_summary, ORACLE_PRICING, "T11,A5,X-avg,S4", bench=True),
     QueryDef("shipping_priority", q_shipping_priority, ORACLE_SHIPPING, "J2,O1,A5", bench=True),
@@ -1435,4 +1459,6 @@ RELATIONAL_QUERIES = [
     QueryDef("lateral_topk", q_lateral_topk, ORACLE_LATERAL_TOPK, "X3-sql"),
     QueryDef("trailing_7d_sum", q_trailing_7d_sum, ORACLE_TRAILING_7D, "X1-range-frame"),
     QueryDef("scd2_intervals", q_scd2_intervals, ORACLE_SCD2, "A2-scd2"),
+    QueryDef("user_event_sequences", q_user_event_sequences,
+             ORACLE_USER_EVENT_SEQUENCES, "A-collect-seq"),
 ]
