@@ -1409,6 +1409,191 @@ FROM events GROUP BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Subquery shapes (correlated scalar, uncorrelated scalar, NOT EXISTS,
+# group-HAVING semi-join, conditional-aggregation ratio). The reference has
+# no subqueries, but its dedup-upsert is an anti-join in disguise (SURVEY.md
+# §2.3) — these queries expose the full subquery surface Catalyst decorrelates
+# into joins, so users get the declarative forms, not hand-built rewrites.
+# ---------------------------------------------------------------------------
+
+def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        load(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def q_brand_max_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q2 shape on the reduced schema):
+    parts priced at their brand's maximum. Catalyst decorrelates the
+    subquery into an aggregate + join (RewriteCorrelatedScalarSubquery) —
+    the plan is a broadcast join against a per-brand max, not a per-row
+    re-scan, so it scales as one pass + one small-side join at 100 TB.
+    Doubles compare for equality only against a MAX drawn from the same
+    column, which is exact in both engines."""
+    _views(spark, sf_dir, "part")
+    return spark.sql("""
+        SELECT p_partkey, p_brand, p_retailprice
+        FROM part p
+        WHERE p_retailprice = (SELECT MAX(p2.p_retailprice)
+                               FROM part p2 WHERE p2.p_brand = p.p_brand)
+    """)
+
+
+ORACLE_BRAND_MAX_PRICE = """
+SELECT p_partkey, p_brand, p_retailprice
+FROM part p
+WHERE p_retailprice = (SELECT MAX(p2.p_retailprice)
+                       FROM part p2 WHERE p2.p_brand = p.p_brand)
+"""
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery (TPC-H Q15 shape): supplier(s) with the
+    maximum quarterly revenue. The per-supplier revenue aggregate is
+    computed once, its single-row MAX is broadcast back against it, and
+    equality on the decimal-exact-sum-cast-double revenue is deterministic
+    because both sides come from the same computation. Two shuffles total
+    (revenue groupBy, then nothing — both joins broadcast)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp")))
+    disc = _dec("l_extendedprice") * (F.lit(1).cast("decimal(8,2)")
+                                      - _dec("l_discount", "8,2"))
+    rev = (li.groupBy("l_suppkey")
+           .agg(F.sum(disc).cast("double").alias("total_revenue")))
+    max_rev = rev.agg(F.max("total_revenue").alias("max_rev"))
+    sup = load(spark, sf_dir, "supplier")
+    return (sup.join(rev, sup.s_suppkey == rev.l_suppkey)
+            .join(F.broadcast(max_rev),
+                  F.col("total_revenue") == F.col("max_rev"))
+            .select("s_suppkey", "s_name", "total_revenue")
+            .orderBy("s_suppkey"))
+
+
+ORACLE_TOP_SUPPLIER = """
+WITH revenue AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q_big_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-HAVING semi-join (TPC-H Q18 shape): orders whose total line
+    quantity exceeds 300, joined back to customer. The HAVING aggregate is
+    tiny after its filter (tens of rows per million orders), so AQE
+    broadcasts it into the orders join — the plan is one lineitem shuffle
+    plus broadcast joins, no sort-merge on the fact table."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"))
+           .filter(F.col("sum_qty") > 300))
+    return (orders.join(big, orders.o_orderkey == big.l_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                    "o_totalprice", "sum_qty")
+            .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+            .limit(100))
+
+
+ORACLE_BIG_ORDER_CUSTOMERS = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM orders
+JOIN (SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 300) big
+  ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+def q_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS anti-join under a scalar-subquery predicate (TPC-H Q22
+    shape): per market segment, customers above the positive-balance mean
+    who never placed a high-value order. Catalyst turns the NOT EXISTS
+    into a left-anti hash join and the scalar average into a broadcast —
+    one pass over each table. The mean is sum(decimal)::double / count,
+    exact in both engines."""
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql("""
+        SELECT c_mktsegment, COUNT(*) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        FROM customer c
+        WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+                           FROM customer WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 300000.0)
+        GROUP BY c_mktsegment
+    """)
+
+
+ORACLE_DORMANT_HIGH_BALANCE = """
+SELECT c_mktsegment, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer c
+WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+                   FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 300000.0)
+GROUP BY c_mktsegment
+"""
+
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-aggregation ratio (TPC-H Q14 shape): share of quarterly
+    revenue from PROMO-type parts. One fact-dim join (part auto-broadcasts
+    under the 64m threshold; falls back to shuffle join at 100 TB where
+    part is ~1/7 of lineitem) and one global aggregate. Numerator and
+    denominator are exact decimal sums; the final division is one double
+    op on identical inputs, so the share is bit-stable."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp")))
+    part = load(spark, sf_dir, "part")
+    disc = _dec("l_extendedprice") * (F.lit(1).cast("decimal(8,2)")
+                                      - _dec("l_discount", "8,2"))
+    zero = F.lit(0).cast("decimal(28,4)")
+    joined = li.join(part, li.l_partkey == part.p_partkey)
+    agg = joined.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(zero))
+         .cast("double").alias("promo_revenue"),
+        F.sum(disc).cast("double").alias("total_revenue"))
+    return agg.select(
+        "promo_revenue", "total_revenue",
+        (F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue"))
+        .alias("promo_share"))
+
+
+ORACLE_PROMO_REVENUE_SHARE = """
+WITH agg AS (
+  SELECT
+    CAST(SUM(CASE WHEN p_type = 'PROMO'
+             THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2)))
+             ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE) AS promo_revenue,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS total_revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00')
+SELECT promo_revenue, total_revenue,
+       100.0 * promo_revenue / total_revenue AS promo_share
+FROM agg
+"""
+
+
 RELATIONAL_QUERIES = [
     QueryDef("pricing_summary", q_pricing_summary, ORACLE_PRICING, "T11,A5,X-avg,S4", bench=True),
     QueryDef("shipping_priority", q_shipping_priority, ORACLE_SHIPPING, "J2,O1,A5", bench=True),
@@ -1461,4 +1646,14 @@ RELATIONAL_QUERIES = [
     QueryDef("scd2_intervals", q_scd2_intervals, ORACLE_SCD2, "A2-scd2"),
     QueryDef("user_event_sequences", q_user_event_sequences,
              ORACLE_USER_EVENT_SEQUENCES, "A-collect-seq"),
+    QueryDef("brand_max_price", q_brand_max_price, ORACLE_BRAND_MAX_PRICE,
+             "Q-subq-corr-scalar"),
+    QueryDef("top_supplier", q_top_supplier, ORACLE_TOP_SUPPLIER,
+             "Q-subq-scalar,A5"),
+    QueryDef("big_order_customers", q_big_order_customers,
+             ORACLE_BIG_ORDER_CUSTOMERS, "A-having,J-semi"),
+    QueryDef("dormant_high_balance", q_dormant_high_balance,
+             ORACLE_DORMANT_HIGH_BALANCE, "Q-not-exists,J-anti"),
+    QueryDef("promo_revenue_share", q_promo_revenue_share,
+             ORACLE_PROMO_REVENUE_SHARE, "A-cond-agg"),
 ]
