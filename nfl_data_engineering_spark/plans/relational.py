@@ -1594,6 +1594,41 @@ FROM agg
 """
 
 
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust aggregation: per-group mean of prices inside the exact
+    [p5, p95] band — the outlier-resistant statistic feature pipelines use
+    where plain AVG is skew-fragile. Two passes over the group: exact
+    percentile bounds (one shuffle), broadcast back, then a decimal-exact
+    mean of the surviving rows. Cross-engine safety: when an interpolated
+    bound differs in the last ulp between engines it still lies strictly
+    between two adjacent 2-decimal data values, so the band membership —
+    and therefore the result — is identical."""
+    li = load(spark, sf_dir, "lineitem")
+    bounds = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.05)").alias("lo"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("hi"))
+    kept = (li.join(F.broadcast(bounds), "l_returnflag")
+            .filter(F.col("l_extendedprice").between(F.col("lo"), F.col("hi"))))
+    return (kept.groupBy("l_returnflag")
+            .agg(F.count("*").alias("n_kept"),
+                 (F.sum(_dec("l_extendedprice")).cast("double") / F.count("*"))
+                 .alias("trimmed_avg_price")))
+
+
+ORACLE_TRIMMED_MEAN = """
+WITH b AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, 0.05) AS lo,
+         quantile_cont(l_extendedprice, 0.95) AS hi
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l.l_returnflag, COUNT(*) AS n_kept,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS trimmed_avg_price
+FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
+WHERE l_extendedprice BETWEEN lo AND hi
+GROUP BY l.l_returnflag
+"""
+
+
 RELATIONAL_QUERIES = [
     QueryDef("pricing_summary", q_pricing_summary, ORACLE_PRICING, "T11,A5,X-avg,S4", bench=True),
     QueryDef("shipping_priority", q_shipping_priority, ORACLE_SHIPPING, "J2,O1,A5", bench=True),
@@ -1656,4 +1691,6 @@ RELATIONAL_QUERIES = [
              ORACLE_DORMANT_HIGH_BALANCE, "Q-not-exists,J-anti"),
     QueryDef("promo_revenue_share", q_promo_revenue_share,
              ORACLE_PROMO_REVENUE_SHARE, "A-cond-agg"),
+    QueryDef("trimmed_mean", q_trimmed_mean, ORACLE_TRIMMED_MEAN,
+             "A-trimmed-mean,A-quantile"),
 ]

@@ -584,6 +584,95 @@ FROM b GROUP BY log2_bucket
 """
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass — regex-redact emails and phone-shaped tokens, the
+    standard pre-training privacy filter. The synthetic corpus contains no
+    PII, so the query first injects deterministic doc_id-derived emails
+    (all docs) and fax numbers (3 of every 7 docs) and then proves the
+    redaction by counting matches and measuring the char delta per source.
+    Everything is row-local builtin regex (whole-stage codegen, no UDF, no
+    shuffle until the final tiny groupBy) — at 100 TB this runs at scan
+    speed. Patterns avoid backreferences so Java regex and RE2 agree."""
+    docs = load(spark, sf_dir, "documents")
+    num4 = F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-"), num4,
+        F.when(F.col("doc_id") % 7 < 3,
+               F.concat(F.lit(" fax 555-"), num4)).otherwise(F.lit("")))
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone_re = r"\b555-\d{4}\b"
+    redacted = F.regexp_replace(
+        F.regexp_replace(injected, email_re, "<EMAIL>"),
+        phone_re, "<PHONE>")
+    enriched = docs.select(
+        "source",
+        F.regexp_count(injected, F.lit(email_re)).alias("n_email"),
+        F.regexp_count(injected, F.lit(phone_re)).alias("n_phone"),
+        (F.length(injected) - F.length(redacted)).alias("delta"))
+    return (enriched.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_email").alias("emails_redacted"),
+                 F.sum("n_phone").alias("phones_redacted"),
+                 F.sum("delta").alias("chars_removed")))
+
+
+ORACLE_PII_REDACT = r"""
+WITH inj AS (
+  SELECT source,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or call 555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || CASE WHEN doc_id % 7 < 3
+                      THEN ' fax 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                      ELSE '' END AS t
+  FROM documents),
+red AS (
+  SELECT source, t,
+         len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+         len(regexp_extract_all(t, '\b555-\d{4}\b')) AS n_phone,
+         regexp_replace(regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                        '\b555-\d{4}\b', '<PHONE>', 'g') AS r
+  FROM inj)
+SELECT source, COUNT(*) AS n_docs,
+       SUM(n_email) AS emails_redacted,
+       SUM(n_phone) AS phones_redacted,
+       SUM(length(t) - length(r)) AS chars_removed
+FROM red GROUP BY source
+"""
+
+
+def q_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-form dedup histogram: texts are normalized (lowercase,
+    non-alphanumerics to spaces, whitespace collapsed) before grouping, so
+    near-identical docs that exact dedup misses (case, punctuation,
+    spacing) collapse into one group. Output is the dup-group-size
+    histogram — the profile number that decides whether a fuzzy-dedup pass
+    is worth running. Normalization is row-local regex; the groupBy
+    shuffles only (hash, 1) pairs at 100 TB."""
+    docs = load(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+        " +", " "))
+    groups = (docs.select(norm.alias("norm"))
+              .groupBy("norm").agg(F.count("*").alias("group_size")))
+    return (groups.groupBy("group_size")
+            .agg(F.count("*").alias("n_groups"))
+            .orderBy("group_size"))
+
+
+ORACLE_NORMALIZED_DEDUP = """
+WITH g AS (
+  SELECT trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                             ' +', ' ', 'g')) AS norm,
+         COUNT(*) AS group_size
+  FROM documents GROUP BY 1)
+SELECT group_size, COUNT(*) AS n_groups
+FROM g GROUP BY group_size ORDER BY group_size
+"""
+
+
 TEXT_QUERIES = [
     QueryDef("dedup_exact_text", q_dedup_exact_text, ORACLE_DEDUP_EXACT, "LLM-dedup-exact"),
     QueryDef("dedup_minhash_lsh", q_dedup_minhash_lsh, ORACLE_MINHASH_LSH, "LLM-dedup-minhash", bench=True),
@@ -598,4 +687,6 @@ TEXT_QUERIES = [
     QueryDef("repetition_score", q_repetition_score, _oracle_repetition(), "LLM-text-repetition"),
     QueryDef("fuzzy_editdist", q_fuzzy_editdist, ORACLE_FUZZY_EDITDIST, "LLM-dedup-editdist"),
     QueryDef("doc_length_histogram", q_doc_length_histogram, ORACLE_DOC_LENGTH_HISTOGRAM, "LLM-text-lenhist"),
+    QueryDef("pii_redact", q_pii_redact, ORACLE_PII_REDACT, "LLM-text-pii"),
+    QueryDef("normalized_dedup", q_normalized_dedup, ORACLE_NORMALIZED_DEDUP, "LLM-dedup-normalized"),
 ]
