@@ -1686,11 +1686,11 @@ RELATIONAL_QUERIES = [
     QueryDef("top_supplier", q_top_supplier, ORACLE_TOP_SUPPLIER,
              "Q-subq-scalar,A5"),
     QueryDef("big_order_customers", q_big_order_customers,
-             ORACLE_BIG_ORDER_CUSTOMERS, "A-having,J-semi"),
+             ORACLE_BIG_ORDER_CUSTOMERS, "A-having,J-semi", bench=True),
     QueryDef("dormant_high_balance", q_dormant_high_balance,
              ORACLE_DORMANT_HIGH_BALANCE, "Q-not-exists,J-anti"),
     QueryDef("promo_revenue_share", q_promo_revenue_share,
-             ORACLE_PROMO_REVENUE_SHARE, "A-cond-agg"),
+             ORACLE_PROMO_REVENUE_SHARE, "A-cond-agg", bench=True),
     QueryDef("trimmed_mean", q_trimmed_mean, ORACLE_TRIMMED_MEAN,
-             "A-trimmed-mean,A-quantile"),
+             "A-trimmed-mean,A-quantile", bench=True),
 ]
