@@ -1629,6 +1629,95 @@ GROUP BY l.l_returnflag
 """
 
 
+def q_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation via FULL OUTER join — the one join type the
+    catalog didn't yet exercise: per-customer January vs February order
+    spend, classified into both/only-January/only-February with exact
+    spend totals per class. Per-customer spends stay DECIMAL through the
+    join and the final sum (cast to double only at the end), so
+    cross-partition addition order can't perturb the result. Both sides
+    aggregate before joining, so the full-outer join runs on the small
+    per-customer frames, not the fact table."""
+    orders = load(spark, sf_dir, "orders")
+
+    def month_spend(m: int, tag: str) -> DataFrame:
+        return (orders.filter(
+            (F.col("o_orderdate") >= F.lit(f"1997-{m:02d}-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"1997-{m + 1:02d}-01").cast("timestamp")))
+            .groupBy("o_custkey")
+            .agg(F.sum(_dec("o_totalprice")).alias(f"spend_{tag}"),
+                 F.count("*").alias(f"n_{tag}")))
+
+    jan, feb = month_spend(1, "jan"), month_spend(2, "feb")
+    j = jan.join(feb, "o_custkey", "outer")
+    status = (F.when(F.col("n_jan").isNotNull() & F.col("n_feb").isNotNull(), "both")
+              .when(F.col("n_jan").isNotNull(), "only_jan")
+              .otherwise("only_feb"))
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (j.select(status.alias("status"),
+                     F.coalesce("spend_jan", zero).alias("sj"),
+                     F.coalesce("spend_feb", zero).alias("sf"))
+            .groupBy("status")
+            .agg(F.count("*").alias("n_customers"),
+                 F.sum("sj").cast("double").alias("jan_spend"),
+                 F.sum("sf").cast("double").alias("feb_spend")))
+
+
+ORACLE_FULL_OUTER_RECONCILE = """
+WITH jan AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend_jan,
+         COUNT(*) AS n_jan
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1997-02-01 00:00:00'
+  GROUP BY o_custkey),
+feb AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend_feb,
+         COUNT(*) AS n_feb
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-02-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1997-03-01 00:00:00'
+  GROUP BY o_custkey),
+j AS (
+  SELECT CASE WHEN n_jan IS NOT NULL AND n_feb IS NOT NULL THEN 'both'
+              WHEN n_jan IS NOT NULL THEN 'only_jan'
+              ELSE 'only_feb' END AS status,
+         COALESCE(spend_jan, CAST(0 AS DECIMAL(18,2))) AS sj,
+         COALESCE(spend_feb, CAST(0 AS DECIMAL(18,2))) AS sf
+  FROM jan FULL OUTER JOIN feb USING (o_custkey))
+SELECT status, COUNT(*) AS n_customers,
+       CAST(SUM(sj) AS DOUBLE) AS jan_spend,
+       CAST(SUM(sf) AS DOUBLE) AS feb_spend
+FROM j GROUP BY status
+"""
+
+
+def q_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group min-max feature scaling — the hash-checkable sibling of the
+    rows-only zscore entry: (v - min) / (max - min) needs only exact MIN/MAX
+    aggregates and row-local double arithmetic, so both engines produce
+    bit-identical scaled values with no rounding slack. One shuffle
+    (window on event_type); at 100 TB this is the same one-pass
+    window-standardization shape as every per-group feature transform."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    lo, hi = F.min("value").over(w), F.max("value").over(w)
+    scaled = F.when(hi != lo, (F.col("value") - lo) / (hi - lo))
+    return ev.select("event_id", "event_type", "value",
+                     scaled.alias("scaled_value"))
+
+
+ORACLE_MINMAX_SCALE = """
+SELECT event_id, event_type, value,
+       CASE WHEN MAX(value) OVER w <> MIN(value) OVER w
+            THEN (value - MIN(value) OVER w)
+                 / (MAX(value) OVER w - MIN(value) OVER w)
+       END AS scaled_value
+FROM events
+WINDOW w AS (PARTITION BY event_type)
+"""
+
+
 RELATIONAL_QUERIES = [
     QueryDef("pricing_summary", q_pricing_summary, ORACLE_PRICING, "T11,A5,X-avg,S4", bench=True),
     QueryDef("shipping_priority", q_shipping_priority, ORACLE_SHIPPING, "J2,O1,A5", bench=True),
@@ -1693,4 +1782,8 @@ RELATIONAL_QUERIES = [
              ORACLE_PROMO_REVENUE_SHARE, "A-cond-agg", bench=True),
     QueryDef("trimmed_mean", q_trimmed_mean, ORACLE_TRIMMED_MEAN,
              "A-trimmed-mean,A-quantile", bench=True),
+    QueryDef("full_outer_reconcile", q_full_outer_reconcile,
+             ORACLE_FULL_OUTER_RECONCILE, "J-full-outer,A5"),
+    QueryDef("minmax_scale", q_minmax_scale, ORACLE_MINMAX_SCALE,
+             "LLM-standardize-minmax,X-window"),
 ]
