@@ -204,6 +204,30 @@ def q_scraper_longform(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("team", "metric")
 
 
+def q_odds_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 as a first-class Spark format: the Python Data Source connector
+    (sources/datasource.py) reading the same deterministic payload as
+    q_odds_flatten from a payload directory — one input partition per API
+    response file, with the market equality predicate pushed into the
+    Python reader (spark.sql.python.filterPushdown). Rows-only like the
+    other connector-plumbing entries; the flatten semantics themselves are
+    hash-checked via json_extract/explode_array."""
+    from ..sources.datasource import register_odds_source
+    payload_dir = os.path.join(tempfile.gettempdir(),
+                               "spark_graft_odds_payloads")
+    os.makedirs(payload_dir, exist_ok=True)
+    half = len(_ODDS_PAYLOAD) // 2
+    for tag, games in (("us", _ODDS_PAYLOAD[:half]),
+                       ("us2", _ODDS_PAYLOAD[half:])):
+        with open(os.path.join(payload_dir, f"{tag}.json"), "w",
+                  encoding="utf-8") as fh:
+            json.dump(games, fh)
+    register_odds_source(spark)
+    return (spark.read.format("odds_rest").option("path", payload_dir).load()
+            .filter(F.col("market").isin("spreads", "totals"))
+            .orderBy("game_id", "book", "market", "outcome"))
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 Pandas-UDF surface: the multimodal decode pipeline — binary
     payload column through an Arrow-batched mapInPandas feature extractor
@@ -227,6 +251,8 @@ CONNECTOR_QUERIES = [
     QueryDef("json_roundtrip", q_json_roundtrip, ORACLE_JSON_ROUNDTRIP, "S1-sink"),
     QueryDef("orc_roundtrip", q_orc_roundtrip, ORACLE_ORC_ROUNDTRIP, "S5-orc"),
     QueryDef("odds_flatten", q_odds_flatten, None, "S1,T1"),
+    QueryDef("odds_python_source", q_odds_python_source, None,
+             "S1-datasource"),
     QueryDef("scraper_longform", q_scraper_longform, None, "S2,T6,O2"),
     QueryDef("multimodal_decode", q_multimodal_decode, None,
              "LLM-multimodal-udf"),

@@ -36,6 +36,9 @@ def get_spark(app_name: str = "nfl-data-engineering-spark",
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python Data Source connectors (sources/datasource.py) declare
+        # pushFilters; without this flag Spark refuses the reader outright
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

@@ -1,0 +1,118 @@
+"""Python Data Source API connector (PySpark 4): the odds REST feed as a
+first-class ``spark.read.format("odds_rest")`` source.
+
+The reference ingests odds by GETting two REST regions and flattening the
+4-level JSON in a driver-side loop (src/data_clients/odds/get_odds.py:14-59).
+Here the same feed is a registered Spark data source: each API payload
+(one JSON array per response) is an input partition, so responses flatten
+in parallel on executors, and EqualTo/In predicates on the low-cardinality
+columns push down into the Python reader — a partition skips non-matching
+games before they ever reach the JVM.
+
+Transport is a payload directory (one ``*.json`` file per API response) —
+the offline twin of the HTTP GET; a deployment replaces ``_load_payload``
+with the authenticated GET of get_odds.py:14-39. No network code lives here.
+
+Output contract: the flat 9-column odds schema asserted by the reference's
+tests (test/test_odds_collector.py:170-172), with the ``point`` null-fill
+of get_odds.py:61 applied at read time.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (DataSource, DataSourceReader, EqualTo,
+                                    Filter, In, InputPartition)
+
+ODDS_FLAT_SCHEMA = ("game_id string, game_time string, home_team string, "
+                    "away_team string, book string, market string, "
+                    "outcome string, price double, point double")
+
+_PUSHABLE = ("game_id", "book", "market", "outcome")
+
+
+class _PayloadPartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class OddsRestReader(DataSourceReader):
+    def __init__(self, options):
+        self._dir = options.get("path")
+        if not self._dir:
+            raise ValueError("odds_rest requires .option('path', <payload dir>)")
+        # column -> set of accepted values (conjunction across filters)
+        self._accept: dict[str, set] = {}
+
+    def pushFilters(self, filters: Sequence[Filter]) -> Iterator[Filter]:
+        rejected = []
+        for f in filters:
+            col = f.attribute[0] if len(f.attribute) == 1 else None
+            if col in _PUSHABLE and isinstance(f, (EqualTo, In)):
+                vals = set(f.value) if isinstance(f, In) else {f.value}
+                prev = self._accept.get(col)
+                self._accept[col] = vals if prev is None else prev & vals
+            else:
+                rejected.append(f)
+        return iter(rejected)
+
+    def partitions(self) -> list[InputPartition]:
+        paths = sorted(glob.glob(os.path.join(self._dir, "*.json")))
+        if not paths:
+            raise FileNotFoundError(f"no *.json payloads under {self._dir}")
+        return [_PayloadPartition(p) for p in paths]
+
+    def _ok(self, col: str, value) -> bool:
+        allowed = self._accept.get(col)
+        return allowed is None or value in allowed
+
+    def read(self, partition: _PayloadPartition) -> Iterator[tuple]:
+        for game in _load_payload(partition.path):
+            gid = game.get("id")
+            if not self._ok("game_id", gid):
+                continue
+            base = (gid, game.get("commence_time"),
+                    game.get("home_team"), game.get("away_team"))
+            for bk in game.get("bookmakers") or []:
+                book = bk.get("key")
+                if not self._ok("book", book):
+                    continue
+                for mk in bk.get("markets") or []:
+                    market = mk.get("key")
+                    if not self._ok("market", market):
+                        continue
+                    for oc in mk.get("outcomes") or []:
+                        name = oc.get("name")
+                        if not self._ok("outcome", name):
+                            continue
+                        price = oc.get("price")
+                        point = oc.get("point")
+                        yield (*base, book, market, name,
+                               None if price is None else float(price),
+                               0.0 if point is None else float(point))
+
+
+def _load_payload(path: str) -> list[dict]:
+    with open(path, encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+class OddsRestDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "odds_rest"
+
+    def schema(self) -> str:
+        return ODDS_FLAT_SCHEMA
+
+    def reader(self, schema) -> OddsRestReader:
+        return OddsRestReader(self.options)
+
+
+def register_odds_source(spark) -> None:
+    """Make ``spark.read.format('odds_rest')`` available on this session."""
+    spark.dataSource.register(OddsRestDataSource)
