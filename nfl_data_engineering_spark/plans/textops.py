@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..functions.hashing import MERSENNE_P, h60, minhash_bands_fast, simhash
 from ..functions.text import (LANG_MARKERS, STOPWORDS, WORD_RE, doc_fingerprint,
                               explode_shingle_hashes, explode_tokens, lang_id,
-                              regex_token_count, tokens)
+                              regex_token_count, shingles, tokens)
 from .base import QueryDef, load
 
 # DuckDB twins of functions/text.py tokens() and functions/hashing.py h60().
@@ -673,6 +673,73 @@ FROM g GROUP BY group_size ORDER BY group_size
 """
 
 
+CONTAM_N = 8                     # n-gram width for decontamination
+EVAL_MOD = 97                    # doc_id % EVAL_MOD == 0 -> held-out eval doc
+
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: for each held-out eval document
+    (doc_id % 97 == 0), how many of its distinct 8-gram shingles appear
+    anywhere in the training split — the n-gram-overlap contamination
+    audit run before every evaluation. Shingles join on the 60-bit content
+    hash (integer equi-join, same primitive as the dedup family); eval
+    docs with zero hits survive via the left join. At 100 TB the eval side
+    is tiny, so the hash join broadcasts it — one linear pass over train
+    shingles."""
+    docs = load(spark, sf_dir, "documents")
+    sh = (docs.select("doc_id", F.explode(
+        F.array_distinct(shingles(tokens(F.col("text")), CONTAM_N)))
+        .alias("shingle"))
+        .select("doc_id", h60(F.col("shingle")).alias("sh60")))
+    ev = (sh.filter(F.col("doc_id") % EVAL_MOD == 0)
+          .select(F.col("doc_id").alias("eval_doc_id"), "sh60"))
+    tr = (sh.filter(F.col("doc_id") % EVAL_MOD != 0)
+          .select(F.col("doc_id").alias("train_doc_id"), "sh60"))
+    base = ev.groupBy("eval_doc_id").agg(
+        F.countDistinct("sh60").alias("n_shingles"))
+    hits = (ev.join(tr, "sh60")
+            .groupBy("eval_doc_id")
+            .agg(F.countDistinct("sh60").alias("n_contaminated"),
+                 F.countDistinct("train_doc_id").alias("n_train_docs")))
+    out = base.join(hits, "eval_doc_id", "left").fillna(
+        0, ["n_contaminated", "n_train_docs"])
+    return out.select(
+        "eval_doc_id", "n_shingles", "n_contaminated", "n_train_docs",
+        (F.col("n_contaminated").cast("double") / F.col("n_shingles"))
+        .alias("contamination_ratio"))
+
+
+def _contam_shingles_sql(n: int) -> str:
+    toks = SQL_TOKENS.format(col="text")
+    concat = " || ' ' || ".join(f"tk[i+{k}]" for k in range(n))
+    return f"""
+toks AS (SELECT doc_id, {toks} AS tk FROM documents),
+shn AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(tk) - {n - 1}, 0)),
+                               i -> {concat})) AS shingle
+  FROM toks),
+shh AS (SELECT doc_id, {SQL_H60.format(e='shingle')} AS sh60 FROM shn)
+"""
+
+
+ORACLE_CONTAMINATION = f"""
+WITH {_contam_shingles_sql(CONTAM_N)},
+ev AS (SELECT doc_id AS eval_doc_id, sh60 FROM shh WHERE doc_id % {EVAL_MOD} = 0),
+tr AS (SELECT doc_id AS train_doc_id, sh60 FROM shh WHERE doc_id % {EVAL_MOD} != 0),
+base AS (SELECT eval_doc_id, COUNT(DISTINCT sh60) AS n_shingles FROM ev GROUP BY 1),
+hits AS (
+  SELECT eval_doc_id, COUNT(DISTINCT ev.sh60) AS n_contaminated,
+         COUNT(DISTINCT train_doc_id) AS n_train_docs
+  FROM ev JOIN tr ON ev.sh60 = tr.sh60 GROUP BY 1)
+SELECT base.eval_doc_id, n_shingles,
+       COALESCE(n_contaminated, 0) AS n_contaminated,
+       COALESCE(n_train_docs, 0) AS n_train_docs,
+       CAST(COALESCE(n_contaminated, 0) AS DOUBLE) / n_shingles AS contamination_ratio
+FROM base LEFT JOIN hits ON base.eval_doc_id = hits.eval_doc_id
+"""
+
+
 TEXT_QUERIES = [
     QueryDef("dedup_exact_text", q_dedup_exact_text, ORACLE_DEDUP_EXACT, "LLM-dedup-exact"),
     QueryDef("dedup_minhash_lsh", q_dedup_minhash_lsh, ORACLE_MINHASH_LSH, "LLM-dedup-minhash", bench=True),
@@ -689,4 +756,5 @@ TEXT_QUERIES = [
     QueryDef("doc_length_histogram", q_doc_length_histogram, ORACLE_DOC_LENGTH_HISTOGRAM, "LLM-text-lenhist"),
     QueryDef("pii_redact", q_pii_redact, ORACLE_PII_REDACT, "LLM-text-pii"),
     QueryDef("normalized_dedup", q_normalized_dedup, ORACLE_NORMALIZED_DEDUP, "LLM-dedup-normalized"),
+    QueryDef("contamination_check", q_contamination_check, ORACLE_CONTAMINATION, "LLM-decontamination"),
 ]

@@ -391,7 +391,42 @@ FROM m GROUP BY source, rate
 """
 
 
+N_SHARDS = 32
+
+
+def q_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shard packing + balance audit: every document lands in
+    a shard by content hash (h60 % 32 — stable across retries, engines,
+    and repartitioning, same doctrine as source_mixture), and the query
+    reports per-shard document and token counts — the skew report that
+    decides whether the pack is trainable or needs re-salting. Row-local
+    hash + one 32-group aggregate; at 100 TB the shard id doubles as the
+    write partition key so the pack is one shuffle-free pass per shard."""
+    docs = load(spark, sf_dir, "documents")
+    shard = F.pmod(h60(F.col("text")), F.lit(N_SHARDS)).alias("shard")
+    return (docs.select(shard,
+                        F.size(tokens(F.col("text"))).alias("n_tok"))
+            .groupBy("shard")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tok").alias("n_tokens"))
+            .orderBy("shard"))
+
+
+def _oracle_shard_balance() -> str:
+    from ..functions.hashing import h60_sql
+    h = h60_sql("text")
+    toks = ("list_filter(regexp_split_to_array(lower(text), '\\s+'),"
+            " t -> t != '')")
+    return f"""
+SELECT {h} % {N_SHARDS} AS shard, COUNT(*) AS n_docs,
+       SUM(len({toks})) AS n_tokens
+FROM documents GROUP BY shard ORDER BY shard
+"""
+
+
 TRAINING_QUERIES = [
+    QueryDef("shard_balance", q_shard_balance, _oracle_shard_balance(),
+             "LLM-shard-pack"),
     QueryDef("rename_normalize", q_rename_normalize, ORACLE_RENAME_NORMALIZE,
              "T6,T7,T15"),
     QueryDef("streaming_daily_rollup", q_streaming_daily_rollup,
