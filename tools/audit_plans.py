@@ -1,0 +1,85 @@
+"""Physical-plan audit: for every (or selected) catalog query, summarize the
+executed plan — join strategies, exchange count, parquet pushdown — so the
+scale claims in SCALE.md are reproducible, not anecdotal.
+
+Usage: python tools/audit_plans.py [sf_dir] [query ...]   (default: bench set)
+Writes a markdown table to stdout; exit code 1 if any bench query plans a
+CartesianProduct or a BroadcastNestedLoopJoin (the two "you didn't mean
+this at scale" strategies) without an allowlist entry.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# all-pairs baselines intentionally cross-join at test scale; their scale
+# path is the LSH/IVF twin in the same module
+ALLOW_NESTED_LOOP = {"cosine_neardup_pairs", "embedding_topk", "ann_ivf_topk",
+                     "clicks_before_purchase", "fuzzy_editdist"}
+
+JOIN_RE = re.compile(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
+                     r"BroadcastNestedLoopJoin|CartesianProduct)")
+
+
+def summarize(plan: str) -> dict:
+    joins = JOIN_RE.findall(plan)
+    return {
+        "joins": ",".join(
+            f"{j.replace('Join', '').replace('Broadcast', 'B').replace('SortMerge', 'SM').replace('Shuffled', 'Sh').replace('NestedLoop', 'NL')}x{joins.count(j)}"
+            for j in sorted(set(joins))) or "-",
+        "exchanges": plan.count("Exchange hashpartitioning")
+        + plan.count("Exchange rangepartitioning"),
+        "pushed": "y" if "PushedFilters: [" in plan
+                  and "PushedFilters: []" not in plan else "-",
+        # codegen spans show as "*(n) Operator" prefixes in the plan string
+        "codegen": len(set(re.findall(r"\*\((\d+)\)", plan))),
+        "bad": bool(re.search(r"CartesianProduct|BroadcastNestedLoopJoin", plan)),
+    }
+
+
+def main() -> None:
+    from nfl_data_engineering_spark.plans.registry import CATALOG
+    from nfl_data_engineering_spark.session import get_spark
+
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
+    names = set(args[1:] if args and os.path.isdir(args[0]) else args)
+    qs = [q for q in CATALOG if (q.name in names if names else q.bench)]
+
+    spark = get_spark("plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    failed = []
+    print(f"| query | joins | exchanges | parquet pushdown | codegen stages |")
+    print(f"|---|---|---|---|---|")
+    for q in qs:
+        try:
+            df = q.spark(spark, sf_dir)
+            # collect() (not a separate write, which clones the execution)
+            # so THIS QueryExecution's AQE plan finalizes before reading it
+            df.collect()
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            # finalized AQE string contains Final AND Initial plan sections;
+            # audit only the final one
+            plan = plan.split("== Initial Plan ==")[0]
+        except Exception as e:  # streaming entries have no batch plan
+            print(f"| {q.name} | (no batch plan: {type(e).__name__}) | | | |")
+            continue
+        s = summarize(plan)
+        flag = " ⚠" if s["bad"] and q.name not in ALLOW_NESTED_LOOP else ""
+        if flag:
+            failed.append(q.name)
+        print(f"| {q.name}{flag} | {s['joins']} | {s['exchanges']} "
+              f"| {s['pushed']} | {s['codegen']} |")
+    spark.stop()
+    if failed:
+        print(f"\nunexpected cartesian/nested-loop plans: {failed}",
+              file=sys.stderr)
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
