@@ -47,6 +47,36 @@ def test_odds_rest_format_matches_explode_pipeline(spark, tmp_path):
     assert via_source.rdd.getNumPartitions() == 2
 
 
+def test_odds_rest_stream_incremental_exactly_once(spark, tmp_path):
+    src = tmp_path / "feed"
+    out = tmp_path / "sink"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    register_odds_source(spark)
+
+    def run_batch():
+        q = (spark.readStream.format("odds_rest").option("path", str(src))
+             .load()
+             .writeStream.format("parquet")
+             .option("path", str(out)).option("checkpointLocation", str(ckpt))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    (src / "a.json").write_text(json.dumps(_payload("g1", "A", "B")))
+    run_batch()
+    assert spark.read.parquet(str(out)).count() == 4
+
+    # second payload arrives; restart from checkpoint -> only new rows land
+    (src / "b.json").write_text(json.dumps(_payload("g2", "C", "D")))
+    run_batch()
+    back = spark.read.parquet(str(out))
+    assert back.count() == 8
+    assert back.select("game_id").distinct().count() == 2
+    # replaying with nothing new is a no-op (exactly-once)
+    run_batch()
+    assert spark.read.parquet(str(out)).count() == 8
+
+
 def test_odds_rest_pushdown_filters(spark, tmp_path):
     (tmp_path / "us.json").write_text(json.dumps(_payload("g1", "A", "B")))
     register_odds_source(spark)
