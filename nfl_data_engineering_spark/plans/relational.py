@@ -1629,6 +1629,46 @@ GROUP BY l.l_returnflag
 """
 
 
+def q_record_expand_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (§2.8) as a catalog query: season-record strings
+    (synthesized deterministically from customer keys) expand through the
+    ExpandRecord table function via SQL LATERAL — one input row to a
+    computed number of output rows, the flattener shape `explode` can't
+    express. Hash-checked: the expansion is re-derived in the oracle with
+    unnest over the same arithmetic. The UDTF runs row-local inside the
+    scan stage; the only shuffle is the 3-group aggregate."""
+    from ..functions.udtfs import ExpandRecord
+    spark.udtf.register("expand_record", ExpandRecord)
+    cust = load(spark, sf_dir, "customer")
+    recs = cust.select(
+        "c_custkey",
+        F.concat_ws("-", (F.col("c_custkey") % 10).cast("string"),
+                    (F.col("c_custkey") % 7).cast("string"),
+                    (F.col("c_custkey") % 3).cast("string")).alias("record"))
+    recs.createOrReplaceTempView("season_records")
+    return spark.sql("""
+        SELECT r.outcome, COUNT(*) AS n_teams, SUM(r.n) AS total
+        FROM season_records, LATERAL expand_record(record) AS r
+        GROUP BY r.outcome
+    """)
+
+
+ORACLE_RECORD_EXPAND_UDTF = """
+WITH recs AS (
+  SELECT c_custkey, c_custkey % 10 AS w, c_custkey % 7 AS l,
+         c_custkey % 3 AS t
+  FROM customer),
+expanded AS (
+  SELECT unnest(list_filter([struct_pack(outcome := 'win', n := w),
+                             struct_pack(outcome := 'loss', n := l),
+                             struct_pack(outcome := 'tie', n := t)],
+                            x -> x.n > 0)) AS r
+  FROM recs)
+SELECT r.outcome AS outcome, COUNT(*) AS n_teams, SUM(r.n) AS total
+FROM expanded GROUP BY r.outcome
+"""
+
+
 def q_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot reconciliation via FULL OUTER join — the one join type the
     catalog didn't yet exercise: per-customer January vs February order
@@ -1786,4 +1826,6 @@ RELATIONAL_QUERIES = [
              ORACLE_FULL_OUTER_RECONCILE, "J-full-outer,A5"),
     QueryDef("minmax_scale", q_minmax_scale, ORACLE_MINMAX_SCALE,
              "LLM-standardize-minmax,X-window"),
+    QueryDef("record_expand_udtf", q_record_expand_udtf,
+             ORACLE_RECORD_EXPAND_UDTF, "S2.8-udtf,T3"),
 ]
