@@ -1636,6 +1636,74 @@ GROUP BY l.l_returnflag
 """
 
 
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure filter-aggregate (TPC-H Q6 shape): the what-if revenue delta
+    from discounted small orders in one year. No join, no groupBy key —
+    one scan with every predicate pushed to parquet row groups, one
+    map-side partial sum, one single-row exchange. The 100 TB cost is the
+    scan alone; the discount band prunes via row-group min/max stats."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24))
+    return li.agg(
+        F.sum(_dec("l_extendedprice") * _dec("l_discount", "8,2"))
+         .cast("double").alias("revenue"),
+        F.count("*").alias("n_lines"))
+
+
+ORACLE_FORECAST_REVENUE = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item reporting (TPC-H Q10 shape): revenue lost to returns
+    per customer in a quarter, with nation context, top 20. One fact-fact
+    equi-join (lineitem-orders) — the quarter filter shrinks orders enough
+    that AQE broadcasts it at test scale and falls back to sort-merge at
+    100 TB — plus broadcast dims; top-20 runs as TakeOrderedAndProject
+    (per-partition heaps), never a global sort."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp")))
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    revenue = F.sum(_dec("l_extendedprice")
+                    * (F.lit(1).cast("decimal(8,2)") - _dec("l_discount", "8,2")))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(revenue.cast("double").alias("revenue"))
+            .orderBy(F.col("revenue").desc(), "c_custkey")
+            .limit(20))
+
+
+ORACLE_RETURNED_ITEM_CUSTOMERS = """
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
 def q_record_expand_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF surface (§2.8) as a catalog query: season-record strings
     (synthesized deterministically from customer keys) expand through the
@@ -1835,4 +1903,8 @@ RELATIONAL_QUERIES = [
              "LLM-standardize-minmax,X-window"),
     QueryDef("record_expand_udtf", q_record_expand_udtf,
              ORACLE_RECORD_EXPAND_UDTF, "S2.8-udtf,T3"),
+    QueryDef("forecast_revenue", q_forecast_revenue, ORACLE_FORECAST_REVENUE,
+             "T11,A5", bench=True),
+    QueryDef("returned_item_customers", q_returned_item_customers,
+             ORACLE_RETURNED_ITEM_CUSTOMERS, "J2,X3,A5"),
 ]
