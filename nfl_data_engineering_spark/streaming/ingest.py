@@ -155,3 +155,16 @@ def windowed_counts_stream(stream: DataFrame, window: str = "1 hour",
             .select(F.col("w.start").alias("window_start"),
                     F.col("w.end").alias("window_end"),
                     "event_type", "n", "sum_value"))
+
+
+def enrich_stream(stream: DataFrame, dim: DataFrame,
+                  key: str, how: str = "left") -> DataFrame:
+    """Stream-static enrichment join: every microbatch joins against the
+    (batch) dimension frame — the streaming twin of the J2 dimension joins
+    and the standard shape for decorating an event feed with slowly-
+    changing reference data. The static side is re-read per microbatch, so
+    an upserted dimension table (io.upsert_partitioned) is picked up on the
+    next trigger without restarting the query; Catalyst broadcasts it
+    under the threshold. No watermark is needed — stream-static joins are
+    stateless (state is the dimension, not stream history)."""
+    return stream.join(F.broadcast(dim), key, how)

@@ -152,3 +152,25 @@ def test_sliding_windowed_counts_stream(spark, tmp_path):
     for r in rows:
         per_type[r["event_type"]] = per_type.get(r["event_type"], 0) + r["n"]
     assert per_type == {"click": 2 * 4, "view": 1 * 4}
+
+
+def test_enrich_stream_with_static_dim(spark, tmp_path):
+    from nfl_data_engineering_spark.streaming.ingest import enrich_stream
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_events_json(src, EVENTS)
+
+    dim = spark.createDataFrame(
+        [(7, "gold"), (9, "bronze")], "user_id long, tier string")
+    enriched = enrich_stream(read_event_stream(spark, src), dim, "user_id")
+    q = (enriched.writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    back = spark.read.parquet(out)
+    rows = {(r.user_id, r.tier) for r in back.collect()}
+    # user 7 decorated; user 8 survives the left join with a null tier
+    assert rows == {(7, "gold"), (8, None)}
