@@ -1636,6 +1636,52 @@ GROUP BY l.l_returnflag
 """
 
 
+def q_corrupt_record_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input audit: PERMISSIVE JSON parsing with per-type
+    valid/corrupt accounting — the ingest-quality report every pipeline
+    fronting dirty feeds needs (the reference's type-repair engine,
+    s3_client.py:45-100, is the column-level sibling). The corpus's props
+    are all well-formed, so ~13% are deterministically mangled first
+    (truncation or leading garbage keyed on event_id); the audit then
+    counts rows whose parse yielded no value. Row-local parse + one tiny
+    groupBy — scan-speed at 100 TB, and corrupt rows are quarantined by a
+    filter on the same predicate, not a separate pass."""
+    ev = load(spark, sf_dir, "events")
+    mangled = (F.when(F.col("event_id") % 13 == 0,
+                      F.expr("substring(props, 1, length(props) - 2)"))
+               # leading garbage, not trailing: Spark's Jackson parser
+               # accepts a complete JSON value with trailing junk, DuckDB
+               # doesn't — leading junk is corrupt in BOTH engines
+               .when(F.col("event_id") % 17 == 0,
+                     F.concat(F.lit("x"), F.col("props")))
+               .otherwise(F.col("props")))
+    k = F.from_json(mangled, "k bigint")["k"]
+    return (ev.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.count("k").alias("n_valid"),
+                 (F.count("*") - F.count("k")).alias("n_corrupt"),
+                 F.sum("k").alias("sum_k")))
+
+
+ORACLE_CORRUPT_RECORD_AUDIT = """
+WITH m AS (
+  SELECT event_type,
+         CASE WHEN event_id % 13 = 0 THEN substring(props, 1, length(props) - 2)
+              WHEN event_id % 17 = 0 THEN 'x' || props
+              ELSE props END AS mp
+  FROM events),
+p AS (
+  SELECT event_type,
+         CASE WHEN json_valid(mp)
+              THEN json_extract_string(mp, '$.k')::BIGINT END AS k
+  FROM m)
+SELECT event_type, COUNT(*) AS n_events, COUNT(k) AS n_valid,
+       COUNT(*) - COUNT(k) AS n_corrupt, SUM(k) AS sum_k
+FROM p GROUP BY event_type
+"""
+
+
 def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure filter-aggregate (TPC-H Q6 shape): the what-if revenue delta
     from discounted small orders in one year. No join, no groupBy key —
@@ -1907,4 +1953,6 @@ RELATIONAL_QUERIES = [
              "T11,A5", bench=True),
     QueryDef("returned_item_customers", q_returned_item_customers,
              ORACLE_RETURNED_ITEM_CUSTOMERS, "J2,X3,A5"),
+    QueryDef("corrupt_record_audit", q_corrupt_record_audit,
+             ORACLE_CORRUPT_RECORD_AUDIT, "T10-permissive"),
 ]
