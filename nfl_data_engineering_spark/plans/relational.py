@@ -1636,6 +1636,44 @@ GROUP BY l.l_returnflag
 """
 
 
+def q_monthly_rank_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remaining ranking-window surface in one report: per order priority,
+    monthly revenue with DENSE_RANK (revenue ties share a rank),
+    FIRST_VALUE (the opening month's revenue so far) and NTH_VALUE(2) (the
+    runner-up month under chronological order). Frames are the default
+    RANGE UNBOUNDED PRECEDING..CURRENT ROW in both engines, ordered by the
+    unique month-per-priority key, so every value is pinned. One shuffle
+    for the monthly rollup; the windows reuse its partitioning."""
+    orders = load(spark, sf_dir, "orders")
+    monthly = (orders.groupBy(
+        "o_orderpriority",
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month"))
+        .agg(F.sum(_dec("o_totalprice")).cast("double").alias("revenue")))
+    w_time = Window.partitionBy("o_orderpriority").orderBy("month")
+    w_rank = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("revenue").desc(), "month")
+    return monthly.select(
+        "o_orderpriority", "month", "revenue",
+        F.dense_rank().over(w_rank).alias("rev_rank"),
+        F.first_value(F.col("revenue")).over(w_time).alias("opening_rev"),
+        F.nth_value(F.col("revenue"), 2).over(w_time).alias("second_rev"))
+
+
+ORACLE_MONTHLY_RANK_REPORT = """
+WITH monthly AS (
+  SELECT o_orderpriority, date_trunc('month', o_orderdate) AS month,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1, 2)
+SELECT o_orderpriority, month, revenue,
+       DENSE_RANK() OVER (PARTITION BY o_orderpriority
+                          ORDER BY revenue DESC, month) AS rev_rank,
+       FIRST_VALUE(revenue) OVER w AS opening_rev,
+       NTH_VALUE(revenue, 2) OVER w AS second_rev
+FROM monthly
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY month)
+"""
+
+
 def q_corrupt_record_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Malformed-input audit: PERMISSIVE JSON parsing with per-type
     valid/corrupt accounting — the ingest-quality report every pipeline
@@ -1955,4 +1993,6 @@ RELATIONAL_QUERIES = [
              ORACLE_RETURNED_ITEM_CUSTOMERS, "J2,X3,A5"),
     QueryDef("corrupt_record_audit", q_corrupt_record_audit,
              ORACLE_CORRUPT_RECORD_AUDIT, "T10-permissive"),
+    QueryDef("monthly_rank_report", q_monthly_rank_report,
+             ORACLE_MONTHLY_RANK_REPORT, "X-rank-window"),
 ]
