@@ -168,3 +168,22 @@ def enrich_stream(stream: DataFrame, dim: DataFrame,
     under the threshold. No watermark is needed — stream-static joins are
     stateless (state is the dimension, not stream history)."""
     return stream.join(F.broadcast(dim), key, how)
+
+
+def session_counts_stream(stream: DataFrame, gap: str = "30 minutes",
+                          watermark: str = "1 day") -> DataFrame:
+    """Streaming sessionization: native session_window with a dynamic gap —
+    the incremental twin of the batch q_user_sessions. A session stays open
+    (in state) while events keep arriving within ``gap``; it is finalized
+    and emitted only once the watermark passes its close, so append-mode
+    sinks see each session exactly once and state is bounded by
+    O(open sessions), not history."""
+    return (stream
+            .withWatermark("ts", watermark)
+            .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("value").alias("sum_value"))
+            .select("user_id",
+                    F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"),
+                    "n_events", "sum_value"))

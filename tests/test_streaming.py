@@ -174,3 +174,33 @@ def test_enrich_stream_with_static_dim(spark, tmp_path):
     rows = {(r.user_id, r.tier) for r in back.collect()}
     # user 7 decorated; user 8 survives the left join with a null tier
     assert rows == {(7, "gold"), (8, None)}
+
+
+def test_session_counts_stream_emits_closed_sessions(spark, tmp_path):
+    from nfl_data_engineering_spark.streaming.ingest import session_counts_stream
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_events_json(src, [
+        {"event_id": 1, "ts": "2024-01-10T00:00:00.000Z", "user_id": 7,
+         "event_type": "click", "value": 1.0},
+        {"event_id": 2, "ts": "2024-01-10T00:10:00.000Z", "user_id": 7,
+         "event_type": "click", "value": 2.0},      # same session (<30 min gap)
+        {"event_id": 3, "ts": "2024-03-01T00:00:00.000Z", "user_id": 7,
+         "event_type": "click", "value": 9.0},      # advances watermark
+    ])
+    q = (session_counts_stream(read_event_stream(spark, src))
+         .writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    back = spark.read.parquet(out).collect()
+    # only the January session closed before the watermark; the March
+    # session is still open in state and correctly withheld
+    assert len(back) == 1
+    r = back[0]
+    assert (r.user_id, r.n_events, r.sum_value) == (7, 2, 3.0)
+    assert str(r.session_start).startswith("2024-01-10 00:00")
+    assert str(r.session_end).startswith("2024-01-10 00:40")
