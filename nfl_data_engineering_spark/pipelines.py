@@ -20,7 +20,7 @@ from __future__ import annotations
 import datetime as dt
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from .io import upsert_partitioned
 from .sources.html_table import Fetcher, scrape_tables_long
@@ -39,9 +39,14 @@ def run_odds_collection(spark: SparkSession, payloads: list[str],
     raw = odds_from_json_strings(spark, payloads)
     snap = build_odds_snapshot(raw, collected_at)
     gaps = market_coverage_gaps(snap)
-    n = snap.count()
+    # row count via Observation: collected DURING the upsert's write pass,
+    # not a separate count() action — one computation of the snapshot
+    # instead of two (the reference pays len(df) for free only because
+    # pandas is already materialized, odds_data_collector.py:45)
+    obs = Observation("odds_ingest")
+    snap = snap.observe(obs, F.count(F.lit(1)).alias("n_rows"))
     upsert_partitioned(spark, snap, table_path, key_cols=None)
-    return {"rows_collected": n, "missing_markets": gaps,
+    return {"rows_collected": obs.get["n_rows"], "missing_markets": gaps,
             "table_path": table_path}
 
 
@@ -57,10 +62,11 @@ def run_rankings_collection(spark: SparkSession, registry: DataFrame,
                                  num_tasks=num_tasks)
     stamped = long_df.withColumn(
         "timestamp", F.lit(collected_at).cast("timestamp"))
-    n = stamped.count()
+    obs = Observation("rankings_ingest")
+    stamped = stamped.observe(obs, F.count(F.lit(1)).alias("n_rows"))
     upsert_partitioned(spark, stamped, table_path,
                        key_cols=RANKINGS_KEY_COLS)
-    return {"rows_collected": n, "table_path": table_path}
+    return {"rows_collected": obs.get["n_rows"], "table_path": table_path}
 
 
 def handler(spark: SparkSession, event: dict,
