@@ -1636,6 +1636,47 @@ GROUP BY l.l_returnflag
 """
 
 
+def q_behavior_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set-algebra surface: per-user event-type sets for the first vs
+    second half of January, compared with array_intersect/union — the
+    behavioral-drift Jaccard every retention pipeline computes. Sets are
+    collect_set (order-free), and only SIZES and the ratio are emitted, so
+    cross-engine array ordering can't leak into the hash. One shuffle on
+    user_id; the half-month split is a row-local flag aggregated twice in
+    the same pass (conditional collect_set), not two scans."""
+    ev = load(spark, sf_dir, "events")
+    mid = F.lit("2024-01-16").cast("timestamp")
+    h1 = F.when(F.col("ts") < mid, F.col("event_type"))
+    h2 = F.when(F.col("ts") >= mid, F.col("event_type"))
+    per_user = ev.groupBy("user_id").agg(
+        F.collect_set(h1).alias("s1"), F.collect_set(h2).alias("s2"))
+    inter = F.size(F.array_intersect("s1", "s2"))
+    union = F.size(F.array_union("s1", "s2"))
+    return (per_user.select(
+        "user_id", F.size("s1").alias("n_types_h1"),
+        F.size("s2").alias("n_types_h2"),
+        inter.alias("n_common"),
+        F.when(union > 0, inter.cast("double") / union)
+         .otherwise(F.lit(None)).alias("jaccard"))
+        .filter((F.col("n_types_h1") > 0) & (F.col("n_types_h2") > 0)))
+
+
+ORACLE_BEHAVIOR_SET_OVERLAP = """
+WITH per_user AS (
+  SELECT user_id,
+         list_distinct(list(event_type) FILTER (ts <  TIMESTAMP '2024-01-16 00:00:00')) AS s1,
+         list_distinct(list(event_type) FILTER (ts >= TIMESTAMP '2024-01-16 00:00:00')) AS s2
+  FROM events GROUP BY user_id)
+SELECT user_id, len(s1) AS n_types_h1, len(s2) AS n_types_h2,
+       len(list_intersect(s1, s2)) AS n_common,
+       CASE WHEN len(list_distinct(s1 || s2)) > 0
+            THEN CAST(len(list_intersect(s1, s2)) AS DOUBLE)
+                 / len(list_distinct(s1 || s2)) END AS jaccard
+FROM per_user
+WHERE len(s1) > 0 AND len(s2) > 0
+"""
+
+
 def q_monthly_rank_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Remaining ranking-window surface in one report: per order priority,
     monthly revenue with DENSE_RANK (revenue ties share a rank),
@@ -1995,4 +2036,6 @@ RELATIONAL_QUERIES = [
              ORACLE_CORRUPT_RECORD_AUDIT, "T10-permissive"),
     QueryDef("monthly_rank_report", q_monthly_rank_report,
              ORACLE_MONTHLY_RANK_REPORT, "X-rank-window"),
+    QueryDef("behavior_set_overlap", q_behavior_set_overlap,
+             ORACLE_BEHAVIOR_SET_OVERLAP, "A-array-set,A3"),
 ]
