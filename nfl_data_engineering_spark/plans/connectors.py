@@ -173,9 +173,35 @@ _ODDS_PAYLOAD = [{
 def q_odds_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1+T1: the odds connector's triple-explode flatten on a deterministic
     literal payload (4 games x 2 books x 3 markets x 2 outcomes = 48 rows,
-    the exact 9-column contract of test_odds_collector.py:170-172)."""
+    the exact 9-column contract of test_odds_collector.py:170-172).
+    Hash-checked: the oracle re-flattens the SAME payload literal with
+    DuckDB's independent JSON machinery (json_transform + unnest x3)."""
     raw = odds_from_json_strings(spark, [json.dumps(_ODDS_PAYLOAD)])
     return flatten_odds(raw).orderBy("game_id", "book", "market", "outcome")
+
+
+def _odds_flatten_oracle(price_type: str, where: str = "") -> str:
+    """DuckDB twin of the T1 flatten over the same payload literal: typed
+    json_transform, then one unnest per nesting level."""
+    lit = json.dumps(_ODDS_PAYLOAD).replace("'", "''")
+    spec = ('[{"id":"VARCHAR","commence_time":"VARCHAR",'
+            '"home_team":"VARCHAR","away_team":"VARCHAR",'
+            '"bookmakers":[{"key":"VARCHAR","markets":[{"key":"VARCHAR",'
+            f'"outcomes":[{{"name":"VARCHAR","price":"{price_type}",'
+            '"point":"DOUBLE"}]}]}]}]')
+    return f"""
+WITH raw AS (SELECT unnest(json_transform('{lit}', '{spec}')) AS g),
+bk AS (SELECT g.id AS game_id, g.commence_time AS game_time,
+              g.home_team AS home_team, g.away_team AS away_team,
+              unnest(g.bookmakers) AS b FROM raw),
+mk AS (SELECT game_id, game_time, home_team, away_team, b.key AS book,
+              unnest(b.markets) AS m FROM bk),
+oc AS (SELECT game_id, game_time, home_team, away_team, book,
+              m.key AS market, unnest(m.outcomes) AS o FROM mk)
+SELECT game_id, game_time, home_team, away_team, book, market,
+       o.name AS outcome, o.price AS price, COALESCE(o.point, 0.0) AS point
+FROM oc {where}
+"""
 
 
 def q_scraper_longform(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -209,9 +235,9 @@ def q_odds_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sources/datasource.py) reading the same deterministic payload as
     q_odds_flatten from a payload directory — one input partition per API
     response file, with the market equality predicate pushed into the
-    Python reader (spark.sql.python.filterPushdown). Rows-only like the
-    other connector-plumbing entries; the flatten semantics themselves are
-    hash-checked via json_extract/explode_array."""
+    Python reader (spark.sql.python.filterPushdown). Hash-checked against
+    the DuckDB re-flatten of the same payload literal, with the pushed
+    market filter applied oracle-side."""
     from ..sources.datasource import register_odds_source
     payload_dir = os.path.join(tempfile.gettempdir(),
                                "spark_graft_odds_payloads")
@@ -250,8 +276,11 @@ CONNECTOR_QUERIES = [
     QueryDef("csv_roundtrip", q_csv_roundtrip, ORACLE_CSV_ROUNDTRIP, "S9"),
     QueryDef("json_roundtrip", q_json_roundtrip, ORACLE_JSON_ROUNDTRIP, "S1-sink"),
     QueryDef("orc_roundtrip", q_orc_roundtrip, ORACLE_ORC_ROUNDTRIP, "S5-orc"),
-    QueryDef("odds_flatten", q_odds_flatten, None, "S1,T1"),
-    QueryDef("odds_python_source", q_odds_python_source, None,
+    QueryDef("odds_flatten", q_odds_flatten, _odds_flatten_oracle("BIGINT"),
+             "S1,T1"),
+    QueryDef("odds_python_source", q_odds_python_source,
+             _odds_flatten_oracle(
+                 "DOUBLE", "WHERE market IN ('spreads', 'totals')"),
              "S1-datasource"),
     QueryDef("scraper_longform", q_scraper_longform, None, "S2,T6,O2"),
     QueryDef("multimodal_decode", q_multimodal_decode, None,
