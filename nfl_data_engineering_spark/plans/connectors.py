@@ -204,17 +204,37 @@ FROM oc {where}
 """
 
 
+# scraper fixture shared by the query's injected fetcher AND the oracle:
+# the raw per-table cell values live here once; Spark melts them through
+# the real mapInPandas adapter, the oracle re-melts them in SQL.
+_SCRAPE_DATE = "2025-11-03"
+_SCRAPE_REGISTRY = [
+    ("rankings", "predictive", "http://r/p", "Rating,Pct", ""),
+    ("offense_scoring", "scoring", "http://o/s", "Rating", ""),
+]
+_SCRAPE_SIZES = {"predictive": 3, "scoring": 2}
+
+
+def _scrape_cells(table_name: str) -> dict[str, list[str]]:
+    n = _SCRAPE_SIZES[table_name]
+    return {
+        "Team": [f"team_{k}" for k in range(n)],
+        "Rating": [f"{10.5 + k}" for k in range(n)],
+        "Pct": [f"{50 + k}.0%" for k in range(n)],
+    }
+
+
 def q_scraper_longform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2+T6: the distributed scraper adapter with an injected deterministic
     fetcher — registry DataFrame fans out via mapInPandas, tables melt to
     the long form with {category}_{table}_{col} metric naming. O2: only the
     first table parse is kept per config (the fetcher returns one table,
-    mirroring tables[0] at team_rankings_scraper.py:168-169)."""
-    import pandas as pd  # noqa: F401  (workers need it; imported in closure)
-
+    mirroring tables[0] at team_rankings_scraper.py:168-169). Hash-checked:
+    the oracle re-melts the same raw cells with SQL-side naming."""
     def fetcher(category, table_name, base_url, date):
         import pandas as pd
-        n = {"predictive": 3, "scoring": 2}[table_name]
+        sizes = {"predictive": 3, "scoring": 2}
+        n = sizes[table_name]
         return pd.DataFrame({
             "Team": [f"team_{k}" for k in range(n)],
             "Rating": [f"{10.5 + k}" for k in range(n)],
@@ -222,12 +242,31 @@ def q_scraper_longform(spark: SparkSession, sf_dir: str) -> DataFrame:
         })
 
     registry = spark.createDataFrame(
-        [("rankings", "predictive", "http://r/p", "Rating,Pct", ""),
-         ("offense_scoring", "scoring", "http://o/s", "Rating", "")],
+        _SCRAPE_REGISTRY,
         "category string, table_name string, base_url string, cols_to_keep string, record_cols string")
-    out = scrape_tables_long(registry, "2025-11-03", fetcher=fetcher,
+    out = scrape_tables_long(registry, _SCRAPE_DATE, fetcher=fetcher,
                              num_tasks=2)
     return out.orderBy("team", "metric")
+
+
+def _scraper_longform_oracle() -> str:
+    rows = []
+    for category, table_name, _url, keep, _rec in _SCRAPE_REGISTRY:
+        cells = _scrape_cells(table_name)
+        for col in [c.strip() for c in keep.split(",") if c.strip()]:
+            for team, value in zip(cells["Team"], cells[col]):
+                rows.append(f"('{category}', '{table_name}', '{col}', "
+                            f"'{team}', '{value}')")
+    values = ",\n    ".join(rows)
+    return f"""
+WITH fixture(category, table_name, col, team, value) AS (VALUES
+    {values})
+SELECT team, DATE '{_SCRAPE_DATE}' AS date,
+       category || '_' || table_name || '_'
+                || lower(regexp_replace(col, '\\s+', '_', 'g')) AS metric,
+       value
+FROM fixture
+"""
 
 
 def q_odds_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -282,7 +321,8 @@ CONNECTOR_QUERIES = [
              _odds_flatten_oracle(
                  "DOUBLE", "WHERE market IN ('spreads', 'totals')"),
              "S1-datasource"),
-    QueryDef("scraper_longform", q_scraper_longform, None, "S2,T6,O2"),
+    QueryDef("scraper_longform", q_scraper_longform,
+             _scraper_longform_oracle(), "S2,T6,O2"),
     QueryDef("multimodal_decode", q_multimodal_decode, None,
              "LLM-multimodal-udf"),
 ]
