@@ -165,5 +165,11 @@ class OddsRestDataSource(DataSource):
 
 
 def register_odds_source(spark) -> None:
-    """Make ``spark.read.format('odds_rest')`` available on this session."""
+    """Make ``spark.read.format('odds_rest')`` available on this session.
+
+    Also flips on Python-side filter pushdown (off by default): the reader
+    declares pushFilters, and Spark refuses such a reader outright when the
+    flag is disabled — a caller-supplied vanilla session would otherwise
+    fail on first read."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(OddsRestDataSource)

@@ -48,9 +48,17 @@ def main():
     only = set(sys.argv[2:])
 
     import __spark_entry__ as se
-    from nfl_data_engineering_spark.session import get_spark
 
-    spark = get_spark("parity")
+    if os.environ.get("SPARK_GRAFT_VANILLA"):
+        # driver-session simulation: the external harness passes its OWN
+        # SparkSession, not our tuned one — every query must survive a
+        # bone-stock session (no custom confs beyond master)
+        from pyspark.sql import SparkSession
+        spark = (SparkSession.builder.appName("parity-vanilla")
+                 .master("local[8]").getOrCreate())
+    else:
+        from nfl_data_engineering_spark.session import get_spark
+        spark = get_spark("parity")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
