@@ -424,9 +424,59 @@ FROM documents GROUP BY shard ORDER BY shard
 """
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring: per-doc mean token log-probability
+    under the corpus unigram distribution — the classic LM-based quality
+    filter (low scorers are gibberish/outliers). Float discipline: each
+    (doc, token) contributes one tf*ln(p) product (no float sum yet); the
+    per-doc reduction folds those terms IN TOKEN-SORTED ORDER on both
+    engines (aggregate over array_sort here, list_reduce over an ORDER BY
+    list in DuckDB), so the double sum is bit-identical — round(6) only
+    absorbs ln() ulp drift. Two token-keyed aggregations + a broadcast of
+    the vocab; the fold is row-local."""
+    docs = load(spark, sf_dir, "documents")
+    terms = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    tf = terms.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    vocab = terms.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = terms.count()
+    val = (tf.join(vocab, "token")
+           .withColumn("v", F.col("tf") * F.log(
+               F.col("cnt").cast("double") / F.lit(float(total)))))
+    agg = val.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.expr("aggregate(transform(array_sort(collect_list(struct(token, v))),"
+               " s -> s.v), cast(0.0 as double), (a, x) -> a + x)")
+        .alias("s"))
+    return agg.select(
+        "doc_id", "n_tokens",
+        F.round(F.col("s") / F.col("n_tokens"), 6).alias("avg_logprob"))
+
+
+def _oracle_unigram_logprob() -> str:
+    toks = ("list_filter(regexp_split_to_array(lower(text), '\\s+'),"
+            " t -> t != '')")
+    return f"""
+WITH terms AS (SELECT doc_id, unnest({toks}) AS token FROM documents),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+vocab AS (SELECT token, COUNT(*) AS cnt FROM terms GROUP BY 1),
+tot AS (SELECT COUNT(*)::DOUBLE AS total FROM terms),
+val AS (
+  SELECT doc_id, token, tf, tf * ln(cnt::DOUBLE / total) AS v
+  FROM tf JOIN vocab USING (token) CROSS JOIN tot),
+agg AS (
+  SELECT doc_id, SUM(tf) AS n_tokens,
+         list_reduce(list_prepend(0.0, list(v ORDER BY token)),
+                     (a, b) -> a + b) AS s
+  FROM val GROUP BY doc_id)
+SELECT doc_id, n_tokens, ROUND(s / n_tokens, 6) AS avg_logprob FROM agg
+"""
+
+
 TRAINING_QUERIES = [
     QueryDef("shard_balance", q_shard_balance, _oracle_shard_balance(),
              "LLM-shard-pack"),
+    QueryDef("unigram_logprob", q_unigram_logprob, _oracle_unigram_logprob(),
+             "LLM-lm-score"),
     QueryDef("rename_normalize", q_rename_normalize, ORACLE_RENAME_NORMALIZE,
              "T6,T7,T15"),
     QueryDef("streaming_daily_rollup", q_streaming_daily_rollup,
