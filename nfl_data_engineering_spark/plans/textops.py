@@ -673,6 +673,41 @@ FROM g GROUP BY group_size ORDER BY group_size
 """
 
 
+def q_domain_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/domain analytics: synthesize a deterministic source URL per doc
+    (the corpus has none), extract the host with Spark's builtin parse_url,
+    and rank domains by document count — the by-domain profile/filter step
+    of web-corpus pipelines. The oracle extracts the host with a plain
+    anchored regex, so the two engines cross-check each other's URL
+    parsing. Row-local extract + one small groupBy."""
+    docs = load(spark, sf_dir, "documents")
+    tld = F.element_at(F.array(F.lit("com"), F.lit("org"), F.lit("net")),
+                       (F.col("doc_id") % 3 + 1).cast("int"))
+    url = F.concat(F.lit("https://"), F.col("source"),
+                   (F.col("doc_id") % 50).cast("string"),
+                   F.lit(".example."), tld,
+                   F.lit("/docs/"), F.col("doc_id").cast("string"))
+    host = F.parse_url(url, F.lit("HOST"))
+    return (docs.select(host.alias("domain"))
+            .groupBy("domain").agg(F.count("*").alias("n_docs"))
+            .orderBy(F.col("n_docs").desc(), "domain")
+            .limit(25))
+
+
+ORACLE_DOMAIN_TOPK = """
+WITH u AS (
+  SELECT 'https://' || source || CAST(doc_id % 50 AS VARCHAR)
+         || '.example.' || ['com', 'org', 'net'][(doc_id % 3) + 1]
+         || '/docs/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents)
+SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS domain,
+       COUNT(*) AS n_docs
+FROM u GROUP BY domain
+ORDER BY n_docs DESC, domain
+LIMIT 25
+"""
+
+
 CONTAM_N = 8                     # n-gram width for decontamination
 EVAL_MOD = 97                    # doc_id % EVAL_MOD == 0 -> held-out eval doc
 
@@ -757,4 +792,5 @@ TEXT_QUERIES = [
     QueryDef("pii_redact", q_pii_redact, ORACLE_PII_REDACT, "LLM-text-pii"),
     QueryDef("normalized_dedup", q_normalized_dedup, ORACLE_NORMALIZED_DEDUP, "LLM-dedup-normalized"),
     QueryDef("contamination_check", q_contamination_check, ORACLE_CONTAMINATION, "LLM-decontamination"),
+    QueryDef("domain_topk", q_domain_topk, ORACLE_DOMAIN_TOPK, "LLM-text-domains"),
 ]
