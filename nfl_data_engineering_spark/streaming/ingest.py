@@ -187,3 +187,31 @@ def session_counts_stream(stream: DataFrame, gap: str = "30 minutes",
                     F.col("w.start").alias("session_start"),
                     F.col("w.end").alias("session_end"),
                     "n_events", "sum_value"))
+
+
+def upsert_stream(stream: DataFrame, table_path: str, checkpoint_dir: str,
+                  key_cols: list[str] | None, ts_col: str = "ts",
+                  available_now: bool = True) -> StreamingQuery:
+    """Streaming MERGE into the partitioned lakehouse table: every
+    microbatch runs through io.upsert_partitioned via foreachBatch, so the
+    sink gets the SAME keep-latest/dedup semantics as the batch collectors
+    (read only touched year/month partitions, window-dedup, dynamic
+    overwrite). The checkpoint makes replayed batches re-run the upsert,
+    which is idempotent by construction — exactly-once table state without
+    a transactional table format. This is the streaming twin of the
+    reference's read-merge-rewrite loop (team_rankings_data_collector.py:
+    34-50) with the rewrite scoped to touched partitions."""
+    from ..io import upsert_partitioned
+
+    def merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_partitioned(batch_df.sparkSession, batch_df, table_path,
+                           key_cols=key_cols, ts_col=ts_col)
+
+    writer = (stream.writeStream.foreachBatch(merge_batch)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("update"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -204,3 +204,37 @@ def test_session_counts_stream_emits_closed_sessions(spark, tmp_path):
     assert (r.user_id, r.n_events, r.sum_value) == (7, 2, 3.0)
     assert str(r.session_start).startswith("2024-01-10 00:00")
     assert str(r.session_end).startswith("2024-01-10 00:40")
+
+
+def test_upsert_stream_keeps_latest_across_batches(spark, tmp_path):
+    from nfl_data_engineering_spark.streaming.ingest import upsert_stream
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    # two files -> two microbatches (maxFilesPerTrigger=1); user 7 value is
+    # re-collected with a newer timestamp in the second batch
+    with open(os.path.join(src, "a.json"), "w") as f:
+        f.write(json.dumps({"event_id": 1, "ts": "2024-01-10T00:00:00.000Z",
+                            "user_id": 7, "event_type": "snap", "value": 1.0}) + "\n")
+        f.write(json.dumps({"event_id": 2, "ts": "2024-01-10T00:00:00.000Z",
+                            "user_id": 8, "event_type": "snap", "value": 5.0}) + "\n")
+    with open(os.path.join(src, "b.json"), "w") as f:
+        f.write(json.dumps({"event_id": 3, "ts": "2024-01-11T00:00:00.000Z",
+                            "user_id": 7, "event_type": "snap", "value": 2.0}) + "\n")
+
+    q = upsert_stream(read_event_stream(spark, src, max_files_per_trigger=1),
+                      table, ckpt, key_cols=["user_id"])
+    q.awaitTermination(120)
+
+    back = spark.read.parquet(table)
+    rows = {(r.user_id, r.value) for r in back.collect()}
+    assert rows == {(7, 2.0), (8, 5.0)}     # user 7 upserted to newest
+
+    # replaying the same source over the same checkpoint is a no-op
+    q2 = upsert_stream(read_event_stream(spark, src, max_files_per_trigger=1),
+                       table, ckpt, key_cols=["user_id"])
+    q2.awaitTermination(120)
+    assert {(r.user_id, r.value) for r in spark.read.parquet(table).collect()} \
+        == {(7, 2.0), (8, 5.0)}
