@@ -1636,6 +1636,35 @@ GROUP BY l.l_returnflag
 """
 
 
+def q_trailing_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median over a moving 5-row frame per user — the robust sibling
+    of the trailing mean, and a window surface Spark has no builtin for
+    (percentile doesn't window): collect the frame into an array, sort it
+    row-locally, and select/average the middle order statistics with
+    integer arithmetic. The midpoint average is computed as lo+(hi-lo)/2 to
+    match quantile_cont's interpolation formula bit-for-bit. Same single
+    shuffle as every per-user window; the frame array is O(5)."""
+    ev = load(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-4, 0))
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    return ev.select(
+        "user_id", "event_id", "ts", "value",
+        F.round(lo + (hi - lo) / 2, 6).alias("trailing_median"))
+
+
+ORACLE_TRAILING_MEDIAN = """
+SELECT user_id, event_id, ts, value,
+       ROUND(quantile_cont(value, 0.5) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS trailing_median
+FROM events
+"""
+
+
 def q_behavior_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array set-algebra surface: per-user event-type sets for the first vs
     second half of January, compared with array_intersect/union — the
@@ -2038,4 +2067,6 @@ RELATIONAL_QUERIES = [
              ORACLE_MONTHLY_RANK_REPORT, "X-rank-window"),
     QueryDef("behavior_set_overlap", q_behavior_set_overlap,
              ORACLE_BEHAVIOR_SET_OVERLAP, "A-array-set,A3"),
+    QueryDef("trailing_median", q_trailing_median, ORACLE_TRAILING_MEDIAN,
+             "X1-window-median"),
 ]
