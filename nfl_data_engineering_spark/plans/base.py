@@ -11,6 +11,11 @@ Determinism rules (the driver hash-compares Spark vs DuckDB values):
    engines); no engine-native hash functions in results.
 5. Every computed column is aliased identically in the Spark plan and the
    oracle SQL.
+6. NO list_reduce/lambda folds in oracle SQL: DuckDB 1.0 returns wrong
+   results for list_reduce fused into a parallel grouped aggregate
+   (observed: per-cell correct when filtered, wrong over the full table).
+   Order-sensitive reductions are expressed as window row_number + joins,
+   or sidestepped by quantizing addends to integers (order-free sums).
 """
 
 from __future__ import annotations

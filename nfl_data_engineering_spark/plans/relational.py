@@ -1404,7 +1404,9 @@ def q_user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_USER_EVENT_SEQUENCES = """
 SELECT user_id, COUNT(*) AS n_events,
-       list(event_type ORDER BY ts, event_id) AS event_seq
+       list_transform(list_sort(list(struct_pack(ts := ts, eid := event_id,
+                                                 et := event_type))),
+                      x -> x.et) AS event_seq
 FROM events GROUP BY user_id
 """
 
@@ -1633,6 +1635,61 @@ SELECT l.l_returnflag, COUNT(*) AS n_kept,
 FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
 WHERE l_extendedprice BETWEEN lo AND hi
 GROUP BY l.l_returnflag
+"""
+
+
+def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view -> click -> purchase): how far each
+    user progresses through the funnel respecting event ORDER — sequence
+    pattern matching, the capability MATCH_RECOGNIZE engines sell,
+    expressed as a row-local state-machine fold over the user's
+    chronologically sorted event-step array (same ordered-fold discipline
+    as unigram_logprob, here over ints so it's exact by construction).
+    The funnel is scoped per (user, day) — the conversion window — so the
+    stage histogram differentiates; one shuffle on the composite key,
+    state is one int per cell."""
+    ev = load(spark, sf_dir, "events")
+    stage = F.expr("""
+        aggregate(
+          transform(array_sort(collect_list(struct(ts, event_id, event_type))),
+                    s -> CASE s.event_type WHEN 'view' THEN 1
+                         WHEN 'click' THEN 2 WHEN 'purchase' THEN 3
+                         ELSE 0 END),
+          0, (a, b) -> CASE WHEN b = a + 1 THEN a + 1 ELSE a END)
+    """)
+    per_cell = (ev.groupBy("user_id", F.col("ts").cast("date").alias("day"))
+                .agg(stage.alias("funnel_stage")))
+    return (per_cell.groupBy("funnel_stage")
+            .agg(F.count("*").alias("n_user_days"))
+            .orderBy("funnel_stage"))
+
+
+ORACLE_FUNNEL_STAGES = """
+WITH e AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                            ORDER BY ts, event_id) AS i,
+         CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+              WHEN 'purchase' THEN 3 ELSE 0 END AS st
+  FROM events),
+cells AS (SELECT DISTINCT user_id, day FROM e),
+v AS (SELECT user_id, day, MIN(i) AS vi FROM e WHERE st = 1 GROUP BY 1, 2),
+c AS (SELECT e.user_id, e.day, MIN(e.i) AS ci
+      FROM e JOIN v ON e.user_id = v.user_id AND e.day = v.day
+      WHERE e.st = 2 AND e.i > v.vi GROUP BY 1, 2),
+p AS (SELECT e.user_id, e.day, MIN(e.i) AS pi
+      FROM e JOIN c ON e.user_id = c.user_id AND e.day = c.day
+      WHERE e.st = 3 AND e.i > c.ci GROUP BY 1, 2),
+s AS (
+  SELECT cells.user_id, cells.day,
+         CASE WHEN pi IS NOT NULL THEN 3 WHEN ci IS NOT NULL THEN 2
+              WHEN vi IS NOT NULL THEN 1 ELSE 0 END AS funnel_stage
+  FROM cells
+  LEFT JOIN v ON cells.user_id = v.user_id AND cells.day = v.day
+  LEFT JOIN c ON cells.user_id = c.user_id AND cells.day = c.day
+  LEFT JOIN p ON cells.user_id = p.user_id AND cells.day = p.day)
+SELECT funnel_stage, COUNT(*) AS n_user_days
+FROM s GROUP BY funnel_stage ORDER BY funnel_stage
 """
 
 
@@ -2069,4 +2126,6 @@ RELATIONAL_QUERIES = [
              ORACLE_BEHAVIOR_SET_OVERLAP, "A-array-set,A3"),
     QueryDef("trailing_median", q_trailing_median, ORACLE_TRAILING_MEDIAN,
              "X1-window-median"),
+    QueryDef("funnel_stages", q_funnel_stages, ORACLE_FUNNEL_STAGES,
+             "A-seq-funnel"),
 ]

@@ -428,28 +428,26 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram language-model scoring: per-doc mean token log-probability
     under the corpus unigram distribution — the classic LM-based quality
     filter (low scorers are gibberish/outliers). Float discipline: each
-    (doc, token) contributes one tf*ln(p) product (no float sum yet); the
-    per-doc reduction folds those terms IN TOKEN-SORTED ORDER on both
-    engines (aggregate over array_sort here, list_reduce over an ORDER BY
-    list in DuckDB), so the double sum is bit-identical — round(6) only
-    absorbs ln() ulp drift. Two token-keyed aggregations + a broadcast of
-    the vocab; the fold is row-local."""
+    (doc, token) contributes one tf*ln(p) product (bit-identical in both
+    engines), which is then quantized to an integer nano-unit BEFORE the
+    per-doc sum — integer addition is order-free, so partial aggregation
+    can't perturb the result and no ordered fold is needed (DuckDB 1.0's
+    list_reduce gives wrong results when fused into a parallel aggregate,
+    so lambda folds are banned from oracles). Two token-keyed
+    aggregations + a broadcast of the vocab."""
     docs = load(spark, sf_dir, "documents")
     terms = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
     tf = terms.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     vocab = terms.groupBy("token").agg(F.count("*").alias("cnt"))
     total = terms.count()
+    v = F.col("tf") * F.log(F.col("cnt").cast("double") / F.lit(float(total)))
     val = (tf.join(vocab, "token")
-           .withColumn("v", F.col("tf") * F.log(
-               F.col("cnt").cast("double") / F.lit(float(total)))))
+           .withColumn("iv", F.round(v * 1e9).cast("bigint")))
     agg = val.groupBy("doc_id").agg(
-        F.sum("tf").alias("n_tokens"),
-        F.expr("aggregate(transform(array_sort(collect_list(struct(token, v))),"
-               " s -> s.v), cast(0.0 as double), (a, x) -> a + x)")
-        .alias("s"))
+        F.sum("tf").alias("n_tokens"), F.sum("iv").alias("s"))
     return agg.select(
         "doc_id", "n_tokens",
-        F.round(F.col("s") / F.col("n_tokens"), 6).alias("avg_logprob"))
+        F.round(F.col("s") / 1e9 / F.col("n_tokens"), 6).alias("avg_logprob"))
 
 
 def _oracle_unigram_logprob() -> str:
@@ -461,14 +459,13 @@ tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
 vocab AS (SELECT token, COUNT(*) AS cnt FROM terms GROUP BY 1),
 tot AS (SELECT COUNT(*)::DOUBLE AS total FROM terms),
 val AS (
-  SELECT doc_id, token, tf, tf * ln(cnt::DOUBLE / total) AS v
+  SELECT doc_id, tf,
+         CAST(round(tf * ln(cnt::DOUBLE / total) * 1e9) AS BIGINT) AS iv
   FROM tf JOIN vocab USING (token) CROSS JOIN tot),
 agg AS (
-  SELECT doc_id, SUM(tf) AS n_tokens,
-         list_reduce(list_prepend(0.0, list(v ORDER BY token)),
-                     (a, b) -> a + b) AS s
+  SELECT doc_id, SUM(tf) AS n_tokens, SUM(iv) AS s
   FROM val GROUP BY doc_id)
-SELECT doc_id, n_tokens, ROUND(s / n_tokens, 6) AS avg_logprob FROM agg
+SELECT doc_id, n_tokens, ROUND(s / 1e9 / n_tokens, 6) AS avg_logprob FROM agg
 """
 
 

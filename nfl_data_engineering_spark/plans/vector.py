@@ -92,7 +92,10 @@ cent AS (
   SELECT label AS cell, d,
          ROUND(CAST(SUM(CAST(v::DOUBLE AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*), 6) AS c
   FROM u GROUP BY label, d),
-cvec AS (SELECT cell, list(c ORDER BY d) AS centroid FROM cent GROUP BY cell),
+cvec AS (SELECT cell,
+                list_transform(list_sort(list(struct_pack(d := d, c := c))),
+                               x -> x.c) AS centroid
+         FROM cent GROUP BY cell),
 q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < {N_QUERIES}),
 routed AS (
   SELECT q_id, q_vec, cell,
