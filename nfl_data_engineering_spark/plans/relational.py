@@ -1638,6 +1638,42 @@ GROUP BY l.l_returnflag
 """
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users cohorted by first-active week, then
+    counted per (cohort week, weeks-since-cohort) activity cell — the
+    product-analytics standard for "do users come back". Pure
+    integer/date arithmetic (week truncation, day diffs div 7, distinct
+    counts), so the matrix is exact on both engines. Two shuffles: the
+    per-user minimum and the cell distinct-count; both partial-aggregate
+    map-side."""
+    ev = load(spark, sf_dir, "events")
+    weeks = ev.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week")).distinct()
+    cohort = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (weeks.join(cohort, "user_id")
+            .select("user_id", "cohort_week",
+                    (F.datediff("week", "cohort_week") / 7).cast("int")
+                    .alias("weeks_since"))
+            .groupBy("cohort_week", "weeks_since")
+            .agg(F.countDistinct("user_id").alias("n_active_users"))
+            .orderBy("cohort_week", "weeks_since"))
+
+
+ORACLE_COHORT_RETENTION = """
+WITH weeks AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+  FROM events),
+cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM weeks GROUP BY user_id)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, week) / 7 AS INTEGER) AS weeks_since,
+       COUNT(DISTINCT weeks.user_id) AS n_active_users
+FROM weeks JOIN cohort ON weeks.user_id = cohort.user_id
+GROUP BY cohort_week, weeks_since
+ORDER BY cohort_week, weeks_since
+"""
+
+
 def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel analysis (view -> click -> purchase): how far each
     user progresses through the funnel respecting event ORDER — sequence
@@ -2128,4 +2164,6 @@ RELATIONAL_QUERIES = [
              "X1-window-median"),
     QueryDef("funnel_stages", q_funnel_stages, ORACLE_FUNNEL_STAGES,
              "A-seq-funnel"),
+    QueryDef("cohort_retention", q_cohort_retention, ORACLE_COHORT_RETENTION,
+             "A-cohort,W-window"),
 ]
