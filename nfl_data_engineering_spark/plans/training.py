@@ -469,11 +469,42 @@ SELECT doc_id, n_tokens, ROUND(s / 1e9 / n_tokens, 6) AS avg_logprob FROM agg
 """
 
 
+N_FOLDS = 5
+
+
+def q_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validation assignment + stratification audit: every doc
+    lands in one of 5 folds by salted content-stable hash (disjoint from
+    the shard and mixture hash domains via the salt), and the report shows
+    the fold x source matrix — the balance check that decides whether
+    hash-folding is stratified enough or needs per-source folding.
+    Deterministic across engines, retries, and partitionings; one scan +
+    a 5x|sources| aggregate."""
+    docs = load(spark, sf_dir, "documents")
+    fold = F.pmod(h60(F.concat(F.lit("fold_"), F.col("doc_id").cast("string"))),
+                  F.lit(N_FOLDS))
+    return (docs.select(fold.alias("fold"), "source")
+            .groupBy("fold", "source")
+            .agg(F.count("*").alias("n_docs"))
+            .orderBy("fold", "source"))
+
+
+def _oracle_kfold() -> str:
+    from ..functions.hashing import h60_sql
+    h = h60_sql("'fold_' || doc_id::VARCHAR")
+    return f"""
+SELECT {h} % {N_FOLDS} AS fold, source, COUNT(*) AS n_docs
+FROM documents GROUP BY fold, source ORDER BY fold, source
+"""
+
+
 TRAINING_QUERIES = [
     QueryDef("shard_balance", q_shard_balance, _oracle_shard_balance(),
              "LLM-shard-pack"),
     QueryDef("unigram_logprob", q_unigram_logprob, _oracle_unigram_logprob(),
              "LLM-lm-score"),
+    QueryDef("kfold_assignment", q_kfold_assignment, _oracle_kfold(),
+             "LLM-kfold"),
     QueryDef("rename_normalize", q_rename_normalize, ORACLE_RENAME_NORMALIZE,
              "T6,T7,T15"),
     QueryDef("streaming_daily_rollup", q_streaming_daily_rollup,
