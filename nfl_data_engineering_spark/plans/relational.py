@@ -2080,6 +2080,94 @@ WINDOW w AS (PARTITION BY event_type)
 """
 
 
+# ---------------------------------------------------------------------------
+# Sole-late-shipper audit (TPC-H Q21 shape on the available columns)
+# ---------------------------------------------------------------------------
+
+LATE_SHIP_DAYS = 60
+LATE_SHIP_TOPK = 20
+
+
+def q_late_shipment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who were the *only* late shipper in a multi-supplier order
+    (late = shipped > LATE_SHIP_DAYS after order date), top-20 by offense
+    count — the TPC-H Q21 double-EXISTS shape, expressed as two keyed
+    aggregations instead of correlated subqueries: per-(order, supplier)
+    late flag, then a per-order supplier/late census joined back to the
+    late rows. Both aggregations and the join key on l_orderkey — one
+    shuffle partitioning reused end-to-end; the supplier dim is broadcast.
+    Deterministic top-k: (numwait DESC, s_suppkey) is a total order."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    supplier = load(spark, sf_dir, "supplier")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {LATE_SHIP_DAYS} DAYS")
+    flags = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+             .select("l_orderkey", "l_suppkey", late.cast("int").alias("is_late")))
+    per_os = (flags.groupBy("l_orderkey", "l_suppkey")
+              .agg(F.max("is_late").alias("late")))
+    per_order = (per_os.groupBy("l_orderkey")
+                 .agg(F.count("*").alias("n_supp"), F.sum("late").alias("n_late")))
+    waiting = (per_os.filter(F.col("late") == 1)
+               .join(per_order.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1)),
+                     "l_orderkey"))
+    counts = waiting.groupBy("l_suppkey").agg(F.count("*").alias("numwait"))
+    return (counts.join(F.broadcast(supplier),
+                        counts.l_suppkey == supplier.s_suppkey)
+            .select("s_suppkey", "s_name", "numwait")
+            .orderBy(F.col("numwait").desc(), "s_suppkey")
+            .limit(LATE_SHIP_TOPK))
+
+
+ORACLE_LATE_SHIPMENT_AUDIT = f"""
+WITH flags AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         CAST(l.l_shipdate > o.o_orderdate + INTERVAL {LATE_SHIP_DAYS} DAY AS INT) AS is_late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+per_os AS (
+  SELECT l_orderkey, l_suppkey, MAX(is_late) AS late FROM flags GROUP BY 1, 2),
+per_order AS (
+  SELECT l_orderkey, COUNT(*) AS n_supp, SUM(late) AS n_late
+  FROM per_os GROUP BY 1),
+waiting AS (
+  SELECT s.l_suppkey
+  FROM per_os s JOIN per_order o USING (l_orderkey)
+  WHERE s.late = 1 AND o.n_supp > 1 AND o.n_late = 1)
+SELECT s_suppkey, s_name, COUNT(*) AS numwait
+FROM waiting JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY 1, 2
+ORDER BY numwait DESC, s_suppkey
+LIMIT {LATE_SHIP_TOPK}
+"""
+
+
+def q_event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type co-occurrence (market-basket pair counts): for every
+    unordered pair of event types, how many users performed both. The
+    distinct (user, type) projection collapses the fact table before the
+    self-join, so the join input is |users| x |types| at most; the join is
+    equi-keyed on user_id with a type_a < type_b predicate halving the
+    pair space. Output cardinality is |types| choose 2 — tiny at any data
+    scale, so no ordering/limit is needed (and none is imposed: a total
+    sort here would be pure waste)."""
+    ev = load(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    a, b = ut.alias("a"), ut.alias("b")
+    return (a.join(b, (F.col("a.user_id") == F.col("b.user_id")) &
+                   (F.col("a.event_type") < F.col("b.event_type")))
+            .groupBy(F.col("a.event_type").alias("type_a"),
+                     F.col("b.event_type").alias("type_b"))
+            .agg(F.count("*").alias("n_users")))
+
+
+ORACLE_EVENT_COOCCURRENCE = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_users
+FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2
+"""
+
+
 RELATIONAL_QUERIES = [
     QueryDef("pricing_summary", q_pricing_summary, ORACLE_PRICING, "T11,A5,X-avg,S4", bench=True),
     QueryDef("shipping_priority", q_shipping_priority, ORACLE_SHIPPING, "J2,O1,A5", bench=True),
@@ -2166,4 +2254,8 @@ RELATIONAL_QUERIES = [
              "A-seq-funnel"),
     QueryDef("cohort_retention", q_cohort_retention, ORACLE_COHORT_RETENTION,
              "A-cohort,W-window"),
+    QueryDef("late_shipment_audit", q_late_shipment_audit,
+             ORACLE_LATE_SHIPMENT_AUDIT, "Q-double-exists,J2"),
+    QueryDef("event_cooccurrence", q_event_cooccurrence,
+             ORACLE_EVENT_COOCCURRENCE, "J-self,A-pairs"),
 ]

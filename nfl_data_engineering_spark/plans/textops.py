@@ -775,6 +775,81 @@ FROM base LEFT JOIN hits ON base.eval_doc_id = hits.eval_doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Context-window chunking + inverted index
+# ---------------------------------------------------------------------------
+
+CHUNK_CHARS = 256
+
+
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split every document into fixed-width
+    character chunks (the pre-tokenizer pass that feeds an LLM context
+    window). Generalizes the reference's row-reshaping transforms
+    (team_rankings_scraper.py:48-82 one-row-to-many-columns; here
+    one-row-to-many-rows). Row-local sequence+explode — map-side only, no
+    shuffle at any scale; chunk identity is carried as md5(chunk) so the
+    result stays narrow regardless of chunk width."""
+    docs = load(spark, sf_dir, "documents")
+    n_chunks = F.greatest(
+        F.ceil(F.length("text") / F.lit(CHUNK_CHARS)), F.lit(1)).cast("int")
+    exploded = docs.select(
+        "doc_id", "text",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"))
+    chunk = F.expr(
+        f"substring(text, chunk_idx * {CHUNK_CHARS} + 1, {CHUNK_CHARS})")
+    return exploded.select(
+        "doc_id", "chunk_idx",
+        F.length(chunk).alias("chunk_chars"),
+        F.md5(chunk).alias("chunk_hash"))
+
+
+ORACLE_DOC_CHUNKING = f"""
+WITH c AS (
+  SELECT doc_id, text,
+         unnest(generate_series(
+             0, GREATEST(CAST(CEIL(length(text) / {CHUNK_CHARS}.0) AS INT), 1) - 1
+         )) AS chunk_idx
+  FROM documents)
+SELECT doc_id, chunk_idx,
+       length(substr(text, chunk_idx * {CHUNK_CHARS} + 1, {CHUNK_CHARS})) AS chunk_chars,
+       md5(substr(text, chunk_idx * {CHUNK_CHARS} + 1, {CHUNK_CHARS})) AS chunk_hash
+FROM c
+"""
+
+
+MIN_POSTINGS_DF = 5
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index build: token postings lists (term -> sorted doc ids)
+    with document/collection frequency, restricted to terms appearing in
+    >= MIN_POSTINGS_DF docs. Two aggregations, both keyed on the term:
+    the (term, doc) combine is map-side-heavy (per-doc term counts), the
+    term rollup shuffles |vocab| rows. collect_list carries no order
+    guarantee under partial aggregation, so postings are array_sort'ed
+    row-locally. At 100 TB, cap per-term posting width (df ceiling) the
+    same way the shingle self-join caps document frequency."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    return (tf.groupBy("term")
+            .agg(F.count("*").alias("doc_freq"),
+                 F.sum("tf").alias("coll_freq"),
+                 F.array_sort(F.collect_list("doc_id")).alias("postings"))
+            .filter(F.col("doc_freq") >= MIN_POSTINGS_DF))
+
+
+ORACLE_INVERTED_INDEX = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({SQL_TOKENS.format(col="text")}) AS term FROM documents),
+tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2)
+SELECT term, COUNT(*) AS doc_freq, SUM(tf) AS coll_freq,
+       list_sort(list(doc_id)) AS postings
+FROM tf GROUP BY term HAVING COUNT(*) >= {MIN_POSTINGS_DF}
+"""
+
+
 TEXT_QUERIES = [
     QueryDef("dedup_exact_text", q_dedup_exact_text, ORACLE_DEDUP_EXACT, "LLM-dedup-exact"),
     QueryDef("dedup_minhash_lsh", q_dedup_minhash_lsh, ORACLE_MINHASH_LSH, "LLM-dedup-minhash", bench=True),
@@ -793,4 +868,6 @@ TEXT_QUERIES = [
     QueryDef("normalized_dedup", q_normalized_dedup, ORACLE_NORMALIZED_DEDUP, "LLM-dedup-normalized"),
     QueryDef("contamination_check", q_contamination_check, ORACLE_CONTAMINATION, "LLM-decontamination"),
     QueryDef("domain_topk", q_domain_topk, ORACLE_DOMAIN_TOPK, "LLM-text-domains"),
+    QueryDef("doc_chunking", q_doc_chunking, ORACLE_DOC_CHUNKING, "LLM-chunking"),
+    QueryDef("inverted_index", q_inverted_index, ORACLE_INVERTED_INDEX, "LLM-inverted-index"),
 ]

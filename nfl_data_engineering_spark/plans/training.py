@@ -498,6 +498,55 @@ FROM documents GROUP BY fold, source ORDER BY fold, source
 """
 
 
+# ---------------------------------------------------------------------------
+# Sequence packing (concat-and-split context assembly)
+# ---------------------------------------------------------------------------
+
+PACK_WINDOW_TOKENS = 2048
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split sequence packing: documents are laid end-to-end in
+    doc_id order *within each source* and cut into PACK_WINDOW_TOKENS-sized
+    packs (pack id = exclusive-prefix-token-sum div window) — the context
+    assembly step of an LLM training pipeline, reported as a per-pack
+    audit (doc count, token total, doc range). Partitioning by source keeps
+    the running sum a per-partition window, never a single global sort; at
+    100 TB the source axis is replaced/refined by the shard key from
+    shard_balance so each window partition stays executor-sized. The
+    prefix sum stays < 2^53, so the double floor-divide is exact on both
+    engines."""
+    docs = load(spark, sf_dir, "documents")
+    sized = docs.select(
+        "source", "doc_id", F.size(tokens(F.col("text"))).alias("n_tok"))
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    prefix = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    packed = sized.withColumn(
+        "pack_seq", F.floor(prefix / F.lit(float(PACK_WINDOW_TOKENS))))
+    return (packed.groupBy("source", "pack_seq")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tok").alias("pack_tokens"),
+                 F.min("doc_id").alias("first_doc"),
+                 F.max("doc_id").alias("last_doc")))
+
+
+_SQL_TOKS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t != '')"
+
+ORACLE_SEQUENCE_PACKING = f"""
+WITH t AS (SELECT source, doc_id, len({_SQL_TOKS}) AS n_tok FROM documents),
+p AS (
+  SELECT source, doc_id, n_tok,
+         COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+  FROM t)
+SELECT source, CAST(FLOOR(prefix / {PACK_WINDOW_TOKENS}.0) AS BIGINT) AS pack_seq,
+       COUNT(*) AS n_docs, SUM(n_tok) AS pack_tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM p GROUP BY source, pack_seq
+"""
+
+
 TRAINING_QUERIES = [
     QueryDef("shard_balance", q_shard_balance, _oracle_shard_balance(),
              "LLM-shard-pack"),
@@ -523,4 +572,6 @@ TRAINING_QUERIES = [
              "LLM-corpus-filter"),
     QueryDef("source_mixture", q_source_mixture, _oracle_source_mixture(),
              "LLM-mixing"),
+    QueryDef("sequence_packing", q_sequence_packing, ORACLE_SEQUENCE_PACKING,
+             "LLM-seq-pack"),
 ]
