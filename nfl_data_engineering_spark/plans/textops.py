@@ -776,6 +776,143 @@ FROM base LEFT JOIN hits ON base.eval_doc_id = hits.eval_doc_id
 
 
 # ---------------------------------------------------------------------------
+# Deterministic sketches: count-min heavy hitters, Bloom prefilter
+# ---------------------------------------------------------------------------
+
+CMS_D, CMS_W, CMS_TOPK = 4, 1024, 20
+
+
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy-hitter audit: build a d=4 x w=1024 CMS over
+    the token stream (bucket = h60(d ':' term) mod w — deterministic, so
+    the oracle rebuilds the identical sketch) and report, for the exact
+    top-20 terms, the exact count next to the CMS estimate (min over the
+    d counters; always >= exact). This is the sketch that replaces exact
+    per-term counting when the vocab itself no longer fits: the counter
+    table is fixed at d*w rows regardless of data size, and the d-explode
+    collapses map-side (4096 groups), so the shuffle is O(d*w) at 100 TB.
+    The counter table then broadcasts back for the estimate join."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+    ks = F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("d")
+    bucket = F.pmod(
+        h60(F.concat(F.col("d").cast("string"), F.lit(":"), F.col("term"))),
+        F.lit(CMS_W))
+    counters = (tok.select("term", ks)
+                .select("d", bucket.alias("bucket"))
+                .groupBy("d", "bucket").agg(F.count("*").alias("c")))
+    exact = (tok.groupBy("term").agg(F.count("*").alias("exact_n"))
+             .orderBy(F.col("exact_n").desc(), "term").limit(CMS_TOPK))
+    cand = (exact.select("term", "exact_n", ks)
+            .withColumn("bucket", bucket))
+    return (cand.join(F.broadcast(counters), ["d", "bucket"])
+            .groupBy("term", "exact_n")
+            .agg(F.min("c").alias("cms_est")))
+
+
+def _oracle_heavy_hitters_cms() -> str:
+    h = SQL_H60.format(e="(d::VARCHAR || ':' || term)")
+    toks = SQL_TOKENS.format(col="text")
+    return f"""
+WITH tok AS (SELECT unnest({toks}) AS term FROM documents),
+ks AS (SELECT unnest(generate_series(0, {CMS_D - 1})) AS d),
+counters AS (
+  SELECT d, {h} % {CMS_W} AS bucket, COUNT(*) AS c
+  FROM tok CROSS JOIN ks GROUP BY 1, 2),
+exact AS (
+  SELECT term, COUNT(*) AS exact_n FROM tok GROUP BY 1
+  ORDER BY exact_n DESC, term LIMIT {CMS_TOPK}),
+cand AS (
+  SELECT term, exact_n, d, {h} % {CMS_W} AS bucket
+  FROM exact CROSS JOIN ks)
+SELECT term, exact_n, MIN(c) AS cms_est
+FROM cand JOIN counters USING (d, bucket)
+GROUP BY term, exact_n
+"""
+
+
+BLOOM_K, BLOOM_M = 3, 1 << 16
+
+
+def q_bloom_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter prefilter for decontamination: the training split's
+    8-gram hashes are folded into a Bloom filter (k=3 positions =
+    h60(k '#' sh60) mod 2^16, kept as a distinct position set so the
+    oracle reproduces it exactly); each held-out eval shingle is a
+    *candidate* iff all k positions are set. The audit reports, per eval
+    doc, candidate count vs exact-join match count — i.e. the false-
+    positive overhead you pay for replacing the full train-side join with
+    a fixed 64 Kib membership structure. No false negatives by
+    construction (tested). At 100 TB the position set is the only state
+    that travels: it broadcasts at 2^16 rows bounded, while the exact
+    join's train side scales with the corpus."""
+    docs = load(spark, sf_dir, "documents")
+    sh = (docs.select("doc_id", F.explode(
+        F.array_distinct(shingles(tokens(F.col("text")), CONTAM_N)))
+        .alias("shingle"))
+        .select("doc_id", h60(F.col("shingle")).alias("sh60")))
+    ev = (sh.filter(F.col("doc_id") % EVAL_MOD == 0)
+          .select(F.col("doc_id").alias("eval_doc_id"), "sh60").distinct())
+    tr = sh.filter(F.col("doc_id") % EVAL_MOD != 0).select("sh60").distinct()
+
+    ks = F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))).alias("k")
+    pos = F.pmod(
+        h60(F.concat(F.col("k").cast("string"), F.lit("#"),
+                     F.col("sh60").cast("string"))),
+        F.lit(BLOOM_M))
+    bits = tr.select("sh60", ks).select(pos.alias("pos")).distinct()
+    evk = (ev.select("eval_doc_id", "sh60", ks)
+           .select("eval_doc_id", "sh60", "k", pos.alias("pos")))
+    hitk = (evk.join(F.broadcast(bits.withColumn("present", F.lit(1))),
+                     "pos", "left")
+            .groupBy("eval_doc_id", "sh60")
+            .agg((F.min(F.coalesce(F.col("present"), F.lit(0))) == 1)
+                 .cast("int").alias("bloom_hit")))
+    per_doc = (hitk.groupBy("eval_doc_id")
+               .agg(F.count("*").alias("n_shingles"),
+                    F.sum("bloom_hit").alias("n_bloom_candidates")))
+    exact = (ev.join(tr, "sh60", "left_semi")
+             .groupBy("eval_doc_id").agg(F.count("*").alias("n_exact")))
+    return (per_doc.join(exact, "eval_doc_id", "left")
+            .fillna(0, ["n_exact"])
+            .select("eval_doc_id", "n_shingles", "n_bloom_candidates",
+                    F.col("n_exact").alias("n_exact_matches"),
+                    (F.col("n_bloom_candidates") - F.col("n_exact"))
+                    .alias("n_false_positives")))
+
+
+def _oracle_bloom_prefilter() -> str:
+    h = SQL_H60.format(e="(k::VARCHAR || '#' || sh60::VARCHAR)")
+    return f"""
+WITH {_contam_shingles_sql(CONTAM_N)},
+ev AS (SELECT DISTINCT doc_id AS eval_doc_id, sh60 FROM shh
+       WHERE doc_id % {EVAL_MOD} = 0),
+tr AS (SELECT DISTINCT sh60 FROM shh WHERE doc_id % {EVAL_MOD} != 0),
+ks AS (SELECT unnest(generate_series(0, {BLOOM_K - 1})) AS k),
+bits AS (SELECT DISTINCT {h} % {BLOOM_M} AS pos FROM tr CROSS JOIN ks),
+evk AS (SELECT eval_doc_id, sh60, k, {h} % {BLOOM_M} AS pos
+        FROM ev CROSS JOIN ks),
+hitk AS (
+  SELECT eval_doc_id, sh60,
+         CAST(MIN(CASE WHEN bits.pos IS NOT NULL THEN 1 ELSE 0 END) = 1
+              AS INT) AS bloom_hit
+  FROM evk LEFT JOIN bits ON evk.pos = bits.pos
+  GROUP BY 1, 2),
+per_doc AS (
+  SELECT eval_doc_id, COUNT(*) AS n_shingles,
+         SUM(bloom_hit) AS n_bloom_candidates
+  FROM hitk GROUP BY 1),
+exact AS (
+  SELECT eval_doc_id, COUNT(*) AS n_exact FROM ev
+  WHERE sh60 IN (SELECT sh60 FROM tr) GROUP BY 1)
+SELECT per_doc.eval_doc_id, n_shingles, n_bloom_candidates,
+       COALESCE(n_exact, 0) AS n_exact_matches,
+       n_bloom_candidates - COALESCE(n_exact, 0) AS n_false_positives
+FROM per_doc LEFT JOIN exact ON per_doc.eval_doc_id = exact.eval_doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Context-window chunking + inverted index
 # ---------------------------------------------------------------------------
 
@@ -870,4 +1007,8 @@ TEXT_QUERIES = [
     QueryDef("domain_topk", q_domain_topk, ORACLE_DOMAIN_TOPK, "LLM-text-domains"),
     QueryDef("doc_chunking", q_doc_chunking, ORACLE_DOC_CHUNKING, "LLM-chunking"),
     QueryDef("inverted_index", q_inverted_index, ORACLE_INVERTED_INDEX, "LLM-inverted-index"),
+    QueryDef("heavy_hitters_cms", q_heavy_hitters_cms, _oracle_heavy_hitters_cms(),
+             "A-sketch-cms"),
+    QueryDef("bloom_prefilter_audit", q_bloom_prefilter_audit, _oracle_bloom_prefilter(),
+             "A-sketch-bloom,LLM-decontamination"),
 ]

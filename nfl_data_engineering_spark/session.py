@@ -42,6 +42,14 @@ def get_spark(app_name: str = "nfl-data-engineering-spark",
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # WholeStageCodegen emits one compiled class per plan shape; a long
+        # session running the full catalog fills the JVM's default 240 MB
+        # code cache, after which the JIT stops compiling and hot loops fall
+        # back to the interpreter (measured: the SRP-LSH verify stage went
+        # 4s -> 20s over the 18-query bench run). 1 GB keeps every stage
+        # JIT-compiled for the whole session.
+        .config("spark.driver.extraJavaOptions",
+                "-XX:ReservedCodeCacheSize=1g")
         .config("spark.sql.parquet.compression.codec", "snappy")
         # bucketed-table writes (io.write_bucketed) need a warehouse; keep
         # it out of the repo tree

@@ -78,6 +78,27 @@ def test_inverted_index_postings_match_doc_freq(spark):
         assert r["coll_freq"] >= r["doc_freq"]
 
 
+def test_cms_estimate_never_underestimates(spark):
+    from nfl_data_engineering_spark.plans.textops import (CMS_TOPK,
+                                                          q_heavy_hitters_cms)
+    rows = q_heavy_hitters_cms(spark, SF).collect()
+    assert len(rows) == CMS_TOPK
+    for r in rows:
+        # count-min property: estimate is exact count plus collision mass
+        assert r["cms_est"] >= r["exact_n"]
+
+
+def test_bloom_prefilter_has_no_false_negatives(spark):
+    from nfl_data_engineering_spark.plans.textops import q_bloom_prefilter_audit
+    rows = q_bloom_prefilter_audit(spark, SF).collect()
+    assert rows, "sf0.001 must yield at least one eval doc"
+    for r in rows:
+        assert 0 <= r["n_exact_matches"] <= r["n_bloom_candidates"]
+        assert r["n_bloom_candidates"] <= r["n_shingles"]
+        assert r["n_false_positives"] == (
+            r["n_bloom_candidates"] - r["n_exact_matches"])
+
+
 def _write(spark, tmp_path, name, rows, schema):
     spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite") \
         .parquet(os.path.join(str(tmp_path), f"{name}.parquet"))
