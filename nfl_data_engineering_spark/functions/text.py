@@ -118,7 +118,7 @@ def explode_tokens(df: DataFrame, id_col: str, text_col: str,
 
 def lang_score(col: Column, lang: str) -> Column:
     """Count of ``lang`` marker-word hits in a token array column."""
-    markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+    markers = F.lit(list(LANG_MARKERS[lang]))
     return F.size(F.filter(col, lambda t: F.array_contains(markers, t)))
 
 
@@ -142,7 +142,7 @@ def quality_features(text_col: Column) -> dict[str, Column]:
     n_tok = F.size(toks)
     n_chars = F.length(text_col)
     punct = F.length(text_col) - F.length(F.regexp_replace(text_col, r"[^\w\s]", ""))
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_arr = F.lit(list(STOPWORDS))
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
     mean_wl = F.when(n_tok > 0,
                      F.aggregate(toks, F.lit(0).cast("bigint"),

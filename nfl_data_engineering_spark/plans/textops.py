@@ -336,7 +336,7 @@ def _quality_scaled_cols(docs: DataFrame) -> DataFrame:
     only float op left is a single division by 1e6 of identical integers,
     which is bit-identical on both engines. Same one-scan plan shape."""
     toks = tokens(F.col("text"))
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_arr = F.lit(list(STOPWORDS))
     return docs.select(
         "doc_id", "source", "text",
         F.length("text").cast("bigint").alias("nc"),

@@ -187,7 +187,7 @@ def q_cosine_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     signs = _srp_signs()
     emb = load(spark, sf_dir, "embeddings")
     bits = [(dot(F.col("embedding"),
-                 F.array(*[F.lit(s) for s in signs[j]])) > 0).cast("int")
+                 F.lit(signs[j])) > 0).cast("int")
             for j in range(SRP_BANDS * SRP_BITS_PER_BAND)]
     band_structs = [
         F.struct(F.lit(b).alias("band"),
