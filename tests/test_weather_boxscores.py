@@ -1,0 +1,140 @@
+"""Connector tests for the weather (S7) and box-score (S8) sources —
+deterministic fake fetchers, no network.
+
+Fetchers are defined INSIDE each test body: cloudpickle must serialize
+them by value (tests/ is not importable on Spark workers).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from nfl_data_engineering_spark.sources.box_scores import (  # noqa: E402
+    SCHEDULE_COLUMNS, season_schedules, write_schedule_csv)
+from nfl_data_engineering_spark.sources.weather import (  # noqa: E402
+    fetch_hourly_observations, hourly_frame)
+
+START, END = "2025-01-01 00:00:00", "2025-01-02 00:00:00"
+
+
+def _mk_locations(spark):
+    return spark.createDataFrame(
+        [("den", 39.7, -105.0, "America/Denver"),
+         ("gb", 44.5, -88.1, "America/Chicago")],
+        "loc_id string, lat double, lon double, tz string")
+
+
+def _mk_fake_weather():
+    def fake(lat, lon, start, end):
+        import pandas as pd
+        # only 20 of 24 hours (gaps at 5,11,17,23); temp = lat + hour
+        hours = [h for h in range(24) if h % 6 != 5]
+        return pd.DataFrame({
+            "ts_utc": [f"2025-01-01 {h:02d}:00:00" for h in hours],
+            "temperature_2m": [lat + h for h in hours],
+            "windspeed_10m": [10.0] * len(hours),
+            "precipitation": [0.0] * len(hours),
+        })
+    return fake
+
+
+def test_weather_spine_is_complete_with_null_gaps(spark):
+    locs = _mk_locations(spark)
+    obs = fetch_hourly_observations(locs, START, END,
+                                    fetcher=_mk_fake_weather())
+    frame = hourly_frame(locs, obs, START, END)
+    rows = frame.collect()
+    assert len(rows) == 2 * 24  # full spine, both locations
+    by_loc = {}
+    for r in rows:
+        by_loc.setdefault(r["loc_id"], []).append(r)
+    for loc, lrs in by_loc.items():
+        assert len(lrs) == 24
+        gaps = sorted(r["ts_utc"].hour for r in lrs
+                      if r["temperature_2m"] is None)
+        assert gaps == [5, 11, 17, 23]  # API gaps surface as NULL, not absence
+
+
+def test_weather_tz_localization_per_row(spark):
+    locs = _mk_locations(spark)
+    obs = fetch_hourly_observations(locs, START, END,
+                                    fetcher=_mk_fake_weather())
+    frame = hourly_frame(locs, obs, START, END)
+    r = {(x["loc_id"], x["ts_utc"].hour): x["ts_local"] for x in frame.collect()}
+    # Jan 1: Denver = UTC-7, Green Bay (Chicago) = UTC-6
+    assert r[("den", 12)] == dt.datetime(2025, 1, 1, 5, 0)
+    assert r[("gb", 12)] == dt.datetime(2025, 1, 1, 6, 0)
+
+
+def test_weather_retry_recovers_from_transient_failures(spark, tmp_path):
+    marker = str(tmp_path / "attempts")
+
+    def flaky(lat, lon, start, end):
+        import os as _os
+        import pandas as pd
+        # fail the first two calls (file counter survives across retries)
+        with open(marker, "a") as f:
+            f.write("x")
+        if _os.path.getsize(marker) < 3:
+            raise ConnectionError("transient")
+        hours = [h for h in range(24) if h % 6 != 5]
+        return pd.DataFrame({
+            "ts_utc": [f"2025-01-01 {h:02d}:00:00" for h in hours],
+            "temperature_2m": [lat + h for h in hours],
+            "windspeed_10m": [10.0] * len(hours),
+            "precipitation": [0.0] * len(hours),
+        })
+
+    locs = _mk_locations(spark).limit(1).coalesce(1)
+    obs = fetch_hourly_observations(locs, START, END, fetcher=flaky)
+    assert obs.count() == 20
+    with open(marker) as f:
+        assert len(f.read()) >= 3  # it actually retried
+
+
+def test_weather_default_fetcher_raises(spark):
+    locs = _mk_locations(spark)
+    obs = fetch_hourly_observations(locs, START, END, fetcher=None, retries=1)
+    with pytest.raises(Exception, match="NotImplementedError|fetcher"):
+        obs.count()
+
+
+def _mk_fake_schedule():
+    def fake(year):
+        import pandas as pd
+        return pd.DataFrame({
+            "game_id": [f"{year}-g1", f"{year}-g2"],
+            "season": [year, year],
+            "week": [1, 2],
+            "game_date": [f"{year}-09-07", f"{year}-09-14"],
+            "home_team": ["KC", "GB"],
+            "away_team": ["DET", "CHI"],
+            "home_score": [21, 24],
+            "away_score": [20, 10],
+        })
+    return fake
+
+
+def test_season_schedules_unions_years(spark):
+    df = season_schedules(spark, [2023, 2024, 2025],
+                          fetcher=_mk_fake_schedule())
+    rows = df.collect()
+    assert len(rows) == 6
+    assert {r["season"] for r in rows} == {2023, 2024, 2025}
+    assert list(df.columns) == list(SCHEDULE_COLUMNS)
+    assert df.schema["game_date"].dataType.typeName() == "date"
+
+
+def test_schedule_csv_roundtrip(spark, tmp_path):
+    df = season_schedules(spark, [2024], fetcher=_mk_fake_schedule())
+    out = str(tmp_path / "sched_csv")
+    write_schedule_csv(df, out)
+    back = (spark.read.option("header", True)
+            .schema(df.schema).csv(out))
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
