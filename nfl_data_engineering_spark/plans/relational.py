@@ -2168,6 +2168,201 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Robust stats, sequence transitions, concentration, incremental maintenance
+# ---------------------------------------------------------------------------
+
+MAD_K = 3 * 1.4826            # sigma-equivalent MAD multiplier
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: median / MAD (median
+    absolute deviation) and the count of values beyond 3 sigma-equivalents
+    (|x - med| > 3 * 1.4826 * MAD) — the robust twin of z-score filtering
+    that a heavy-tailed metric needs. Three aggregations, but the per-type
+    median tables are dimension-sized, so both re-joins broadcast; the
+    fact table is scanned twice (exact medians don't compose). The 100 TB
+    variant swaps ``percentile`` for ``approx_percentile`` and keeps the
+    identical plan shape. Exact interpolated percentile matches DuckDB
+    quantile_cont bit-for-bit (same doctrine as value_percentiles)."""
+    ev = load(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med"))
+    j = ev.join(F.broadcast(med), "event_type")
+    mad = j.groupBy("event_type").agg(
+        F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
+    j2 = j.join(F.broadcast(mad), "event_type")
+    is_out = (F.abs(F.col("value") - F.col("med"))
+              > F.lit(MAD_K) * F.col("mad")).cast("int")
+    return (j2.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.min("med"), 6).alias("median_value"),
+                 F.round(F.min("mad"), 6).alias("mad"),
+                 F.sum(is_out).alias("n_outliers")))
+
+
+ORACLE_MAD_OUTLIERS = f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1),
+j AS (
+  SELECT e.event_type, e.value, m.med
+  FROM events e JOIN med m USING (event_type)),
+mad AS (
+  SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+  FROM j GROUP BY 1),
+j2 AS (SELECT j.event_type, j.value, j.med, mad.mad
+       FROM j JOIN mad USING (event_type))
+SELECT event_type, COUNT(*) AS n,
+       ROUND(MIN(med), 6) AS median_value,
+       ROUND(MIN(mad), 6) AS mad,
+       SUM(CASE WHEN abs(value - med) > {MAD_K!r} * mad
+                THEN 1 ELSE 0 END) AS n_outliers
+FROM j2 GROUP BY 1
+"""
+
+
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over per-user event streams:
+    (previous type -> current type) pairs via lag over the pinned
+    (ts, event_id) order, one |types|^2-sized aggregate — the sequence
+    model that complements the funnel query. One shuffle on user_id for
+    the window; the transition aggregate collapses map-side."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (ev.select("user_id",
+                      F.lag("event_type").over(w).alias("from_type"),
+                      F.col("event_type").alias("to_type"))
+            .filter(F.col("from_type").isNotNull())
+            .groupBy("from_type", "to_type")
+            .agg(F.count("*").alias("n_transitions")))
+
+
+ORACLE_EVENT_TRANSITIONS = """
+WITH seq AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS from_type,
+         event_type AS to_type
+  FROM events)
+SELECT from_type, to_type, COUNT(*) AS n_transitions
+FROM seq WHERE from_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (Gini coefficient) over per-customer spend:
+    G = 2*sum(i * x_i)/(n * sum(x)) - (n+1)/n with x sorted ascending and
+    the (rev, custkey) tiebreak pinning a total order. All sums are exact
+    decimals (order-free), so the one global double expression at the end
+    is deterministic. The ranking is a global sort — fine for a scalar
+    audit over |customers| rows (already aggregated); at 100 TB replace
+    the exact rank with quantile-binned Lorenz segments, same formula per
+    bin."""
+    orders = load(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(_dec("o_totalprice")).alias("rev"))
+    w = Window.orderBy("rev", "o_custkey")
+    ranked = rev.withColumn("i", F.row_number().over(w))
+    tot = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("rev").alias("s"),
+        F.sum(F.col("i") * F.col("rev")).alias("si"))
+    n = F.col("n").cast("double")
+    gini = (F.lit(2.0) * F.col("si").cast("double")
+            / (n * F.col("s").cast("double"))
+            - (n + F.lit(1.0)) / n)
+    return tot.select(
+        F.col("n").alias("n_customers"),
+        F.round(F.col("s").cast("double"), 2).alias("total_revenue"),
+        F.round(gini, 6).alias("gini"))
+
+
+ORACLE_REVENUE_GINI = """
+WITH rev AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1),
+ranked AS (
+  SELECT rev, row_number() OVER (ORDER BY rev, o_custkey) AS i FROM rev),
+tot AS (SELECT COUNT(*) AS n, SUM(rev) AS s, SUM(i * rev) AS si FROM ranked)
+SELECT n AS n_customers,
+       ROUND(CAST(s AS DOUBLE), 2) AS total_revenue,
+       ROUND(2.0 * CAST(si AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+             - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini
+FROM tot
+"""
+
+
+INCR_CUTOFF = "1999-01-01"
+
+
+def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: the base partition (orders before
+    the cutoff) and the delta batch (after) are aggregated INDEPENDENTLY
+    into partial states (count, exact-decimal sum), then merged by
+    re-aggregating the union of partials — the materialized-view update
+    that never rescans the base at 100 TB (here both sides come from one
+    table to stay oracle-checkable; the oracle recomputes from scratch and
+    must hash-match, proving the merge is lossless). Works because count
+    and decimal-sum are commutative monoids; avg derives at read time."""
+    orders = load(spark, sf_dir, "orders")
+    cutoff = F.lit(INCR_CUTOFF).cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("pn"),
+            F.sum(_dec("o_totalprice")).alias("ps"))
+
+    base = partial(orders.filter(F.col("o_orderdate") < cutoff))
+    delta = partial(orders.filter(F.col("o_orderdate") >= cutoff))
+    merged = (base.unionByName(delta)
+              .groupBy("o_orderpriority")
+              .agg(F.sum("pn").alias("n_orders"),
+                   F.sum("ps").alias("sum_price")))
+    return merged.select(
+        "o_orderpriority", "n_orders",
+        F.round(F.col("sum_price").cast("double"), 2).alias("total_price"),
+        F.round(F.col("sum_price").cast("double") / F.col("n_orders"), 6)
+        .alias("avg_price"))
+
+
+ORACLE_INCREMENTAL_AGG = f"""
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS total_price,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_price
+FROM orders GROUP BY 1
+"""
+
+
+def q_first_digit_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford-style first-significant-digit profile of order totals — the
+    digit-distribution audit fraud/data-quality pipelines run. The digit
+    is extracted through integer/string ops (floor -> string -> first
+    char), never float log10, so engines agree at power-of-ten boundaries.
+    Row-local + one 9-group aggregate; the share uses a window total over
+    the 9-row result."""
+    orders = load(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor("o_totalprice").cast("long").cast("string"), 1, 1).cast("int")
+    counts = (orders.select(digit.alias("digit"))
+              .groupBy("digit").agg(F.count("*").alias("n")))
+    total = F.sum("n").over(Window.partitionBy())
+    return counts.select(
+        "digit", "n",
+        F.round(F.col("n") / total, 6).alias("share"))
+
+
+ORACLE_FIRST_DIGIT = """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                     1, 1) AS INT) AS digit
+  FROM orders),
+c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1)
+SELECT digit, n, ROUND(n / SUM(n) OVER (), 6) AS share FROM c
+"""
+
+
 RELATIONAL_QUERIES = [
     QueryDef("pricing_summary", q_pricing_summary, ORACLE_PRICING, "T11,A5,X-avg,S4", bench=True),
     QueryDef("shipping_priority", q_shipping_priority, ORACLE_SHIPPING, "J2,O1,A5", bench=True),
@@ -2258,4 +2453,14 @@ RELATIONAL_QUERIES = [
              ORACLE_LATE_SHIPMENT_AUDIT, "Q-double-exists,J2"),
     QueryDef("event_cooccurrence", q_event_cooccurrence,
              ORACLE_EVENT_COOCCURRENCE, "J-self,A-pairs"),
+    QueryDef("mad_outliers", q_mad_outliers, ORACLE_MAD_OUTLIERS,
+             "A-robust-mad,A-quantile"),
+    QueryDef("event_transition_matrix", q_event_transition_matrix,
+             ORACLE_EVENT_TRANSITIONS, "X-lag,A-seq"),
+    QueryDef("revenue_gini", q_revenue_gini, ORACLE_REVENUE_GINI,
+             "A-concentration,X-window"),
+    QueryDef("incremental_agg_merge", q_incremental_agg_merge,
+             ORACLE_INCREMENTAL_AGG, "A-incremental-mv,U1"),
+    QueryDef("first_digit_profile", q_first_digit_profile,
+             ORACLE_FIRST_DIGIT, "A-benford,T4"),
 ]
