@@ -2363,6 +2363,84 @@ SELECT digit, n, ROUND(n / SUM(n) OVER (), 6) AS share FROM c
 """
 
 
+# ---------------------------------------------------------------------------
+# Data-quality audits: key skew, referential integrity
+# ---------------------------------------------------------------------------
+
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile: per order-of-magnitude bucket of group size
+    (1, 2-9, 10-99, ...), how many lineitem order keys land there and how
+    many rows they carry — the audit run before keying a 100 TB shuffle,
+    because one hot key in the top bucket is what AQE skew-split (or
+    salting) must absorb. Two aggregations: per-key counts (map-side
+    heavy), then a handful of buckets. The bucket is length(count-string)
+    — integer/string, no float log."""
+    li = load(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_orderkey").agg(F.count("*").alias("rows_per_key"))
+    bucket = F.length(F.col("rows_per_key").cast("string"))
+    return (per_key.groupBy(bucket.alias("size_magnitude"))
+            .agg(F.count("*").alias("n_keys"),
+                 F.sum("rows_per_key").alias("n_rows"),
+                 F.max("rows_per_key").alias("max_rows_per_key")))
+
+
+ORACLE_KEY_SKEW = """
+WITH per_key AS (
+  SELECT l_orderkey, COUNT(*) AS rows_per_key FROM lineitem GROUP BY 1)
+SELECT length(CAST(rows_per_key AS VARCHAR)) AS size_magnitude,
+       COUNT(*) AS n_keys, SUM(rows_per_key) AS n_rows,
+       MAX(rows_per_key) AS max_rows_per_key
+FROM per_key GROUP BY 1
+"""
+
+
+def q_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key integrity audit across the star: for each declared edge
+    (lineitem.l_orderkey -> orders, orders.o_custkey -> customer,
+    lineitem.l_suppkey -> supplier), child row count, distinct child keys,
+    and orphan rows (left-anti against the parent) — the constraint check
+    a lakehouse runs after every ingest, since parquet enforces nothing.
+    Each edge is one anti-join (broadcast when the parent is a dim) + one
+    count; edges union into a single report."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+
+    def edge(name: str, child: DataFrame, key: str, parent: DataFrame,
+             pkey: str) -> DataFrame:
+        orphans = child.join(
+            parent.select(pkey), child[key] == parent[pkey], "left_anti")
+        stats = child.agg(F.count("*").alias("n_rows"),
+                          F.countDistinct(key).alias("n_keys"))
+        return (stats.crossJoin(orphans.agg(
+            F.count("*").alias("n_orphan_rows")))
+            .select(F.lit(name).alias("edge"), "n_rows", "n_keys",
+                    "n_orphan_rows"))
+
+    return (edge("lineitem->orders", li, "l_orderkey", orders, "o_orderkey")
+            .unionByName(edge("orders->customer", orders, "o_custkey",
+                              cust, "c_custkey"))
+            .unionByName(edge("lineitem->supplier", li, "l_suppkey",
+                              supp, "s_suppkey")))
+
+
+ORACLE_REFERENTIAL_INTEGRITY = """
+SELECT 'lineitem->orders' AS edge, COUNT(*) AS n_rows,
+       COUNT(DISTINCT l_orderkey) AS n_keys,
+       SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_orphan_rows
+FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+UNION ALL
+SELECT 'orders->customer', COUNT(*), COUNT(DISTINCT o_custkey),
+       SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+UNION ALL
+SELECT 'lineitem->supplier', COUNT(*), COUNT(DISTINCT l_suppkey),
+       SUM(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END)
+FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+"""
+
+
 RELATIONAL_QUERIES = [
     QueryDef("pricing_summary", q_pricing_summary, ORACLE_PRICING, "T11,A5,X-avg,S4", bench=True),
     QueryDef("shipping_priority", q_shipping_priority, ORACLE_SHIPPING, "J2,O1,A5", bench=True),
@@ -2463,4 +2541,8 @@ RELATIONAL_QUERIES = [
              ORACLE_INCREMENTAL_AGG, "A-incremental-mv,U1"),
     QueryDef("first_digit_profile", q_first_digit_profile,
              ORACLE_FIRST_DIGIT, "A-benford,T4"),
+    QueryDef("key_skew_profile", q_key_skew_profile, ORACLE_KEY_SKEW,
+             "A-skew-audit"),
+    QueryDef("referential_integrity_audit", q_referential_integrity_audit,
+             ORACLE_REFERENTIAL_INTEGRITY, "J-anti,A-integrity"),
 ]
