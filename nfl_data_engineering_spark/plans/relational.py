@@ -2409,14 +2409,17 @@ def q_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame
 
     def edge(name: str, child: DataFrame, key: str, parent: DataFrame,
              pkey: str) -> DataFrame:
-        orphans = child.join(
-            parent.select(pkey), child[key] == parent[pkey], "left_anti")
-        stats = child.agg(F.count("*").alias("n_rows"),
-                          F.countDistinct(key).alias("n_keys"))
-        return (stats.crossJoin(orphans.agg(
-            F.count("*").alias("n_orphan_rows")))
-            .select(F.lit(name).alias("edge"), "n_rows", "n_keys",
-                    "n_orphan_rows"))
+        # one pass: left join against the (unique-keyed) parent, count
+        # orphans as null parent keys — no separate anti-join scan, and no
+        # 1-row crossJoin (which would plan a BroadcastNestedLoopJoin)
+        j = child.join(parent.select(F.col(pkey).alias("__pk")),
+                       child[key] == F.col("__pk"), "left")
+        return (j.agg(F.count("*").alias("n_rows"),
+                      F.countDistinct(key).alias("n_keys"),
+                      F.sum(F.col("__pk").isNull().cast("int"))
+                      .alias("n_orphan_rows"))
+                .select(F.lit(name).alias("edge"), "n_rows", "n_keys",
+                        "n_orphan_rows"))
 
     return (edge("lineitem->orders", li, "l_orderkey", orders, "o_orderkey")
             .unionByName(edge("orders->customer", orders, "o_custkey",
