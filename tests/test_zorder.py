@@ -1,0 +1,57 @@
+"""Z-order clustered writer: roundtrip + data-skipping evidence."""
+
+from __future__ import annotations
+
+import glob
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from nfl_data_engineering_spark.io import write_zordered  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+def _file_ranges(path, cols):
+    import pyarrow.parquet as pq
+    out = []
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        t = pq.read_table(f, columns=list(cols))
+        if t.num_rows == 0:
+            continue
+        out.append({c: (min(t[c].to_pylist()), max(t[c].to_pylist()))
+                    for c in cols})
+    return out
+
+
+def test_zorder_roundtrip_and_two_dim_clustering(spark, tmp_path):
+    li = spark.read.parquet(os.path.join(SF, "lineitem.parquet"))
+    out = str(tmp_path / "li_z")
+    write_zordered(li, out, "l_partkey", "l_suppkey", num_files=16)
+
+    back = spark.read.parquet(out)
+    assert back.count() == li.count()
+    assert sorted(back.columns) == sorted(li.columns)
+
+    row = li.selectExpr("min(l_partkey) a0", "max(l_partkey) a1",
+                        "min(l_suppkey) b0", "max(l_suppkey) b1").collect()[0]
+    span_a = row["a1"] - row["a0"] or 1
+    span_b = row["b1"] - row["b0"] or 1
+
+    ranges = _file_ranges(out, ("l_partkey", "l_suppkey"))
+    assert len(ranges) > 4  # actually produced multiple files
+    frac_a = sum((r["l_partkey"][1] - r["l_partkey"][0]) / span_a
+                 for r in ranges) / len(ranges)
+    frac_b = sum((r["l_suppkey"][1] - r["l_suppkey"][0]) / span_b
+                 for r in ranges) / len(ranges)
+    # both dimensions cluster: each file covers a minority of BOTH ranges
+    # (a plain sort by l_partkey would give frac_b ~= 1.0)
+    assert frac_a < 0.6, frac_a
+    assert frac_b < 0.6, frac_b
+
+    # point-filter skipping: a single l_partkey value hits few files
+    probe = row["a0"] + (row["a1"] - row["a0"]) // 2
+    containing = sum(1 for r in ranges
+                     if r["l_partkey"][0] <= probe <= r["l_partkey"][1])
+    assert containing < len(ranges)
