@@ -2531,11 +2531,11 @@ RELATIONAL_QUERIES = [
     QueryDef("cohort_retention", q_cohort_retention, ORACLE_COHORT_RETENTION,
              "A-cohort,W-window"),
     QueryDef("late_shipment_audit", q_late_shipment_audit,
-             ORACLE_LATE_SHIPMENT_AUDIT, "Q-double-exists,J2"),
+             ORACLE_LATE_SHIPMENT_AUDIT, "Q-double-exists,J2", bench=True),
     QueryDef("event_cooccurrence", q_event_cooccurrence,
              ORACLE_EVENT_COOCCURRENCE, "J-self,A-pairs"),
     QueryDef("mad_outliers", q_mad_outliers, ORACLE_MAD_OUTLIERS,
-             "A-robust-mad,A-quantile"),
+             "A-robust-mad,A-quantile", bench=True),
     QueryDef("event_transition_matrix", q_event_transition_matrix,
              ORACLE_EVENT_TRANSITIONS, "X-lag,A-seq"),
     QueryDef("revenue_gini", q_revenue_gini, ORACLE_REVENUE_GINI,

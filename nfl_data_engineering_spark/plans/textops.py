@@ -18,7 +18,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..functions.hashing import MERSENNE_P, h60, minhash_bands_fast, simhash
+from ..functions.hashing import (MERSENNE_P, h60, h60_py,
+                                 minhash_bands_fast, simhash)
 from ..functions.text import (LANG_MARKERS, STOPWORDS, WORD_RE, doc_fingerprint,
                               explode_shingle_hashes, explode_tokens, lang_id,
                               regex_token_count, shingles, tokens)
@@ -722,10 +723,13 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     is tiny, so the hash join broadcasts it — one linear pass over train
     shingles."""
     docs = load(spark, sf_dir, "documents")
+    # cache: ev feeds base + hits and tr feeds hits — uncached, the
+    # shingle explode + md5 pass recomputes per consumer (same fix as
+    # bloom_prefilter_audit; measured ~2x at sf0.1)
     sh = (docs.select("doc_id", F.explode(
         F.array_distinct(shingles(tokens(F.col("text")), CONTAM_N)))
         .alias("shingle"))
-        .select("doc_id", h60(F.col("shingle")).alias("sh60")))
+        .select("doc_id", h60(F.col("shingle")).alias("sh60")).cache())
     ev = (sh.filter(F.col("doc_id") % EVAL_MOD == 0)
           .select(F.col("doc_id").alias("eval_doc_id"), "sh60"))
     tr = (sh.filter(F.col("doc_id") % EVAL_MOD != 0)
@@ -834,35 +838,52 @@ GROUP BY term, exact_n
 BLOOM_K, BLOOM_M = 3, 1 << 16
 
 
+def _bloom_params() -> list[tuple[int, int]]:
+    """k affine hash draws (a, b) over the Mersenne field — the MinHash
+    seed-derivation doctrine (functions/hashing.py): constants come from
+    h60 of a fixed seed string, so both engines embed identical literals
+    and the position math is pure int64 (no per-row md5 — measured 10x on
+    the train-side position pass vs string-hash positions at sf0.1)."""
+    return [(1 + h60_py(f"bloom_a_{k}") % (MERSENNE_P - 1),
+             h60_py(f"bloom_b_{k}") % MERSENNE_P)
+            for k in range(BLOOM_K)]
+
+
 def q_bloom_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter prefilter for decontamination: the training split's
-    8-gram hashes are folded into a Bloom filter (k=3 positions =
-    h60(k '#' sh60) mod 2^16, kept as a distinct position set so the
-    oracle reproduces it exactly); each held-out eval shingle is a
-    *candidate* iff all k positions are set. The audit reports, per eval
-    doc, candidate count vs exact-join match count — i.e. the false-
-    positive overhead you pay for replacing the full train-side join with
-    a fixed 64 Kib membership structure. No false negatives by
-    construction (tested). At 100 TB the position set is the only state
-    that travels: it broadcasts at 2^16 rows bounded, while the exact
-    join's train side scales with the corpus."""
+    8-gram hashes are folded into a Bloom filter (k=3 affine-hash
+    positions mod 2^16, kept as a distinct position set so the oracle
+    reproduces it exactly); each held-out eval shingle is a *candidate*
+    iff all k positions are set. The audit reports, per eval doc,
+    candidate count vs exact-join match count — i.e. the false-positive
+    overhead you pay for replacing the full train-side join with a fixed
+    64 Kib membership structure. No false negatives by construction
+    (tested). At 100 TB the position set is the only state that travels:
+    it broadcasts at 2^16 rows bounded, while the exact join's train side
+    scales with the corpus. Positions are affine int64 maps of the
+    shingle hash ((a*h + b) mod P mod M) — one multiply-add per
+    (shingle, k), all inside codegen."""
     docs = load(spark, sf_dir, "documents")
+    # cache: the shingle explode + md5 pass feeds four consumers (bits,
+    # evk, and both sides of the exact join) — uncached, Spark recomputes
+    # it per branch (measured 31s -> ~6s at sf0.1 with the cache+reuse)
     sh = (docs.select("doc_id", F.explode(
         F.array_distinct(shingles(tokens(F.col("text")), CONTAM_N)))
         .alias("shingle"))
-        .select("doc_id", h60(F.col("shingle")).alias("sh60")))
+        .select("doc_id", h60(F.col("shingle")).alias("sh60")).cache())
     ev = (sh.filter(F.col("doc_id") % EVAL_MOD == 0)
-          .select(F.col("doc_id").alias("eval_doc_id"), "sh60").distinct())
-    tr = sh.filter(F.col("doc_id") % EVAL_MOD != 0).select("sh60").distinct()
+          .select(F.col("doc_id").alias("eval_doc_id"), "sh60").distinct()
+          .cache())
+    tr = (sh.filter(F.col("doc_id") % EVAL_MOD != 0).select("sh60")
+          .distinct().cache())
 
-    ks = F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))).alias("k")
-    pos = F.pmod(
-        h60(F.concat(F.col("k").cast("string"), F.lit("#"),
-                     F.col("sh60").cast("string"))),
-        F.lit(BLOOM_M))
-    bits = tr.select("sh60", ks).select(pos.alias("pos")).distinct()
-    evk = (ev.select("eval_doc_id", "sh60", ks)
-           .select("eval_doc_id", "sh60", "k", pos.alias("pos")))
+    hm = F.col("sh60") % F.lit(MERSENNE_P)
+    positions = F.array(*[
+        ((F.lit(a) * hm + F.lit(b)) % F.lit(MERSENNE_P)) % F.lit(BLOOM_M)
+        for a, b in _bloom_params()])
+    bits = tr.select(F.explode(positions).alias("pos")).distinct()
+    evk = (ev.select("eval_doc_id", "sh60",
+                     F.explode(positions).alias("pos")))
     hitk = (evk.join(F.broadcast(bits.withColumn("present", F.lit(1))),
                      "pos", "left")
             .groupBy("eval_doc_id", "sh60")
@@ -882,16 +903,16 @@ def q_bloom_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_bloom_prefilter() -> str:
-    h = SQL_H60.format(e="(k::VARCHAR || '#' || sh60::VARCHAR)")
+    pos_exprs = ", ".join(
+        f"(({a} * (sh60 % {MERSENNE_P}) + {b}) % {MERSENNE_P}) % {BLOOM_M}"
+        for a, b in _bloom_params())
     return f"""
 WITH {_contam_shingles_sql(CONTAM_N)},
 ev AS (SELECT DISTINCT doc_id AS eval_doc_id, sh60 FROM shh
        WHERE doc_id % {EVAL_MOD} = 0),
 tr AS (SELECT DISTINCT sh60 FROM shh WHERE doc_id % {EVAL_MOD} != 0),
-ks AS (SELECT unnest(generate_series(0, {BLOOM_K - 1})) AS k),
-bits AS (SELECT DISTINCT {h} % {BLOOM_M} AS pos FROM tr CROSS JOIN ks),
-evk AS (SELECT eval_doc_id, sh60, k, {h} % {BLOOM_M} AS pos
-        FROM ev CROSS JOIN ks),
+bits AS (SELECT DISTINCT unnest([{pos_exprs}]) AS pos FROM tr),
+evk AS (SELECT eval_doc_id, sh60, unnest([{pos_exprs}]) AS pos FROM ev),
 hitk AS (
   SELECT eval_doc_id, sh60,
          CAST(MIN(CASE WHEN bits.pos IS NOT NULL THEN 1 ELSE 0 END) = 1
@@ -1008,7 +1029,7 @@ TEXT_QUERIES = [
     QueryDef("doc_chunking", q_doc_chunking, ORACLE_DOC_CHUNKING, "LLM-chunking"),
     QueryDef("inverted_index", q_inverted_index, ORACLE_INVERTED_INDEX, "LLM-inverted-index"),
     QueryDef("heavy_hitters_cms", q_heavy_hitters_cms, _oracle_heavy_hitters_cms(),
-             "A-sketch-cms"),
+             "A-sketch-cms", bench=True),
     QueryDef("bloom_prefilter_audit", q_bloom_prefilter_audit, _oracle_bloom_prefilter(),
-             "A-sketch-bloom,LLM-decontamination"),
+             "A-sketch-bloom,LLM-decontamination", bench=True),
 ]
