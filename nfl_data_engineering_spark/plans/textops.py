@@ -77,8 +77,10 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected-components query."""
     docs = load(spark, sf_dir, "documents")
     sh = explode_shingle_hashes(docs, "doc_id", "text", n=3).cache()
+    # cache: bands feeds both sides of the candidate self-join (sh is
+    # already cached; this additionally avoids re-running the 64-draw fold)
     bands = minhash_bands_fast(sh, "doc_id", "sh60", NUM_HASHES, NUM_BANDS,
-                               hashed=True)
+                               hashed=True).cache()
     b1 = bands.select(F.col("doc_id").alias("d1"), "band", "band_key")
     b2 = bands.select(F.col("doc_id").alias("d2"), "band", "band_key")
     cand = (b1.join(b2, ["band", "band_key"])

@@ -195,9 +195,11 @@ def q_cosine_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                      * (1 << (SRP_BITS_PER_BAND - 1 - r))
                      for r in range(SRP_BITS_PER_BAND)).alias("band_key"))
         for b in range(SRP_BANDS)]
+    # cache: bands feeds both sides of the candidate self-join — uncached,
+    # the 32-hyperplane sketch recomputes per side
     bands = (emb.select("vec_id",
                         F.explode(F.array(*band_structs)).alias("b"))
-             .select("vec_id", F.col("b.band"), F.col("b.band_key")))
+             .select("vec_id", F.col("b.band"), F.col("b.band_key")).cache())
     b1 = bands.select(F.col("vec_id").alias("v1"), "band", "band_key")
     b2 = bands.select(F.col("vec_id").alias("v2"), "band", "band_key")
     cand = (b1.join(b2, ["band", "band_key"])
@@ -205,7 +207,7 @@ def q_cosine_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("v1", "v2").distinct())
     from ..functions.similarity import dot as _dot, l2norm
     enorm = emb.select("vec_id", "embedding",
-                       l2norm(F.col("embedding")).alias("nrm"))
+                       l2norm(F.col("embedding")).alias("nrm")).cache()
     e1 = enorm.select(F.col("vec_id").alias("v1"),
                       F.col("embedding").alias("e1"), F.col("nrm").alias("n1"))
     e2 = enorm.select(F.col("vec_id").alias("v2"),
