@@ -444,8 +444,10 @@ WITH rec AS (
          CASE WHEN o_orderkey % 3 = 0 THEN o_orderkey % 5 ELSE 0 END AS ties
   FROM orders)
 SELECT o_orderstatus,
-       SUM(wins) AS sum_wins, SUM(losses) AS sum_losses, SUM(ties) AS sum_ties,
-       SUM(wins + losses + ties) AS sum_games_played
+       CAST(SUM(wins) AS BIGINT) AS sum_wins,
+       CAST(SUM(losses) AS BIGINT) AS sum_losses,
+       CAST(SUM(ties) AS BIGINT) AS sum_ties,
+       CAST(SUM(wins + losses + ties) AS BIGINT) AS sum_games_played
 FROM rec GROUP BY o_orderstatus
 """
 
@@ -585,7 +587,7 @@ ORACLE_JSON_EXTRACT = """
 WITH j AS (SELECT event_type, json_extract_string(props, '$.k')::BIGINT AS k FROM events)
 SELECT event_type,
        CAST(SUM(k) AS DOUBLE) / COUNT(k) AS avg_k,
-       SUM(k) AS sum_k, COUNT(k) AS n_k
+       CAST(SUM(k) AS BIGINT) AS sum_k, COUNT(k) AS n_k
 FROM j GROUP BY event_type
 """
 
@@ -1338,7 +1340,11 @@ def q_trailing_7d_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     One shuffle on user_id; at 100 TB this rides the same user bucketing
     as every other per-user window."""
     ev = load(spark, sf_dir, "events")
-    sec = F.expr("unix_micros(ts) div 1000000")
+    # events.ts is parquet timestamp[us] without tz -> TIMESTAMP_NTZ, which
+    # unix_micros rejects; cast to the session timestamp type first (session
+    # tz is UTC so the wall clock IS the epoch clock, matching DuckDB's
+    # epoch_us on the same naive value)
+    sec = F.expr("unix_micros(cast(ts as timestamp)) div 1000000")
     w = (Window.partitionBy("user_id").orderBy(sec.alias("sec"))
          .rangeBetween(-7 * 86400, 0))
     return ev.select(
@@ -1393,20 +1399,24 @@ def q_user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     as (ts, event_id, type) structs and array_sort'ed row-locally — the
     unique (ts, event_id) prefix pins a total order on both engines. One
     shuffle on user_id; array width = per-user event count (bound it with
-    a window top-N at 100 TB if users are unbounded)."""
+    a window top-N at 100 TB if users are unbounded). The sequence is
+    emitted '|'-delimited (not as an array column) so the result is
+    hashable by order-insensitive comparators."""
     ev = load(spark, sf_dir, "events")
     seq = F.transform(
         F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
         lambda x: x["event_type"])
     return (ev.groupBy("user_id")
-            .agg(F.count("*").alias("n_events"), seq.alias("event_seq")))
+            .agg(F.count("*").alias("n_events"),
+                 F.array_join(seq, "|").alias("event_seq")))
 
 
 ORACLE_USER_EVENT_SEQUENCES = """
 SELECT user_id, COUNT(*) AS n_events,
-       list_transform(list_sort(list(struct_pack(ts := ts, eid := event_id,
-                                                 et := event_type))),
-                      x -> x.et) AS event_seq
+       array_to_string(
+         list_transform(list_sort(list(struct_pack(ts := ts, eid := event_id,
+                                                   et := event_type))),
+                        x -> x.et), '|') AS event_seq
 FROM events GROUP BY user_id
 """
 
@@ -1657,7 +1667,9 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("weeks_since"))
             .groupBy("cohort_week", "weeks_since")
             .agg(F.countDistinct("user_id").alias("n_active_users"))
-            .orderBy("cohort_week", "weeks_since"))
+            .orderBy("cohort_week", "weeks_since")
+            .withColumn("cohort_week",
+                        F.date_format("cohort_week", "yyyy-MM-dd")))
 
 
 ORACLE_COHORT_RETENTION = """
@@ -1665,7 +1677,7 @@ WITH weeks AS (
   SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
   FROM events),
 cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM weeks GROUP BY user_id)
-SELECT cohort_week,
+SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
        CAST(date_diff('day', cohort_week, week) / 7 AS INTEGER) AS weeks_since,
        COUNT(DISTINCT weeks.user_id) AS n_active_users
 FROM weeks JOIN cohort ON weeks.user_id = cohort.user_id
@@ -1815,11 +1827,12 @@ def q_monthly_rank_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_time = Window.partitionBy("o_orderpriority").orderBy("month")
     w_rank = Window.partitionBy("o_orderpriority").orderBy(
         F.col("revenue").desc(), "month")
-    return monthly.select(
+    return (monthly.select(
         "o_orderpriority", "month", "revenue",
         F.dense_rank().over(w_rank).alias("rev_rank"),
         F.first_value(F.col("revenue")).over(w_time).alias("opening_rev"),
         F.nth_value(F.col("revenue"), 2).over(w_time).alias("second_rev"))
+        .withColumn("month", F.date_format("month", "yyyy-MM-dd")))
 
 
 ORACLE_MONTHLY_RANK_REPORT = """
@@ -1827,7 +1840,7 @@ WITH monthly AS (
   SELECT o_orderpriority, date_trunc('month', o_orderdate) AS month,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
   FROM orders GROUP BY 1, 2)
-SELECT o_orderpriority, month, revenue,
+SELECT o_orderpriority, strftime(month, '%Y-%m-%d') AS month, revenue,
        DENSE_RANK() OVER (PARTITION BY o_orderpriority
                           ORDER BY revenue DESC, month) AS rev_rank,
        FIRST_VALUE(revenue) OVER w AS opening_rev,
@@ -1878,7 +1891,7 @@ p AS (
               THEN json_extract_string(mp, '$.k')::BIGINT END AS k
   FROM m)
 SELECT event_type, COUNT(*) AS n_events, COUNT(k) AS n_valid,
-       COUNT(*) - COUNT(k) AS n_corrupt, SUM(k) AS sum_k
+       COUNT(*) - COUNT(k) AS n_corrupt, CAST(SUM(k) AS BIGINT) AS sum_k
 FROM p GROUP BY event_type
 """
 
@@ -1986,7 +1999,8 @@ expanded AS (
                              struct_pack(outcome := 'tie', n := t)],
                             x -> x.n > 0)) AS r
   FROM recs)
-SELECT r.outcome AS outcome, COUNT(*) AS n_teams, SUM(r.n) AS total
+SELECT r.outcome AS outcome, COUNT(*) AS n_teams,
+       CAST(SUM(r.n) AS BIGINT) AS total
 FROM expanded GROUP BY r.outcome
 """
 
@@ -2215,8 +2229,8 @@ j2 AS (SELECT j.event_type, j.value, j.med, mad.mad
 SELECT event_type, COUNT(*) AS n,
        ROUND(MIN(med), 6) AS median_value,
        ROUND(MIN(mad), 6) AS mad,
-       SUM(CASE WHEN abs(value - med) > {MAD_K!r} * mad
-                THEN 1 ELSE 0 END) AS n_outliers
+       CAST(SUM(CASE WHEN abs(value - med) > {MAD_K!r} * mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
 FROM j2 GROUP BY 1
 """
 
@@ -2388,7 +2402,7 @@ ORACLE_KEY_SKEW = """
 WITH per_key AS (
   SELECT l_orderkey, COUNT(*) AS rows_per_key FROM lineitem GROUP BY 1)
 SELECT length(CAST(rows_per_key AS VARCHAR)) AS size_magnitude,
-       COUNT(*) AS n_keys, SUM(rows_per_key) AS n_rows,
+       COUNT(*) AS n_keys, CAST(SUM(rows_per_key) AS BIGINT) AS n_rows,
        MAX(rows_per_key) AS max_rows_per_key
 FROM per_key GROUP BY 1
 """
@@ -2431,15 +2445,16 @@ def q_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame
 ORACLE_REFERENTIAL_INTEGRITY = """
 SELECT 'lineitem->orders' AS edge, COUNT(*) AS n_rows,
        COUNT(DISTINCT l_orderkey) AS n_keys,
-       SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_orphan_rows
+       CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orphan_rows
 FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
 UNION ALL
 SELECT 'orders->customer', COUNT(*), COUNT(DISTINCT o_custkey),
-       SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+       CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
 FROM orders LEFT JOIN customer ON o_custkey = c_custkey
 UNION ALL
 SELECT 'lineitem->supplier', COUNT(*), COUNT(DISTINCT l_suppkey),
-       SUM(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END)
+       CAST(SUM(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
 FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
 """
 

@@ -72,9 +72,10 @@ def test_inverted_index_postings_match_doc_freq(spark):
     assert rows, "sf0.001 corpus must yield at least one common term"
     for r in rows:
         assert r["doc_freq"] >= MIN_POSTINGS_DF
-        assert len(r["postings"]) == r["doc_freq"]
-        assert r["postings"] == sorted(r["postings"])
-        assert len(set(r["postings"])) == len(r["postings"])
+        postings = [int(d) for d in r["postings"].split("|")]
+        assert len(postings) == r["doc_freq"]
+        assert postings == sorted(postings)
+        assert len(set(postings)) == len(postings)
         assert r["coll_freq"] >= r["doc_freq"]
 
 

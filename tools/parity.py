@@ -2,7 +2,17 @@
 against its oracle_sql() in DuckDB on the same parquet and compare
 row-count + column names + order-insensitive values.
 
+The comparison is deliberately dtype-strict, mirroring the driver's
+pandas-based canonicalizer (sort columns by name, sort_values over all
+columns, hash): round 1 showed that a DuckDB HUGEINT sum (-> float64/object
+in .df()) hash-mismatches a Spark int64 even when the values are equal, and
+that list-valued cells crash pandas sort_values outright. So this tool
+compares through pandas frames, flags dtype-kind mismatches and unhashable
+cells, and only then compares values.
+
 Usage: python tools/parity.py [sf_dir] [query_name ...]
+Env:   SPARK_GRAFT_VANILLA=1  -> use a bone-stock SparkSession (driver sim)
+       PARITY_SKIP_BENCH_HEAVY=1 -> skip entries marked heavy
 """
 
 from __future__ import annotations
@@ -13,6 +23,8 @@ import sys
 import time
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -20,27 +32,58 @@ TABLES = ("region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings")
 
 
-def norm_cell(v):
-    if v is None:
+def canon(pdf: pd.DataFrame, side: str):
+    """Driver-style canonical form. Raises TypeError on list/dict cells —
+    exactly what kills the driver's sort_values."""
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    for c in pdf.columns:
+        if pdf[c].dtype == object:
+            bad = pdf[c].map(
+                lambda v: isinstance(v, (list, dict, np.ndarray))).any()
+            if bad:
+                raise TypeError(
+                    f"{side} column {c!r} holds list/dict cells "
+                    "(unhashable for the driver's sort_values)")
+    if len(pdf):
+        pdf = pdf.sort_values(list(pdf.columns), kind="mergesort",
+                              na_position="last").reset_index(drop=True)
+    return pdf
+
+
+def cell_repr(v):
+    if v is None or (isinstance(v, float) and math.isnan(v)):
         return "<NULL>"
     if isinstance(v, float):
-        if math.isnan(v):
-            return "<NaN>"
         return repr(v)
     if isinstance(v, bytes):
         return v.hex()
-    if isinstance(v, list):
-        return "[" + ",".join(norm_cell(x) for x in v) + "]"
     return str(v)
 
 
-def normalize(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        out.append(tuple(norm_cell(r[i]) for i in order))
-    out.sort()
-    return out
+def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    errs: list[str] = []
+    s = canon(spark_pdf, "spark")
+    d = canon(duck_pdf, "duck")
+    if list(s.columns) != list(d.columns):
+        return [f"cols spark={list(s.columns)} duck={list(d.columns)}"]
+    if len(s) != len(d):
+        return [f"rowcount spark={len(s)} duck={len(d)}"]
+    for c in s.columns:
+        sk, dk = s[c].dtype.kind, d[c].dtype.kind
+        if sk != dk:
+            errs.append(f"dtype-kind mismatch on {c!r}: "
+                        f"spark={s[c].dtype} duck={d[c].dtype} "
+                        "(driver hash would differ even on equal values)")
+            continue
+        sv = [cell_repr(v) for v in s[c]]
+        dv = [cell_repr(v) for v in d[c]]
+        if sv != dv:
+            diffs = [(i, a, b) for i, (a, b) in enumerate(zip(sv, dv))
+                     if a != b][:3]
+            errs.append(f"values differ on {c!r}: "
+                        + "; ".join(f"row{i}: spark={a} duck={b}"
+                                    for i, a, b in diffs))
+    return errs
 
 
 def main():
@@ -71,44 +114,37 @@ def main():
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
-            spark_cols = df.columns
-            spark_rows = [tuple(r) for r in df.collect()]
+            spark_pdf = df.toPandas()
         except Exception as e:
-            print(f"FAIL {name}: spark error: {e}")
+            print(f"FAIL {name}: spark error: {str(e)[:300]}")
             failures.append(name)
             continue
         if name not in os_:
-            print(f"SKIP {name}: no oracle (rows-only) — {len(spark_rows)} rows "
-                  f"[{time.time()-t0:.1f}s]")
+            try:
+                canon(spark_pdf, "spark")
+                print(f"SKIP {name}: no oracle (rows-only) — "
+                      f"{len(spark_pdf)} rows [{time.time()-t0:.1f}s]")
+            except TypeError as e:
+                print(f"FAIL {name}: {e}")
+                failures.append(name)
             continue
         try:
-            res = con.execute(os_[name])
-            duck_cols = [d[0] for d in res.description]
-            duck_rows = res.fetchall()
+            duck_pdf = con.execute(os_[name]).df()
         except Exception as e:
-            print(f"FAIL {name}: oracle error: {str(e)[:200]}")
+            print(f"FAIL {name}: oracle error: {str(e)[:250]}")
             failures.append(name)
             continue
-        ok = True
-        if sorted(spark_cols) != sorted(duck_cols):
-            print(f"FAIL {name}: cols spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
-            ok = False
-        elif len(spark_rows) != len(duck_rows):
-            print(f"FAIL {name}: rowcount spark={len(spark_rows)} duck={len(duck_rows)}")
-            ok = False
-        else:
-            s = normalize(spark_rows, spark_cols)
-            d = normalize(duck_rows, duck_cols)
-            if s != d:
-                ok = False
-                diffs = [(a, b) for a, b in zip(s, d) if a != b][:3]
-                print(f"FAIL {name}: values differ; first diffs:")
-                for a, b in diffs:
-                    print(f"   spark={a}\n   duck ={b}")
-        if ok:
-            print(f"OK   {name}: {len(spark_rows)} rows [{time.time()-t0:.1f}s]")
-        else:
+        try:
+            errs = compare(spark_pdf, duck_pdf)
+        except TypeError as e:
+            errs = [str(e)]
+        if errs:
+            print(f"FAIL {name}:")
+            for e in errs[:6]:
+                print(f"   {e}")
             failures.append(name)
+        else:
+            print(f"OK   {name}: {len(spark_pdf)} rows [{time.time()-t0:.1f}s]")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     spark.stop()
     sys.exit(1 if failures else 0)
