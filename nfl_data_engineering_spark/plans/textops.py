@@ -189,18 +189,30 @@ FROM comp GROUP BY component
 # Exact n-gram jaccard (no LSH) — correctness baseline for the LSH path
 # ---------------------------------------------------------------------------
 
+NGRAM_DF_CAP = 500
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs 3-gram jaccard >= 0.7 via shingle-keyed self-join (no
-    sketching). At 100 TB, cap shingle document frequency before the join
-    (ultra-common shingles dominate the pair blowup); at testdata scale the
-    raw join is exact and cheap. Shingles join by 60-bit hash, not string
-    (identical result on both engines; int64 shuffle keys; row-local
-    within-doc dedup)."""
+    sketching), with the shingle DOCUMENT-FREQUENCY CAP that makes the
+    self-join survive 100 TB: one shingle appearing in k docs contributes
+    k^2/2 joined rows, so a single boilerplate phrase ("all rights
+    reserved") turns the join quadratic. Shingles with df > NGRAM_DF_CAP
+    are dropped from the INTERSECTION join only (set sizes stay exact, so
+    a binding cap can only undercount jaccard — the conservative
+    direction for a >= threshold). The cap (500) sits far above the
+    observed max df at test scales (25 at sf0.1), so results here are
+    exact; the oracle applies the identical cap. Shingles join by 60-bit
+    hash, not string (identical result on both engines; int64 shuffle
+    keys; row-local within-doc dedup)."""
     docs = load(spark, sf_dir, "documents")
     sh = explode_shingle_hashes(docs, "doc_id", "text", n=3).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    s1 = sh.select(F.col("doc_id").alias("d1"), "sh60")
-    s2 = sh.select(F.col("doc_id").alias("d2"), "sh60")
+    rare = (sh.groupBy("sh60").agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= NGRAM_DF_CAP).select("sh60"))
+    capped = sh.join(rare, "sh60")
+    s1 = capped.select(F.col("doc_id").alias("d1"), "sh60")
+    s2 = capped.select(F.col("doc_id").alias("d2"), "sh60")
     inter = (s1.join(s2, "sh60").filter(F.col("d1") < F.col("d2"))
              .groupBy("d1", "d2").agg(F.count("*").alias("i")))
     jac = (F.col("i").cast("double")
@@ -216,9 +228,12 @@ ORACLE_NGRAM_JACCARD = f"""
 WITH {_sql_shingles_cte(3)},
 shh AS (SELECT DISTINCT doc_id, {SQL_H60.format(e='shingle')} AS sh60 FROM sh),
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shh GROUP BY 1),
+rare AS (SELECT sh60 FROM shh GROUP BY sh60
+         HAVING COUNT(*) <= {NGRAM_DF_CAP}),
+capped AS (SELECT shh.doc_id, shh.sh60 FROM shh JOIN rare USING (sh60)),
 inter AS (
   SELECT x.doc_id AS d1, y.doc_id AS d2, COUNT(*) AS i
-  FROM shh x JOIN shh y ON y.sh60 = x.sh60 AND x.doc_id < y.doc_id
+  FROM capped x JOIN capped y ON y.sh60 = x.sh60 AND x.doc_id < y.doc_id
   GROUP BY 1, 2)
 SELECT d1, d2,
        ROUND(i::DOUBLE / (s1.sz + s2.sz - i)::DOUBLE, 6) AS jaccard
@@ -445,8 +460,8 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TOKEN_COUNTS = f"""
 SELECT source, COUNT(*) AS n_docs,
-       SUM(len({SQL_TOKENS.format(col='text')})) AS sum_ws_tokens,
-       SUM(len(regexp_extract_all(text, '{WORD_RE.replace(chr(39), chr(39) * 2)}'))) AS sum_regex_tokens,
+       CAST(SUM(len({SQL_TOKENS.format(col='text')})) AS BIGINT) AS sum_ws_tokens,
+       CAST(SUM(len(regexp_extract_all(text, '{WORD_RE.replace(chr(39), chr(39) * 2)}'))) AS BIGINT) AS sum_regex_tokens,
        MAX(len({SQL_TOKENS.format(col='text')})) AS max_ws_tokens
 FROM documents GROUP BY source
 """
@@ -499,7 +514,7 @@ WITH m AS (
          octet_length(encode(text))::BIGINT AS payload_bytes
   FROM documents)
 SELECT modality, COUNT(*) AS n_docs,
-       SUM(payload_bytes) AS total_bytes,
+       CAST(SUM(payload_bytes) AS BIGINT) AS total_bytes,
        CAST(SUM(payload_bytes) AS DOUBLE) / COUNT(*) AS avg_bytes,
        MAX(payload_bytes) AS max_bytes
 FROM m GROUP BY modality
@@ -639,9 +654,9 @@ red AS (
                         '\b555-\d{4}\b', '<PHONE>', 'g') AS r
   FROM inj)
 SELECT source, COUNT(*) AS n_docs,
-       SUM(n_email) AS emails_redacted,
-       SUM(n_phone) AS phones_redacted,
-       SUM(length(t) - length(r)) AS chars_removed
+       CAST(SUM(n_email) AS BIGINT) AS emails_redacted,
+       CAST(SUM(n_phone) AS BIGINT) AS phones_redacted,
+       CAST(SUM(length(t) - length(r)) AS BIGINT) AS chars_removed
 FROM red GROUP BY source
 """
 
@@ -923,7 +938,7 @@ hitk AS (
   GROUP BY 1, 2),
 per_doc AS (
   SELECT eval_doc_id, COUNT(*) AS n_shingles,
-         SUM(bloom_hit) AS n_bloom_candidates
+         CAST(SUM(bloom_hit) AS BIGINT) AS n_bloom_candidates
   FROM hitk GROUP BY 1),
 exact AS (
   SELECT eval_doc_id, COUNT(*) AS n_exact FROM ev
@@ -988,7 +1003,8 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     the (term, doc) combine is map-side-heavy (per-doc term counts), the
     term rollup shuffles |vocab| rows. collect_list carries no order
     guarantee under partial aggregation, so postings are array_sort'ed
-    row-locally. At 100 TB, cap per-term posting width (df ceiling) the
+    row-locally. Postings are emitted '|'-delimited (hashable scalar, not
+    an array cell). At 100 TB, cap per-term posting width (df ceiling) the
     same way the shingle self-join caps document frequency."""
     docs = load(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
@@ -996,7 +1012,8 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (tf.groupBy("term")
             .agg(F.count("*").alias("doc_freq"),
                  F.sum("tf").alias("coll_freq"),
-                 F.array_sort(F.collect_list("doc_id")).alias("postings"))
+                 F.array_join(F.array_sort(F.collect_list("doc_id")), "|")
+                  .alias("postings"))
             .filter(F.col("doc_freq") >= MIN_POSTINGS_DF))
 
 
@@ -1004,8 +1021,8 @@ ORACLE_INVERTED_INDEX = f"""
 WITH toks AS (
   SELECT doc_id, unnest({SQL_TOKENS.format(col="text")}) AS term FROM documents),
 tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2)
-SELECT term, COUNT(*) AS doc_freq, SUM(tf) AS coll_freq,
-       list_sort(list(doc_id)) AS postings
+SELECT term, COUNT(*) AS doc_freq, CAST(SUM(tf) AS BIGINT) AS coll_freq,
+       array_to_string(list_sort(list(doc_id)), '|') AS postings
 FROM tf GROUP BY term HAVING COUNT(*) >= {MIN_POSTINGS_DF}
 """
 

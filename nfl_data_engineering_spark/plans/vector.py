@@ -147,8 +147,8 @@ WHERE {SQL_COS.format(a='a.embedding', b='b.embedding')} >= {COSINE_PAIR_THRESHO
 # SRP-LSH near-dup: the bucketed scale path for cosine pairs
 # ---------------------------------------------------------------------------
 
-SRP_BANDS = 8
-SRP_BITS_PER_BAND = 4
+SRP_BANDS = 16
+SRP_BITS_PER_BAND = 12
 SRP_DIM = 64                      # embeddings table dimension (TESTDATA)
 SRP_THRESHOLD = 0.45
 
@@ -163,42 +163,61 @@ def _srp_signs() -> list[list[float]]:
 
 def q_cosine_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine near-dup via signed-random-projection LSH: each vector gets
-    32 sign bits (8 bands x 4 bits); vectors sharing any band key become
+    192 sign bits (16 bands x 12 bits); vectors sharing any band key become
     candidates; exact cosine verifies candidates only.
 
     This is the 100 TB twin of q_cosine_neardup_pairs: the all-pairs cross
     join is replaced by an equi-join on (band, band_key) — linear scans plus
-    a join sized by the band collision rate. Recall at the 0.45 threshold is
-    ~0.8 per the SRP collision bound (1-(1-p^4)^8, p = 1-θ/π); tighter
-    thresholds (real dedup runs at 0.9+) make the bands BOTH more selective
-    and higher-recall — 0.45 is the permissive floor this synthetic corpus
-    supports (its max pair is ~0.6). The sketch is 32 fused dot-products
-    per row, one codegen stage.
+    a join sized by the band collision rate. Band width IS the scale knob:
+    4-bit bands (16 buckets) leave expected candidates ~n^2/64 — still
+    quadratic, measured 37.6 s / ~815k pairs at sf0.1 — while 12-bit bands
+    (4096 buckets) push a random pair's per-band collision odds to
+    p^12 ~ 2^-12 (p = 1-θ/π ~ 0.5 at θ=90°), so the candidate set is the
+    near-duplicate clusters plus a thin random film: O(n) in corpus size
+    for fixed cluster geometry, the shape that survives 100x. The recall
+    trade is real and documented: at this permissive 0.45 threshold
+    (p=0.65) a 12-bit band keeps ~0.5% of true pairs per band (~8% over
+    16 bands); at the θ>=0.9 thresholds real dedup runs at (p>=0.86),
+    12-bit bands retain ~16% per band and the 16-band OR reaches ~94%
+    recall — wide bands are BUILT for tight thresholds. For permissive
+    sweeps, raise SRP_BANDS or multi-probe; never narrow the bands back
+    into the quadratic regime.
 
-    Plan shape (profiled at sf0.1, ~815k candidate pairs): band keys are
-    the 4 sign bits PACKED INTO AN INT (0..15) — integer equi-join, no md5
-    strings; candidates ARE deduped before verification (measured 2x faster
-    end-to-end than verify-then-dedup: the distinct's exchange materializes
-    the candidate set so AQE plans the norm-lookup joins as broadcasts).
-    Verification precomputes each vector's norm once, so a candidate pair
-    costs one dot product — kept in zip_with/aggregate form, because an
-    unrolled 64-term sum exceeds the codegen method-size limit and drops
-    the stage to interpreted eval (measured 4x slower)."""
+    Plan shape: all 192 hyperplane dot products are computed in ONE
+    `transform` over a nested plane-matrix literal (one codegen stage, no
+    192-expression tree for Catalyst to chew), then each band key packs 12
+    sign bits from an array slice via an integer fold — integer equi-join
+    keys, no md5 strings. Candidates ARE deduped before verification
+    (measured 2x faster end-to-end than verify-then-dedup: the distinct's
+    exchange materializes the candidate set so AQE plans the norm-lookup
+    joins as broadcasts). Verification precomputes each vector's norm
+    once, so a candidate pair costs one dot product — kept in
+    zip_with/aggregate form, because an unrolled 64-term sum exceeds the
+    codegen method-size limit and drops the stage to interpreted eval
+    (measured 4x slower)."""
     signs = _srp_signs()
     emb = load(spark, sf_dir, "embeddings")
-    bits = [(dot(F.col("embedding"),
-                 F.lit(signs[j])) > 0).cast("int")
-            for j in range(SRP_BANDS * SRP_BITS_PER_BAND)]
+    # one parsed SQL literal, NOT nested F.array(F.lit(...)) — 192x64 lits
+    # would cost 12k py4j round-trips in plan construction alone (measured
+    # 13.5 s of pure driver time before a single task ran)
+    planes = F.expr(
+        "array(" + ", ".join(
+            "array(" + ", ".join(str(s) for s in row) + ")"
+            for row in signs) + ")")
+    dots = F.transform(planes, lambda p: dot(F.col("embedding"), p))
+    band_key = [
+        F.aggregate(
+            F.slice(F.col("dv"), b * SRP_BITS_PER_BAND + 1, SRP_BITS_PER_BAND),
+            F.lit(0),
+            lambda acc, d: acc * 2 + F.when(d > 0, 1).otherwise(0))
+        for b in range(SRP_BANDS)]
     band_structs = [
-        F.struct(F.lit(b).alias("band"),
-                 sum(bits[b * SRP_BITS_PER_BAND + r]
-                     * (1 << (SRP_BITS_PER_BAND - 1 - r))
-                     for r in range(SRP_BITS_PER_BAND)).alias("band_key"))
+        F.struct(F.lit(b).alias("band"), band_key[b].alias("band_key"))
         for b in range(SRP_BANDS)]
     # cache: bands feeds both sides of the candidate self-join — uncached,
-    # the 32-hyperplane sketch recomputes per side
-    bands = (emb.select("vec_id",
-                        F.explode(F.array(*band_structs)).alias("b"))
+    # the 192-hyperplane sketch recomputes per side
+    bands = (emb.select("vec_id", dots.alias("dv"))
+             .select("vec_id", F.explode(F.array(*band_structs)).alias("b"))
              .select("vec_id", F.col("b.band"), F.col("b.band_key")).cache())
     b1 = bands.select(F.col("vec_id").alias("v1"), "band", "band_key")
     b2 = bands.select(F.col("vec_id").alias("v2"), "band", "band_key")
@@ -227,21 +246,25 @@ def q_cosine_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _srp_oracle() -> str:
     signs = _srp_signs()
-    nplanes = SRP_BANDS * SRP_BITS_PER_BAND
-    bit_cols = ", ".join(
-        "CASE WHEN list_dot_product(embedding::DOUBLE[], ["
-        + ", ".join(str(s) for s in signs[j])
-        + f"]) > 0 THEN 1 ELSE 0 END AS b{j}"
-        for j in range(nplanes))
+    planes = ("[" + ", ".join(
+        "[" + ", ".join(str(s) for s in row) + "]" for row in signs)
+        + "]::DOUBLE[][]")
+    # dv[i] is 1-based; band b packs bits b*BITS .. b*BITS+BITS-1, MSB first
+    # (same acc*2+bit fold as the Spark side)
     band_rows = " UNION ALL ".join(
         f"SELECT vec_id, {b} AS band, "
         + " + ".join(
-            f"b{b * SRP_BITS_PER_BAND + r} * {1 << (SRP_BITS_PER_BAND - 1 - r)}"
+            f"(CASE WHEN dv[{b * SRP_BITS_PER_BAND + r + 1}] > 0 "
+            f"THEN {1 << (SRP_BITS_PER_BAND - 1 - r)} ELSE 0 END)"
             for r in range(SRP_BITS_PER_BAND))
-        + " AS band_key FROM bits"
+        + " AS band_key FROM dots"
         for b in range(SRP_BANDS))
     return f"""
-WITH bits AS (SELECT vec_id, {bit_cols} FROM embeddings),
+WITH dots AS (
+  SELECT vec_id,
+         list_transform({planes},
+                        p -> list_dot_product(embedding::DOUBLE[], p)) AS dv
+  FROM embeddings),
 bands AS ({band_rows}),
 cand AS (
   SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
