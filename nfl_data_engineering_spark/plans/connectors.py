@@ -89,9 +89,50 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_CSV_ROUNDTRIP = """
-SELECT event_type, COUNT(*) AS n, SUM(event_id) AS sum_event_id,
+SELECT event_type, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# S3/S10: Excel sink + source roundtrip (self-contained OOXML codec)
+# ---------------------------------------------------------------------------
+
+def q_xlsx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 then S3: aggregate events, export to .xlsx via the
+    driver-side Excel sink (team_rankings_scraper.py:251 analog), read the
+    workbook back through the Excel registry-source path, and re-aggregate.
+    The .xlsx codec is the self-contained OOXML implementation in
+    sources/tabular.py (no external engine in this container); integer
+    sums ride through the spreadsheet as numeric cells, doubles as decimal
+    strings rendered by repr — both round-trip exactly, so the readback
+    matches the oracle's direct aggregation of the source parquet."""
+    from ..sources.tabular import read_xlsx_pandas, write_excel
+    path = _tmp_path("xlsx", sf_dir) + ".xlsx"
+    ev = load(spark, sf_dir, "events")
+    per_user = (ev.groupBy("user_id")
+                .agg(F.count("*").alias("n_events"),
+                     F.sum("event_id").alias("sum_event_id")))
+    write_excel(per_user.orderBy("user_id"), path)
+    back = spark.createDataFrame(
+        read_xlsx_pandas(path),
+        "user_id bigint, n_events bigint, sum_event_id bigint")
+    return (back.agg(F.count("*").alias("n_users"),
+                     F.sum("n_events").alias("total_events"),
+                     F.sum("sum_event_id").alias("total_event_id"),
+                     F.max("n_events").alias("max_user_events")))
+
+
+ORACLE_XLSX_ROUNDTRIP = """
+WITH per_user AS (
+  SELECT user_id, COUNT(*) AS n_events, SUM(event_id) AS sum_event_id
+  FROM events GROUP BY user_id)
+SELECT COUNT(*) AS n_users,
+       CAST(SUM(n_events) AS BIGINT) AS total_events,
+       CAST(SUM(sum_event_id) AS BIGINT) AS total_event_id,
+       CAST(MAX(n_events) AS BIGINT) AS max_user_events
+FROM per_user
 """
 
 
@@ -115,7 +156,7 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_JSON_ROUNDTRIP = """
-SELECT event_type, COUNT(*) AS n, SUM(user_id) AS sum_user_id,
+SELECT event_type, COUNT(*) AS n, CAST(SUM(user_id) AS BIGINT) AS sum_user_id,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events GROUP BY event_type
 """
@@ -206,17 +247,30 @@ FROM oc {where}
 
 # scraper fixture shared by the query's injected fetcher AND the oracle:
 # the raw per-table cell values live here once; Spark melts them through
-# the real mapInPandas adapter, the oracle re-melts them in SQL.
+# the real mapInPandas adapter (record split + year rename + naming), the
+# oracle re-derives the expected long rows INDEPENDENTLY (python re, not
+# the pandas adapter) and serves them as a VALUES literal.
 _SCRAPE_DATE = "2025-11-03"
 _SCRAPE_REGISTRY = [
     ("rankings", "predictive", "http://r/p", "Rating,Pct", ""),
     ("offense_scoring", "scoring", "http://o/s", "Rating", ""),
+    # record-marked column + two season columns: exercises the T3 W-L-T
+    # split (team_rankings_scraper.py:48-82, :186) and the T6 year ->
+    # this_yr/last_yr rename (:143-150) inside the distributed adapter
+    ("rankings", "standings", "http://r/s", "Record,2025,2024", "Record"),
 ]
-_SCRAPE_SIZES = {"predictive": 3, "scoring": 2}
+_SCRAPE_SIZES = {"predictive": 3, "scoring": 2, "standings": 3}
 
 
 def _scrape_cells(table_name: str) -> dict[str, list[str]]:
     n = _SCRAPE_SIZES[table_name]
+    if table_name == "standings":
+        return {
+            "Team": [f"team_{k}" for k in range(n)],
+            "Record": ["3-1", "2-1-1", "--"][:n],
+            "2025": [f"{8 + k}" for k in range(n)],
+            "2024": [f"{5 + k}" for k in range(n)],
+        }
     return {
         "Team": [f"team_{k}" for k in range(n)],
         "Rating": [f"{10.5 + k}" for k in range(n)],
@@ -225,46 +279,76 @@ def _scrape_cells(table_name: str) -> dict[str, list[str]]:
 
 
 def q_scraper_longform(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S2+T6: the distributed scraper adapter with an injected deterministic
-    fetcher — registry DataFrame fans out via mapInPandas, tables melt to
-    the long form with {category}_{table}_{col} metric naming. O2: only the
-    first table parse is kept per config (the fetcher returns one table,
-    mirroring tables[0] at team_rankings_scraper.py:168-169). Hash-checked:
-    the oracle re-melts the same raw cells with SQL-side naming."""
+    """S2+T6+T3: the distributed scraper adapter with an injected
+    deterministic fetcher — registry DataFrame fans out via mapInPandas,
+    tables melt to the long form with {category}_{table}_{col} metric
+    naming, record-marked columns split to _wins/_losses/_ties, year
+    columns renamed this_yr/last_yr. O2: only the first table parse is
+    kept per config (the fetcher returns one table, mirroring tables[0] at
+    team_rankings_scraper.py:168-169). Hash-checked: the oracle expands
+    the same raw cells independently (python re, not the adapter)."""
+    cells_by_table = {t: _scrape_cells(t) for t in _SCRAPE_SIZES}
+
     def fetcher(category, table_name, base_url, date):
         import pandas as pd
-        sizes = {"predictive": 3, "scoring": 2}
-        n = sizes[table_name]
-        return pd.DataFrame({
-            "Team": [f"team_{k}" for k in range(n)],
-            "Rating": [f"{10.5 + k}" for k in range(n)],
-            "Pct": [f"{50 + k}.0%" for k in range(n)],
-        })
+        return pd.DataFrame(cells_by_table[table_name])
 
     registry = spark.createDataFrame(
         _SCRAPE_REGISTRY,
         "category string, table_name string, base_url string, cols_to_keep string, record_cols string")
     out = scrape_tables_long(registry, _SCRAPE_DATE, fetcher=fetcher,
                              num_tasks=2)
-    return out.orderBy("team", "metric")
+    return (out.withColumn("date", F.date_format("date", "yyyy-MM-dd"))
+            .orderBy("team", "metric"))
+
+
+def _scrape_expected_rows() -> list[tuple[str, str, str | None]]:
+    """(team, metric, value) rows the adapter must emit — derived with
+    python re/str ops only, independent of the pandas code path."""
+    import re as _re
+    year_names = {str(y) for y in range(2000, 2101)}
+    rows: list[tuple[str, str, str | None]] = []
+    for category, table_name, _url, keep_s, rec_s in _SCRAPE_REGISTRY:
+        cells = _scrape_cells(table_name)
+        keep = [c.strip() for c in keep_s.split(",") if c.strip()]
+        rec = {c.strip() for c in rec_s.split(",") if c.strip()}
+        year_cols = [c for c in cells if c in year_names]
+        rename = {}
+        if year_cols:
+            rename[year_cols[0]] = "this_yr"
+            if len(year_cols) > 1:
+                rename[year_cols[1]] = "last_yr"
+        expanded: list[tuple[str, list[str | None]]] = []
+        for col in keep:
+            if col in rec:
+                wins, losses, ties = [], [], []
+                for v in cells[col]:
+                    m = _re.match(r"^(\d+)-(\d+)(?:-(\d+))?$", v)
+                    wins.append(m.group(1) if m else None)
+                    losses.append(m.group(2) if m else None)
+                    ties.append((m.group(3) or "0") if m else None)
+                expanded += [(f"{col}_wins", wins), (f"{col}_losses", losses),
+                             (f"{col}_ties", ties)]
+            else:
+                expanded.append((rename.get(col, col), cells[col]))
+        prefix = f"{category}_{table_name}_"
+        for col, values in expanded:
+            metric = prefix + _re.sub(r"\s+", "_", col.lower())
+            for team, value in zip(cells["Team"], values):
+                rows.append((team, metric, value))
+    return rows
 
 
 def _scraper_longform_oracle() -> str:
     rows = []
-    for category, table_name, _url, keep, _rec in _SCRAPE_REGISTRY:
-        cells = _scrape_cells(table_name)
-        for col in [c.strip() for c in keep.split(",") if c.strip()]:
-            for team, value in zip(cells["Team"], cells[col]):
-                rows.append(f"('{category}', '{table_name}', '{col}', "
-                            f"'{team}', '{value}')")
+    for team, metric, value in _scrape_expected_rows():
+        v = "NULL" if value is None else f"'{value}'"
+        rows.append(f"('{team}', '{metric}', {v})")
     values = ",\n    ".join(rows)
     return f"""
-WITH fixture(category, table_name, col, team, value) AS (VALUES
+WITH fixture(team, metric, value) AS (VALUES
     {values})
-SELECT team, DATE '{_SCRAPE_DATE}' AS date,
-       category || '_' || table_name || '_'
-                || lower(regexp_replace(col, '\\s+', '_', 'g')) AS metric,
-       value
+SELECT team, '{_SCRAPE_DATE}' AS date, metric, value
 FROM fixture
 """
 
@@ -315,12 +399,14 @@ CONNECTOR_QUERIES = [
     QueryDef("csv_roundtrip", q_csv_roundtrip, ORACLE_CSV_ROUNDTRIP, "S9"),
     QueryDef("json_roundtrip", q_json_roundtrip, ORACLE_JSON_ROUNDTRIP, "S1-sink"),
     QueryDef("orc_roundtrip", q_orc_roundtrip, ORACLE_ORC_ROUNDTRIP, "S5-orc"),
+    QueryDef("xlsx_roundtrip", q_xlsx_roundtrip, ORACLE_XLSX_ROUNDTRIP,
+             "S3,S10"),
     QueryDef("odds_flatten", q_odds_flatten, _odds_flatten_oracle("BIGINT"),
              "S1,T1"),
     QueryDef("odds_python_source", q_odds_python_source,
              _odds_flatten_oracle(
                  "DOUBLE", "WHERE market IN ('spreads', 'totals')"),
-             "S1-datasource"),
+             "S1-datasource", bench=True),
     QueryDef("scraper_longform", q_scraper_longform,
              _scraper_longform_oracle(), "S2,T6,O2"),
     QueryDef("multimodal_decode", q_multimodal_decode, None,

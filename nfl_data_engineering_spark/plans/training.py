@@ -54,7 +54,8 @@ def q_rename_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("team")))
     return stamped.select(
         w.alias("row_num"), "team", "rankings_supplier_acct_bal",
-        "rankings_supplier_nation_key", "date", "load_ts")
+        "rankings_supplier_nation_key",
+        F.date_format("date", "yyyy-MM-dd").alias("date"), "load_ts")
 
 
 ORACLE_RENAME_NORMALIZE = """
@@ -62,7 +63,7 @@ SELECT row_number() OVER (ORDER BY s_acctbal DESC, s_suppkey) AS row_num,
        s_suppkey AS team,
        s_acctbal AS rankings_supplier_acct_bal,
        s_nationkey AS rankings_supplier_nation_key,
-       DATE '2025-11-03' AS date,
+       strftime(DATE '2025-11-03', '%Y-%m-%d') AS date,
        TIMESTAMP '2025-11-03 12:00:00' AS load_ts
 FROM supplier
 """
@@ -93,6 +94,10 @@ def q_streaming_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        # parquet timestamp[us] without tz -> NTZ, which watermarks reject;
+        # session tz is UTC so the cast is a pure type change
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     agg = (stream
            .withWatermark("ts", "1 day")
            .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
@@ -386,7 +391,7 @@ WITH m AS (
          CASE WHEN {h} % 100 < CASE source {cases} ELSE {MIX_DEFAULT_RATE} END
               THEN 1 ELSE 0 END AS kept
   FROM documents)
-SELECT source, rate, COUNT(*) AS n_docs, SUM(kept) AS n_kept
+SELECT source, rate, COUNT(*) AS n_docs, CAST(SUM(kept) AS BIGINT) AS n_kept
 FROM m GROUP BY source, rate
 """
 
@@ -419,7 +424,7 @@ def _oracle_shard_balance() -> str:
             " t -> t != '')")
     return f"""
 SELECT {h} % {N_SHARDS} AS shard, COUNT(*) AS n_docs,
-       SUM(len({toks})) AS n_tokens
+       CAST(SUM(len({toks})) AS BIGINT) AS n_tokens
 FROM documents GROUP BY shard ORDER BY shard
 """
 
@@ -463,7 +468,7 @@ val AS (
          CAST(round(tf * ln(cnt::DOUBLE / total) * 1e9) AS BIGINT) AS iv
   FROM tf JOIN vocab USING (token) CROSS JOIN tot),
 agg AS (
-  SELECT doc_id, SUM(tf) AS n_tokens, SUM(iv) AS s
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens, SUM(iv) AS s
   FROM val GROUP BY doc_id)
 SELECT doc_id, n_tokens, ROUND(s / 1e9 / n_tokens, 6) AS avg_logprob FROM agg
 """
@@ -541,7 +546,7 @@ p AS (
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
   FROM t)
 SELECT source, CAST(FLOOR(prefix / {PACK_WINDOW_TOKENS}.0) AS BIGINT) AS pack_seq,
-       COUNT(*) AS n_docs, SUM(n_tok) AS pack_tokens,
+       COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS pack_tokens,
        MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
 FROM p GROUP BY source, pack_seq
 """
@@ -557,7 +562,7 @@ TRAINING_QUERIES = [
     QueryDef("rename_normalize", q_rename_normalize, ORACLE_RENAME_NORMALIZE,
              "T6,T7,T15"),
     QueryDef("streaming_daily_rollup", q_streaming_daily_rollup,
-             ORACLE_STREAMING_DAILY, "S2.9-streaming"),
+             ORACLE_STREAMING_DAILY, "S2.9-streaming", bench=True),
     QueryDef("stratified_sample", q_stratified_sample,
              ORACLE_STRATIFIED_SAMPLE, "LLM-sampling"),
     QueryDef("train_test_split", q_train_test_split, ORACLE_TRAIN_TEST_SPLIT,

@@ -35,6 +35,10 @@ def _default_fetcher(category: str, table_name: str, base_url: str,
         "mirroring team_rankings_scraper.py:152-170)")
 
 
+RECORD_RE = r"^(\d+)-(\d+)(?:-(\d+))?$"
+_YEAR_NAMES = {str(y) for y in range(2000, 2101)}
+
+
 def scrape_tables_long(registry: DataFrame, date: str,
                        fetcher: Fetcher | None = None,
                        throttle_s: float = 0.0,
@@ -44,9 +48,21 @@ def scrape_tables_long(registry: DataFrame, date: str,
     Each fetched table is melted to (team, metric, value) with metric names
     prefixed ``{category}_{table_name}_{col}`` — the reference's
     column-naming contract (team_rankings_scraper.py:190-194) applied to
-    long-form rows. Values stay strings here; operators/clean.py +
-    operators/records.py handle %-parsing, record splits, and coercion
-    downstream (the reference's T3-T10 chain).
+    long-form rows. Registry columns drive two reference-mandated
+    transforms BEFORE the melt:
+
+    - ``record_cols`` (T3, team_rankings_scraper.py:48-82, :186): each
+      marked '"W-L(-T)"' column becomes three ``{col}_wins`` /
+      ``{col}_losses`` / ``{col}_ties`` columns (ties default '0' when
+      absent; non-matching values go NULL, same contract as
+      operators/records.py:split_record).
+    - year columns (T6 tail, team_rankings_scraper.py:143-150): the first
+      column named like a year (2000-2100) renames to ``this_yr``, the
+      second to ``last_yr``, so metric names stay season-stable.
+
+    Values stay strings here; operators/clean.py + operators/records.py
+    handle %-parsing, further splits, and coercion downstream (the
+    reference's T3-T10 chain).
     """
     fetch = fetcher or _default_fetcher
 
@@ -58,8 +74,31 @@ def scrape_tables_long(registry: DataFrame, date: str,
                 tbl = fetch(row.category, row.table_name, row.base_url, date)
                 if tbl is None or tbl.empty or "Team" not in tbl.columns:
                     continue
+                tbl = tbl.copy()
                 keep = [c.strip() for c in str(row.cols_to_keep or "").split(",")
                         if c.strip()] or [c for c in tbl.columns if c != "Team"]
+                rec_cols = [c.strip() for c in
+                            str(getattr(row, "record_cols", "") or "").split(",")
+                            if c.strip()]
+                for col in rec_cols:
+                    if col not in tbl.columns:
+                        continue
+                    ext = tbl[col].astype(str).str.extract(RECORD_RE)
+                    ties = ext[2].copy()
+                    ties[ext[0].notna() & ext[2].isna()] = "0"
+                    split = [f"{col}_wins", f"{col}_losses", f"{col}_ties"]
+                    tbl[split[0]], tbl[split[1]], tbl[split[2]] = (
+                        ext[0], ext[1], ties)
+                    tbl = tbl.drop(columns=[col])
+                    if col in keep:
+                        keep[keep.index(col):keep.index(col) + 1] = split
+                year_cols = [c for c in tbl.columns if str(c) in _YEAR_NAMES]
+                if year_cols:
+                    renames = {year_cols[0]: "this_yr"}
+                    if len(year_cols) > 1:
+                        renames[year_cols[1]] = "last_yr"
+                    tbl = tbl.rename(columns=renames)
+                    keep = [renames.get(c, c) for c in keep]
                 melted = tbl.melt(id_vars=["Team"],
                                   value_vars=[c for c in keep if c in tbl.columns],
                                   var_name="col", value_name="value")

@@ -88,9 +88,47 @@ def test_scraper_long_form(spark):
     rows = out.collect()
     assert len(rows) == 4  # 2 teams x 2 kept cols
     metrics = {r["metric"] for r in rows}
-    # {category}_{table}_{col} naming (team_rankings_scraper.py:190-194)
-    assert metrics == {"rankings_predictive_2025", "rankings_predictive_last_3"}
+    # {category}_{table}_{col} naming (team_rankings_scraper.py:190-194);
+    # the lone year column renames to this_yr (:143-150)
+    assert metrics == {"rankings_predictive_this_yr",
+                       "rankings_predictive_last_3"}
     assert all(r["date"] == dt.date(2025, 11, 3) for r in rows)
+
+
+def test_scraper_record_split_and_year_rename(spark):
+    # record-marked column: W-L(-T) -> three long-form metrics
+    # (team_rankings_scraper.py:48-82, :186); two year columns ->
+    # this_yr/last_yr (:143-150)
+    def _fake_fetch(category, table_name, base_url, date):
+        return pd.DataFrame({
+            "Team": ["Bears", "Lions", "Pack"],
+            "Record": ["3-1", "2-1-1", "--"],
+            "2025": ["8", "9", "10"],
+            "2024": ["5", "6", "7"],
+        })
+
+    registry = spark.createDataFrame(
+        [("rankings", "standings", "http://x", "Record,2025,2024", "Record")],
+        "category string, table_name string, base_url string, "
+        "cols_to_keep string, record_cols string")
+    out = scrape_tables_long(registry, "2025-11-03", fetcher=_fake_fetch,
+                             num_tasks=2)
+    rows = out.collect()
+    by_metric = {}
+    for r in rows:
+        by_metric.setdefault(r["metric"], {})[r["team"]] = r["value"]
+    assert set(by_metric) == {
+        "rankings_standings_record_wins", "rankings_standings_record_losses",
+        "rankings_standings_record_ties", "rankings_standings_this_yr",
+        "rankings_standings_last_yr"}
+    assert by_metric["rankings_standings_record_wins"]["Bears"] == "3"
+    assert by_metric["rankings_standings_record_losses"]["Bears"] == "1"
+    assert by_metric["rankings_standings_record_ties"]["Bears"] == "0"
+    assert by_metric["rankings_standings_record_ties"]["Lions"] == "1"
+    # non-matching record -> NULL across the board (split_record contract)
+    assert by_metric["rankings_standings_record_wins"]["Pack"] is None
+    assert by_metric["rankings_standings_this_yr"]["Lions"] == "9"
+    assert by_metric["rankings_standings_last_yr"]["Pack"] == "7"
 
 
 def test_multimodal_decode_plumbing(spark):

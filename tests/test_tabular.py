@@ -1,0 +1,90 @@
+"""S3/S10: the self-contained OOXML (.xlsx) codec + registry load path.
+
+The reference's schema registry IS an xlsx (team_rankings_scraper.py:15,
+:246); these tests exercise the full write -> read -> DataFrame path with
+no external Excel engine installed, plus the scraper wiring that consumes
+the registry (record_cols / cols_to_keep threading).
+"""
+
+from __future__ import annotations
+
+import zipfile
+
+import pandas as pd
+import pytest
+
+from nfl_data_engineering_spark.sources.tabular import (
+    REGISTRY_SCHEMA, read_registry_excel, read_xlsx_pandas, write_excel,
+    write_xlsx_pandas)
+
+
+def test_xlsx_roundtrip_strings_and_numbers(tmp_path):
+    pdf = pd.DataFrame({
+        "category": ["off", "def", "st"],
+        "table_name": ["predictive", "yards per play", "kick_returns"],
+        "n_cols": [3, 12, 7],
+        "weight": [0.5, 1.25, -2.0],
+    })
+    path = str(tmp_path / "registry.xlsx")
+    write_xlsx_pandas(pdf, path)
+    back = read_xlsx_pandas(path)
+    assert list(back.columns) == list(pdf.columns)
+    assert back["category"].tolist() == ["off", "def", "st"]
+    assert back["table_name"].tolist() == pdf["table_name"].tolist()
+    assert back["n_cols"].tolist() == [3, 12, 7]
+    assert back["weight"].tolist() == [0.5, 1.25, -2.0]
+
+
+def test_xlsx_is_valid_zip_package(tmp_path):
+    path = str(tmp_path / "t.xlsx")
+    write_xlsx_pandas(pd.DataFrame({"a": [1]}), path)
+    with zipfile.ZipFile(path) as zf:
+        names = set(zf.namelist())
+    assert "[Content_Types].xml" in names
+    assert "xl/workbook.xml" in names
+    assert "xl/worksheets/sheet1.xml" in names
+
+
+def test_xlsx_empty_and_none_cells(tmp_path):
+    pdf = pd.DataFrame({"a": ["x", None, ""], "b": [None, 2, None]})
+    path = str(tmp_path / "holes.xlsx")
+    write_xlsx_pandas(pdf, path)
+    back = read_xlsx_pandas(path)
+    assert back.shape == (3, 2)
+    assert back["a"].tolist()[0] == "x"
+    assert back["b"].tolist()[1] == 2
+
+
+def test_registry_excel_to_dataframe(spark, tmp_path):
+    pdf = pd.DataFrame({
+        "category": ["off", "def"],
+        "table_name": ["predictive", "scoring"],
+        "base_url": ["https://example.test/a", "https://example.test/b"],
+        "cols_to_keep": ["Rating,Pct", "Rating"],
+        "record_cols": ["", "Record"],
+    })
+    path = str(tmp_path / "registry.xlsx")
+    write_xlsx_pandas(pdf, path)
+    df = read_registry_excel(spark, path)
+    assert df.columns == [f.split()[0] for f in REGISTRY_SCHEMA.split(", ")]
+    rows = {r["table_name"]: r for r in df.collect()}
+    assert rows["scoring"]["record_cols"] == "Record"
+    assert rows["predictive"]["cols_to_keep"] == "Rating,Pct"
+
+
+def test_write_excel_from_spark_df(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 2)], "name string, n int")
+    path = str(tmp_path / "export.xlsx")
+    write_excel(df, path)
+    back = read_xlsx_pandas(path)
+    assert back["name"].tolist() == ["a", "b"]
+    assert back["n"].tolist() == [1, 2]
+
+
+def test_special_chars_escaped(tmp_path):
+    pdf = pd.DataFrame({"t": ["<tag> & \"quote\"", "a\nb", "  spaced  "]})
+    path = str(tmp_path / "esc.xlsx")
+    write_xlsx_pandas(pdf, path)
+    back = read_xlsx_pandas(path)
+    assert back["t"].tolist() == ["<tag> & \"quote\"", "a\nb", "  spaced  "]
