@@ -32,10 +32,12 @@ _PRIORITY: list[str] = [
     "xlsx_roundtrip", "odds_flatten", "odds_python_source",
     "scraper_longform", "multimodal_decode",
     # vector / ANN / pandas-UDF-UDAF surface
-    "embedding_topk", "ann_ivf_topk", "cosine_neardup_pairs",
+    "embedding_topk", "ann_ivf_topk", "ann_ivf_multiprobe",
+    "cosine_neardup_pairs",
     "cosine_neardup_lsh", "norms_pandas_udf", "median_value_udaf",
     # UDTF + applyInPandas + streaming surface
     "record_expand_udtf", "zscore_groups", "streaming_daily_rollup",
+    "streaming_keep_latest", "streaming_interval_join",
     # LLM text pipeline
     "dedup_exact_text", "dedup_minhash_lsh", "dedup_components",
     "ngram_jaccard_pairs", "dedup_simhash", "lang_id", "text_quality",

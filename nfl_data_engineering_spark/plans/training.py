@@ -121,6 +121,97 @@ FROM events GROUP BY 1, 2
 """
 
 
+def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with the ts-type normalization
+    every streaming entry needs (nanos-as-long conversion; NTZ -> session
+    timestamp so watermarks accept it)."""
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema
+    stream = (spark.readStream.schema(raw_schema)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir))
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
+
+
+def q_streaming_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 custom stateful operator, run for real: keep-latest-per-key
+    over a stream via ``applyInPandasWithState`` (streaming/ingest.py:
+    keep_latest_stream — the reference's rankings upsert,
+    team_rankings_data_collector.py:34-50, as continuously-maintained
+    state). The drain is trigger(availableNow) into an update-mode memory
+    sink; the update stream emits each key's current latest per
+    microbatch, so the sink's LAST emission per key is the final state —
+    which is exactly the batch keep-latest the oracle computes. Per-key
+    max ts is unique in this corpus (verified at every sf), so the result
+    is tie-free deterministic."""
+    from ..streaming.ingest import keep_latest_stream
+    latest = keep_latest_stream(_event_stream(spark, sf_dir),
+                                key_cols=["user_id", "event_type"],
+                                ts_col="ts", value_cols=["value"])
+    sink = "streaming_keep_latest_sink"
+    q = (latest.writeStream.format("memory").queryName(sink)
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc())
+    return (spark.table(sink)
+            .withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+            .select("user_id", "event_type", "ts", "value"))
+
+
+ORACLE_STREAMING_KEEP_LATEST = """
+SELECT user_id, event_type, ts, value FROM (
+  SELECT user_id, event_type, ts, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC) AS rn
+  FROM events) WHERE rn = 1
+"""
+
+
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 stream-stream join, run for real: purchases joined to the same
+    user's clicks from the preceding hour (streaming/ingest.py:
+    interval_join_streams — watermarks on both sides + a bounded time-range
+    condition keep join state finite, the shape that runs forever at
+    100 TB/day). Inner interval joins emit matches eagerly, so the
+    availableNow drain of a finite input yields exactly the batch range
+    join the oracle computes."""
+    from ..streaming.ingest import interval_join_streams
+    stream = _event_stream(spark, sf_dir)
+    purchases = (stream.filter(F.col("event_type") == "purchase")
+                 .select("user_id", "ts", "event_id"))
+    clicks = (stream.filter(F.col("event_type") == "click")
+              .select("user_id", "ts", "event_id"))
+    joined = interval_join_streams(purchases, clicks, key="user_id",
+                                   ts_col="ts", lookback="1 hour",
+                                   watermark="1 day")
+    sink = "streaming_interval_join_sink"
+    q = (joined.writeStream.format("memory").queryName(sink)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(sink)
+            .select("user_id", F.col("ts").alias("purchase_ts"),
+                    F.col("event_id").alias("purchase_event_id"),
+                    F.col("ts_r").alias("click_ts"),
+                    F.col("event_id_r").alias("click_event_id")))
+
+
+ORACLE_STREAMING_INTERVAL_JOIN = """
+SELECT p.user_id, p.ts AS purchase_ts, p.event_id AS purchase_event_id,
+       c.ts AS click_ts, c.event_id AS click_event_id
+FROM events p JOIN events c
+  ON c.user_id = p.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""
+
+
 # ---------------------------------------------------------------------------
 # Training-pipeline: sampling / splitting / vocab
 # ---------------------------------------------------------------------------
@@ -563,6 +654,10 @@ TRAINING_QUERIES = [
              "T6,T7,T15"),
     QueryDef("streaming_daily_rollup", q_streaming_daily_rollup,
              ORACLE_STREAMING_DAILY, "S2.9-streaming", bench=True),
+    QueryDef("streaming_keep_latest", q_streaming_keep_latest,
+             ORACLE_STREAMING_KEEP_LATEST, "S2.9-stateful,A2"),
+    QueryDef("streaming_interval_join", q_streaming_interval_join,
+             ORACLE_STREAMING_INTERVAL_JOIN, "S2.9-stream-join,J3"),
     QueryDef("stratified_sample", q_stratified_sample,
              ORACLE_STRATIFIED_SAMPLE, "LLM-sampling"),
     QueryDef("train_test_split", q_train_test_split, ORACLE_TRAIN_TEST_SPLIT,

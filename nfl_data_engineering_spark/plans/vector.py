@@ -112,6 +112,78 @@ SELECT q_id, cell, vec_id, rank, ROUND(score, 6) AS score FROM r WHERE rank <= {
 """
 
 
+IVF_NPROBE = 2
+
+
+def q_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with multi-probe (nprobe=2): each query scans its TWO best
+    cells instead of one — the standard recall knob when the true neighbor
+    sits just across a cell boundary. Cost scales linearly in nprobe
+    (2/|cells| of the corpus per query instead of 1/|cells|), and the plan
+    is identical to nprobe=1 — the probed-cell set is still a broadcast
+    equi-join against the cell-bucketed corpus, so the same bucketing
+    serves any nprobe at 100 TB. Ranking is global across the probed
+    cells (score desc, vec_id tiebreak)."""
+    emb = load(spark, sf_dir, "embeddings").cache()
+    cents = (emb.select("label", F.posexplode("embedding").alias("d", "v"))
+             .groupBy("label", "d")
+             .agg(F.round(F.sum(F.col("v").cast("double").cast("decimal(18,8)"))
+                          .cast("double") / F.count("*"), 6).alias("c"))
+             .groupBy("label")
+             .agg(F.array_sort(F.collect_list(F.struct("d", "c"))).alias("dc"))
+             .select(F.col("label").alias("cell"),
+                     F.col("dc.c").alias("centroid")))
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    routed_scores = queries.crossJoin(F.broadcast(cents)).select(
+        "q_id", "q_vec", "cell",
+        cosine(F.col("q_vec"), F.col("centroid")).alias("cscore"))
+    wq = Window.partitionBy("q_id").orderBy(F.col("cscore").desc(), F.col("cell"))
+    routed = (routed_scores.withColumn("crank", F.row_number().over(wq))
+              .filter(F.col("crank") <= IVF_NPROBE)
+              .select("q_id", "q_vec", "cell"))
+    pairs = load(spark, sf_dir, "embeddings").join(
+        F.broadcast(routed),
+        (F.col("label") == F.col("cell")) & (F.col("vec_id") != F.col("q_id")))
+    scored = pairs.select(
+        "q_id", "vec_id",
+        cosine(F.col("embedding"), F.col("q_vec")).alias("score"))
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOPK)
+            .select("q_id", "vec_id", "rank",
+                    F.round("score", 6).alias("score")))
+
+
+ORACLE_ANN_IVF_MULTIPROBE = f"""
+WITH u AS (
+  SELECT label, vec_id, unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) AS d
+  FROM embeddings),
+cent AS (
+  SELECT label AS cell, d,
+         ROUND(CAST(SUM(CAST(v::DOUBLE AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*), 6) AS c
+  FROM u GROUP BY label, d),
+cvec AS (SELECT cell,
+                list_transform(list_sort(list(struct_pack(d := d, c := c))),
+                               x -> x.c) AS centroid
+         FROM cent GROUP BY cell),
+q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < {N_QUERIES}),
+routed AS (
+  SELECT q_id, q_vec, cell,
+         row_number() OVER (PARTITION BY q_id ORDER BY
+           {SQL_COS.format(a='q_vec', b='centroid')} DESC, cell) AS crank
+  FROM q CROSS JOIN cvec),
+probe AS (SELECT q_id, q_vec, cell FROM routed WHERE crank <= {IVF_NPROBE}),
+scored AS (
+  SELECT p.q_id, e.vec_id,
+         {SQL_COS.format(a='e.embedding', b='p.q_vec')} AS score
+  FROM probe p JOIN embeddings e ON e.label = p.cell AND e.vec_id != p.q_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank FROM scored)
+SELECT q_id, vec_id, rank, ROUND(score, 6) AS score FROM r WHERE rank <= {TOPK}
+"""
+
+
 def q_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (>= {thr}). All-pairs at testdata
     scale; at 100 TB route through IVF cells / LSH buckets first (the
@@ -346,6 +418,8 @@ FROM events GROUP BY event_type
 VECTOR_QUERIES = [
     QueryDef("embedding_topk", q_embedding_topk, ORACLE_EMBEDDING_TOPK, "LLM-sim-bruteforce", bench=True),
     QueryDef("ann_ivf_topk", q_ann_ivf_topk, ORACLE_ANN_IVF, "LLM-sim-ivf"),
+    QueryDef("ann_ivf_multiprobe", q_ann_ivf_multiprobe,
+             ORACLE_ANN_IVF_MULTIPROBE, "LLM-sim-ivf-multiprobe"),
     QueryDef("cosine_neardup_pairs", q_cosine_neardup_pairs, ORACLE_COSINE_NEARDUP, "LLM-dedup-cosine"),
     QueryDef("cosine_neardup_lsh", q_cosine_neardup_lsh, ORACLE_COSINE_LSH, "LLM-dedup-cosine-lsh", bench=True),
     QueryDef("norms_pandas_udf", q_norms_pandas_udf, ORACLE_NORMS_PANDAS, "S2.8-pandas-udf"),
