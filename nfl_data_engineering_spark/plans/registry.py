@@ -34,10 +34,11 @@ _PRIORITY: list[str] = [
     # vector / ANN / pandas-UDF-UDAF surface
     "embedding_topk", "ann_ivf_topk", "ann_ivf_multiprobe",
     "cosine_neardup_pairs",
-    "cosine_neardup_lsh", "norms_pandas_udf", "median_value_udaf",
+    "cosine_neardup_lsh", "embedding_dedup_components",
+    "norms_pandas_udf", "median_value_udaf",
     # UDTF + applyInPandas + streaming surface
     "record_expand_udtf", "zscore_groups", "streaming_daily_rollup",
-    "streaming_keep_latest", "streaming_interval_join",
+    "streaming_keep_latest", "streaming_interval_join", "topk_salted",
     # LLM text pipeline
     "dedup_exact_text", "dedup_minhash_lsh", "dedup_components",
     "ngram_jaccard_pairs", "dedup_simhash", "lang_id", "text_quality",

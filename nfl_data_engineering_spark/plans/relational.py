@@ -1331,6 +1331,34 @@ FROM customer c, LATERAL (
 """
 
 
+def q_topk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe top-k (X3 under a hot key): two-phase salted ranking
+    (operators/windows.py:topk_per_group_salted) — phase one ranks within
+    (key, row-hash salt) so a hot key spreads over 32 tasks, phase two
+    ranks the surviving k x 32 rows per key. The salt only changes the
+    physical distribution: for any total order the output is IDENTICAL to
+    the single-window form, which is exactly what the oracle (plain
+    row_number) checks. This is the mitigation the as-of/dedup skew cliff
+    in SCALE.md prescribes, proven hash-equal through the gate."""
+    from ..operators.windows import topk_per_group_salted
+    orders = load(spark, sf_dir, "orders")
+    out = topk_per_group_salted(
+        orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+        group_cols=["o_custkey"],
+        order=[F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        k=2, rank_col="rnk")
+    return out.select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+
+
+ORACLE_TOPK_SALTED = """
+SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders) WHERE rnk <= 2
+"""
+
+
 def q_trailing_7d_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-based RANGE window frame: per user, the running 7-day trailing
     value sum — the value-range sibling of the ROWS-frame trailing mean
@@ -2507,6 +2535,8 @@ RELATIONAL_QUERIES = [
     QueryDef("unpivot_metrics", q_unpivot_metrics, ORACLE_UNPIVOT_METRICS, "J1-unpivot"),
     QueryDef("locf_fill", q_locf_fill, ORACLE_LOCF_FILL, "T14-locf"),
     QueryDef("lateral_topk", q_lateral_topk, ORACLE_LATERAL_TOPK, "X3-sql"),
+    QueryDef("topk_salted", q_topk_salted, ORACLE_TOPK_SALTED,
+             "X3-skew-salted"),
     QueryDef("trailing_7d_sum", q_trailing_7d_sum, ORACLE_TRAILING_7D, "X1-range-frame"),
     QueryDef("scd2_intervals", q_scd2_intervals, ORACLE_SCD2, "A2-scd2"),
     QueryDef("user_event_sequences", q_user_event_sequences,

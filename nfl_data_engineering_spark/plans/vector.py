@@ -267,6 +267,14 @@ def q_cosine_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     zip_with/aggregate form, because an unrolled 64-term sum exceeds the
     codegen method-size limit and drops the stage to interpreted eval
     (measured 4x slower)."""
+    verified = _srp_verified_pairs(spark, sf_dir)
+    return verified.select("v1", "v2", F.round("score", 6).alias("cosine"))
+
+
+def _srp_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH candidate generation + exact-cosine verification; returns
+    (v1, v2, score) for score >= SRP_THRESHOLD. Shared by the pair query
+    and the survivor-selection (components) query."""
     signs = _srp_signs()
     emb = load(spark, sf_dir, "embeddings")
     # one parsed SQL literal, NOT nested F.array(F.lit(...)) — 192x64 lits
@@ -310,10 +318,27 @@ def q_cosine_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.col("n1") * F.col("n2"))
     # no broadcast hint: AQE broadcasts the norm side automatically when it
     # is small, and falls back to a shuffle join at corpus scale
-    verified = (cand.join(e1, "v1").join(e2, "v2")
-                .select("v1", "v2", score.alias("score"))
-                .filter(F.col("score") >= SRP_THRESHOLD))
-    return verified.select("v1", "v2", F.round("score", 6).alias("cosine"))
+    return (cand.join(e1, "v1").join(e2, "v2")
+            .select("v1", "v2", score.alias("score"))
+            .filter(F.col("score") >= SRP_THRESHOLD))
+
+
+def q_embedding_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-dup survivor selection: connected components
+    over the SRP-LSH cosine pair graph, canonical vector = component
+    minimum — the vector twin of q_dedup_components (text/MinHash). The
+    full pipeline a semantic dedup runs at 100 TB: linear sketch pass →
+    bucketed candidate join → exact verify → min-label propagation
+    (operators/dedup.py:connected_components — one equi-join + groupBy
+    per round, O(graph diameter) rounds, driver reads only a scalar
+    convergence sum). Oracle: DuckDB recursive CTE over the identical
+    pair graph."""
+    from ..operators.dedup import connected_components
+    pairs = _srp_verified_pairs(spark, sf_dir).select("v1", "v2")
+    labels = connected_components(pairs, "v1", "v2")
+    return (labels.groupBy(F.col("label").alias("component"))
+            .agg(F.count("*").alias("n_vecs"),
+                 F.max("n").alias("max_vec_id")))
 
 
 def _srp_oracle() -> str:
@@ -331,8 +356,7 @@ def _srp_oracle() -> str:
             for r in range(SRP_BITS_PER_BAND))
         + " AS band_key FROM dots"
         for b in range(SRP_BANDS))
-    return f"""
-WITH dots AS (
+    return f"""dots AS (
   SELECT vec_id,
          list_transform({planes},
                         p -> list_dot_product(embedding::DOUBLE[], p)) AS dv
@@ -341,17 +365,35 @@ bands AS ({band_rows}),
 cand AS (
   SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
   FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-  WHERE a.vec_id < b.vec_id)
-SELECT c.v1, c.v2,
-       ROUND({SQL_COS.format(a='x.embedding', b='y.embedding')}, 6) AS cosine
-FROM cand c
-JOIN embeddings x ON x.vec_id = c.v1
-JOIN embeddings y ON y.vec_id = c.v2
-WHERE {SQL_COS.format(a='x.embedding', b='y.embedding')} >= {SRP_THRESHOLD}
+  WHERE a.vec_id < b.vec_id),
+pairs AS (
+  SELECT c.v1, c.v2,
+         {SQL_COS.format(a='x.embedding', b='y.embedding')} AS score
+  FROM cand c
+  JOIN embeddings x ON x.vec_id = c.v1
+  JOIN embeddings y ON y.vec_id = c.v2
+  WHERE {SQL_COS.format(a='x.embedding', b='y.embedding')} >= {SRP_THRESHOLD})"""
+
+
+_SRP_PAIR_CTES = _srp_oracle()
+
+ORACLE_COSINE_LSH = f"""
+WITH {_SRP_PAIR_CTES}
+SELECT v1, v2, ROUND(score, 6) AS cosine FROM pairs
 """
 
-
-ORACLE_COSINE_LSH = _srp_oracle()
+ORACLE_EMB_COMPONENTS = f"""
+WITH RECURSIVE {_SRP_PAIR_CTES},
+bi AS (SELECT v1 AS a, v2 AS b FROM pairs UNION SELECT v2, v1 FROM pairs),
+nodes AS (SELECT DISTINCT a AS n FROM bi),
+r AS (
+  SELECT n AS a, n AS b FROM nodes
+  UNION
+  SELECT r.a, bi.b FROM r JOIN bi ON r.b = bi.a),
+comp AS (SELECT a AS vec_id, MIN(b) AS component FROM r GROUP BY a)
+SELECT component, COUNT(*) AS n_vecs, MAX(vec_id) AS max_vec_id
+FROM comp GROUP BY component
+"""
 
 
 def q_norms_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -422,6 +464,8 @@ VECTOR_QUERIES = [
              ORACLE_ANN_IVF_MULTIPROBE, "LLM-sim-ivf-multiprobe"),
     QueryDef("cosine_neardup_pairs", q_cosine_neardup_pairs, ORACLE_COSINE_NEARDUP, "LLM-dedup-cosine"),
     QueryDef("cosine_neardup_lsh", q_cosine_neardup_lsh, ORACLE_COSINE_LSH, "LLM-dedup-cosine-lsh", bench=True),
+    QueryDef("embedding_dedup_components", q_embedding_dedup_components,
+             ORACLE_EMB_COMPONENTS, "LLM-dedup-cosine-components"),
     QueryDef("norms_pandas_udf", q_norms_pandas_udf, ORACLE_NORMS_PANDAS, "S2.8-pandas-udf"),
     QueryDef("median_value_udaf", q_median_value_udaf, ORACLE_MEDIAN_UDAF, "S2.8-pandas-udaf"),
 ]
