@@ -742,11 +742,13 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     # cache: ev feeds base + hits and tr feeds hits — uncached, the
     # shingle explode + md5 pass recomputes per consumer (same fix as
-    # bloom_prefilter_audit; measured ~2x at sf0.1)
-    sh = (docs.select("doc_id", F.explode(
-        F.array_distinct(shingles(tokens(F.col("text")), CONTAM_N)))
-        .alias("shingle"))
-        .select("doc_id", h60(F.col("shingle")).alias("sh60")).cache())
+    # bloom_prefilter_audit; measured ~2x at sf0.1).
+    # explode_shingle_hashes, NOT an inline shingles(tokens(...)) — the
+    # inline form re-tokenizes the document once per element_at reference
+    # inside the shingle lambda (no CSE inside higher-order functions;
+    # measured 155 s for the bare 8-gram explode on a 50 k-doc replica vs
+    # ~3 s through the materialized-token helper)
+    sh = explode_shingle_hashes(docs, "doc_id", "text", n=CONTAM_N).cache()
     ev = (sh.filter(F.col("doc_id") % EVAL_MOD == 0)
           .select(F.col("doc_id").alias("eval_doc_id"), "sh60"))
     tr = (sh.filter(F.col("doc_id") % EVAL_MOD != 0)
@@ -883,11 +885,10 @@ def q_bloom_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     # cache: the shingle explode + md5 pass feeds four consumers (bits,
     # evk, and both sides of the exact join) — uncached, Spark recomputes
-    # it per branch (measured 31s -> ~6s at sf0.1 with the cache+reuse)
-    sh = (docs.select("doc_id", F.explode(
-        F.array_distinct(shingles(tokens(F.col("text")), CONTAM_N)))
-        .alias("shingle"))
-        .select("doc_id", h60(F.col("shingle")).alias("sh60")).cache())
+    # it per branch (measured 31s -> ~6s at sf0.1 with the cache+reuse).
+    # explode_shingle_hashes materializes the token array before the
+    # shingle lambda (see q_contamination_check for the measured cliff)
+    sh = explode_shingle_hashes(docs, "doc_id", "text", n=CONTAM_N).cache()
     ev = (sh.filter(F.col("doc_id") % EVAL_MOD == 0)
           .select(F.col("doc_id").alias("eval_doc_id"), "sh60").distinct()
           .cache())
