@@ -352,10 +352,17 @@ def _quality_scaled_cols(docs: DataFrame) -> DataFrame:
     parity sweep (2026-08-13). Every ratio here is therefore computed as
     ``numerator * 10^6 DIV denominator`` in int64 (exact, order-free); the
     only float op left is a single division by 1e6 of identical integers,
-    which is bit-identical on both engines. Same one-scan plan shape."""
-    toks = tokens(F.col("text"))
+    which is bit-identical on both engines. Same one-scan plan shape.
+
+    The token array is materialized as a named column first: the five
+    token-derived counts would otherwise each re-evaluate the tokenizer
+    expression per row (no CSE across projection expressions that sit
+    inside higher-order-function arguments)."""
+    toks = F.col("__toks")
     stop_arr = F.lit(list(STOPWORDS))
     return docs.select(
+        "doc_id", "source", "text", tokens(F.col("text")).alias("__toks")
+    ).select(
         "doc_id", "source", "text",
         F.length("text").cast("bigint").alias("nc"),
         F.size(toks).cast("bigint").alias("nt"),

@@ -361,11 +361,14 @@ def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     with its tail — no self-join, no explode-then-window), then one
     token-pair-keyed count."""
     docs = load(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
+    # materialize the token array once — the slice/size references would
+    # otherwise re-run the tokenizer four times per row
+    toks = F.col("__toks")
     bigrams = F.zip_with(F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
                          F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
                          lambda a, b: F.concat_ws(" ", a, b))
-    return (docs.select(F.explode(bigrams).alias("bigram"))
+    return (docs.select(tokens(F.col("text")).alias("__toks"))
+            .select(F.explode(bigrams).alias("bigram"))
             .groupBy("bigram").agg(F.count("*").alias("n"))
             .orderBy(F.col("n").desc(), "bigram")
             .limit(BIGRAM_TOPK))
