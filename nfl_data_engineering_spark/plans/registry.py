@@ -45,11 +45,12 @@ _PRIORITY: list[str] = [
     "token_counts", "doc_fingerprint", "multimodal_stats",
     "repetition_score", "fuzzy_editdist", "doc_length_histogram",
     "pii_redact", "normalized_dedup", "contamination_check", "domain_topk",
-    "doc_chunking", "inverted_index", "heavy_hitters_cms",
+    "doc_chunking", "segment_dedup", "inverted_index", "heavy_hitters_cms",
     "bloom_prefilter_audit",
     # training-pipeline
     "stratified_sample", "train_test_split", "vocab_topk", "tfidf_top_terms",
-    "sequence_packing", "source_mixture", "corpus_filter", "shard_balance",
+    "sequence_packing", "source_mixture", "temperature_mixing",
+    "corpus_filter", "shard_balance",
     "unigram_logprob", "bigram_topk", "kfold_assignment", "rename_normalize",
     # relational entries the round-1 window missed
     "brand_max_price", "top_supplier", "big_order_customers",

@@ -965,6 +965,94 @@ FROM per_doc LEFT JOIN exact ON per_doc.eval_doc_id = exact.eval_doc_id
 CHUNK_CHARS = 256
 
 
+SEGMENT_TOKENS = 5
+SEGMENT_DF_CAP = 1          # segments seen in > 1 doc are boilerplate
+
+
+def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level segment dedup (the paragraph/line dedup pass of
+    CCNet/Dolma-style pipelines, on non-overlapping 5-token segments since
+    this corpus has no newlines): a segment whose document frequency
+    exceeds SEGMENT_DF_CAP is boilerplate and is dropped from every
+    document; the audit reports per-document segment/removal/token counts.
+
+    Two linear passes: segment explode (row-local, map-side) and a
+    segment-keyed df count — the same shuffle profile as the shingle
+    family, and the df side is bounded by |distinct segments|. Segments
+    join by 60-bit hash (int64 keys). At 100 TB the df table is the only
+    corpus-wide state and it partial-aggregates map-side."""
+    docs = load(spark, sf_dir, "documents")
+    # greatest(…, 1): Spark's sequence(0, -1) is DESCENDING [0, -1] (not
+    # empty), so an empty token array would otherwise explode a phantom
+    # negative index — same guard as functions/text.py:shingles
+    n_seg = F.greatest(
+        F.ceil(F.size(F.col("__toks")) / F.lit(SEGMENT_TOKENS)).cast("int"),
+        F.lit(1))
+    seg = F.concat_ws(
+        " ", F.slice(F.col("__toks"),
+                     F.col("seg_idx") * SEGMENT_TOKENS + 1, SEGMENT_TOKENS))
+    segs = (docs.select("doc_id", tokens(F.col("text")).alias("__toks"))
+            .select("doc_id", "__toks",
+                    F.explode(F.sequence(F.lit(0), n_seg - 1)).alias("seg_idx"))
+            .select("doc_id", "seg_idx",
+                    h60(seg).alias("seg60"),
+                    F.least(F.size("__toks") - F.col("seg_idx") * SEGMENT_TOKENS,
+                            F.lit(SEGMENT_TOKENS)).alias("seg_tokens"))
+            .cache())
+    df = (segs.groupBy("seg60")
+          .agg(F.countDistinct("doc_id").alias("df"))
+          .filter(F.col("df") > SEGMENT_DF_CAP))
+    flagged = segs.join(df.select("seg60"), "seg60", "left_semi")
+    removed = (flagged.groupBy("doc_id")
+               .agg(F.count("*").alias("n_removed"),
+                    F.sum("seg_tokens").alias("tokens_removed")))
+    base = (segs.groupBy("doc_id")
+            .agg(F.count("*").alias("n_segments"),
+                 F.sum("seg_tokens").alias("n_tokens")))
+    return (base.join(removed, "doc_id", "left")
+            .fillna(0, ["n_removed", "tokens_removed"])
+            .select("doc_id", "n_segments",
+                    F.col("n_tokens").cast("bigint").alias("n_tokens"),
+                    "n_removed",
+                    F.col("tokens_removed").cast("bigint")
+                     .alias("tokens_removed")))
+
+
+def _segment_dedup_oracle() -> str:
+    toks = SQL_TOKENS.format(col="text")
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
+ix AS (
+  SELECT doc_id, tk,
+         unnest(generate_series(
+             0, GREATEST(CAST(CEIL(len(tk) / {SEGMENT_TOKENS}.0) AS INT), 1) - 1
+         )) AS seg_idx
+  FROM t),
+segs AS (
+  SELECT doc_id, seg_idx,
+         {SQL_H60.format(e=f"array_to_string(tk[seg_idx*{SEGMENT_TOKENS}+1:seg_idx*{SEGMENT_TOKENS}+{SEGMENT_TOKENS}], ' ')")} AS seg60,
+         LEAST(len(tk) - seg_idx*{SEGMENT_TOKENS}, {SEGMENT_TOKENS}) AS seg_tokens
+  FROM ix),
+df AS (SELECT seg60 FROM segs GROUP BY seg60
+       HAVING COUNT(DISTINCT doc_id) > {SEGMENT_DF_CAP}),
+removed AS (
+  SELECT doc_id, COUNT(*) AS n_removed,
+         CAST(SUM(seg_tokens) AS BIGINT) AS tokens_removed
+  FROM segs WHERE seg60 IN (SELECT seg60 FROM df) GROUP BY doc_id),
+base AS (
+  SELECT doc_id, COUNT(*) AS n_segments,
+         CAST(SUM(seg_tokens) AS BIGINT) AS n_tokens
+  FROM segs GROUP BY doc_id)
+SELECT base.doc_id, n_segments, n_tokens,
+       COALESCE(n_removed, 0) AS n_removed,
+       COALESCE(tokens_removed, 0) AS tokens_removed
+FROM base LEFT JOIN removed ON base.doc_id = removed.doc_id
+"""
+
+
+ORACLE_SEGMENT_DEDUP = _segment_dedup_oracle()
+
+
 def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking: split every document into fixed-width
     character chunks (the pre-tokenizer pass that feeds an LLM context
@@ -1054,6 +1142,8 @@ TEXT_QUERIES = [
     QueryDef("contamination_check", q_contamination_check, ORACLE_CONTAMINATION, "LLM-decontamination"),
     QueryDef("domain_topk", q_domain_topk, ORACLE_DOMAIN_TOPK, "LLM-text-domains"),
     QueryDef("doc_chunking", q_doc_chunking, ORACLE_DOC_CHUNKING, "LLM-chunking"),
+    QueryDef("segment_dedup", q_segment_dedup, ORACLE_SEGMENT_DEDUP,
+             "LLM-dedup-segment"),
     QueryDef("inverted_index", q_inverted_index, ORACLE_INVERTED_INDEX, "LLM-inverted-index"),
     QueryDef("heavy_hitters_cms", q_heavy_hitters_cms, _oracle_heavy_hitters_cms(),
              "A-sketch-cms", bench=True),

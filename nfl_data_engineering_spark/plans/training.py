@@ -238,6 +238,50 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("doc_id").alias("max_doc_id")))
 
 
+def q_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (alpha = 0.5): sampling weight per
+    source ∝ count^alpha, the standard rebalance that upweights small
+    sources when assembling a multi-source training mix (vs proportional
+    sampling's big-source domination). Determinism discipline: sqrt(count)
+    is quantized to an int64 millionth (round(sqrt(c)*1e6)) BEFORE the
+    normalizing sum, so the total is an order-free integer sum and every
+    rate_ppm is exact integer arithmetic — no float summation order can
+    leak into the result (see plans/base.py determinism rules). Selection
+    is the same row-local h60 gate as stratified sampling: pushable
+    filter, no RNG state, reproducible at any scale. Two tiny shuffles
+    (source counts, final rollup); the rates frame broadcasts."""
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    ai = F.round(F.sqrt(F.col("n_docs")) * 1e6).cast("bigint")
+    rates = (counts.withColumn("ai", ai)
+             .withColumn("rate_ppm",
+                         F.expr("ai * 1000000 div sum(ai) over ()"))
+             .select("source", "rate_ppm"))
+    gate = h60(F.concat(F.lit("tmix_"), F.col("doc_id").cast("string"))) \
+        % 1000000
+    return (docs.join(F.broadcast(rates), "source")
+            .groupBy("source", "rate_ppm")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.when(gate < F.col("rate_ppm"), 1).otherwise(0))
+                  .cast("bigint").alias("n_kept")))
+
+
+ORACLE_TEMPERATURE_MIXING = f"""
+WITH counts AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+rates AS (
+  SELECT source,
+         CAST(CAST(ROUND(SQRT(n_docs) * 1e6) AS BIGINT) * 1000000
+              // SUM(CAST(ROUND(SQRT(n_docs) * 1e6) AS BIGINT)) OVER ()
+              AS BIGINT) AS rate_ppm
+  FROM counts)
+SELECT d.source, r.rate_ppm, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN {SQL_H60.format(e=chr(39) + 'tmix_' + chr(39) + ' || d.doc_id::VARCHAR')} % 1000000
+                     < r.rate_ppm THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM documents d JOIN rates r ON d.source = r.source
+GROUP BY d.source, r.rate_ppm
+"""
+
+
 _RATE_CASE = ("CASE " + " ".join(
     f"WHEN lang = '{lang}' THEN {r}"
     for lang, r in sorted(SAMPLE_RATES_PERMILLE.items()))
@@ -675,6 +719,8 @@ TRAINING_QUERIES = [
              "LLM-corpus-filter"),
     QueryDef("source_mixture", q_source_mixture, _oracle_source_mixture(),
              "LLM-mixing"),
+    QueryDef("temperature_mixing", q_temperature_mixing,
+             ORACLE_TEMPERATURE_MIXING, "LLM-mixing-temperature"),
     QueryDef("sequence_packing", q_sequence_packing, ORACLE_SEQUENCE_PACKING,
              "LLM-seq-pack"),
 ]
