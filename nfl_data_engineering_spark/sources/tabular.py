@@ -92,6 +92,10 @@ def read_xlsx_pandas(path: str) -> pd.DataFrame:
                         val = raw
                     elif ctype == "b":
                         val = bool(int(raw))
+                    elif re.fullmatch(r"-?\d+", raw):
+                        # integer literal: parse as int directly — the
+                        # float path truncates past 2^53
+                        val = int(raw)
                     else:
                         fv = float(raw)
                         val = int(fv) if fv.is_integer() else fv

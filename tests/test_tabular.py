@@ -88,3 +88,49 @@ def test_special_chars_escaped(tmp_path):
     write_xlsx_pandas(pdf, path)
     back = read_xlsx_pandas(path)
     assert back["t"].tolist() == ["<tag> & \"quote\"", "a\nb", "  spaced  "]
+
+
+# ---------------------------------------------------------------------------
+# Property tests: arbitrary frames must survive the OOXML roundtrip
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E402
+
+# cell values the registry/export path actually carries: strings (incl.
+# XML-hostile chars), full-range int64 (integer literals parse without
+# the float truncation past 2^53), floats, None. Excel's XML forbids control
+# chars below 0x20 except \t \n \r, so the string alphabet excludes them
+# (the writer is a config/export sink, not a binary store).
+_cell = st.one_of(
+    st.none(),
+    st.integers(min_value=-2**63 + 1, max_value=2**63 - 1),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.text(alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x2FF)
+            | st.sampled_from("\t\n<>&\"'"), max_size=40),
+)
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.lists(_cell, min_size=2, max_size=4), min_size=1,
+                max_size=8).filter(
+                    lambda rows: len({len(r) for r in rows}) == 1))
+def test_xlsx_roundtrip_property(tmp_path_factory, rows):
+    import pandas as pd
+    ncols = len(rows[0])
+    pdf = pd.DataFrame(rows, columns=[f"c{i}" for i in range(ncols)])
+    path = str(tmp_path_factory.mktemp("xl") / "prop.xlsx")
+    write_xlsx_pandas(pdf, path)
+    back = read_xlsx_pandas(path)
+    assert back.shape == pdf.shape
+    for i in range(len(rows)):
+        for j in range(ncols):
+            orig, got = rows[i][j], back.iloc[i, j]
+            if orig is None or (isinstance(orig, float) and orig != orig):
+                assert got is None or got != got
+            elif isinstance(orig, str):
+                assert got == orig
+            elif isinstance(orig, float) and not float(orig).is_integer():
+                assert float(got) == orig
+            else:
+                assert float(got) == float(orig)
