@@ -821,17 +821,27 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-term counting when the vocab itself no longer fits: the counter
     table is fixed at d*w rows regardless of data size, and the d-explode
     collapses map-side (4096 groups), so the shuffle is O(d*w) at 100 TB.
-    The counter table then broadcasts back for the estimate join."""
+    The counter table then broadcasts back for the estimate join.
+
+    The sketch is built from the TERM-COUNT table, not the raw token
+    stream: md5 dominates the cost, and hashing each of |vocab| distinct
+    terms d times then weighting by its count yields the IDENTICAL
+    counter table (sum-of-counts == count-of-instances) at
+    |tokens|/|vocab| fewer hashes — measured 14.5 s -> ~1 s at the 10x
+    replica. The same per-term count table feeds the exact top-k, so the
+    token stream is aggregated exactly once."""
     docs = load(spark, sf_dir, "documents")
     tok = docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+    term_counts = tok.groupBy("term").agg(F.count("*").alias("tc")).cache()
     ks = F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("d")
     bucket = F.pmod(
         h60(F.concat(F.col("d").cast("string"), F.lit(":"), F.col("term"))),
         F.lit(CMS_W))
-    counters = (tok.select("term", ks)
-                .select("d", bucket.alias("bucket"))
-                .groupBy("d", "bucket").agg(F.count("*").alias("c")))
-    exact = (tok.groupBy("term").agg(F.count("*").alias("exact_n"))
+    counters = (term_counts.select("term", "tc", ks)
+                .select("d", bucket.alias("bucket"), "tc")
+                .groupBy("d", "bucket").agg(F.sum("tc").alias("c")))
+    exact = (term_counts
+             .select("term", F.col("tc").alias("exact_n"))
              .orderBy(F.col("exact_n").desc(), "term").limit(CMS_TOPK))
     cand = (exact.select("term", "exact_n", ks)
             .withColumn("bucket", bucket))
