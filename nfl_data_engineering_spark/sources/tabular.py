@@ -73,9 +73,14 @@ def read_xlsx_pandas(path: str) -> pd.DataFrame:
         rows: list[dict[int, object]] = []
         for row_el in root.iter(f"{_NS}row"):
             row: dict[int, object] = {}
+            last_ci = -1
             for c in row_el.findall(f"{_NS}c"):
                 ref = c.get("r") or ""
-                ci = _col_index(ref) if ref else len(row)
+                # unreferenced cells follow the PREVIOUS cell's column, not
+                # the count of parsed cells — ECMA-376 writers omit empty
+                # cells, so len(row) would shift values left
+                ci = _col_index(ref) if ref else last_ci + 1
+                last_ci = ci
                 ctype = c.get("t", "n")
                 if ctype == "inlineStr":
                     is_el = c.find(f"{_NS}is")
@@ -138,7 +143,11 @@ def write_xlsx_pandas(pdf: pd.DataFrame, path: str) -> None:
             ref = chr(ord("A") + rem) + ref
         return ref
 
-    all_rows = [list(pdf.columns)] + pdf.values.tolist()
+    # itertuples, NOT pdf.values: .values finds the common dtype of the
+    # whole frame, so an int64 column next to a float64 column upcasts to
+    # float64 and corrupts ids above 2^53 before serialization
+    all_rows = [list(pdf.columns)] + [
+        list(t) for t in pdf.itertuples(index=False, name=None)]
     row_xml = []
     for rn, vals in enumerate(all_rows, start=1):
         cells = "".join(cell_xml(f"{col_ref(ci)}{rn}", v)

@@ -130,7 +130,13 @@ def test_xlsx_roundtrip_property(tmp_path_factory, rows):
                 assert got is None or got != got
             elif isinstance(orig, str):
                 assert got == orig
-            elif isinstance(orig, float) and not float(orig).is_integer():
+            elif isinstance(orig, bool):
+                assert bool(got) == orig
+            elif isinstance(orig, int):
+                # exact int64 equality — float() comparison would mask
+                # precision loss past 2^53
+                assert int(got) == orig
+            elif not float(orig).is_integer():
                 assert float(got) == orig
             else:
                 assert float(got) == float(orig)

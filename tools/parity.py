@@ -12,7 +12,6 @@ cells, and only then compares values.
 
 Usage: python tools/parity.py [sf_dir] [query_name ...]
 Env:   SPARK_GRAFT_VANILLA=1  -> use a bone-stock SparkSession (driver sim)
-       PARITY_SKIP_BENCH_HEAVY=1 -> skip entries marked heavy
 """
 
 from __future__ import annotations
