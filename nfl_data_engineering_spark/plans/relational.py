@@ -1676,6 +1676,74 @@ GROUP BY l.l_returnflag
 """
 
 
+WINSOR_P = (0.01, 0.99)
+
+
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust mean: values outside the per-group [p1, p99]
+    order statistics are CLIPPED to the bound (not dropped — the
+    winsorize/trim distinction), then decimal-exact averaged. Unlike the
+    trim (q_trimmed_mean), the bound VALUE enters the sum, so an
+    interpolated percentile differing in the last ulp between engines
+    would corrupt the hash; the bounds are therefore explicit order
+    statistics — the value at row floor((n-1)*p)+1 of the sorted group,
+    computed with row_number in BOTH engines (builtin percentile_disc
+    definitions differ across engines at fractional ranks: Spark picks
+    ceil(n*p), DuckDB floor((n-1)*p)+1 — divergent e.g. at n=3, p=0.4).
+    Every clipped value is then a real 2-decimal data value and the sum
+    is exact. Two shuffles (rank window, final agg); the bound frame
+    broadcasts."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice")
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    wn = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag", "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"))
+    lo_i = F.floor((F.col("n") - 1) * F.lit(WINSOR_P[0])) + 1
+    hi_i = F.floor((F.col("n") - 1) * F.lit(WINSOR_P[1])) + 1
+    bounds = (ranked
+              .groupBy("l_returnflag")
+              .agg(F.max(F.when(F.col("rn") == lo_i,
+                                F.col("l_extendedprice"))).alias("lo"),
+                   F.max(F.when(F.col("rn") == hi_i,
+                                F.col("l_extendedprice"))).alias("hi")))
+    clipped = (li.join(F.broadcast(bounds), "l_returnflag")
+               .select("l_returnflag", "lo", "hi",
+                       F.least(F.greatest("l_extendedprice", F.col("lo")),
+                               F.col("hi")).alias("v")))
+    return (clipped.groupBy("l_returnflag")
+            .agg(F.count("*").alias("n"),
+                 F.min("lo").alias("p01"), F.min("hi").alias("p99"),
+                 (F.sum(F.col("v").cast("decimal(18,2)")).cast("double")
+                  / F.count("*")).alias("winsorized_avg")))
+
+
+ORACLE_WINSORIZED = f"""
+WITH ranked AS (
+  SELECT l_returnflag, l_extendedprice,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem),
+b AS (
+  SELECT l_returnflag,
+         MAX(CASE WHEN rn = FLOOR((n - 1) * {WINSOR_P[0]}) + 1
+                  THEN l_extendedprice END) AS lo,
+         MAX(CASE WHEN rn = FLOOR((n - 1) * {WINSOR_P[1]}) + 1
+                  THEN l_extendedprice END) AS hi
+  FROM ranked GROUP BY l_returnflag)
+SELECT l.l_returnflag, COUNT(*) AS n,
+       MIN(lo) AS p01, MIN(hi) AS p99,
+       CAST(SUM(CAST(LEAST(GREATEST(l_extendedprice, lo), hi)
+                     AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+         AS winsorized_avg
+FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
+GROUP BY l.l_returnflag
+"""
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users cohorted by first-active week, then
     counted per (cohort week, weeks-since-cohort) activity cell — the
@@ -2553,6 +2621,8 @@ RELATIONAL_QUERIES = [
              ORACLE_PROMO_REVENUE_SHARE, "A-cond-agg", bench=True),
     QueryDef("trimmed_mean", q_trimmed_mean, ORACLE_TRIMMED_MEAN,
              "A-trimmed-mean,A-quantile", bench=True),
+    QueryDef("winsorized_stats", q_winsorized_stats, ORACLE_WINSORIZED,
+             "A-winsorize,A-order-statistic"),
     QueryDef("full_outer_reconcile", q_full_outer_reconcile,
              ORACLE_FULL_OUTER_RECONCILE, "J-full-outer,A5"),
     QueryDef("minmax_scale", q_minmax_scale, ORACLE_MINMAX_SCALE,

@@ -1,0 +1,86 @@
+"""Semantic tests for the round-2 catalog additions (beyond the DuckDB
+parity gate): streaming stateful/join entries, segment dedup, temperature
+mixing, winsorized stats, salted top-k, embedding components."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pyspark.sql.functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from nfl_data_engineering_spark.plans.relational import (  # noqa: E402
+    q_lateral_topk, q_topk_salted, q_winsorized_stats)
+from nfl_data_engineering_spark.plans.textops import (  # noqa: E402
+    SEGMENT_TOKENS, q_segment_dedup)
+from nfl_data_engineering_spark.plans.training import (  # noqa: E402
+    q_streaming_interval_join, q_streaming_keep_latest, q_temperature_mixing)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_streaming_keep_latest_matches_batch(spark):
+    got = {(r["user_id"], r["event_type"]): (r["ts"], r["value"])
+           for r in q_streaming_keep_latest(spark, SF).collect()}
+    ev = spark.read.parquet(os.path.join(SF, "events.parquet"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.col("ts").desc())
+    want = {(r["user_id"], r["event_type"]): (r["ts"], r["value"])
+            for r in ev.withColumn("rn", F.row_number().over(w))
+                       .filter("rn = 1").collect()}
+    assert len(got) == len(want)
+    for k, (ts, v) in want.items():
+        gts, gv = got[k]
+        # stream path casts NTZ->LTZ; compare wall-clock values
+        assert gts.replace(tzinfo=None) == ts.replace(tzinfo=None)
+        assert gv == v
+
+
+def test_streaming_interval_join_bounds(spark):
+    rows = q_streaming_interval_join(spark, SF).collect()
+    assert rows, "expected purchase<-click pairs at sf0.001"
+    for r in rows:
+        delta = (r["purchase_ts"] - r["click_ts"]).total_seconds()
+        assert 0 < delta <= 3600
+
+
+def test_segment_dedup_accounting(spark):
+    rows = q_segment_dedup(spark, SF).collect()
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    assert len(rows) == docs.count()
+    for r in rows:
+        assert 0 <= r["n_removed"] <= r["n_segments"]
+        assert 0 <= r["tokens_removed"] <= r["n_tokens"]
+        # a full segment holds SEGMENT_TOKENS tokens; the last may be short
+        assert r["n_tokens"] <= r["n_segments"] * SEGMENT_TOKENS
+        assert r["n_tokens"] > r["n_segments"] * SEGMENT_TOKENS - SEGMENT_TOKENS
+
+
+def test_temperature_mixing_upweights_small_sources(spark):
+    rows = q_temperature_mixing(spark, SF).collect()
+    assert rows
+    total_ppm_kept = {r["source"]: r["rate_ppm"] for r in rows}
+    counts = {r["source"]: r["n_docs"] for r in rows}
+    # sqrt weighting: per-doc keep rate must be higher for smaller sources
+    small = min(counts, key=counts.get)
+    big = max(counts, key=counts.get)
+    if counts[small] < counts[big]:
+        assert total_ppm_kept[small] >= total_ppm_kept[big]
+    for r in rows:
+        assert 0 <= r["n_kept"] <= r["n_docs"]
+
+
+def test_topk_salted_equals_lateral_topk(spark):
+    salted = {(r["o_custkey"], r["o_orderkey"])
+              for r in q_topk_salted(spark, SF).collect()}
+    lateral = {(r["c_custkey"], r["o_orderkey"])
+               for r in q_lateral_topk(spark, SF).collect()}
+    assert salted == lateral
+
+
+def test_winsorized_avg_between_bounds(spark):
+    for r in q_winsorized_stats(spark, SF).collect():
+        assert r["p01"] <= r["winsorized_avg"] <= r["p99"]
+        assert r["p01"] <= r["p99"]
