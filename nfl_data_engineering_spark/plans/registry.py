@@ -65,6 +65,9 @@ _PRIORITY: list[str] = [
     "referential_integrity_audit",
 ]
 
+assert not set(_PRIORITY) - {q.name for q in _ALL}, \
+    "stale names in _PRIORITY (renamed/removed catalog entries)"
+
 _PRIO_IDX = {n: i for i, n in enumerate(_PRIORITY)}
 CATALOG: list[QueryDef] = sorted(
     _ALL, key=lambda q: (_PRIO_IDX.get(q.name, len(_PRIORITY)),
