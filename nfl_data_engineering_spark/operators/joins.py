@@ -55,6 +55,64 @@ def asof_join(left: DataFrame, right: DataFrame, key_cols: list[str],
             .drop("__ts", "__side", *[f"__v_{v}" for v in value_cols]))
 
 
+def asof_join_tolerance(left: DataFrame, right: DataFrame,
+                        key_cols: list[str], left_ts: str, right_ts: str,
+                        value_cols: list[str], tolerance_s: int,
+                        tiebreak_cols: list[str] | None = None,
+                        suffix: str = "_asof") -> DataFrame:
+    """Backward as-of join with a max-staleness tolerance: for each left
+    row, the newest right row with ``left.ts - tolerance <= right.ts <=
+    left.ts`` in the same key — pandas ``merge_asof(tolerance=...)``
+    semantics, without the range-join blowup. Matches older than the
+    tolerance surface as NULL.
+
+    Same zero-join union+window shape as :func:`asof_join`, plus the
+    matched right timestamp is carried through the window so staleness is
+    one projection subtraction. ``tiebreak_cols`` pins a total order among
+    right rows sharing a timestamp (the window's last() picks the greatest
+    tiebreak — ORDER BY ts DESC, tiebreak DESC LIMIT 1 semantics).
+    """
+    tiebreaks = tiebreak_cols or []
+    l_tag = (left
+             .withColumn("__ts", F.col(left_ts))
+             .withColumn("__side", F.lit(1)))
+    for v in value_cols:
+        l_tag = l_tag.withColumn(
+            f"__v_{v}", F.lit(None).cast(right.schema[v].dataType))
+    for t in tiebreaks:
+        l_tag = l_tag.withColumn(
+            f"__tb_{t}", F.lit(None).cast(right.schema[t].dataType))
+    r_tag = (right.select(
+        *[F.col(c) for c in key_cols],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.col(v).alias(f"__v_{v}") for v in value_cols],
+        *[F.col(t).alias(f"__tb_{t}") for t in tiebreaks]))
+    for c in left.columns:
+        if c not in key_cols:
+            r_tag = r_tag.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    merged = l_tag.unionByName(r_tag.select(*l_tag.columns))
+    w = (Window.partitionBy(*key_cols)
+         .orderBy(F.col("__ts"), F.col("__side"),
+                  *[F.col(f"__tb_{t}") for t in tiebreaks])
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    right_ts_val = F.when(F.col("__side") == 0, F.col("__ts"))
+    merged = merged.withColumn(
+        "__match_ts", F.last(right_ts_val, ignorenulls=True).over(w))
+    # NTZ-safe staleness: cast to the session timestamp type before epoch
+    fresh = (F.expr("unix_micros(cast(__ts as timestamp))")
+             - F.expr("unix_micros(cast(__match_ts as timestamp))")
+             <= F.lit(int(tolerance_s) * 1_000_000).cast("long"))
+    for v in value_cols:
+        matched = F.last(F.col(f"__v_{v}"), ignorenulls=True).over(w)
+        merged = merged.withColumn(
+            f"{v}{suffix}", F.when(fresh, matched))
+    return (merged.filter(F.col("__side") == 1)
+            .drop("__ts", "__side", "__match_ts",
+                  *[f"__v_{v}" for v in value_cols],
+                  *[f"__tb_{t}" for t in tiebreaks]))
+
+
 def matchup_join(games: DataFrame, stats: DataFrame, stat_key: str,
                  game_home_key: str, game_away_key: str,
                  feature_cols: list[str]) -> DataFrame:

@@ -39,7 +39,7 @@ _PRIORITY: list[str] = [
     # UDTF + applyInPandas + streaming surface
     "record_expand_udtf", "zscore_groups", "streaming_daily_rollup",
     "streaming_keep_latest", "streaming_interval_join", "topk_salted",
-    "winsorized_stats",
+    "winsorized_stats", "asof_tolerance",
     # LLM text pipeline
     "dedup_exact_text", "dedup_minhash_lsh", "dedup_components",
     "ngram_jaccard_pairs", "dedup_simhash", "lang_id", "text_quality",

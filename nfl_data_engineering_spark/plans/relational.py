@@ -1676,6 +1676,44 @@ GROUP BY l.l_returnflag
 """
 
 
+ASOF_TOLERANCE_S = 3600
+
+
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 with max-staleness: each purchase gets the newest same-user click
+    value from the PRECEDING HOUR, NULL when the newest click is staler —
+    pandas merge_asof(tolerance=...) semantics via the zero-join
+    union+window shape (operators/joins.py:asof_join_tolerance). The
+    tolerance gate is a projection subtraction on the matched timestamp
+    carried through the same window — no range join, one shuffle on the
+    key, the shape that survives 100 TB. Ties on the right timestamp are
+    pinned by event_id (greatest wins, matching the oracle's ORDER BY ts
+    DESC, event_id DESC LIMIT 1)."""
+    from ..operators.joins import asof_join_tolerance
+    ev = load(spark, sf_dir, "events")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("user_id", "event_id", "ts"))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", "ts", "event_id", "value"))
+    out = asof_join_tolerance(
+        purchases, clicks, key_cols=["user_id"],
+        left_ts="ts", right_ts="ts", value_cols=["value"],
+        tolerance_s=ASOF_TOLERANCE_S, tiebreak_cols=["event_id"])
+    return out.select("user_id", "event_id", "ts",
+                      F.col("value_asof").alias("click_value"))
+
+
+ORACLE_ASOF_TOLERANCE = f"""
+SELECT p.user_id, p.event_id, p.ts,
+       (SELECT c.value FROM events c
+        WHERE c.user_id = p.user_id AND c.event_type = 'click'
+          AND c.ts <= p.ts
+          AND c.ts >= p.ts - INTERVAL {ASOF_TOLERANCE_S} SECOND
+        ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS click_value
+FROM events p WHERE p.event_type = 'purchase'
+"""
+
+
 WINSOR_P = (0.01, 0.99)
 
 
@@ -2623,6 +2661,8 @@ RELATIONAL_QUERIES = [
              "A-trimmed-mean,A-quantile", bench=True),
     QueryDef("winsorized_stats", q_winsorized_stats, ORACLE_WINSORIZED,
              "A-winsorize,A-order-statistic"),
+    QueryDef("asof_tolerance", q_asof_tolerance, ORACLE_ASOF_TOLERANCE,
+             "J3-tolerance"),
     QueryDef("full_outer_reconcile", q_full_outer_reconcile,
              ORACLE_FULL_OUTER_RECONCILE, "J-full-outer,A5"),
     QueryDef("minmax_scale", q_minmax_scale, ORACLE_MINMAX_SCALE,
