@@ -51,6 +51,7 @@ _PRIORITY: list[str] = [
     # training-pipeline
     "stratified_sample", "train_test_split", "vocab_topk", "tfidf_top_terms",
     "sequence_packing", "source_mixture", "temperature_mixing",
+    "bpe_merge_train",
     "corpus_filter", "shard_balance",
     "unigram_logprob", "bigram_topk", "kfold_assignment", "rename_normalize",
     # relational entries the round-1 window missed

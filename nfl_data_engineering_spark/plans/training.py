@@ -238,6 +238,112 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("doc_id").alias("max_doc_id")))
 
 
+BPE_STEPS = 3
+
+
+def q_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge training, the tokenizer-building inner loop, as iterative
+    relational ops: BPE_STEPS rounds of (count adjacent token pairs ->
+    pick the most frequent -> merge every non-overlapping occurrence
+    left-to-right). Word-level pairs here (the corpus is word soup); the
+    relational formulation is representation-agnostic.
+
+    The greedy left-to-right merge is NOT a sequential fold: a position
+    merges iff it starts the pair and — when left==right — sits at an
+    EVEN offset within its island of consecutive equal tokens
+    (gaps-and-islands + parity, e.g. 'a a a' -> [a_a, a]); a position is
+    consumed iff its predecessor merged. That window formulation is
+    expressed IDENTICALLY in Spark and the staged DuckDB oracle, so the
+    oracle checks the full iterative pipeline, not a proxy. Per round:
+    one pair-count shuffle + one window pass; the driver reads back only
+    the single best pair (a scalar, like the components convergence sum).
+    Lineage is checkpoint-truncated per round — the 100 TB shape for any
+    iterate-on-a-table loop. Tie-break on (count desc, pair asc) pins
+    the learned merge list on both engines."""
+    tok = (load(spark, sf_dir, "documents")
+           .select("doc_id", F.posexplode(tokens(F.col("text")))
+                   .alias("pos", "t")))
+    out_rows = []
+    for step in range(1, BPE_STEPS + 1):
+        wdoc = Window.partitionBy("doc_id").orderBy("pos")
+        cur = tok.withColumn("nxt", F.lead("t").over(wdoc))
+        best = (cur.filter(F.col("nxt").isNotNull())
+                .groupBy("t", "nxt").agg(F.count("*").alias("c"))
+                .orderBy(F.col("c").desc(), "t", "nxt").limit(1)
+                .collect()[0])
+        a, b, _ = best["t"], best["nxt"], best["c"]
+        # islands of consecutive equal tokens; parity gates left==right
+        seg = (F.col("pos")
+               - F.row_number().over(Window.partitionBy("doc_id", "t")
+                                     .orderBy("pos")))
+        cur = cur.withColumn("seg", seg)
+        off = (F.col("pos")
+               - F.min("pos").over(Window.partitionBy("doc_id", "t", "seg")))
+        is_pair = (F.col("t") == a) & (F.col("nxt") == F.lit(b))
+        allowed = F.lit(a != b) | (off % 2 == 0)
+        cur = cur.withColumn("m", is_pair & allowed)
+        cur = cur.withColumn(
+            "consumed", F.coalesce(F.lag("m").over(wdoc), F.lit(False)))
+        n_merged = cur.filter("m").count()
+        out_rows.append((step, a, b, n_merged))
+        tok = (cur.filter(~F.col("consumed"))
+               .select("doc_id",
+                       F.row_number().over(wdoc).alias("pos"),
+                       F.when(F.col("m"),
+                              F.concat_ws("_", F.lit(a), F.lit(b)))
+                        .otherwise(F.col("t")).alias("t"))
+               .localCheckpoint(eager=True))
+    return spark.createDataFrame(
+        out_rows, "step int, left_tok string, right_tok string, n_merged bigint")
+
+
+def _bpe_oracle() -> str:
+    tok_expr = ("list_filter(regexp_split_to_array(lower(text), '\\s+'),"
+                " t -> t != '')")
+    ctes = [f"""t0 AS (
+  SELECT doc_id, generate_subscripts(tk, 1) AS pos, unnest(tk) AS t
+  FROM (SELECT doc_id, {tok_expr} AS tk FROM documents))"""]
+    selects = []
+    for s in range(1, BPE_STEPS + 1):
+        p, q = s - 1, s
+        ctes.append(f"""c{q} AS (
+  SELECT doc_id, pos, t,
+         lead(t) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+  FROM t{p}),
+b{q} AS (
+  SELECT t AS a, nxt AS b, COUNT(*) AS c FROM c{q} WHERE nxt IS NOT NULL
+  GROUP BY t, nxt ORDER BY c DESC, a, b LIMIT 1),
+m{q} AS (
+  SELECT c.doc_id, c.pos, c.t, b.a, b.b,
+         (c.t = b.a AND c.nxt = b.b AND
+          (b.a != b.b OR
+           (c.pos - MIN(c.pos) OVER (PARTITION BY c.doc_id, c.t, c.seg))
+             % 2 = 0)) AS m
+  FROM (SELECT *,
+               pos - row_number() OVER (PARTITION BY doc_id, t
+                                        ORDER BY pos) AS seg
+        FROM c{q}) c CROSS JOIN b{q} b),
+e{q} AS (
+  SELECT *,
+         COALESCE(lag(m) OVER (PARTITION BY doc_id ORDER BY pos), FALSE)
+           AS consumed
+  FROM m{q}),
+t{q} AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS pos,
+         CASE WHEN m THEN a || '_' || b ELSE t END AS t
+  FROM e{q} WHERE NOT consumed)""")
+        selects.append(
+            f"SELECT {s} AS step, (SELECT a FROM b{q}) AS left_tok, "
+            f"(SELECT b FROM b{q}) AS right_tok, "
+            f"CAST((SELECT COUNT(*) FROM e{q} WHERE m) AS BIGINT) AS n_merged")
+    return ("WITH " + ",\n".join(ctes) + "\n"
+            + "\nUNION ALL\n".join(selects))
+
+
+ORACLE_BPE_MERGE_TRAIN = _bpe_oracle()
+
+
 def q_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based source mixing (alpha = 0.5): sampling weight per
     source ∝ count^alpha, the standard rebalance that upweights small
@@ -721,6 +827,8 @@ TRAINING_QUERIES = [
              "LLM-mixing"),
     QueryDef("temperature_mixing", q_temperature_mixing,
              ORACLE_TEMPERATURE_MIXING, "LLM-mixing-temperature"),
+    QueryDef("bpe_merge_train", q_bpe_merge_train, ORACLE_BPE_MERGE_TRAIN,
+             "LLM-bpe-train"),
     QueryDef("sequence_packing", q_sequence_packing, ORACLE_SEQUENCE_PACKING,
              "LLM-seq-pack"),
 ]

@@ -84,3 +84,29 @@ def test_winsorized_avg_between_bounds(spark):
     for r in q_winsorized_stats(spark, SF).collect():
         assert r["p01"] <= r["winsorized_avg"] <= r["p99"]
         assert r["p01"] <= r["p99"]
+
+
+def test_bpe_greedy_merge_run_parity(spark, tmp_path):
+    # 'x x x' with best pair (x,x) must merge left-to-right greedily:
+    # [x_x, x], never [x, x_x] or [x_x, x_x]
+    import pandas as pd
+    docs = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["x x x", "x x x x y"],
+        "lang": ["en", "en"], "source": ["t", "t"], "n_chars": [5, 9],
+    })
+    d = str(tmp_path / "docs")
+    import os as _os
+    _os.makedirs(d, exist_ok=True)
+    docs.to_parquet(_os.path.join(d, "documents.parquet"))
+    from nfl_data_engineering_spark.plans.training import q_bpe_merge_train
+    rows = {r["step"]: r for r in q_bpe_merge_train(spark, d).collect()}
+    # step 1: (x, x) occurs 2+3=5 times as adjacent pairs -> merged
+    # greedily: doc1 [x_x, x] (1 merge), doc2 [x_x, x_x, y] (2 merges)
+    assert rows[1]["left_tok"] == "x" and rows[1]["right_tok"] == "x"
+    assert rows[1]["n_merged"] == 3
+    # step 2: best remaining pair is (x_x, x) [doc1] vs (x_x, x_x) [doc2]
+    # vs (x_x, y) [doc2] — each count 1; lexicographic tiebreak picks
+    # ('x_x', 'x')
+    assert (rows[2]["left_tok"], rows[2]["right_tok"]) == ("x_x", "x")
+    assert rows[2]["n_merged"] == 1
