@@ -38,7 +38,8 @@ _PRIORITY: list[str] = [
     "norms_pandas_udf", "median_value_udaf",
     # UDTF + applyInPandas + streaming surface
     "record_expand_udtf", "zscore_groups", "streaming_daily_rollup",
-    "streaming_keep_latest", "streaming_interval_join", "topk_salted",
+    "streaming_keep_latest", "streaming_interval_join",
+    "streaming_sessionization", "topk_salted",
     "winsorized_stats", "asof_tolerance",
     # LLM text pipeline
     "dedup_exact_text", "dedup_minhash_lsh", "dedup_components",

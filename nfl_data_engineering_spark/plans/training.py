@@ -238,6 +238,54 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("doc_id").alias("max_doc_id")))
 
 
+def q_streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 native session windows, run for real: readStream ->
+    session_window(ts, 30 min) per user — a session stays open in state
+    while events keep arriving within the gap, merges across microbatches,
+    and its window is [first_ts, last_ts + gap). Complete-mode drain under
+    trigger(availableNow) materializes every session including still-open
+    ones, which equals the batch gaps-and-islands computation the oracle
+    runs (new session iff the gap to the previous event is >= 30 min —
+    session windows are half-open). State is O(open sessions), the shape
+    that sessionizes an unbounded feed at 100 TB/day."""
+    stream = _event_stream(spark, sf_dir)
+    agg = (stream
+           .withWatermark("ts", "1 day")
+           .groupBy("user_id",
+                    F.session_window("ts", "30 minutes").alias("w"))
+           .agg(F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                 .alias("sum_value")))
+    sink = "streaming_sessionization_sink"
+    q = (agg.writeStream.format("memory").queryName(sink)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(sink)
+            .select("user_id",
+                    F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"),
+                    "n_events", "sum_value"))
+
+
+ORACLE_STREAMING_SESSIONIZATION = """
+WITH l AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+g AS (
+  SELECT *, SUM(CASE WHEN prev IS NULL
+                       OR ts - prev >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS UNBOUNDED PRECEDING) AS sid
+  FROM l)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM g GROUP BY user_id, sid
+"""
+
+
 BPE_STEPS = 3
 
 
@@ -811,6 +859,8 @@ TRAINING_QUERIES = [
              ORACLE_STREAMING_KEEP_LATEST, "S2.9-stateful,A2"),
     QueryDef("streaming_interval_join", q_streaming_interval_join,
              ORACLE_STREAMING_INTERVAL_JOIN, "S2.9-stream-join,J3"),
+    QueryDef("streaming_sessionization", q_streaming_sessionization,
+             ORACLE_STREAMING_SESSIONIZATION, "S2.9-session-window"),
     QueryDef("stratified_sample", q_stratified_sample,
              ORACLE_STRATIFIED_SAMPLE, "LLM-sampling"),
     QueryDef("train_test_split", q_train_test_split, ORACLE_TRAIN_TEST_SPLIT,
