@@ -110,3 +110,27 @@ def test_bpe_greedy_merge_run_parity(spark, tmp_path):
     # ('x_x', 'x')
     assert (rows[2]["left_tok"], rows[2]["right_tok"]) == ("x_x", "x")
     assert rows[2]["n_merged"] == 1
+
+
+def test_approx_percentile_within_rank_error(spark):
+    # the 100 TB percentile path (SCALE.md prescribes approx_percentile for
+    # the trimmed-mean bounds at scale): its result must sit within the
+    # sketch's documented rank-error bound of the exact order statistic
+    ev = spark.read.parquet(os.path.join(SF, "events.parquet"))
+    acc = 1000  # rank error <= n / acc
+    rows = (ev.groupBy("event_type")
+            .agg(F.expr(f"approx_percentile(value, 0.5, {acc})").alias("ap"),
+                 F.expr("percentile(value, 0.5)").alias("exact"),
+                 F.count("value").alias("n"),
+                 F.expr("sort_array(collect_list(value))").alias("vs"))
+            .collect())
+    for r in rows:
+        vs, n = r["vs"], r["n"]
+        # rank of the approx answer must be within n/acc of n/2
+        import bisect
+        lo = bisect.bisect_left(vs, r["ap"])
+        hi = bisect.bisect_right(vs, r["ap"])
+        target = n / 2
+        err_budget = max(n / acc, 1.0)
+        assert lo - err_budget <= target <= hi + err_budget, \
+            (r["event_type"], lo, hi, target)
