@@ -43,6 +43,7 @@ _PRIORITY: list[str] = [
     "winsorized_stats", "asof_tolerance",
     # LLM text pipeline
     "dedup_exact_text", "dedup_minhash_lsh", "dedup_components",
+    "dedup_survivor_table",
     "ngram_jaccard_pairs", "dedup_simhash", "lang_id", "text_quality",
     "token_counts", "doc_fingerprint", "multimodal_stats",
     "repetition_score", "fuzzy_editdist", "doc_length_histogram",

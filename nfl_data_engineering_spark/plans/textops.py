@@ -136,6 +136,27 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("n").alias("max_doc_id")))
 
 
+def q_dedup_survivor_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup deliverable itself: one row per document with its
+    canonical id (component minimum over the MinHash near-dup graph;
+    itself when it has no near-duplicates) and a keep/drop flag — the
+    table a corpus build joins against to filter the training set. Same
+    components machinery as q_dedup_components, finished with one left
+    join back to the full corpus (docs not in any pair are singleton
+    survivors). At 100 TB the labels frame is |docs-in-pairs| rows —
+    small against the corpus — so the finishing join broadcasts."""
+    from ..operators.dedup import connected_components
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    pairs = _minhash_pairs(spark, sf_dir).select("d1", "d2")
+    labels = connected_components(pairs, "d1", "d2")
+    canon = F.coalesce(F.col("label"), F.col("doc_id"))
+    return (docs.join(labels.withColumnRenamed("n", "doc_id"),
+                      "doc_id", "left")
+            .select("doc_id", canon.alias("canonical_doc_id"),
+                    (canon == F.col("doc_id")).cast("int")
+                    .alias("is_survivor")))
+
+
 _SQL_MINHASH_PAIR_CTES = f"""{_sql_shingles_cte(3)},
 shh AS (SELECT DISTINCT doc_id, {SQL_H60.format(e='shingle')} AS sh60 FROM sh),
 params AS (
@@ -182,6 +203,22 @@ r AS (
 comp AS (SELECT a AS doc_id, MIN(b) AS component FROM r GROUP BY a)
 SELECT component, COUNT(*) AS n_docs, MAX(doc_id) AS max_doc_id
 FROM comp GROUP BY component
+"""
+
+ORACLE_SURVIVOR_TABLE = f"""
+WITH RECURSIVE {_SQL_MINHASH_PAIR_CTES},
+bi AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+nodes AS (SELECT DISTINCT a AS n FROM bi),
+r AS (
+  SELECT n AS a, n AS b FROM nodes
+  UNION
+  SELECT r.a, bi.b FROM r JOIN bi ON r.b = bi.a),
+comp AS (SELECT a AS doc_id, MIN(b) AS component FROM r GROUP BY a)
+SELECT d.doc_id,
+       COALESCE(comp.component, d.doc_id) AS canonical_doc_id,
+       CASE WHEN COALESCE(comp.component, d.doc_id) = d.doc_id
+            THEN 1 ELSE 0 END AS is_survivor
+FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id
 """
 
 
@@ -1137,6 +1174,8 @@ TEXT_QUERIES = [
     QueryDef("dedup_exact_text", q_dedup_exact_text, ORACLE_DEDUP_EXACT, "LLM-dedup-exact"),
     QueryDef("dedup_minhash_lsh", q_dedup_minhash_lsh, ORACLE_MINHASH_LSH, "LLM-dedup-minhash", bench=True),
     QueryDef("dedup_components", q_dedup_components, ORACLE_COMPONENTS, "LLM-dedup-components"),
+    QueryDef("dedup_survivor_table", q_dedup_survivor_table,
+             ORACLE_SURVIVOR_TABLE, "LLM-dedup-survivors"),
     QueryDef("ngram_jaccard_pairs", q_ngram_jaccard_pairs, ORACLE_NGRAM_JACCARD, "LLM-dedup-jaccard"),
     QueryDef("dedup_simhash", q_dedup_simhash, ORACLE_SIMHASH, "LLM-dedup-simhash", bench=True),
     QueryDef("lang_id", q_lang_id, ORACLE_LANG_ID, "LLM-text-langid"),
