@@ -1676,6 +1676,68 @@ GROUP BY l.l_returnflag
 """
 
 
+DRIFT_SPLIT_TS = "2024-01-16"
+DRIFT_BIN_W = 50.0
+DRIFT_BINS = 10
+
+
+def q_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset drift audit: per event type, the total-variation distance
+    between the value distribution before and after a split date, over
+    fixed-width bins — the train/serve distribution-shift check every
+    ML-ops pipeline runs. TVD instead of PSI/KL deliberately: it needs no
+    logarithm, so the whole metric is exact integer arithmetic (bin
+    shares in ppm via integer division; TVD = half the L1 distance) —
+    bit-identical across engines, where ln() differs in the last ulp.
+    One scan, one (type, bin) count, one tiny rollup; at 100 TB the bin
+    table is |types| x |bins| rows regardless of data volume."""
+    ev = load(spark, sf_dir, "events")
+    b = F.least(F.floor(F.col("value") / DRIFT_BIN_W).cast("int"),
+                F.lit(DRIFT_BINS - 1))
+    side = (F.col("ts") < F.lit(DRIFT_SPLIT_TS).cast("timestamp_ntz")) \
+        .cast("int")
+    binned = (ev.select("event_type", b.alias("bin"), side.alias("before"))
+              .groupBy("event_type", "bin")
+              .agg(F.sum("before").alias("nb"),
+                   F.sum(1 - F.col("before")).alias("na")))
+    wt = Window.partitionBy("event_type")
+    # integer div, NOT double-divide-then-cast: a double quotient can land
+    # one ulp below an exact integer ratio and truncate differently than
+    # DuckDB's // on the same integers
+    shares = (binned
+              .withColumn("tb", F.sum("nb").over(wt))
+              .withColumn("ta", F.sum("na").over(wt))
+              .select("event_type", "bin",
+                      F.expr("nb * 1000000 div tb").alias("p_ppm"),
+                      F.expr("na * 1000000 div ta").alias("q_ppm")))
+    return (shares.groupBy("event_type")
+            .agg(F.count("*").alias("n_bins"),
+                 F.expr("sum(abs(p_ppm - q_ppm)) div 2").alias("tvd_ppm")))
+
+
+ORACLE_DRIFT_TVD = f"""
+WITH binned AS (
+  SELECT event_type,
+         LEAST(CAST(FLOOR(value / {DRIFT_BIN_W}) AS INT), {DRIFT_BINS - 1})
+           AS bin,
+         SUM(CASE WHEN ts < TIMESTAMP '{DRIFT_SPLIT_TS}' THEN 1 ELSE 0 END)
+           AS nb,
+         SUM(CASE WHEN ts < TIMESTAMP '{DRIFT_SPLIT_TS}' THEN 0 ELSE 1 END)
+           AS na
+  FROM events GROUP BY 1, 2),
+shares AS (
+  SELECT event_type, bin,
+         CAST(nb * 1000000 // SUM(nb) OVER (PARTITION BY event_type)
+              AS BIGINT) AS p_ppm,
+         CAST(na * 1000000 // SUM(na) OVER (PARTITION BY event_type)
+              AS BIGINT) AS q_ppm
+  FROM binned)
+SELECT event_type, COUNT(*) AS n_bins,
+       CAST(SUM(ABS(p_ppm - q_ppm)) // 2 AS BIGINT) AS tvd_ppm
+FROM shares GROUP BY event_type
+"""
+
+
 ASOF_TOLERANCE_S = 3600
 
 
@@ -2663,6 +2725,8 @@ RELATIONAL_QUERIES = [
              "A-winsorize,A-order-statistic"),
     QueryDef("asof_tolerance", q_asof_tolerance, ORACLE_ASOF_TOLERANCE,
              "J3-tolerance"),
+    QueryDef("drift_tvd", q_drift_tvd, ORACLE_DRIFT_TVD,
+             "A-drift-audit"),
     QueryDef("full_outer_reconcile", q_full_outer_reconcile,
              ORACLE_FULL_OUTER_RECONCILE, "J-full-outer,A5"),
     QueryDef("minmax_scale", q_minmax_scale, ORACLE_MINMAX_SCALE,
