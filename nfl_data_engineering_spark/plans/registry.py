@@ -40,7 +40,7 @@ _PRIORITY: list[str] = [
     "record_expand_udtf", "zscore_groups", "streaming_daily_rollup",
     "streaming_keep_latest", "streaming_interval_join",
     "streaming_sessionization", "topk_salted",
-    "winsorized_stats", "asof_tolerance", "drift_tvd",
+    "winsorized_stats", "asof_tolerance", "drift_tvd", "distinct_hll",
     # LLM text pipeline
     "dedup_exact_text", "dedup_minhash_lsh", "dedup_components",
     "dedup_survivor_table",

@@ -887,6 +887,100 @@ FROM kth k JOIN exact e ON k.event_type = e.event_type
 """
 
 
+HLL_B = 8                       # 2^8 = 256 registers
+HLL_M = 1 << HLL_B
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+HLL_WBITS = 52                  # rank window inside the 60-bit hash
+
+
+def q_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog distinct-count sketch — the register
+    sibling of q_distinct_kmv, completing the sketch family (CMS, Bloom,
+    KMV, HLL). bucket = h60 mod 256; rank = leading-zero count of the
+    remaining 52 bits + 1 (via length(bin(w)) — string-exact in both
+    engines, no float log2); register = MAX(rank) per (group, bucket),
+    duplicate-insensitive by construction.
+
+    Determinism discipline for the harmonic mean: the indicator sum
+    Σ 2^-M_j is NOT accumulated in floats (adding 2^-53 to a sum of
+    order 10^2 rounds, and the rounding depends on engine-specific
+    aggregation order). Each term is instead the exact int64
+    2^(52+1-M_j) and the sum is integer (≤ 256·2^53 < 2^63); the single
+    float division by 2^53 afterwards is order-free. Raw estimate only
+    (no small-range correction); n_zero_regs is reported so a consumer
+    can apply linear counting. Sketch state is m registers per group —
+    the O(1)-memory COUNT DISTINCT at 100 TB, mergeable by MAX."""
+    from ..functions.hashing import h60
+    ev = load(spark, sf_dir, "events")
+    h = h60(F.col("user_id").cast("string"))
+    w = F.expr(f"h div {HLL_M}")
+    rank = F.when(F.col("w") == 0, F.lit(HLL_WBITS + 1)).otherwise(
+        HLL_WBITS - F.length(F.expr("bin(w)")) + 1)
+    regs = (ev.select("event_type", h.alias("h"))
+            .withColumn("bucket", F.expr(f"h % {HLL_M}"))
+            .withColumn("w", w)
+            .withColumn("rank", rank)
+            .groupBy("event_type", "bucket")
+            .agg(F.max("rank").alias("reg")))
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(
+        F.broadcast(spark.range(HLL_M).select(F.col("id").alias("bucket"))))
+    full = (spine.join(regs, ["event_type", "bucket"], "left")
+            .fillna(0, ["reg"]))
+    term = F.expr(f"cast(pow(2, {HLL_WBITS + 1} - reg) as bigint)")
+    agg = (full.groupBy("event_type")
+           .agg(F.sum(term).alias("s"),
+                F.sum(F.when(F.col("reg") == 0, 1).otherwise(0))
+                 .alias("n_zero_regs")))
+    est = (F.lit(HLL_ALPHA * HLL_M * HLL_M * float(1 << (HLL_WBITS + 1)))
+           / F.col("s").cast("double"))
+    exact = (ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("exact_distinct")))
+    return (agg.join(exact, "event_type")
+            .select("event_type", "exact_distinct", "n_zero_regs",
+                    F.round(est, 3).alias("hll_estimate")))
+
+
+ORACLE_DISTINCT_HLL = f"""
+WITH h AS (
+  SELECT event_type,
+         (('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT) AS h
+  FROM events),
+r AS (
+  SELECT event_type, h % {HLL_M} AS bucket, h // {HLL_M} AS w FROM h),
+ranked AS (
+  SELECT event_type, bucket,
+         CASE WHEN w = 0 THEN {HLL_WBITS + 1}
+              ELSE {HLL_WBITS} - length(bin(w)) + 1 END AS rank
+  FROM r),
+regs AS (
+  SELECT event_type, bucket, MAX(rank) AS reg
+  FROM ranked GROUP BY event_type, bucket),
+spine AS (
+  SELECT t.event_type, g.bucket
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT unnest(generate_series(0, {HLL_M - 1})) AS bucket) g),
+full_regs AS (
+  SELECT spine.event_type, COALESCE(regs.reg, 0) AS reg
+  FROM spine LEFT JOIN regs
+    ON spine.event_type = regs.event_type AND spine.bucket = regs.bucket),
+agg AS (
+  SELECT event_type,
+         CAST(SUM(CAST(POW(2, {HLL_WBITS + 1} - reg) AS BIGINT)) AS BIGINT)
+           AS s,
+         CAST(SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_zero_regs
+  FROM full_regs GROUP BY event_type),
+exact AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY event_type)
+SELECT a.event_type, e.exact_distinct, a.n_zero_regs,
+       ROUND({HLL_ALPHA * HLL_M * HLL_M * float(1 << (HLL_WBITS + 1))!r}
+             / a.s::DOUBLE, 3) AS hll_estimate
+FROM agg a JOIN exact e ON a.event_type = e.event_type
+"""
+
+
 SESSION_GAP = "30 minutes"
 
 
@@ -2686,6 +2780,8 @@ RELATIONAL_QUERIES = [
     QueryDef("explode_array", q_explode_array, ORACLE_EXPLODE_ARRAY, "T1"),
     QueryDef("value_percentiles", q_value_percentiles, ORACLE_VALUE_PERCENTILES, "A-quantile"),
     QueryDef("distinct_kmv", q_distinct_kmv, ORACLE_DISTINCT_KMV, "A-sketch-kmv"),
+    QueryDef("distinct_hll", q_distinct_hll, ORACLE_DISTINCT_HLL,
+             "A-sketch-hll"),
     QueryDef("user_sessions", q_user_sessions, ORACLE_USER_SESSIONS, "W-session"),
     QueryDef("rollup_revenue", q_rollup_revenue, ORACLE_ROLLUP_REVENUE, "A-rollup", bench=True),
     QueryDef("daily_delta", q_daily_delta, ORACLE_DAILY_DELTA, "X-lag,T14"),

@@ -134,3 +134,20 @@ def test_approx_percentile_within_rank_error(spark):
         err_budget = max(n / acc, 1.0)
         assert lo - err_budget <= target <= hi + err_budget, \
             (r["event_type"], lo, hi, target)
+
+
+def test_hll_estimate_within_4_sigma(spark):
+    # the entry exposes the RAW estimate + n_zero_regs so consumers apply
+    # the standard linear-counting small-range correction — do exactly
+    # that here, then gate at 4x the ~6.5% relative stdev of m=256
+    # (simulated -0.6% +/- 6.1% over 30 trials with this exact pipeline)
+    import math
+    from nfl_data_engineering_spark.plans.relational import (HLL_M,
+                                                             q_distinct_hll)
+    for r in q_distinct_hll(spark, SF).collect():
+        est, zeros = r["hll_estimate"], r["n_zero_regs"]
+        if est <= 2.5 * HLL_M and zeros > 0:
+            est = HLL_M * math.log(HLL_M / zeros)
+        rel = abs(est - r["exact_distinct"]) / r["exact_distinct"]
+        assert rel < 0.26, (r["event_type"], est, rel)
+        assert 0 <= zeros <= HLL_M
