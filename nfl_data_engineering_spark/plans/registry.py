@@ -34,7 +34,7 @@ _PRIORITY: list[str] = [
     # vector / ANN / pandas-UDF-UDAF surface
     "embedding_topk", "ann_ivf_topk", "ann_ivf_multiprobe",
     "cosine_neardup_pairs",
-    "cosine_neardup_lsh", "embedding_dedup_components",
+    "cosine_neardup_lsh", "embedding_dedup_components", "lsh_recall_audit",
     "norms_pandas_udf", "median_value_udaf",
     # UDTF + applyInPandas + streaming surface
     "record_expand_udtf", "zscore_groups", "streaming_daily_rollup",

@@ -396,6 +396,55 @@ FROM comp GROUP BY component
 """
 
 
+def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Honest-metrics audit of the LSH trade: exact all-pairs cosine
+    (the ground truth q_cosine_neardup_pairs computes) vs the SRP-LSH
+    pipeline's verified pairs, as counts + recall in exact integer ppm.
+    Every verified LSH pair passes the same >= threshold filter, so LSH
+    pairs are a subset of exact pairs and recall = |lsh| / |exact| —
+    this entry MEASURES the recall the band-width analysis in
+    q_cosine_neardup_lsh's docstring predicts (~8% at the permissive
+    0.45 floor; ~94% at real 0.9+ dedup thresholds). Run it at any
+    sf to validate a band configuration before a corpus-scale job;
+    the exact side is the O(n^2) baseline, so keep it to samples at
+    100 TB."""
+    from ..functions.similarity import dot as _dot, l2norm
+    emb = load(spark, sf_dir, "embeddings")
+    enorm = emb.select("vec_id", "embedding",
+                       l2norm(F.col("embedding")).alias("nrm"))
+    a = enorm.select(F.col("vec_id").alias("v1"),
+                     F.col("embedding").alias("e1"), F.col("nrm").alias("n1"))
+    b = enorm.select(F.col("vec_id").alias("v2"),
+                     F.col("embedding").alias("e2"), F.col("nrm").alias("n2"))
+    score = F.try_divide(_dot(F.col("e1"), F.col("e2")),
+                         F.col("n1") * F.col("n2"))
+    exact = (a.join(b, F.col("v1") < F.col("v2"))
+             .select(score.alias("score"))
+             .filter(F.col("score") >= SRP_THRESHOLD)
+             .agg(F.count("*").alias("n_exact")))
+    lsh = (_srp_verified_pairs(spark, sf_dir)
+           .agg(F.count("*").alias("n_lsh")))
+    return (exact.crossJoin(lsh)
+            .select("n_exact", "n_lsh",
+                    F.expr("CASE WHEN n_exact > 0 "
+                           "THEN n_lsh * 1000000 div n_exact END")
+                    .alias("recall_ppm")))
+
+
+ORACLE_LSH_RECALL = f"""
+WITH exact AS (
+  SELECT COUNT(*) AS n_exact
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE {SQL_COS.format(a='a.embedding', b='b.embedding')} >= {SRP_THRESHOLD}),
+{_SRP_PAIR_CTES.lstrip()},
+lsh AS (SELECT COUNT(*) AS n_lsh FROM pairs)
+SELECT n_exact, n_lsh,
+       CAST(CASE WHEN n_exact > 0 THEN n_lsh * 1000000 // n_exact END
+            AS BIGINT) AS recall_ppm
+FROM exact CROSS JOIN lsh
+"""
+
+
 def q_norms_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized scalar `@pandas_udf` surface (§2.8): per-vector L2 norm
     via Arrow-batched numpy — the pattern for numeric kernels Spark
@@ -466,6 +515,8 @@ VECTOR_QUERIES = [
     QueryDef("cosine_neardup_lsh", q_cosine_neardup_lsh, ORACLE_COSINE_LSH, "LLM-dedup-cosine-lsh", bench=True),
     QueryDef("embedding_dedup_components", q_embedding_dedup_components,
              ORACLE_EMB_COMPONENTS, "LLM-dedup-cosine-components"),
+    QueryDef("lsh_recall_audit", q_lsh_recall_audit, ORACLE_LSH_RECALL,
+             "LLM-lsh-recall-audit"),
     QueryDef("norms_pandas_udf", q_norms_pandas_udf, ORACLE_NORMS_PANDAS, "S2.8-pandas-udf"),
     QueryDef("median_value_udaf", q_median_value_udaf, ORACLE_MEDIAN_UDAF, "S2.8-pandas-udaf"),
 ]
