@@ -20,58 +20,28 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 def asof_join(left: DataFrame, right: DataFrame, key_cols: list[str],
               left_ts: str, right_ts: str,
-              value_cols: list[str], suffix: str = "_asof") -> DataFrame:
+              value_cols: list[str], suffix: str = "_asof",
+              tolerance_s: int | None = None,
+              tiebreak_cols: list[str] | None = None) -> DataFrame:
     """For each left row, attach the newest right row with
-    ``right.ts <= left.ts`` within the same key (J3).
+    ``right.ts <= left.ts`` within the same key (J3); with ``tolerance_s``,
+    only if that row is at most ``tolerance_s`` seconds older (pandas
+    ``merge_asof(tolerance=...)`` semantics — staler matches surface NULL).
 
-    Plan shape: tag both sides, unionByName, one window partitioned by key
-    ordered by (ts, is_left) with ``last(value, ignorenulls=True)`` over the
-    unbounded-preceding frame, then filter back to left rows. Right rows sort
-    before left rows at equal timestamps so a right row AT the left timestamp
-    is visible (<= semantics).
-    """
-    lcols = [F.col(c) for c in left.columns]
-    l_tag = (left.select(*lcols)
-             .withColumn("__ts", F.col(left_ts))
-             .withColumn("__side", F.lit(1)))
-    for v in value_cols:
-        l_tag = l_tag.withColumn(f"__v_{v}", F.lit(None).cast(right.schema[v].dataType))
-    r_tag = (right.select(
-        *[F.col(c) for c in key_cols],
-        F.col(right_ts).alias("__ts"),
-        F.lit(0).alias("__side"),
-        *[F.col(v).alias(f"__v_{v}") for v in value_cols]))
-    for c in left.columns:
-        if c not in key_cols:
-            r_tag = r_tag.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
-    merged = l_tag.unionByName(r_tag.select(*l_tag.columns))
-    w = (Window.partitionBy(*key_cols)
-         .orderBy(F.col("__ts"), F.col("__side"))
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    for v in value_cols:
-        merged = merged.withColumn(
-            f"{v}{suffix}", F.last(F.col(f"__v_{v}"), ignorenulls=True).over(w))
-    return (merged.filter(F.col("__side") == 1)
-            .drop("__ts", "__side", *[f"__v_{v}" for v in value_cols]))
-
-
-def asof_join_tolerance(left: DataFrame, right: DataFrame,
-                        key_cols: list[str], left_ts: str, right_ts: str,
-                        value_cols: list[str], tolerance_s: int,
-                        tiebreak_cols: list[str] | None = None,
-                        suffix: str = "_asof") -> DataFrame:
-    """Backward as-of join with a max-staleness tolerance: for each left
-    row, the newest right row with ``left.ts - tolerance <= right.ts <=
-    left.ts`` in the same key — pandas ``merge_asof(tolerance=...)``
-    semantics, without the range-join blowup. Matches older than the
-    tolerance surface as NULL.
-
-    Same zero-join union+window shape as :func:`asof_join`, plus the
-    matched right timestamp is carried through the window so staleness is
-    one projection subtraction. ``tiebreak_cols`` pins a total order among
-    right rows sharing a timestamp (the window's last() picks the greatest
-    tiebreak — ORDER BY ts DESC, tiebreak DESC LIMIT 1 semantics).
-    """
+    Plan shape: tag both sides, unionByName, ONE window partitioned by key
+    ordered by (ts, is_left[, tiebreaks]) carrying the matched right row as
+    a struct via ``last(ignorenulls=True)`` over the unbounded-preceding
+    frame, then filter back to left rows. Right rows sort before left rows
+    at equal timestamps so a right row AT the left timestamp is visible
+    (<= semantics). Carrying (match_ts, values) in ONE struct pins every
+    output to the SAME matched row — value columns that are NULL on the
+    matched row stay NULL instead of leaking an older non-null value
+    (DuckDB ASOF JOIN / pandas merge_asof behavior). ``tiebreak_cols``
+    pins a total order among right rows sharing a timestamp (last() picks
+    the greatest tiebreak — ORDER BY ts DESC, tiebreak DESC LIMIT 1).
+    Staleness compares the NTZ wall clocks directly (timestampdiff), not
+    epoch micros after a session-zone cast, so a DST transition between
+    the two timestamps cannot distort the gap."""
     tiebreaks = tiebreak_cols or []
     l_tag = (left
              .withColumn("__ts", F.col(left_ts))
@@ -96,21 +66,34 @@ def asof_join_tolerance(left: DataFrame, right: DataFrame,
          .orderBy(F.col("__ts"), F.col("__side"),
                   *[F.col(f"__tb_{t}") for t in tiebreaks])
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    right_ts_val = F.when(F.col("__side") == 0, F.col("__ts"))
+    row_struct = F.when(
+        F.col("__side") == 0,
+        F.struct(F.col("__ts").alias("mts"),
+                 *[F.col(f"__v_{v}").alias(v) for v in value_cols]))
     merged = merged.withColumn(
-        "__match_ts", F.last(right_ts_val, ignorenulls=True).over(w))
-    # NTZ-safe staleness: cast to the session timestamp type before epoch
-    fresh = (F.expr("unix_micros(cast(__ts as timestamp))")
-             - F.expr("unix_micros(cast(__match_ts as timestamp))")
-             <= F.lit(int(tolerance_s) * 1_000_000).cast("long"))
+        "__match", F.last(row_struct, ignorenulls=True).over(w))
+    fresh = F.lit(True) if tolerance_s is None else (
+        F.expr("timestampdiff(SECOND, __match.mts, __ts)")
+        <= F.lit(int(tolerance_s)))
     for v in value_cols:
-        matched = F.last(F.col(f"__v_{v}"), ignorenulls=True).over(w)
         merged = merged.withColumn(
-            f"{v}{suffix}", F.when(fresh, matched))
+            f"{v}{suffix}", F.when(fresh, F.col("__match")[v]))
     return (merged.filter(F.col("__side") == 1)
-            .drop("__ts", "__side", "__match_ts",
+            .drop("__ts", "__side", "__match",
                   *[f"__v_{v}" for v in value_cols],
                   *[f"__tb_{t}" for t in tiebreaks]))
+
+
+def asof_join_tolerance(left: DataFrame, right: DataFrame,
+                        key_cols: list[str], left_ts: str, right_ts: str,
+                        value_cols: list[str], tolerance_s: int,
+                        tiebreak_cols: list[str] | None = None,
+                        suffix: str = "_asof") -> DataFrame:
+    """Backward-compatible alias: :func:`asof_join` with a required
+    ``tolerance_s`` — one implementation, two entry points."""
+    return asof_join(left, right, key_cols, left_ts, right_ts, value_cols,
+                     suffix=suffix, tolerance_s=tolerance_s,
+                     tiebreak_cols=tiebreak_cols)
 
 
 def matchup_join(games: DataFrame, stats: DataFrame, stat_key: str,

@@ -269,13 +269,13 @@ def q_streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_STREAMING_SESSIONIZATION = """
 WITH l AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, value, event_id,
          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
   FROM events),
 g AS (
   SELECT *, SUM(CASE WHEN prev IS NULL
                        OR ts - prev >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
-            OVER (PARTITION BY user_id ORDER BY ts
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
                   ROWS UNBOUNDED PRECEDING) AS sid
   FROM l)
 SELECT user_id, MIN(ts) AS session_start,
@@ -315,11 +315,17 @@ def q_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     for step in range(1, BPE_STEPS + 1):
         wdoc = Window.partitionBy("doc_id").orderBy("pos")
         cur = tok.withColumn("nxt", F.lead("t").over(wdoc))
-        best = (cur.filter(F.col("nxt").isNotNull())
-                .groupBy("t", "nxt").agg(F.count("*").alias("c"))
-                .orderBy(F.col("c").desc(), "t", "nxt").limit(1)
-                .collect()[0])
-        a, b, _ = best["t"], best["nxt"], best["c"]
+        top = (cur.filter(F.col("nxt").isNotNull())
+               .groupBy("t", "nxt").agg(F.count("*").alias("c"))
+               .orderBy(F.col("c").desc(), "t", "nxt").limit(1)
+               .collect())
+        if not top:
+            # no adjacent pairs anywhere (degenerate corpus): mirror the
+            # oracle's empty-CTE scalar subqueries — NULL pair, 0 merges
+            out_rows += [(s, None, None, 0)
+                         for s in range(step, BPE_STEPS + 1)]
+            break
+        a, b = top[0]["t"], top[0]["nxt"]
         # islands of consecutive equal tokens; parity gates left==right
         seg = (F.col("pos")
                - F.row_number().over(Window.partitionBy("doc_id", "t")
