@@ -152,3 +152,34 @@ def test_hll_estimate_within_4_sigma(spark):
         rel = abs(est - r["exact_distinct"]) / r["exact_distinct"]
         assert rel < 0.26, (r["event_type"], est, rel)
         assert 0 <= zeros <= HLL_M
+
+
+def test_asof_null_value_on_matched_row_stays_null(spark):
+    # the matched (newest in-tolerance) right row has value NULL: the
+    # output must be NULL, not an older non-null value (DuckDB ASOF JOIN /
+    # pandas merge_asof row-consistent semantics)
+    import datetime as dt
+    from nfl_data_engineering_spark.operators.joins import asof_join
+    T = dt.datetime
+    left = spark.createDataFrame(
+        [(1, T(2024, 1, 1, 10, 30))], "k long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, T(2024, 1, 1, 9, 0), 5.0),
+         (1, T(2024, 1, 1, 10, 0), None)],
+        "k long, ts timestamp, v double")
+    out = asof_join(left, right, ["k"], "ts", "ts", ["v"]).collect()
+    assert out[0]["v_asof"] is None
+    # with a 1h tolerance the 10:00 NULL row is still the match -> NULL
+    out = asof_join(left, right, ["k"], "ts", "ts", ["v"],
+                    tolerance_s=3600).collect()
+    assert out[0]["v_asof"] is None
+    # tolerance tighter than the 30-min gap -> no match -> NULL as well
+    out = asof_join(left, right, ["k"], "ts", "ts", ["v"],
+                    tolerance_s=60).collect()
+    assert out[0]["v_asof"] is None
+    # non-null matched row inside tolerance passes through
+    right2 = spark.createDataFrame(
+        [(1, T(2024, 1, 1, 10, 0), 7.5)], "k long, ts timestamp, v double")
+    out = asof_join(left, right2, ["k"], "ts", "ts", ["v"],
+                    tolerance_s=3600).collect()
+    assert out[0]["v_asof"] == 7.5
