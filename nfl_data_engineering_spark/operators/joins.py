@@ -39,9 +39,11 @@ def asof_join(left: DataFrame, right: DataFrame, key_cols: list[str],
     (DuckDB ASOF JOIN / pandas merge_asof behavior). ``tiebreak_cols``
     pins a total order among right rows sharing a timestamp (last() picks
     the greatest tiebreak — ORDER BY ts DESC, tiebreak DESC LIMIT 1).
-    Staleness compares the NTZ wall clocks directly (timestampdiff), not
-    epoch micros after a session-zone cast, so a DST transition between
-    the two timestamps cannot distort the gap."""
+    Staleness compares the NTZ wall clocks directly (timestampdiff at
+    MICROSECOND precision — SECOND would truncate sub-second remainders
+    and admit matches up to tolerance_s+1s exclusive), not epoch micros
+    after a session-zone cast, so a DST transition between the two
+    timestamps cannot distort the gap."""
     tiebreaks = tiebreak_cols or []
     l_tag = (left
              .withColumn("__ts", F.col(left_ts))
@@ -73,8 +75,8 @@ def asof_join(left: DataFrame, right: DataFrame, key_cols: list[str],
     merged = merged.withColumn(
         "__match", F.last(row_struct, ignorenulls=True).over(w))
     fresh = F.lit(True) if tolerance_s is None else (
-        F.expr("timestampdiff(SECOND, __match.mts, __ts)")
-        <= F.lit(int(tolerance_s)))
+        F.expr("timestampdiff(MICROSECOND, __match.mts, __ts)")
+        <= F.lit(int(tolerance_s) * 1_000_000))
     for v in value_cols:
         merged = merged.withColumn(
             f"{v}{suffix}", F.when(fresh, F.col("__match")[v]))

@@ -381,16 +381,28 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 Pandas-UDF surface: the multimodal decode pipeline — binary
     payload column through an Arrow-batched mapInPandas feature extractor
     (payload dropped before any shuffle; only narrow feature rows move).
-    Rows-only: per-byte blob arithmetic is the part DuckDB SQL can't mirror;
-    the plumbing (schema contract, batch shape) is what this entry checks."""
+    The checked projection is the fully deterministic per-doc contract:
+    payload byte count + md5 content hash + modality routing — DuckDB
+    re-derives all three from the same utf8 payload (octet_length(encode),
+    md5, doc_id%3 routing). feat_mean stays computed inside the UDF (its
+    per-modality aggregate is hash-checked by multimodal_stats)."""
     from ..sources.multimodal import decode_features, synthesize_multimodal
     docs = load(spark, sf_dir, "documents")
     mm = synthesize_multimodal(docs.select("doc_id", "text"))
     feats = decode_features(mm)
-    return (feats.groupBy("modality")
-            .agg(F.count("*").alias("n_docs"),
-                 F.sum("payload_bytes").alias("total_bytes"),
-                 F.round(F.avg("feat_mean"), 6).alias("avg_feat_mean")))
+    return feats.select("doc_id", "modality", "payload_bytes",
+                        "content_hash")
+
+
+ORACLE_MULTIMODAL_DECODE = """
+SELECT doc_id,
+       CASE CAST(doc_id % 3 AS INTEGER)
+            WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+       END AS modality,
+       CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+       md5(text) AS content_hash
+FROM documents
+"""
 
 
 CONNECTOR_QUERIES = [
@@ -409,6 +421,6 @@ CONNECTOR_QUERIES = [
              "S1-datasource", bench=True),
     QueryDef("scraper_longform", q_scraper_longform,
              _scraper_longform_oracle(), "S2,T6,O2"),
-    QueryDef("multimodal_decode", q_multimodal_decode, None,
-             "LLM-multimodal-udf"),
+    QueryDef("multimodal_decode", q_multimodal_decode,
+             ORACLE_MULTIMODAL_DECODE, "LLM-multimodal-udf"),
 ]

@@ -593,14 +593,34 @@ def q_zscore_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 grouped-map Pandas surface: per-event-type feature
     standardization via applyInPandas (the z-score step of a training
     pipeline). Arrow ships each group to pandas and back; the output drops
-    to narrow rows before any shuffle. Rows-only: pandas' pairwise float
-    summation differs from SQL engines in the last ulp, so the check is
-    schema + cardinality (the math is pinned by tests instead)."""
+    to narrow rows before any shuffle.
+
+    Hash-checkable float math: naive pandas mean()/std() differs from a SQL
+    engine in the last ulp (pairwise vs sequential summation), so the UDF
+    computes the moments EXACTLY — values are 2-decimal, so cents are
+    integers; Σx and Σx² accumulate in arbitrary-precision Python ints —
+    and closes over doubles with the IDENTICAL expression tree the DuckDB
+    oracle uses: z = (n·x − Σx) / sqrt((n·Σx² − Σx²)·n/(n−1)). Every op is
+    correctly-rounded IEEE on identical inputs, so results are bit-equal
+    (the qty_price_corr exact-moments pattern); ROUND(...,6) both sides
+    absorbs any residual quirk. z is scale-invariant, so the z of cents IS
+    the z of the raw values."""
+    import numpy as np
+
     def zscore(pdf):
-        m = pdf["value"].mean()
-        s = pdf["value"].std(ddof=1)
+        x = np.round(pdf["value"].to_numpy(dtype=np.float64) * 100.0)
+        xi = x.astype(np.int64)
+        n = len(xi)
+        s = int(xi.sum())
+        q = int((xi * xi).sum())
+        n_d, sx, sxx = float(n), float(s), float(q)
+        var_n = n_d * sxx - sx * sx
         pdf = pdf.copy()
-        pdf["z"] = (pdf["value"] - m) / s if s and s > 0 else 0.0
+        if n < 2 or var_n <= 0.0:
+            pdf["z"] = 0.0
+        else:
+            denom = np.sqrt(var_n * n_d / (n_d - 1.0))
+            pdf["z"] = np.round((n_d * x - sx) / denom, 6)
         return pdf
 
     ev = load(spark, sf_dir, "events").select("event_type", "event_id", "value")
@@ -608,6 +628,27 @@ def q_zscore_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             .applyInPandas(zscore,
                            schema="event_type string, event_id long, "
                                   "value double, z double"))
+
+
+ORACLE_ZSCORE_GROUPS = """
+WITH c AS (
+  SELECT event_type, event_id, value,
+         CAST(ROUND(value * 100) AS BIGINT) AS x
+  FROM events),
+m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx
+  FROM c GROUP BY event_type)
+SELECT c.event_type, c.event_id, c.value,
+       CASE WHEN m.n < 2 OR m.n * m.sxx - m.sx * m.sx <= 0 THEN 0.0
+            ELSE ROUND((m.n * c.x - m.sx)
+                       / sqrt((m.n * m.sxx - m.sx * m.sx) * m.n / (m.n - 1)),
+                       6)
+       END AS z
+FROM c JOIN m USING (event_type)
+"""
 
 
 def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -873,7 +914,8 @@ TRAINING_QUERIES = [
              "LLM-split"),
     QueryDef("vocab_topk", q_vocab_topk, ORACLE_VOCAB_TOPK, "LLM-vocab",
              bench=True),
-    QueryDef("zscore_groups", q_zscore_groups, None, "LLM-standardize-udf"),
+    QueryDef("zscore_groups", q_zscore_groups, ORACLE_ZSCORE_GROUPS,
+             "LLM-standardize-udf"),
     QueryDef("tfidf_top_terms", q_tfidf_top_terms, ORACLE_TFIDF,
              "LLM-tfidf", bench=True),
     QueryDef("bigram_topk", q_bigram_topk, ORACLE_BIGRAM, "LLM-ngram"),

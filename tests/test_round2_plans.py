@@ -183,3 +183,26 @@ def test_asof_null_value_on_matched_row_stays_null(spark):
     out = asof_join(left, right2, ["k"], "ts", "ts", ["v"],
                     tolerance_s=3600).collect()
     assert out[0]["v_asof"] == 7.5
+
+
+def test_asof_tolerance_subsecond_boundary(spark):
+    # a gap of tolerance + 0.8s must be STALE: timestampdiff(SECOND) would
+    # truncate 3600.8s -> 3600 and wrongly pass it (oracle semantics are
+    # c.ts >= p.ts - INTERVAL 3600 SECOND, exact)
+    import datetime as dt
+    from nfl_data_engineering_spark.operators.joins import asof_join
+    T = dt.datetime
+    left = spark.createDataFrame(
+        [(1, T(2024, 1, 1, 11, 0, 0, 800000))], "k long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, T(2024, 1, 1, 10, 0, 0, 0), 5.0)],
+        "k long, ts timestamp, v double")
+    out = asof_join(left, right, ["k"], "ts", "ts", ["v"],
+                    tolerance_s=3600).collect()
+    assert out[0]["v_asof"] is None  # 3600.8s > 3600s -> stale
+    # exactly at the bound (inclusive, matching the oracle's >=) -> fresh
+    left2 = spark.createDataFrame(
+        [(1, T(2024, 1, 1, 11, 0, 0, 0))], "k long, ts timestamp")
+    out = asof_join(left2, right, ["k"], "ts", "ts", ["v"],
+                    tolerance_s=3600).collect()
+    assert out[0]["v_asof"] == 5.0
