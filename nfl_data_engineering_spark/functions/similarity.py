@@ -20,6 +20,29 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+# Labeled-baseline guard: the exact/brute-force entries are correctness
+# baselines with scale-safe twins (SRP-LSH, IVF). Nothing used to STOP a
+# corpus-scale invocation from planning an unbounded O(n^2) job; now a
+# row-count gate does. The cap is sized so the guarded side stays a
+# sub-minute local job; raise it deliberately, never implicitly.
+EXACT_BASELINE_MAX_ROWS = 200_000
+
+
+def guard_allpairs(df: DataFrame, what: str,
+                   max_rows: int = EXACT_BASELINE_MAX_ROWS) -> DataFrame:
+    """Refuse to build an all-pairs (O(n^2)) plan over more than
+    ``max_rows`` input rows. Returns ``df`` unchanged when under the cap;
+    the count costs one column-pruned scan — noise next to the quadratic
+    job it prevents. For corpus-scale audits, sample the input first
+    (``df.sample(...)``) or use the bucketed twin."""
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"{what}: refusing O(n^2) all-pairs plan over {n} rows "
+            f"(cap {max_rows}). Sample the input or use the bucketed "
+            "scale path (SRP-LSH / IVF) instead.")
+    return df
+
 
 def dot(a: Column, b: Column) -> Column:
     """Double-precision dot product of two float-array columns."""
@@ -44,7 +67,10 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                      q_id_col: str = "q_id", q_vec_col: str = "q_vec") -> DataFrame:
     """Exact cosine top-k per query. Broadcast-join the query set against
     the corpus; rank within query with a deterministic (score desc, id asc)
-    tie-break."""
+    tie-break. Linear in the corpus but O(corpus x queries) in work: the
+    guard caps the broadcast query side so a fat query set can't turn the
+    labeled baseline into an accidental cross-join (use IVF for that)."""
+    guard_allpairs(queries, "brute_force_topk query set", max_rows=10_000)
     pairs = corpus.join(F.broadcast(queries),
                         F.col(id_col) != F.col(q_id_col), "inner")
     scored = pairs.select(

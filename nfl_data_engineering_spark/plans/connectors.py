@@ -377,6 +377,81 @@ def q_odds_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("game_id", "book", "market", "outcome"))
 
 
+# box-scores fixture shared by the injected fetcher AND the oracle: the
+# raw per-game values live here once as plain python tuples; Spark runs
+# them through the real per-year mapInPandas fan-out + CSV sink + typed
+# read-back, the oracle serves the same tuples as a typed VALUES literal.
+_BOX_YEARS = [2023, 2024]
+_BOX_TEAMS = ("hawks", "bears", "colts", "rams")
+
+
+def _box_games(year: int) -> list[tuple]:
+    """Deterministic season schedule: 3 weeks x 2 games per year."""
+    games = []
+    for week in range(1, 4):
+        for g in range(2):
+            h = _BOX_TEAMS[(week + g) % 4]
+            a = _BOX_TEAMS[(week + g + 2) % 4]
+            games.append((
+                f"{year}_w{week}_g{g}", year, week,
+                f"{year}-09-{7 + 7 * (week - 1) + g:02d}",
+                h, a, 14 + (week * 7 + g) % 21, 10 + (week * 3 + g) % 17))
+    return games
+
+
+def q_box_scores_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8+S9: the ESPN season-schedule connector with an injected
+    deterministic fetcher — the year list fans out one mapInPandas task
+    per season (box_score_cllector.py:12-32's loop+concat as a
+    distributed union), then round-trips through the reference's CSV sink
+    (:38) and a typed schema-on-read. Hash-checked: the oracle serves the
+    same raw tuples as a typed VALUES literal, so the fan-out, column
+    selection, date parse, CSV write and read-back must all preserve
+    values and types exactly."""
+    import pandas as pd
+
+    from ..sources.box_scores import (SCHEDULE_COLUMNS, SCHEDULE_SCHEMA,
+                                      season_schedules, write_schedule_csv)
+
+    def fetcher(year: int) -> pd.DataFrame:
+        games = _box_games(year)
+        # extra column + shuffled column order: the connector must select
+        # SCHEDULE_COLUMNS, not trust the fetcher's layout
+        pdf = pd.DataFrame(games, columns=SCHEDULE_COLUMNS)
+        pdf["venue"] = "dome"
+        return pdf[list(reversed(pdf.columns.tolist()))]
+
+    sched = season_schedules(spark, _BOX_YEARS, fetcher=fetcher)
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_box_scores_csv")
+    write_schedule_csv(sched, path)
+    back = (spark.read.schema(SCHEDULE_SCHEMA)
+            .option("header", True).csv(path))
+    # DATE column surfaces as yyyy-MM-dd text for the driver's hash
+    # (pandas object-vs-datetime64 kinds differ between engines)
+    return (back
+            .withColumn("game_date", F.date_format("game_date", "yyyy-MM-dd"))
+            .orderBy("game_id"))
+
+
+def _box_scores_oracle() -> str:
+    rows = []
+    for year in _BOX_YEARS:
+        for gid, season, week, date, h, a, hs, as_ in _box_games(year):
+            rows.append(f"('{gid}', {season}, {week}, '{date}', "
+                        f"'{h}', '{a}', {hs}, {as_})")
+    values = ",\n    ".join(rows)
+    return f"""
+WITH fixture(game_id, season, week, game_date,
+             home_team, away_team, home_score, away_score) AS (VALUES
+    {values})
+SELECT game_id, CAST(season AS INTEGER) AS season,
+       CAST(week AS INTEGER) AS week, game_date, home_team, away_team,
+       CAST(home_score AS INTEGER) AS home_score,
+       CAST(away_score AS INTEGER) AS away_score
+FROM fixture
+"""
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 Pandas-UDF surface: the multimodal decode pipeline — binary
     payload column through an Arrow-batched mapInPandas feature extractor
@@ -421,6 +496,8 @@ CONNECTOR_QUERIES = [
              "S1-datasource", bench=True),
     QueryDef("scraper_longform", q_scraper_longform,
              _scraper_longform_oracle(), "S2,T6,O2"),
+    QueryDef("box_scores_schedule", q_box_scores_schedule,
+             _box_scores_oracle(), "S8,S9"),
     QueryDef("multimodal_decode", q_multimodal_decode,
              ORACLE_MULTIMODAL_DECODE, "LLM-multimodal-udf"),
 ]

@@ -18,45 +18,27 @@ _ALL: list[QueryDef] = [*RELATIONAL_QUERIES, *TEXT_QUERIES,
                         *CONNECTOR_QUERIES]
 
 # Verification-priority order. The external correctness gate checks a
-# prefix window of the catalog, so entries that have never had a green
-# oracle row (round-1 window stopped inside plans/relational.py) come
-# first: the round-1 failures (now fixed), then every connector / vector /
-# text / training / UDx / streaming entry, then the remaining relational
-# entries, then round-1-green entries (already verified; cheapest to
-# re-verify last). Names absent from this list keep catalog order after it.
+# prefix window of the catalog (50 entries/round), so rotation aims each
+# round's window at the entries with the most verification value. Round 3:
+# the 45 entries that have never had a driver-green row (they passed the
+# rounds 1-2 windows' cut — all are local-parity green), then the two
+# entries that gained oracles this round (zscore_groups, multimodal_decode
+# — their only prior rows were err:no_oracle), the new S8 connector entry,
+# and the two entries whose semantics changed this round (asof_tolerance's
+# microsecond tolerance gate, streaming_keep_latest's deterministic
+# tiebreak) so the driver re-verifies them. Rounds 1-2 green entries
+# follow. Names absent from this list keep catalog order after it.
 _PRIORITY: list[str] = [
-    # round-1 failures, fixed this round
-    "record_split", "json_extract", "trailing_7d_sum", "user_event_sequences",
-    # connectors (storage formats, python data source, scraper, multimodal)
-    "upsert_roundtrip", "csv_roundtrip", "json_roundtrip", "orc_roundtrip",
-    "xlsx_roundtrip", "odds_flatten", "odds_python_source",
-    "scraper_longform", "multimodal_decode",
-    # vector / ANN / pandas-UDF-UDAF surface
-    "embedding_topk", "ann_ivf_topk", "ann_ivf_multiprobe",
-    "cosine_neardup_pairs",
-    "cosine_neardup_lsh", "embedding_dedup_components", "lsh_recall_audit",
-    "norms_pandas_udf", "median_value_udaf",
-    # UDTF + applyInPandas + streaming surface
-    "record_expand_udtf", "zscore_groups", "streaming_daily_rollup",
-    "streaming_keep_latest", "streaming_interval_join",
-    "streaming_sessionization", "topk_salted",
-    "winsorized_stats", "asof_tolerance", "drift_tvd", "distinct_hll",
-    # LLM text pipeline
-    "dedup_exact_text", "dedup_minhash_lsh", "dedup_components",
-    "dedup_survivor_table",
-    "ngram_jaccard_pairs", "dedup_simhash", "lang_id", "text_quality",
-    "token_counts", "doc_fingerprint", "multimodal_stats",
-    "repetition_score", "fuzzy_editdist", "doc_length_histogram",
-    "pii_redact", "normalized_dedup", "contamination_check", "domain_topk",
-    "doc_chunking", "segment_dedup", "inverted_index", "heavy_hitters_cms",
-    "bloom_prefilter_audit",
-    # training-pipeline
+    # --- round-3 window (50) ---
+    # never driver-checked: LLM text/sketch pipeline tail
+    "domain_topk", "doc_chunking", "segment_dedup", "inverted_index",
+    "heavy_hitters_cms", "bloom_prefilter_audit",
+    # never driver-checked: training-pipeline
     "stratified_sample", "train_test_split", "vocab_topk", "tfidf_top_terms",
     "sequence_packing", "source_mixture", "temperature_mixing",
-    "bpe_merge_train",
-    "corpus_filter", "shard_balance",
+    "bpe_merge_train", "corpus_filter", "shard_balance",
     "unigram_logprob", "bigram_topk", "kfold_assignment", "rename_normalize",
-    # relational entries the round-1 window missed
+    # never driver-checked: relational (subquery/audit surface)
     "brand_max_price", "top_supplier", "big_order_customers",
     "dormant_high_balance", "promo_revenue_share", "trimmed_mean",
     "full_outer_reconcile", "minmax_scale", "forecast_revenue",
@@ -66,6 +48,28 @@ _PRIORITY: list[str] = [
     "mad_outliers", "event_transition_matrix", "revenue_gini",
     "incremental_agg_merge", "first_digit_profile", "key_skew_profile",
     "referential_integrity_audit",
+    # newly oracled / new / semantics changed this round
+    "zscore_groups", "multimodal_decode", "box_scores_schedule",
+    "asof_tolerance", "streaming_keep_latest",
+    # --- round-2 green (re-verify after the window) ---
+    "record_split", "json_extract", "trailing_7d_sum", "user_event_sequences",
+    "upsert_roundtrip", "csv_roundtrip", "json_roundtrip", "orc_roundtrip",
+    "xlsx_roundtrip", "odds_flatten", "odds_python_source",
+    "scraper_longform",
+    "embedding_topk", "ann_ivf_topk", "ann_ivf_multiprobe",
+    "cosine_neardup_pairs",
+    "cosine_neardup_lsh", "embedding_dedup_components", "lsh_recall_audit",
+    "norms_pandas_udf", "median_value_udaf",
+    "record_expand_udtf", "streaming_daily_rollup",
+    "streaming_interval_join",
+    "streaming_sessionization", "topk_salted",
+    "winsorized_stats", "drift_tvd", "distinct_hll",
+    "dedup_exact_text", "dedup_minhash_lsh", "dedup_components",
+    "dedup_survivor_table",
+    "ngram_jaccard_pairs", "dedup_simhash", "lang_id", "text_quality",
+    "token_counts", "doc_fingerprint", "multimodal_stats",
+    "repetition_score", "fuzzy_editdist", "doc_length_histogram",
+    "pii_redact", "normalized_dedup", "contamination_check",
 ]
 
 assert not set(_PRIORITY) - {q.name for q in _ALL}, \

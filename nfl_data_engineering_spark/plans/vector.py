@@ -187,9 +187,13 @@ SELECT q_id, vec_id, rank, ROUND(score, 6) AS score FROM r WHERE rank <= {TOPK}
 def q_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (>= {thr}). All-pairs at testdata
     scale; at 100 TB route through IVF cells / LSH buckets first (the
-    candidate-generation pattern of q_dedup_minhash_lsh)."""
-    from ..functions.similarity import dot as _dot, l2norm
-    emb = load(spark, sf_dir, "embeddings")
+    candidate-generation pattern of q_dedup_minhash_lsh). guard_allpairs
+    refuses to plan the O(n^2) join above the baseline cap, so a
+    corpus-scale invocation fails fast instead of launching an unbounded
+    nested-loop job."""
+    from ..functions.similarity import dot as _dot, guard_allpairs, l2norm
+    emb = guard_allpairs(load(spark, sf_dir, "embeddings"),
+                         "cosine_neardup_pairs")
     enorm = emb.select("vec_id", "embedding",
                        l2norm(F.col("embedding")).alias("nrm"))
     a = enorm.select(F.col("vec_id").alias("v1"),
@@ -407,9 +411,12 @@ def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.45 floor; ~94% at real 0.9+ dedup thresholds). Run it at any
     sf to validate a band configuration before a corpus-scale job;
     the exact side is the O(n^2) baseline, so keep it to samples at
-    100 TB."""
-    from ..functions.similarity import dot as _dot, l2norm
-    emb = load(spark, sf_dir, "embeddings")
+    100 TB — guard_allpairs enforces that: above the cap the audit
+    refuses to plan rather than silently launching the quadratic job
+    (sample the corpus down first; recall estimates compose)."""
+    from ..functions.similarity import dot as _dot, guard_allpairs, l2norm
+    emb = guard_allpairs(load(spark, sf_dir, "embeddings"),
+                         "lsh_recall_audit exact side")
     enorm = emb.select("vec_id", "embedding",
                        l2norm(F.col("embedding")).alias("nrm"))
     a = enorm.select(F.col("vec_id").alias("v1"),

@@ -102,14 +102,23 @@ def read_xlsx_pandas(path: str) -> pd.DataFrame:
                         # float path truncates past 2^53
                         val = int(raw)
                     else:
-                        fv = float(raw)
-                        val = int(fv) if fv.is_integer() else fv
+                        # non-integer-literal numeric cell stays float:
+                        # collapsing integral floats to int would change
+                        # cell dtype across a write/read roundtrip (2.0
+                        # reading back as 2, 1e16 as an int). Excel
+                        # numeric cells are typeless; the literal form is
+                        # the only type signal we have.
+                        val = float(raw)
                 row[ci] = val
             rows.append(row)
     if not rows:
         return pd.DataFrame()
     header = rows[0]
-    ncols = max(header) + 1 if header else 0
+    # width = max populated column over ALL rows, not just the header —
+    # hand-edited/third-party sheets may carry data cells beyond the
+    # header's last populated cell; those get generated col{i} names
+    # instead of being silently dropped
+    ncols = max((max(r) + 1 for r in rows if r), default=0)
     cols = [str(header.get(i, f"col{i}")) for i in range(ncols)]
     data = [[r.get(i) for i in range(ncols)] for r in rows[1:]]
     return pd.DataFrame(data, columns=cols)
@@ -213,7 +222,20 @@ def read_registry_csv(spark: SparkSession, path: str,
             .na.fill(""))
 
 
-def write_excel(df: DataFrame, path: str) -> None:
+EXCEL_EXPORT_MAX_ROWS = 1_000_000  # the .xlsx format's own sheet limit
+
+
+def write_excel(df: DataFrame, path: str,
+                max_rows: int = EXCEL_EXPORT_MAX_ROWS) -> None:
     """S10: driver-side Excel export (team_rankings_scraper.py:251 analog).
-    Only for export-sized frames — collect happens on the driver."""
+    Only for export-sized frames — collect happens on the driver, so the
+    row-count gate refuses large tables BEFORE toPandas() can OOM the
+    driver (this is the one deliberate driver-side sink in the repo; large
+    exports belong in the parquet/csv sinks)."""
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"write_excel: {n} rows exceeds the driver-side export cap "
+            f"({max_rows}); use write_partitioned/csv sinks for large "
+            "tables — xlsx is an export format, not a data sink")
     write_xlsx_pandas(df.toPandas(), path)

@@ -1,0 +1,45 @@
+"""Registry-surface invariants: the _PRIORITY rotation re-aims the
+driver's prefix check window each round; these asserts make a rotation
+typo (dropped/duplicated/renamed entry) fail fast instead of silently
+shrinking the verified surface."""
+
+from nfl_data_engineering_spark.plans.connectors import CONNECTOR_QUERIES
+from nfl_data_engineering_spark.plans.registry import (CATALOG, _PRIORITY,
+                                                       oracle_sql, queries)
+from nfl_data_engineering_spark.plans.relational import RELATIONAL_QUERIES
+from nfl_data_engineering_spark.plans.textops import TEXT_QUERIES
+from nfl_data_engineering_spark.plans.training import TRAINING_QUERIES
+from nfl_data_engineering_spark.plans.vector import VECTOR_QUERIES
+
+_MODULE_NAMES = {q.name for qs in (RELATIONAL_QUERIES, TEXT_QUERIES,
+                                   VECTOR_QUERIES, TRAINING_QUERIES,
+                                   CONNECTOR_QUERIES) for q in qs}
+
+
+def test_rotation_preserves_full_catalog():
+    # the sort may only REORDER: queries() must expose exactly the union
+    # of every plan module's entries, no matter how _PRIORITY is aimed
+    assert set(queries()) == _MODULE_NAMES
+    assert len(CATALOG) == len(_MODULE_NAMES)
+
+
+def test_priority_has_no_duplicates_or_stale_names():
+    assert len(_PRIORITY) == len(set(_PRIORITY)), "duplicate in _PRIORITY"
+    assert not set(_PRIORITY) - _MODULE_NAMES, "stale name in _PRIORITY"
+
+
+def test_every_entry_has_an_oracle():
+    # round 3 closed the last two oracle=None entries; keep it that way —
+    # a no-oracle entry reads as red in the driver's correctness file
+    missing = set(queries()) - set(oracle_sql())
+    assert not missing, f"entries without oracle_sql: {sorted(missing)}"
+
+
+def test_oracles_are_nonempty_sql():
+    for name, sql in oracle_sql().items():
+        assert isinstance(sql, str) and "SELECT" in sql.upper(), name
+
+
+def test_catalog_prefix_follows_priority_order():
+    names = [q.name for q in CATALOG]
+    assert names[:len(_PRIORITY)] == _PRIORITY
