@@ -147,19 +147,22 @@ def q_streaming_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     state). The drain is trigger(availableNow) into an update-mode memory
     sink; the update stream emits each key's current latest per
     microbatch, so the sink's LAST emission per key is the final state —
-    which is exactly the batch keep-latest the oracle computes. Per-key
-    max ts is unique in this corpus (verified at every sf), so the result
-    is tie-free deterministic."""
+    which is exactly the batch keep-latest the oracle computes. event_id
+    is the deterministic tiebreak at equal ts, threaded through the
+    stateful comparator, the sink-side selection window, AND the oracle's
+    ORDER BY — so a ts tie at any scale yields one pinned answer instead
+    of an arrival-order-dependent one."""
     from ..streaming.ingest import keep_latest_stream
     latest = keep_latest_stream(_event_stream(spark, sf_dir),
                                 key_cols=["user_id", "event_type"],
-                                ts_col="ts", value_cols=["value"])
+                                ts_col="ts", value_cols=["value"],
+                                tiebreak_cols=["event_id"])
     sink = "streaming_keep_latest_sink"
     q = (latest.writeStream.format("memory").queryName(sink)
          .outputMode("update").trigger(availableNow=True).start())
     q.awaitTermination()
     w = Window.partitionBy("user_id", "event_type").orderBy(
-        F.col("ts").desc())
+        F.col("ts").desc(), F.col("event_id").desc())
     return (spark.table(sink)
             .withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
             .select("user_id", "event_type", "ts", "value"))
@@ -169,7 +172,7 @@ ORACLE_STREAMING_KEEP_LATEST = """
 SELECT user_id, event_type, ts, value FROM (
   SELECT user_id, event_type, ts, value,
          row_number() OVER (PARTITION BY user_id, event_type
-                            ORDER BY ts DESC) AS rn
+                            ORDER BY ts DESC, event_id DESC) AS rn
   FROM events) WHERE rn = 1
 """
 

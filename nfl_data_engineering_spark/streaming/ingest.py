@@ -70,41 +70,54 @@ def write_partitioned_stream(df: DataFrame, out_dir: str, checkpoint_dir: str,
 
 
 def keep_latest_stream(stream: DataFrame, key_cols: list[str], ts_col: str,
-                       value_cols: list[str]) -> DataFrame:
+                       value_cols: list[str],
+                       tiebreak_cols: list[str] | None = None) -> DataFrame:
     """Stateful keep-latest-per-key over a stream — the rankings upsert
     (team_rankings_data_collector.py:34-50) as a continuously-maintained
     state instead of a read-modify-write batch.
 
-    ``applyInPandasWithState``: per-key state holds the newest (ts, values)
-    seen; each microbatch emits the key's current latest row (update
-    semantics). State is one tuple per key — size is O(|keys|), independent
-    of stream length. Pair with ``writeStream.outputMode("update")``.
+    ``applyInPandasWithState``: per-key state holds the newest
+    (ts, tiebreaks, values) seen; each microbatch emits the key's current
+    latest row (update semantics). State is one tuple per key — size is
+    O(|keys|), independent of stream length. Pair with
+    ``writeStream.outputMode("update")``.
+
+    ``tiebreak_cols`` pin a total order among rows sharing a timestamp
+    (greatest tiebreak wins). Without one, a ts tie makes "latest"
+    arrival-order-dependent — nondeterministic under re-partitioning.
+    The tiebreak columns are carried in the state and emitted in the
+    output so downstream selection can re-apply the same order.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    tiebreaks = tiebreak_cols or []
+    ord_cols = [ts_col, *tiebreaks]
     key_fields = [stream.schema[c] for c in key_cols]
+    tb_fields = [stream.schema[c] for c in tiebreaks]
     val_fields = [stream.schema[c] for c in value_cols]
     ts_field = stream.schema[ts_col]
     out_schema = T.StructType(
-        key_fields + [ts_field] + val_fields)
-    state_schema = T.StructType([ts_field] + val_fields)
+        key_fields + [ts_field] + tb_fields + val_fields)
+    state_schema = T.StructType([ts_field] + tb_fields + val_fields)
+    n_ord = 1 + len(tiebreaks)
 
     def fn(key: tuple, pdfs, state: GroupState):
         best = tuple(state.get) if state.exists else None
         for pdf in pdfs:
             if pdf.empty:
                 continue
-            local = pdf.sort_values(ts_col, kind="mergesort").iloc[-1]
+            local = pdf.sort_values(ord_cols, kind="mergesort").iloc[-1]
             cand = (local[ts_col].to_pydatetime(),
                     *[v.item() if hasattr(v, "item") else v
-                      for v in (local[c] for c in value_cols)])
-            if best is None or cand[0] > best[0]:
+                      for v in (local[c] for c in (*tiebreaks, *value_cols))])
+            if best is None or cand[:n_ord] > best[:n_ord]:
                 best = cand
         if best is not None:
             state.update(best)
             yield pd.DataFrame([key + best],
-                               columns=[*key_cols, ts_col, *value_cols])
+                               columns=[*key_cols, ts_col, *tiebreaks,
+                                        *value_cols])
 
     return (stream.groupBy(*key_cols)
             .applyInPandasWithState(fn, out_schema, state_schema,

@@ -93,6 +93,37 @@ def test_keep_latest_stateful_stream(spark, tmp_path):
     assert final[8][1] == 20.0          # stale arrival did not regress state
 
 
+def test_keep_latest_tiebreak_at_equal_ts(spark, tmp_path):
+    # two rows share the max ts; the greatest event_id must win in BOTH
+    # arrival orders (without a tiebreak, "latest" would depend on which
+    # microbatch/partition arrived first)
+    for tag, batch1, batch2 in (
+            ("fwd", [(1, 10.0)], [(2, 99.0)]),
+            ("rev", [(2, 99.0)], [(1, 10.0)])):
+        src = str(tmp_path / f"src_{tag}")
+        os.makedirs(src)
+        for name, rows in (("a.json", batch1), ("b.json", batch2)):
+            with open(os.path.join(src, name), "w") as f:
+                for eid, v in rows:
+                    f.write(json.dumps(
+                        {"event_id": eid,
+                         "ts": "2024-01-10T00:00:00.000Z",
+                         "user_id": 7, "event_type": "rank",
+                         "value": v}) + "\n")
+        stream = (read_event_stream(spark, src, max_files_per_trigger=1)
+                  .selectExpr("user_id", "ts", "event_id", "value")
+                  .withWatermark("ts", "30 days"))
+        latest = keep_latest_stream(stream, ["user_id"], "ts", ["value"],
+                                    tiebreak_cols=["event_id"])
+        q = (latest.writeStream.format("memory").queryName(f"kls_{tag}")
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        hist = spark.sql(
+            f"SELECT * FROM kls_{tag} ORDER BY ts, event_id").collect()
+        assert hist[-1]["value"] == 99.0, tag
+        assert hist[-1]["event_id"] == 2, tag
+
+
 def test_windowed_counts_stream(spark, tmp_path):
     src = str(tmp_path / "src")
     _write_events_json(src, EVENTS)
