@@ -49,22 +49,29 @@ def main() -> None:
     # runs is the standard steady-state estimator and what a cluster would
     # sustain.
     timings: dict[str, float] = {}
+    deltas: dict[str, float] = {}
     total = 0.0
     for q in bench_queries():
         # steady-state hygiene: collect garbage from the previous query's
         # broadcasts/shuffles so its GC debt isn't billed to this one
         # (measured ~2x inflation on the LSH queries without this)
         spark._jvm.System.gc()
-        dt = min(_run(q, spark, sf_dir), _run(q, spark, sf_dir))
+        r1, r2 = _run(q, spark, sf_dir), _run(q, spark, sf_dir)
+        dt = min(r1, r2)
         timings[q.name] = round(dt, 3)
+        # run-to-run delta: how much of this number is jitter — a large
+        # delta on a sub-second entry means min-of-2 is doing the work
+        deltas[q.name] = round(abs(r1 - r2), 3)
         total += dt
-        print(f"# {q.name}: {dt:.2f}s", file=sys.stderr)
+        print(f"# {q.name}: {dt:.2f}s (delta {abs(r1 - r2):.2f}s)",
+              file=sys.stderr)
 
     print(json.dumps({
         "metric": "headline_queries_total_wall",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "run_delta": deltas,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()

@@ -43,3 +43,25 @@ def test_oracles_are_nonempty_sql():
 def test_catalog_prefix_follows_priority_order():
     names = [q.name for q in CATALOG]
     assert names[:len(_PRIORITY)] == _PRIORITY
+
+
+# Pinned bench set: round-over-round comparability requires the same 31
+# queries every round. Adding a query is a deliberate act (update this
+# list in the same commit); losing one silently is a bug this catches.
+_BENCH_SET = {
+    "asof_join", "best_snapshot", "big_order_customers",
+    "bloom_prefilter_audit", "contamination_check", "cosine_neardup_lsh",
+    "dedup_keep_latest", "dedup_minhash_lsh", "dedup_simhash",
+    "embedding_topk", "exp_weighted_value", "filter_pushdown",
+    "forecast_revenue", "heavy_hitters_cms", "hourly_interpolate",
+    "late_shipment_audit", "mad_outliers", "odds_python_source",
+    "pivot_wide", "pricing_summary", "promo_revenue_share",
+    "region_volume", "rollup_revenue", "segment_dedup",
+    "shipping_priority", "streaming_daily_rollup", "tfidf_top_terms",
+    "trimmed_mean", "upsert_roundtrip", "vocab_topk", "weekly_rollup",
+}
+
+
+def test_bench_set_is_pinned():
+    from nfl_data_engineering_spark.plans.registry import bench_queries
+    assert {q.name for q in bench_queries()} == _BENCH_SET
