@@ -480,9 +480,62 @@ FROM documents
 """
 
 
+def q_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered layout (io.write_zordered — the Delta/Iceberg
+    OPTIMIZE ZORDER equivalent in stock Spark) proven as a query: write
+    lineitem Morton-interleaved on (l_partkey, l_suppkey), read the copy
+    back through a two-sided box predicate, and aggregate. The oracle runs
+    the identical box on the SOURCE table, so a hash match proves the
+    layout job is a pure reorganization (no row lost/duplicated/mutated by
+    the ntile-rank + interleave + range-repartition pipeline).
+
+    The predicate bounds come from a 1-row min/max probe (bounded scalar
+    collect, io.py:80 doctrine) so they reach the parquet scan as
+    LITERALS — .explain shows PushedFilters on both key columns, and the
+    file-level min/max stats of the z-ordered copy prune most files
+    (quantified in tests/test_zorder.py; that's the point of the layout at
+    100 TB: a 2-D box reads a sub-linear file subset on EITHER key)."""
+    from ..io import write_zordered
+    path = _tmp_path("zorder", sf_dir)
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice")
+    write_zordered(li, path, "l_partkey", "l_suppkey", num_files=16)
+    b = li.agg(F.min("l_partkey").alias("p0"), F.max("l_partkey").alias("p1"),
+               F.min("l_suppkey").alias("s0"),
+               F.max("l_suppkey").alias("s1")).collect()[0]
+    pk_hi = b["p0"] + (b["p1"] - b["p0"]) / 10.0
+    sk_hi = b["s0"] + (b["s1"] - b["s0"]) / 10.0
+    back = spark.read.parquet(path)
+    sel = back.filter((F.col("l_partkey") <= F.lit(pk_hi))
+                      & (F.col("l_suppkey") <= F.lit(sk_hi)))
+    return sel.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+         .alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+         .alias("sum_price"))
+
+
+ORACLE_ZORDER_PRUNING = """
+WITH b AS (
+  SELECT MIN(l_partkey) + (MAX(l_partkey) - MIN(l_partkey)) / 10.0 AS pk_hi,
+         MIN(l_suppkey) + (MAX(l_suppkey) - MIN(l_suppkey)) / 10.0 AS sk_hi
+  FROM lineitem)
+SELECT COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price
+FROM lineitem CROSS JOIN b
+WHERE l_partkey <= b.pk_hi AND l_suppkey <= b.sk_hi
+"""
+
+
 CONNECTOR_QUERIES = [
     QueryDef("upsert_roundtrip", q_upsert_roundtrip, ORACLE_UPSERT_ROUNDTRIP,
              "S4,S5,S6,A1,A2", bench=True),
+    QueryDef("zorder_pruning", q_zorder_pruning, ORACLE_ZORDER_PRUNING,
+             "S5-zorder,T11"),
     QueryDef("csv_roundtrip", q_csv_roundtrip, ORACLE_CSV_ROUNDTRIP, "S9"),
     QueryDef("json_roundtrip", q_json_roundtrip, ORACLE_JSON_ROUNDTRIP, "S1-sink"),
     QueryDef("orc_roundtrip", q_orc_roundtrip, ORACLE_ORC_ROUNDTRIP, "S5-orc"),

@@ -779,6 +779,52 @@ FROM events GROUP BY event_type
 """
 
 
+SAMPLE_QUANT_MOD = 10   # deterministic 1-in-10 hash sample
+
+
+def q_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order statistics at scale via deterministic hash sampling: exact
+    interpolated percentiles computed on a content-keyed 1-in-10 sample of
+    lineitem. q_value_percentiles is the exact baseline; THIS is the 100 TB
+    path — exact quantiles need a global sort (or per-group collect), but a
+    uniform sample bounds the sorted set to n/MOD rows with rank error
+    O(1/sqrt(n/MOD)), and the hash gate (h60 of the row key, not rand())
+    makes the sample reproducible across runs, engines, retries, and
+    repartitionings — so the oracle can check the REAL pipeline, not a
+    statistical proxy. The filter is row-local (map-side); only sampled
+    rows reach the percentile aggregate."""
+    from ..functions.hashing import h60
+    li = load(spark, sf_dir, "lineitem")
+    key = F.concat(F.col("l_orderkey").cast("string"), F.lit("_"),
+                   F.col("l_linenumber").cast("string"))
+    samp = li.filter(h60(key) % SAMPLE_QUANT_MOD == 0)
+    return (samp.groupBy("l_returnflag")
+            .agg(F.count("*").alias("n_sampled"),
+                 F.round(F.expr("percentile(l_extendedprice, 0.25)"), 6)
+                  .alias("p25"),
+                 F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6)
+                  .alias("p50"),
+                 F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6)
+                  .alias("p90"),
+                 F.round(F.expr("percentile(l_extendedprice, 0.99)"), 6)
+                  .alias("p99")))
+
+
+def _oracle_sampled_quantiles() -> str:
+    from ..functions.hashing import h60_sql
+    h = h60_sql("l_orderkey::VARCHAR || '_' || l_linenumber::VARCHAR")
+    return f"""
+SELECT l_returnflag, COUNT(*) AS n_sampled,
+       ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+       ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+FROM lineitem
+WHERE {h} % {SAMPLE_QUANT_MOD} = 0
+GROUP BY l_returnflag
+"""
+
+
 def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OLAP ROLLUP: order revenue by (status, priority-prefix) with subtotal
     and grand-total rows — the multi-granularity report shape. NULL grouping
@@ -2779,6 +2825,8 @@ RELATIONAL_QUERIES = [
     QueryDef("pivot_wide", q_pivot_wide, ORACLE_PIVOT_WIDE, "J1-pivot", bench=True),
     QueryDef("explode_array", q_explode_array, ORACLE_EXPLODE_ARRAY, "T1"),
     QueryDef("value_percentiles", q_value_percentiles, ORACLE_VALUE_PERCENTILES, "A-quantile"),
+    QueryDef("sampled_quantiles", q_sampled_quantiles,
+             _oracle_sampled_quantiles(), "A-quantile-sampled,LLM-sampling"),
     QueryDef("distinct_kmv", q_distinct_kmv, ORACLE_DISTINCT_KMV, "A-sketch-kmv"),
     QueryDef("distinct_hll", q_distinct_hll, ORACLE_DISTINCT_HLL,
              "A-sketch-hll"),

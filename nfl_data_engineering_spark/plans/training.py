@@ -592,6 +592,83 @@ ORDER BY n DESC, bigram LIMIT {BIGRAM_TOPK}
 """
 
 
+PMI_MIN_COUNT = 5       # drop bigrams rarer than this before scoring
+PMI_TOPK = 20
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI-scored collocations: rank word bigrams by pointwise mutual
+    information ln(p(w1,w2) / (p(w1)p(w2))) — the statistical phrase-mining
+    step (multi-word-expression detection) of corpus analysis, and the
+    standard association score n-gram counting alone can't give (raw counts
+    surface 'of the'; PMI surfaces real collocations).
+
+    Shape: bigrams assemble row-locally (zip of the token array with its
+    tail — the q_bigram_topk pattern), then TWO token-keyed counts (unigram,
+    bigram) and a broadcast-sized join of bigram counts against the
+    unigram vocabulary; corpus totals ride along as 1-row crossJoin
+    broadcasts, not driver collects. At 100 TB: two shuffles keyed on
+    uniformly-distributed tokens, output bounded by the vocabulary.
+
+    Determinism: probabilities divide in double with the identical
+    expression tree both engines; ranking pins (round(pmi,6) desc, w1, w2)
+    so an ulp of ln() difference can't reorder the top-k boundary."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.col("__toks")
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+    base = docs.select(tokens(F.col("text")).alias("__toks"))
+    uni = (base.select(F.explode("__toks").alias("w"))
+           .groupBy("w").agg(F.count("*").alias("cw")))
+    big = (base.select(F.explode(pairs).alias("p"))
+           .select("p.w1", "p.w2")
+           .groupBy("w1", "w2").agg(F.count("*").alias("cab"))
+           .filter(F.col("cab") >= PMI_MIN_COUNT))
+    nu = uni.agg(F.sum("cw").cast("double").alias("nu"))
+    nb = (base.select(F.greatest(F.size("__toks") - 1, F.lit(0)).alias("m"))
+          .agg(F.sum("m").cast("double").alias("nb")))
+    joined = (big
+              .join(F.broadcast(uni.withColumnRenamed("w", "w1")
+                                .withColumnRenamed("cw", "ca")), "w1")
+              .join(F.broadcast(uni.withColumnRenamed("w", "w2")
+                                .withColumnRenamed("cw", "cb")), "w2")
+              .crossJoin(F.broadcast(nu)).crossJoin(F.broadcast(nb)))
+    p = ((F.col("cab").cast("double") / F.col("nb"))
+         / ((F.col("ca").cast("double") / F.col("nu"))
+            * (F.col("cb").cast("double") / F.col("nu"))))
+    return (joined.select("w1", "w2", "cab",
+                          F.round(F.log(p), 6).alias("pmi"))
+            .orderBy(F.col("pmi").desc(), "w1", "w2")
+            .limit(PMI_TOPK))
+
+
+def _oracle_pmi() -> str:
+    toks = SQL_TOKENS
+    return f"""
+WITH t AS (SELECT {toks} AS tk FROM documents),
+uni AS (SELECT unnest(tk) AS w FROM t),
+ucnt AS (SELECT w, COUNT(*) AS cw FROM uni GROUP BY w),
+big AS (
+  SELECT tk[i] AS w1, tk[i + 1] AS w2
+  FROM t, UNNEST(generate_series(1, greatest(len(tk) - 1, 0))) AS g(i)),
+bcnt AS (SELECT w1, w2, COUNT(*) AS cab FROM big GROUP BY w1, w2
+         HAVING COUNT(*) >= {PMI_MIN_COUNT}),
+nu AS (SELECT CAST(SUM(cw) AS DOUBLE) AS nu FROM ucnt),
+nb AS (SELECT CAST(SUM(greatest(len(tk) - 1, 0)) AS DOUBLE) AS nb FROM t)
+SELECT w1, w2, cab,
+       ROUND(ln((CAST(cab AS DOUBLE) / nb)
+                / ((CAST(ca.cw AS DOUBLE) / nu)
+                   * (CAST(cb.cw AS DOUBLE) / nu))), 6) AS pmi
+FROM bcnt
+JOIN ucnt ca ON ca.w = bcnt.w1
+JOIN ucnt cb ON cb.w = bcnt.w2
+CROSS JOIN nu CROSS JOIN nb
+ORDER BY pmi DESC, w1, w2 LIMIT {PMI_TOPK}
+"""
+
+
 def q_zscore_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 grouped-map Pandas surface: per-event-type feature
     standardization via applyInPandas (the z-score step of a training
@@ -922,6 +999,8 @@ TRAINING_QUERIES = [
     QueryDef("tfidf_top_terms", q_tfidf_top_terms, ORACLE_TFIDF,
              "LLM-tfidf", bench=True),
     QueryDef("bigram_topk", q_bigram_topk, ORACLE_BIGRAM, "LLM-ngram"),
+    QueryDef("pmi_collocations", q_pmi_collocations, _oracle_pmi(),
+             "LLM-collocations"),
     QueryDef("corpus_filter", q_corpus_filter, _oracle_corpus_filter(),
              "LLM-corpus-filter"),
     QueryDef("source_mixture", q_source_mixture, _oracle_source_mixture(),

@@ -513,6 +513,181 @@ FROM events GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Distributed k-means over embeddings (spherical: cosine assignment)
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8            # clusters; seeds = the K lowest vec_ids
+KMEANS_REFITS = 2       # centroid refits (3 assignment passes total)
+
+
+def _kmeans_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """Assign every vector to its best centroid: broadcast the (tiny) K x dim
+    centroid table, score row-locally, argmax via a per-vector rank window
+    with (score desc, cluster asc) tie-break."""
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "embedding", "cl",
+        cosine(F.col("embedding"), F.col("cent")).alias("cs"))
+    w = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("cl"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "embedding", "cl", "cs"))
+
+
+def _kmeans_recenter(assigned: DataFrame) -> DataFrame:
+    """Per-cluster per-dim exact-decimal mean, rounded to 6 — deterministic
+    across engines AND Spark partitionings (the IVF centroid doctrine)."""
+    return (assigned.select("cl", F.posexplode("embedding").alias("d", "v"))
+            .groupBy("cl", "d")
+            .agg(F.round(F.sum(F.col("v").cast("double").cast("decimal(18,8)"))
+                         .cast("double") / F.count("*"), 6).alias("c"))
+            .groupBy("cl")
+            .agg(F.array_sort(F.collect_list(F.struct("d", "c"))).alias("dc"))
+            .select("cl", F.col("dc.c").alias("cent")))
+
+
+def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding corpus (spherical
+    variant: cosine assignment), K=8, deterministic seeding (the K lowest
+    vec_ids) — the clustering step behind semantic dedup, corpus
+    stratification, and IVF codebook training. Reference scope analog:
+    team-strength grouping (rankings_processor.py) generalized to vectors.
+
+    Shape per iteration: ONE broadcast of the K x 64 centroid table + one
+    vec_id-keyed rank window (map-side; vectors never shuffle by cluster)
+    + one (cl, d)-keyed aggregate for the refit — so a 100 TB corpus pays
+    one shuffle of (cl, d, v) triples per refit and nothing else. This is
+    exactly MLlib's k-means dataflow expressed in DataFrame ops, minus the
+    driver collect (centroids stay a broadcast-able DataFrame).
+
+    Determinism: assignment ties break on cluster id; centroids go through
+    exact decimal sums + round(6); the reported mean cosine quantizes each
+    addend to integer nano-units BEFORE summing (order-free)."""
+    emb = (load(spark, sf_dir, "embeddings")
+           .select("vec_id", "embedding").cache())
+    cents = emb.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cl"),
+        F.transform("embedding", lambda v: v.cast("double")).alias("cent"))
+    for _ in range(KMEANS_REFITS):
+        cents = _kmeans_recenter(_kmeans_assign(emb, cents))
+    final = _kmeans_assign(emb, cents)
+    return (final.groupBy(F.col("cl").alias("cluster"))
+            .agg(F.count("*").alias("n_members"),
+                 F.round(F.sum(F.round(F.col("cs") * 1e9).cast("bigint"))
+                         / 1e9 / F.count("*"), 6).alias("avg_cos")))
+
+
+def _oracle_kmeans() -> str:
+    """Unrolled-CTE twin of the Lloyd loop: c0 (seeds) -> [assign ->
+    refit] x KMEANS_REFITS -> final assign -> per-cluster report."""
+    parts = [f"c0 AS (SELECT vec_id AS cl, embedding::DOUBLE[] AS cent\n"
+             f"       FROM embeddings WHERE vec_id < {KMEANS_K})"]
+    prev = "c0"
+    for i in range(1, KMEANS_REFITS + 1):
+        parts += [
+            f"""s{i} AS (
+  SELECT e.vec_id, e.embedding, c.cl,
+         {SQL_COS.format(a='e.embedding', b='c.cent')} AS cs
+  FROM embeddings e CROSS JOIN {prev} c)""",
+            f"""a{i} AS (
+  SELECT vec_id, embedding, cl FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cs DESC, cl) AS rn FROM s{i})
+  WHERE rn = 1)""",
+            f"""u{i} AS (
+  SELECT cl, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS d
+  FROM a{i})""",
+            f"""m{i} AS (
+  SELECT cl, d,
+         ROUND(CAST(SUM(CAST(v::DOUBLE AS DECIMAL(18,8))) AS DOUBLE)
+               / COUNT(*), 6) AS c
+  FROM u{i} GROUP BY cl, d)""",
+            f"""c{i} AS (
+  SELECT cl, list_transform(list_sort(list(struct_pack(d := d, c := c))),
+                            x -> x.c) AS cent
+  FROM m{i} GROUP BY cl)""",
+        ]
+        prev = f"c{i}"
+    parts += [
+        f"""sf AS (
+  SELECT e.vec_id, c.cl,
+         {SQL_COS.format(a='e.embedding', b='c.cent')} AS cs
+  FROM embeddings e CROSS JOIN {prev} c)""",
+        """af AS (
+  SELECT vec_id, cl, cs FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cs DESC, cl) AS rn FROM sf)
+  WHERE rn = 1)""",
+    ]
+    return ("WITH " + ",\n".join(parts) + """
+SELECT cl AS cluster, COUNT(*) AS n_members,
+       ROUND(SUM(CAST(ROUND(cs * 1e9) AS BIGINT)) / 1e9 / COUNT(*), 6)
+         AS avg_cos
+FROM af GROUP BY cl""")
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization of the embedding corpus + reconstruction audit
+# ---------------------------------------------------------------------------
+
+def q_embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension int8 scalar quantization of the embedding corpus —
+    the 4x memory/IO compression step before a 100 TB vector corpus is
+    servable — plus the reconstruction-error audit that decides whether
+    int8 recall loss is acceptable. code = round((v-lo)/(hi-lo)*255);
+    the audit reports per-label RMSE of dequantized vs original values.
+
+    Shape: one (d)-keyed min/max aggregate (64 groups -> broadcast), then a
+    row-local quantize/dequantize/error pass and one label-keyed aggregate
+    — two scans, one tiny broadcast, no wide shuffle. Determinism: min/max
+    are exact; every float op has the identical expression tree in the
+    oracle; squared errors quantize to integer 1e-15 units before summing."""
+    emb = load(spark, sf_dir, "embeddings")
+    dims = emb.select("label", F.posexplode("embedding").alias("d", "v")) \
+              .withColumn("v", F.col("v").cast("double"))
+    rng = dims.groupBy("d").agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    span = F.col("hi") - F.col("lo")
+    code = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.round((F.col("v") - F.col("lo")) / span * 255).cast("int"))
+    q = dims.join(F.broadcast(rng), "d").select(
+        "label", "v", "lo", "hi", code.alias("code"))
+    deq = F.when(F.col("hi") == F.col("lo"), F.col("lo")).otherwise(
+        F.col("lo") + F.col("code") * (F.col("hi") - F.col("lo")) / 255.0)
+    err = F.col("v") - deq
+    per = q.select("label",
+                   F.round(err * err * F.lit(1e15)).cast("bigint").alias("e2"))
+    return (per.groupBy("label")
+            .agg(F.count("*").alias("n_vals"),
+                 F.round(F.sqrt(F.sum("e2") / F.lit(1e15) / F.count("*")), 6)
+                  .alias("rmse")))
+
+
+ORACLE_INT8_QUANT = """
+WITH dimd AS (
+  SELECT label, unnest(embedding)::DOUBLE AS v,
+         generate_subscripts(embedding, 1) AS d
+  FROM embeddings),
+rngd AS (SELECT d, MIN(v) AS lo, MAX(v) AS hi FROM dimd GROUP BY d),
+q AS (
+  SELECT label, v, lo, hi,
+         CASE WHEN hi = lo THEN 0
+              ELSE CAST(ROUND((v - lo) / (hi - lo) * 255) AS INTEGER)
+         END AS code
+  FROM dimd JOIN rngd USING (d)),
+e AS (
+  SELECT label,
+         CAST(ROUND((v - (CASE WHEN hi = lo THEN lo
+                               ELSE lo + code * (hi - lo) / 255.0 END))
+                    * (v - (CASE WHEN hi = lo THEN lo
+                                 ELSE lo + code * (hi - lo) / 255.0 END))
+                    * 1e15) AS BIGINT) AS e2
+  FROM q)
+SELECT label, COUNT(*) AS n_vals,
+       ROUND(sqrt(SUM(e2) / 1e15 / COUNT(*)), 6) AS rmse
+FROM e GROUP BY label
+"""
+
+
 VECTOR_QUERIES = [
     QueryDef("embedding_topk", q_embedding_topk, ORACLE_EMBEDDING_TOPK, "LLM-sim-bruteforce", bench=True),
     QueryDef("ann_ivf_topk", q_ann_ivf_topk, ORACLE_ANN_IVF, "LLM-sim-ivf"),
@@ -524,6 +699,10 @@ VECTOR_QUERIES = [
              ORACLE_EMB_COMPONENTS, "LLM-dedup-cosine-components"),
     QueryDef("lsh_recall_audit", q_lsh_recall_audit, ORACLE_LSH_RECALL,
              "LLM-lsh-recall-audit"),
+    QueryDef("kmeans_embeddings", q_kmeans_embeddings, _oracle_kmeans(),
+             "LLM-cluster-kmeans", bench=True),
+    QueryDef("embedding_int8_quant", q_embedding_int8_quant,
+             ORACLE_INT8_QUANT, "LLM-vector-quantization"),
     QueryDef("norms_pandas_udf", q_norms_pandas_udf, ORACLE_NORMS_PANDAS, "S2.8-pandas-udf"),
     QueryDef("median_value_udaf", q_median_value_udaf, ORACLE_MEDIAN_UDAF, "S2.8-pandas-udaf"),
 ]

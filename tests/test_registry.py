@@ -59,6 +59,10 @@ _BENCH_SET = {
     "region_volume", "rollup_revenue", "segment_dedup",
     "shipping_priority", "streaming_daily_rollup", "tfidf_top_terms",
     "trimmed_mean", "upsert_roundtrip", "vocab_topk", "weekly_rollup",
+    # round-3 addition (iterative-clustering representative): deliberate
+    # extension of the pin — the original 31 stay untouched so run-to-run
+    # comparisons on the common set remain valid
+    "kmeans_embeddings",
 }
 
 

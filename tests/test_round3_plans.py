@@ -1,0 +1,93 @@
+"""Semantic tests for the round-3 catalog additions (beyond the DuckDB
+parity gate): k-means clustering, int8 quantization, PMI collocations,
+hash-sampled quantiles, z-order pruning roundtrip."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pyspark.sql.functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from nfl_data_engineering_spark.plans.connectors import (  # noqa: E402
+    q_zorder_pruning)
+from nfl_data_engineering_spark.plans.relational import (  # noqa: E402
+    SAMPLE_QUANT_MOD, q_sampled_quantiles)
+from nfl_data_engineering_spark.plans.training import (  # noqa: E402
+    PMI_MIN_COUNT, q_pmi_collocations)
+from nfl_data_engineering_spark.plans.vector import (  # noqa: E402
+    KMEANS_K, q_embedding_int8_quant, q_kmeans_embeddings)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_kmeans_partitions_corpus(spark):
+    rows = q_kmeans_embeddings(spark, SF).collect()
+    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    assert 1 <= len(rows) <= KMEANS_K
+    assert sum(r["n_members"] for r in rows) == emb.count()
+    for r in rows:
+        assert -1.0 <= r["avg_cos"] <= 1.0
+        assert 0 <= r["cluster"] < KMEANS_K
+
+
+def test_kmeans_improves_over_random_assignment(spark):
+    # after 2 refits, members should on average be closer to their centroid
+    # than a typical random pair is to another vector: avg_cos well above 0
+    rows = q_kmeans_embeddings(spark, SF).collect()
+    overall = sum(r["avg_cos"] * r["n_members"] for r in rows) / \
+        sum(r["n_members"] for r in rows)
+    assert overall > 0.1, f"k-means converged to avg_cos={overall}"
+
+
+def test_int8_quant_error_bounded(spark):
+    rows = q_embedding_int8_quant(spark, SF).collect()
+    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    n_vecs = emb.count()
+    dim = len(emb.select("embedding").first()[0])
+    assert sum(r["n_vals"] for r in rows) == n_vecs * dim
+    # worst-case per-element error is span/255/2; rmse must be below the
+    # largest dimension span / 255 (loose but layout-independent)
+    spans = emb.select(F.posexplode("embedding").alias("d", "v")) \
+               .groupBy("d").agg((F.max("v") - F.min("v")).alias("s")) \
+               .agg(F.max("s")).first()[0]
+    for r in rows:
+        assert 0.0 <= r["rmse"] <= spans / 255.0
+
+
+def test_pmi_ranks_collocations(spark):
+    rows = q_pmi_collocations(spark, SF).collect()
+    assert rows, "expected collocations at sf0.001"
+    pmis = [r["pmi"] for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
+    for r in rows:
+        assert r["cab"] >= PMI_MIN_COUNT
+
+
+def test_sampled_quantiles_orders_and_rate(spark):
+    rows = q_sampled_quantiles(spark, SF).collect()
+    li = spark.read.parquet(os.path.join(SF, "lineitem.parquet"))
+    total = li.count()
+    n_sampled = sum(r["n_sampled"] for r in rows)
+    # h60 is uniform: the 1-in-MOD rate should hold within 3 sigma
+    import math
+    p = 1.0 / SAMPLE_QUANT_MOD
+    sigma = math.sqrt(total * p * (1 - p))
+    assert abs(n_sampled - total * p) < 4 * sigma
+    for r in rows:
+        assert r["p25"] <= r["p50"] <= r["p90"] <= r["p99"]
+
+
+def test_zorder_pruning_matches_source_box(spark):
+    got = q_zorder_pruning(spark, SF).collect()[0]
+    li = spark.read.parquet(os.path.join(SF, "lineitem.parquet"))
+    b = li.agg(F.min("l_partkey").alias("p0"), F.max("l_partkey").alias("p1"),
+               F.min("l_suppkey").alias("s0"),
+               F.max("l_suppkey").alias("s1")).collect()[0]
+    pk_hi = b["p0"] + (b["p1"] - b["p0"]) / 10.0
+    sk_hi = b["s0"] + (b["s1"] - b["s0"]) / 10.0
+    want = li.filter((F.col("l_partkey") <= pk_hi)
+                     & (F.col("l_suppkey") <= sk_hi)).count()
+    assert got["n"] == want and got["n"] > 0
