@@ -19,7 +19,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # all-pairs baselines intentionally cross-join at test scale; their scale
 # path is the LSH/IVF twin in the same module
 ALLOW_NESTED_LOOP = {"cosine_neardup_pairs", "embedding_topk", "ann_ivf_topk",
-                     "clicks_before_purchase", "fuzzy_editdist"}
+                     "clicks_before_purchase", "fuzzy_editdist",
+                     # bounded-broadcast cross joins, not data-x-data plans:
+                     # kmeans broadcasts the K=8-row centroid table per
+                     # assignment pass; pmi broadcasts two 1-row corpus
+                     # totals — both O(n) in the fact side at any scale
+                     "kmeans_embeddings", "pmi_collocations"}
 
 JOIN_RE = re.compile(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
                      r"BroadcastNestedLoopJoin|CartesianProduct)")
