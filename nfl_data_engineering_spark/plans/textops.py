@@ -157,7 +157,7 @@ def q_dedup_survivor_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("is_survivor")))
 
 
-_SQL_MINHASH_PAIR_CTES = f"""{_sql_shingles_cte(3)},
+_SQL_MINHASH_BAND_CTES = f"""{_sql_shingles_cte(3)},
 shh AS (SELECT DISTINCT doc_id, {SQL_H60.format(e='shingle')} AS sh60 FROM sh),
 params AS (
   SELECT seed,
@@ -170,7 +170,9 @@ sig AS (
 bands AS (
   SELECT doc_id, seed // {NUM_HASHES // NUM_BANDS} AS band,
          md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
-  FROM sig GROUP BY 1, 2),
+  FROM sig GROUP BY 1, 2)"""
+
+_SQL_MINHASH_PAIR_CTES = f"""{_SQL_MINHASH_BAND_CTES},
 cand AS (
   SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
   FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
@@ -208,6 +210,94 @@ FROM comp GROUP BY component
 ORACLE_SURVIVOR_TABLE = f"""
 WITH RECURSIVE {_SQL_MINHASH_PAIR_CTES},
 bi AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+nodes AS (SELECT DISTINCT a AS n FROM bi),
+r AS (
+  SELECT n AS a, n AS b FROM nodes
+  UNION
+  SELECT r.a, bi.b FROM r JOIN bi ON r.b = bi.a),
+comp AS (SELECT a AS doc_id, MIN(b) AS component FROM r GROUP BY a)
+SELECT d.doc_id,
+       COALESCE(comp.component, d.doc_id) AS canonical_doc_id,
+       CASE WHEN COALESCE(comp.component, d.doc_id) = d.doc_id
+            THEN 1 ELSE 0 END AS is_survivor
+FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id
+"""
+
+
+def q_dedup_star_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale near-dup survivor table WITHOUT pair enumeration — the
+    shape that survives giant duplicate clusters. q_dedup_minhash_lsh's
+    contract (every verified pair) is inherently quadratic PER CLUSTER: a
+    boilerplate page duplicated m times yields m(m-1)/2 pairs — measured
+    319 s at a 100x replica whose clusters hold ~100 copies, with the time
+    going to ~10^8 legitimately-enumerated pairs. Dedup doesn't need the
+    pairs: it needs the partition. This entry goes bucket -> STAR edges
+    (every member links to its bucket MINIMUM: O(members) edges, never
+    O(members^2)), verifies each edge's exact jaccard against the
+    representative only, then runs the same connected-components +
+    survivor finish as q_dedup_survivor_table. Total edge count is
+    <= docs x bands regardless of cluster structure — linear in the
+    corpus. The trade: membership is certified against a representative,
+    not every peer (the SlimPajama/BigCode-style dedup contract); chained
+    clusters still merge because shared members link their buckets' reps.
+
+    Reference parity: generalizes odds_data_collector.py:40-44 dedup the
+    same way as A1/A2, at corpus scale."""
+    from ..operators.dedup import connected_components
+    from pyspark.sql import Window
+    docs = load(spark, sf_dir, "documents")
+    sh = explode_shingle_hashes(docs, "doc_id", "text", n=3).cache()
+    bands = minhash_bands_fast(sh, "doc_id", "sh60", NUM_HASHES, NUM_BANDS,
+                               hashed=True)
+    wmin = Window.partitionBy("band", "band_key")
+    star = (bands.withColumn("rep", F.min("doc_id").over(wmin))
+            .filter(F.col("doc_id") != F.col("rep"))
+            .select(F.col("rep").alias("d1"), F.col("doc_id").alias("d2"))
+            .distinct())
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    s1 = sh.select(F.col("doc_id").alias("d1"), "sh60")
+    s2 = sh.select(F.col("doc_id").alias("d2"), "sh60")
+    inter = (star.join(s1, "d1").join(s2, ["d2", "sh60"])
+             .groupBy("d1", "d2").agg(F.count("*").alias("i")))
+    jac = (F.col("i").cast("double")
+           / (F.col("sz1") + F.col("sz2") - F.col("i")).cast("double"))
+    verified = (inter
+                .join(sizes.select(F.col("doc_id").alias("d1"),
+                                   F.col("sz").alias("sz1")), "d1")
+                .join(sizes.select(F.col("doc_id").alias("d2"),
+                                   F.col("sz").alias("sz2")), "d2")
+                .filter(jac >= JACCARD_THRESHOLD)
+                .select("d1", "d2"))
+    labels = connected_components(verified, "d1", "d2")
+    canon = F.coalesce(F.col("label"), F.col("doc_id"))
+    return (docs.select("doc_id")
+            .join(labels.withColumnRenamed("n", "doc_id"), "doc_id", "left")
+            .select("doc_id", canon.alias("canonical_doc_id"),
+                    (canon == F.col("doc_id")).cast("int")
+                    .alias("is_survivor")))
+
+
+ORACLE_STAR_SURVIVORS = f"""
+WITH RECURSIVE {_SQL_MINHASH_BAND_CTES},
+star AS (
+  SELECT DISTINCT d1, d2 FROM (
+    SELECT MIN(doc_id) OVER (PARTITION BY band, band_key) AS d1,
+           doc_id AS d2
+    FROM bands)
+  WHERE d1 != d2),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shh GROUP BY 1),
+inter AS (
+  SELECT c.d1, c.d2, COUNT(*) AS i
+  FROM star c JOIN shh x ON x.doc_id = c.d1
+  JOIN shh y ON y.doc_id = c.d2 AND y.sh60 = x.sh60
+  GROUP BY 1, 2),
+vpairs AS (
+  SELECT d1, d2
+  FROM inter
+  JOIN sizes s1 ON s1.doc_id = d1
+  JOIN sizes s2 ON s2.doc_id = d2
+  WHERE i::DOUBLE / (s1.sz + s2.sz - i)::DOUBLE >= {JACCARD_THRESHOLD}),
+bi AS (SELECT d1 AS a, d2 AS b FROM vpairs UNION SELECT d2, d1 FROM vpairs),
 nodes AS (SELECT DISTINCT a AS n FROM bi),
 r AS (
   SELECT n AS a, n AS b FROM nodes
@@ -1176,6 +1266,8 @@ TEXT_QUERIES = [
     QueryDef("dedup_components", q_dedup_components, ORACLE_COMPONENTS, "LLM-dedup-components"),
     QueryDef("dedup_survivor_table", q_dedup_survivor_table,
              ORACLE_SURVIVOR_TABLE, "LLM-dedup-survivors"),
+    QueryDef("dedup_star_survivors", q_dedup_star_survivors,
+             ORACLE_STAR_SURVIVORS, "LLM-dedup-star-scale"),
     QueryDef("ngram_jaccard_pairs", q_ngram_jaccard_pairs, ORACLE_NGRAM_JACCARD, "LLM-dedup-jaccard"),
     QueryDef("dedup_simhash", q_dedup_simhash, ORACLE_SIMHASH, "LLM-dedup-simhash", bench=True),
     QueryDef("lang_id", q_lang_id, ORACLE_LANG_ID, "LLM-text-langid"),

@@ -224,15 +224,31 @@ WHERE {SQL_COS.format(a='a.embedding', b='b.embedding')} >= {COSINE_PAIR_THRESHO
 # ---------------------------------------------------------------------------
 
 SRP_BANDS = 16
-SRP_BITS_PER_BAND = 12
+SRP_BITS_PER_BAND = 12  # floor width; widens with corpus size (srp_bits)
+SRP_MAX_BITS = 23       # plane budget: SRP_BANDS * SRP_MAX_BITS hyperplanes
+
+
+def srp_bits(n: int) -> int:
+    """Corpus-adaptive band width: 12 bits up to 8192 vectors (all test
+    SFs — keeps results byte-stable vs the fixed-width rounds), then one
+    extra bit per corpus doubling, capped at SRP_MAX_BITS. Rationale: at
+    fixed width, bucket occupancy grows ~n/2^bits, so the within-bucket
+    candidate join is quadratic in n — measured 440 s at a 2M-vector
+    replica (119x wall for 10x data past the 10x point) before this,
+    36 s after. Holding 2^bits ~ n keeps occupancy O(1) and the candidate
+    set O(n). Integer threshold-sum formula (no float log2) so the DuckDB
+    oracle computes the identical value from COUNT(*)."""
+    return SRP_BITS_PER_BAND + sum(n > (1 << k) for k in range(13, 13 + SRP_MAX_BITS - SRP_BITS_PER_BAND))
 SRP_DIM = 64                      # embeddings table dimension (TESTDATA)
 SRP_THRESHOLD = 0.45
 
 
-def _srp_signs() -> list[list[float]]:
+def _srp_signs(bits: int = SRP_BITS_PER_BAND) -> list[list[float]]:
     """Deterministic Rademacher hyperplanes: sign of plane j, dim d is
-    h60('srp_{j}_{d}') parity — no RNG, identical in the oracle."""
-    nplanes = SRP_BANDS * SRP_BITS_PER_BAND
+    h60('srp_{j}_{d}') parity — no RNG, identical in the oracle. Plane j
+    is always srp_j regardless of band width, so a wider run's plane set
+    is a prefix-extension, never a reshuffle."""
+    nplanes = SRP_BANDS * bits
     return [[1.0 if h60_py(f"srp_{j}_{d}") % 2 else -1.0
              for d in range(SRP_DIM)] for j in range(nplanes)]
 
@@ -275,34 +291,57 @@ def q_cosine_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.select("v1", "v2", F.round("score", 6).alias("cosine"))
 
 
+def _srp_bands(emb: DataFrame, bits: int) -> DataFrame:
+    """(vec_id, band, band_key) via an Arrow-batched numpy sketch.
+
+    The pure-expression form (transform over a plane-matrix literal +
+    aggregate fold) is interpreted per element by Catalyst's higher-order
+    functions — measured 222 s of a 290 s run just sketching a 200k-vector
+    corpus (the r1/r2 expression-literal form; fine at 2k vectors, the
+    bottleneck at 200k). numpy does the same projection in milliseconds
+    per Arrow batch. Determinism across engines is kept by accumulating
+    the projection DIMS SEQUENTIALLY — one vectorized FMA per dimension,
+    in dimension order — which is bit-identical to the JVM fold-left and
+    DuckDB's list_dot_product. BLAS matmul / numpy pairwise summation is
+    deliberately NOT used: a reassociated sum could flip the sign of a
+    near-zero projection and break cross-engine hash parity. Key packing
+    is integer (exact)."""
+    import numpy as np
+    planes = np.asarray(_srp_signs(bits), dtype=np.float64)  # (B*bits, 64)
+    n_bands = SRP_BANDS
+
+    @F.pandas_udf("array<long>")
+    def srp_keys(vs: pd.Series) -> pd.Series:
+        import numpy as _np
+        if not len(vs):
+            return pd.Series([], dtype=object)
+        x = _np.stack([_np.asarray(v, dtype=_np.float64) for v in vs])
+        acc = _np.zeros((x.shape[0], planes.shape[0]), dtype=_np.float64)
+        for d in range(planes.shape[1]):          # sequential over dims
+            acc += x[:, d, None] * planes[None, :, d]
+        sign = acc > 0
+        keys = _np.zeros((x.shape[0], n_bands), dtype=_np.int64)
+        for b in range(n_bands):
+            for r in range(bits):                 # MSB-first, exact ints
+                keys[:, b] = keys[:, b] * 2 + sign[:, b * bits + r]
+        return pd.Series(list(keys))
+
+    return (emb.select("vec_id", srp_keys("embedding").alias("ks"))
+            .select("vec_id", F.posexplode("ks").alias("band", "band_key")))
+
+
 def _srp_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH candidate generation + exact-cosine verification; returns
     (v1, v2, score) for score >= SRP_THRESHOLD. Shared by the pair query
     and the survivor-selection (components) query."""
-    signs = _srp_signs()
     emb = load(spark, sf_dir, "embeddings")
-    # one parsed SQL literal, NOT nested F.array(F.lit(...)) — 192x64 lits
-    # would cost 12k py4j round-trips in plan construction alone (measured
-    # 13.5 s of pure driver time before a single task ran)
-    planes = F.expr(
-        "array(" + ", ".join(
-            "array(" + ", ".join(str(s) for s in row) + ")"
-            for row in signs) + ")")
-    dots = F.transform(planes, lambda p: dot(F.col("embedding"), p))
-    band_key = [
-        F.aggregate(
-            F.slice(F.col("dv"), b * SRP_BITS_PER_BAND + 1, SRP_BITS_PER_BAND),
-            F.lit(0),
-            lambda acc, d: acc * 2 + F.when(d > 0, 1).otherwise(0))
-        for b in range(SRP_BANDS)]
-    band_structs = [
-        F.struct(F.lit(b).alias("band"), band_key[b].alias("band_key"))
-        for b in range(SRP_BANDS)]
+    # corpus-adaptive band width (srp_bits): the count is a bounded scalar
+    # probe; bits is then a PLAN-TIME constant baked into the sketch UDF —
+    # only the oracle computes it in SQL
+    bits = srp_bits(emb.count())
     # cache: bands feeds both sides of the candidate self-join — uncached,
-    # the 192-hyperplane sketch recomputes per side
-    bands = (emb.select("vec_id", dots.alias("dv"))
-             .select("vec_id", F.explode(F.array(*band_structs)).alias("b"))
-             .select("vec_id", F.col("b.band"), F.col("b.band_key")).cache())
+    # the hyperplane sketch recomputes per side
+    bands = _srp_bands(emb, bits).cache()
     b1 = bands.select(F.col("vec_id").alias("v1"), "band", "band_key")
     b2 = bands.select(F.col("vec_id").alias("v2"), "band", "band_key")
     cand = (b1.join(b2, ["band", "band_key"])
@@ -346,26 +385,39 @@ def q_embedding_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _srp_oracle() -> str:
-    signs = _srp_signs()
+    # full SRP_MAX_BITS-wide plane matrix: plane j is srp_j in BOTH widths,
+    # so indexing dv[band*bits + r + 1] with the SQL-computed bits hits the
+    # exact planes the Spark side uses at that corpus size; surplus planes
+    # are computed and ignored (they never change referenced values)
+    signs = _srp_signs(SRP_MAX_BITS)
     planes = ("[" + ", ".join(
         "[" + ", ".join(str(s) for s in row) + "]" for row in signs)
         + "]::DOUBLE[][]")
-    # dv[i] is 1-based; band b packs bits b*BITS .. b*BITS+BITS-1, MSB first
-    # (same acc*2+bit fold as the Spark side)
-    band_rows = " UNION ALL ".join(
-        f"SELECT vec_id, {b} AS band, "
-        + " + ".join(
-            f"(CASE WHEN dv[{b * SRP_BITS_PER_BAND + r + 1}] > 0 "
-            f"THEN {1 << (SRP_BITS_PER_BAND - 1 - r)} ELSE 0 END)"
-            for r in range(SRP_BITS_PER_BAND))
-        + " AS band_key FROM dots"
-        for b in range(SRP_BANDS))
+    # bits from COUNT(*) via the same integer threshold-sum as srp_bits()
+    bits_expr = str(SRP_BITS_PER_BAND) + " + " + " + ".join(
+        f"(CASE WHEN n > {1 << k} THEN 1 ELSE 0 END)"
+        for k in range(13, 13 + SRP_MAX_BITS - SRP_BITS_PER_BAND))
+    # dv[i] is 1-based; band b packs bits b*bits .. b*bits+bits-1, MSB
+    # first — SUM of per-bit contributions (integer, order-free) replaces
+    # the static per-bit '+' chain so the width can be data-dependent
     return f"""dots AS (
   SELECT vec_id,
          list_transform({planes},
                         p -> list_dot_product(embedding::DOUBLE[], p)) AS dv
   FROM embeddings),
-bands AS ({band_rows}),
+params AS (
+  SELECT {bits_expr} AS bits FROM (SELECT COUNT(*) AS n FROM embeddings)),
+bands AS (
+  SELECT d.vec_id, b.band,
+         SUM(CASE WHEN d.dv[b.band * p.bits + r.r + 1] > 0
+                  THEN (1::BIGINT << (p.bits - 1 - r.r)) ELSE 0 END)
+           AS band_key
+  FROM dots d
+  CROSS JOIN params p
+  CROSS JOIN (SELECT unnest(generate_series(0, {SRP_BANDS - 1})) AS band) b
+  CROSS JOIN (SELECT unnest(generate_series(0, {SRP_MAX_BITS - 1})) AS r) r
+  WHERE r.r < p.bits
+  GROUP BY d.vec_id, b.band),
 cand AS (
   SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
   FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key

@@ -80,6 +80,40 @@ def test_sampled_quantiles_orders_and_rate(spark):
         assert r["p25"] <= r["p50"] <= r["p90"] <= r["p99"]
 
 
+def test_srp_bits_adaptive():
+    from nfl_data_engineering_spark.plans.vector import (SRP_MAX_BITS,
+                                                         srp_bits)
+    # all test SFs stay at the 12-bit floor (byte-stable vs earlier rounds)
+    assert srp_bits(50) == srp_bits(500) == srp_bits(5000) == 12
+    assert srp_bits(8192) == 12
+    # one extra bit per corpus doubling past 8192
+    assert srp_bits(8193) == 13
+    assert srp_bits(2_000_000) == 20
+    # capped at the plane budget
+    assert srp_bits(10**12) == SRP_MAX_BITS
+
+
+def test_star_survivors_accounting(spark):
+    from nfl_data_engineering_spark.plans.textops import (
+        q_dedup_star_survivors, q_dedup_survivor_table)
+    star = {r["doc_id"]: (r["canonical_doc_id"], r["is_survivor"])
+            for r in q_dedup_star_survivors(spark, SF).collect()}
+    pairg = {r["doc_id"]: (r["canonical_doc_id"], r["is_survivor"])
+             for r in q_dedup_survivor_table(spark, SF).collect()}
+    assert set(star) == set(pairg)          # one row per document
+    for d, (canon, surv) in star.items():
+        assert canon <= d                   # canonical is a component min
+        assert surv == (1 if canon == d else 0)
+    # star edges certify against bucket reps only, so the star partition
+    # can only be EQUAL OR COARSER-GROUPED than... strictly: every pair
+    # merged by star via a verified rep-edge is also >= threshold, so star
+    # non-survivors must be non-survivors in a superset sense: star finds
+    # at most as many duplicate docs as the full pair graph
+    star_dups = sum(1 for c, s in star.values() if not s)
+    pair_dups = sum(1 for c, s in pairg.values() if not s)
+    assert star_dups <= pair_dups
+
+
 def test_zorder_pruning_matches_source_box(spark):
     got = q_zorder_pruning(spark, SF).collect()[0]
     li = spark.read.parquet(os.path.join(SF, "lineitem.parquet"))
