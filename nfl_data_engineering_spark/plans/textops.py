@@ -383,7 +383,13 @@ SIMHASH_CHUNKS = 4          # 4 chunks of 15 bits; hamming<=3 => >=1 equal chunk
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(60-bit) near-dedup: candidate pairs via pigeonhole chunk join
     (hamming <= 3 guarantees one of 4 15-bit chunks equal), verified with
-    bit_count(xor). The chunk join is the scale path — no all-pairs scan."""
+    bit_count(xor). The chunk join is the scale path — no all-pairs scan.
+    Like every pair-ENUMERATION contract, output is quadratic per
+    duplicate cluster (m copies -> m(m-1)/2 pairs; 16x last-10x wall at
+    the 100x replica's ~100-copy clusters, SCALE.md §100x) — for the
+    dedup deliverable at corpus scale, link to a cluster representative
+    instead (the q_dedup_star_survivors pattern applies unchanged to
+    simhash chunks)."""
     docs = load(spark, sf_dir, "documents")
     toked = explode_tokens(docs, "doc_id", "text")
     sims = simhash(toked, "doc_id", "token", bits=SIMHASH_BITS).cache()

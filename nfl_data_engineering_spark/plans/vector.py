@@ -571,6 +571,157 @@ FROM events GROUP BY event_type
 
 
 # ---------------------------------------------------------------------------
+# Product quantization ANN: subspace codebooks + asymmetric distance
+# ---------------------------------------------------------------------------
+
+PQ_M = 4                # subspaces
+PQ_SUBDIM = SRP_DIM // PQ_M
+
+
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jegou et al., IEEE TPAMI 2011): each
+    vector compresses to PQ_M subspace codes (here 4 codes over a
+    label-cell codebook — 4 bytes/vector, a 64x memory cut vs float32),
+    and queries rank the corpus by ASYMMETRIC DISTANCE: the query's dot
+    product against each codeword is precomputed once (a 4 x |codebook|
+    lookup table), so scoring a corpus vector costs 4 table lookups + an
+    integer sum — no per-pair float vector math at all. This is the
+    in-memory-at-100TB search shape next to IVF (scan pruning) and SRP
+    (candidate hashing): the corpus resides as codes, queries bring the
+    float tables. Codebook = per-(label, subspace) exact-decimal-mean
+    centroids (the IVF discipline); encoding = nearest codeword per
+    subspace by L2, ties to the lowest label.
+
+    Determinism: all dots/norms accumulate dims sequentially (fold-left
+    parity with list_dot_product); d2 = (xx - 2*xc) + cc with the same
+    association both engines; argmin takes the first minimum over
+    ascending label ids (== ORDER BY d2, label); per-part contributions
+    quantize to integer nano-units so the 4-part sum is order-free, and
+    ranking orders by the integer sum itself."""
+    import numpy as np
+    emb = load(spark, sf_dir, "embeddings").cache()
+    cent_rows = (emb.select("label", F.posexplode("embedding")
+                            .alias("d", "v"))
+                 .groupBy("label", "d")
+                 .agg(F.round(F.sum(F.col("v").cast("double")
+                                    .cast("decimal(18,8)"))
+                              .cast("double") / F.count("*"), 6).alias("c"))
+                 .collect())
+    labels = sorted({r["label"] for r in cent_rows})
+    dim = 1 + max(r["d"] for r in cent_rows)
+    lab_idx = {l: i for i, l in enumerate(labels)}
+    cmat = np.zeros((len(labels), dim))
+    for r in cent_rows:
+        cmat[lab_idx[r["label"]], r["d"]] = r["c"]
+    lab_arr = np.asarray(labels, dtype=np.int32)
+    cc = np.zeros((PQ_M, len(labels)))
+    for m in range(PQ_M):
+        for d in range(PQ_SUBDIM):          # sequential over sub dims
+            col = cmat[:, m * PQ_SUBDIM + d]
+            cc[m] += col * col
+
+    @F.pandas_udf("array<int>")
+    def encode(vs: pd.Series) -> pd.Series:
+        import numpy as _np
+        if not len(vs):
+            return pd.Series([], dtype=object)
+        x = _np.stack([_np.asarray(v, dtype=_np.float64) for v in vs])
+        out = _np.zeros((len(x), PQ_M), dtype=_np.int32)
+        for m in range(PQ_M):
+            xx = _np.zeros(len(x))
+            xc = _np.zeros((len(x), len(lab_arr)))
+            for d in range(PQ_SUBDIM):      # sequential over sub dims
+                col = x[:, m * PQ_SUBDIM + d]
+                xx += col * col
+                xc += col[:, None] * cmat[None, :, m * PQ_SUBDIM + d]
+            d2 = (xx[:, None] - 2.0 * xc) + cc[m][None, :]
+            out[:, m] = lab_arr[_np.argmin(d2, axis=1)]
+        return pd.Series(list(out))
+
+    coded = (emb.select("vec_id", encode("embedding").alias("codes"))
+             .select("vec_id", F.posexplode("codes").alias("m", "code")))
+    # query ADC tables: bounded driver compute (N_QUERIES x PQ_M x labels)
+    qrows = (emb.filter(F.col("vec_id") < N_QUERIES)
+             .select("vec_id", "embedding").collect())
+    tbl_rows = []
+    for qr in qrows:
+        qv = np.asarray(qr["embedding"], dtype=np.float64)
+        for m in range(PQ_M):
+            for li, lab in enumerate(labels):
+                part = 0.0
+                for d in range(PQ_SUBDIM):  # sequential over sub dims
+                    part += qv[m * PQ_SUBDIM + d] * cmat[li, m * PQ_SUBDIM + d]
+                tbl_rows.append((int(qr["vec_id"]), m, int(lab),
+                                 float(part)))
+    tbl = spark.createDataFrame(
+        tbl_rows, "q_id bigint, m int, code int, part double")
+    parts = (coded.join(F.broadcast(tbl), ["m", "code"])
+             .filter(F.col("vec_id") != F.col("q_id")))
+    scored = (parts.groupBy("q_id", "vec_id")
+              .agg(F.sum(F.round(F.col("part") * 1e9).cast("bigint"))
+                   .alias("s")))
+    w = Window.partitionBy("q_id").orderBy(F.col("s").desc(), F.col("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOPK)
+            .select("q_id", "vec_id", "rank",
+                    F.round(F.col("s") / 1e9, 6).alias("approx_dot")))
+
+
+ORACLE_ANN_PQ = f"""
+WITH u AS (
+  SELECT label, vec_id, unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) AS d
+  FROM embeddings),
+cent AS (
+  SELECT label, d,
+         ROUND(CAST(SUM(CAST(v::DOUBLE AS DECIMAL(18,8))) AS DOUBLE)
+               / COUNT(*), 6) AS c
+  FROM u GROUP BY label, d),
+cvec AS (
+  SELECT label, (d - 1) // {PQ_SUBDIM} AS m,
+         list_transform(list_sort(list(struct_pack(d := d, c := c))),
+                        x -> x.c) AS csub
+  FROM cent GROUP BY label, (d - 1) // {PQ_SUBDIM}),
+subs AS (
+  SELECT e.vec_id, mm.m,
+         (e.embedding::DOUBLE[])[mm.m * {PQ_SUBDIM} + 1 :
+                                 mm.m * {PQ_SUBDIM} + {PQ_SUBDIM}] AS xs
+  FROM embeddings e
+  CROSS JOIN (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m) mm),
+d2 AS (
+  SELECT s.vec_id, s.m, cv.label,
+         (list_dot_product(s.xs, s.xs)
+          - 2 * list_dot_product(s.xs, cv.csub))
+         + list_dot_product(cv.csub, cv.csub) AS d2
+  FROM subs s JOIN cvec cv ON cv.m = s.m),
+enc AS (
+  SELECT vec_id, m, label AS code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                 ORDER BY d2 ASC, label ASC) AS rn
+    FROM d2) WHERE rn = 1),
+q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings
+      WHERE vec_id < {N_QUERIES}),
+adc AS (
+  SELECT q.q_id, cv.m, cv.label AS code,
+         list_dot_product(
+           q.qv[cv.m * {PQ_SUBDIM} + 1 : cv.m * {PQ_SUBDIM} + {PQ_SUBDIM}],
+           cv.csub) AS part
+  FROM q CROSS JOIN cvec cv),
+scored AS (
+  SELECT a.q_id, e.vec_id,
+         SUM(CAST(ROUND(a.part * 1e9) AS BIGINT)) AS s
+  FROM enc e JOIN adc a ON a.m = e.m AND a.code = e.code
+  WHERE e.vec_id != a.q_id
+  GROUP BY a.q_id, e.vec_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY s DESC, vec_id) AS rank
+      FROM scored)
+SELECT q_id, vec_id, rank, ROUND(s / 1e9, 6) AS approx_dot
+FROM r WHERE rank <= {TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Distributed k-means over embeddings (spherical: cosine assignment)
 # ---------------------------------------------------------------------------
 
@@ -795,6 +946,8 @@ VECTOR_QUERIES = [
              ORACLE_EMB_COMPONENTS, "LLM-dedup-cosine-components"),
     QueryDef("lsh_recall_audit", q_lsh_recall_audit, ORACLE_LSH_RECALL,
              "LLM-lsh-recall-audit"),
+    QueryDef("ann_pq_topk", q_ann_pq_topk, ORACLE_ANN_PQ,
+             "LLM-sim-pq"),
     QueryDef("kmeans_embeddings", q_kmeans_embeddings, _oracle_kmeans(),
              "LLM-cluster-kmeans", bench=True),
     QueryDef("embedding_int8_quant", q_embedding_int8_quant,

@@ -80,6 +80,22 @@ def test_sampled_quantiles_orders_and_rate(spark):
         assert r["p25"] <= r["p50"] <= r["p90"] <= r["p99"]
 
 
+def test_pq_topk_shape_and_rank(spark):
+    from nfl_data_engineering_spark.plans.vector import (TOPK,
+                                                         q_ann_pq_topk)
+    rows = q_ann_pq_topk(spark, SF).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= TOPK
+        scores = [r["approx_dot"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        assert all(r["vec_id"] != q for r in rs)
+
+
 def test_srp_bits_adaptive():
     from nfl_data_engineering_spark.plans.vector import (SRP_MAX_BITS,
                                                          srp_bits)
