@@ -101,7 +101,7 @@ def upsert_partitioned(spark: SparkSession, new_df: DataFrame, path: str,
 
 def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
                    num_buckets: int = 32, sort_cols: list[str] | None = None,
-                   mode: str = "overwrite") -> None:
+                   mode: str = "overwrite", path: str | None = None) -> None:
     """Bucketed parquet table: pre-shuffle the data ONCE at write time so
     every later join/aggregation on ``bucket_cols`` is exchange-free.
 
@@ -111,11 +111,15 @@ def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
     subsequent query. ``sort_cols`` additionally pre-sorts within buckets,
     removing the sort from sort-merge joins. Requires the session catalog
     (saveAsTable); warehouse location is configured in session.py.
+    ``path`` makes the table external at that location — use it when the
+    session may run with a default (cwd-relative) warehouse dir.
     """
     w = (df.write.mode(mode).format("parquet")
          .bucketBy(num_buckets, *bucket_cols))
     if sort_cols:
         w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
     w.saveAsTable(table)
 
 

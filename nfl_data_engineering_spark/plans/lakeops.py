@@ -1,0 +1,434 @@
+"""Lakehouse / scale-pattern query catalog (round 3 additions).
+
+Patterns a 100 TB Spark deployment leans on daily, each expressed so the
+DuckDB oracle can hash-verify the *result* while the Spark plan carries the
+*scale mechanics*:
+
+- co-located bucketed join (shuffle paid once at write time, never at read)
+- salted join (hot-key skew absorbed by deterministic replication)
+- binned interval/range join (no theta-join; coarse equi-bin + exact refine)
+- CDC merge-apply (upsert/delete op-log collapse — MERGE INTO semantics)
+- last-touch attribution (as-of semantics as a single window pass, no join)
+- column profiling (one-pass multi-distinct audit before a big shuffle)
+- binned two-sample KS drift (order statistics on a bounded bin table)
+
+Reference parity: the reference's pipelines are batch collectors feeding
+ranked/joined frames (team_rankings_scraper.py, odds_data_collector.py);
+these entries cover the warehouse-side maintenance/audit surface the same
+pipelines need once the data outgrows one node. See SURVEY.md §2 and §6.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..io import write_bucketed
+from .base import QueryDef, load
+
+
+def _dec(c, p="18,2"):
+    return F.col(c).cast(f"decimal({p})")
+
+
+# ---------------------------------------------------------------------------
+# Co-located bucketed join: pay the shuffle at write time, join without one
+# ---------------------------------------------------------------------------
+
+_BUCKETS = 8
+
+
+def q_bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket both join sides by l_orderkey/o_orderkey at write time
+    (bucketBy -> saveAsTable), then join the bucketed tables: Catalyst
+    plans a SortMergeJoin with NO Exchange on either side — the shuffle
+    was paid once by the writer and is amortized over every later join,
+    the core lakehouse layout decision for a fact table joined daily at
+    100 TB. The lineitem side is pre-aggregated to per-order revenue
+    before bucketing (the summary table you'd actually materialize).
+    Oracle recomputes the join from the raw parquet."""
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    rev_t, ord_t = f"graft_bkt_rev_{tag}", f"graft_bkt_ord_{tag}"
+    # explicit external paths: the driver's session keeps its default
+    # (cwd-relative) warehouse, so managed tables would land in cwd
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_bkt_{tag}")
+
+    rev = (load(spark, sf_dir, "lineitem")
+           .groupBy("l_orderkey")
+           .agg(F.sum(_dec("l_extendedprice") *
+                      (F.lit(1).cast("decimal(8,2)") - _dec("l_discount", "8,2")))
+                .alias("revenue")))
+    write_bucketed(rev, rev_t, ["l_orderkey"], _BUCKETS,
+                   sort_cols=["l_orderkey"],
+                   path=os.path.join(base, "rev"))
+    write_bucketed(load(spark, sf_dir, "orders")
+                   .select("o_orderkey", "o_orderpriority"),
+                   ord_t, ["o_orderkey"], _BUCKETS,
+                   sort_cols=["o_orderkey"],
+                   path=os.path.join(base, "ord"))
+
+    joined = spark.table(ord_t).join(
+        spark.table(rev_t),
+        F.col("o_orderkey") == F.col("l_orderkey"))
+    return (joined.groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.sum("revenue").cast("double"), 2)
+                  .alias("total_revenue")))
+
+
+ORACLE_BUCKETED_JOIN = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       ROUND(CAST(SUM(rev) AS DOUBLE), 2) AS total_revenue
+FROM orders
+JOIN (SELECT l_orderkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                 (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2))))
+               AS rev
+      FROM lineitem GROUP BY 1) li ON o_orderkey = l_orderkey
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Salted join: deterministic hot-key splitting
+# ---------------------------------------------------------------------------
+
+_SALT = 8
+
+
+def q_skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders x customer join with explicit salting: the customer side is
+    replicated across _SALT deterministic salt values (explode of a
+    literal sequence), the orders side routes each row to exactly one
+    replica via pmod(o_orderkey, _SALT) — so a hot custkey's rows spread
+    over _SALT reducers instead of one. Salting only re-routes rows; the
+    (custkey, salt) equi-join produces exactly the rows of the plain
+    custkey join, which is what the oracle verifies. This is the manual
+    fallback when AQE's skew split can't see the skew (e.g. pre-shuffled
+    inputs); key_skew_profile is the audit that decides to deploy it."""
+    cust = (load(spark, sf_dir, "customer")
+            .select("c_custkey", "c_mktsegment",
+                    F.explode(F.sequence(F.lit(0), F.lit(_SALT - 1)))
+                     .alias("salt")))
+    orders = (load(spark, sf_dir, "orders")
+              .select("o_custkey", "o_totalprice",
+                      F.pmod(F.col("o_orderkey"), F.lit(_SALT))
+                       .cast("int").alias("salt")))
+    joined = orders.join(
+        cust, (orders.o_custkey == cust.c_custkey) &
+              (orders.salt == cust.salt))
+    return (joined.groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.sum(_dec("o_totalprice")).cast("double"), 2)
+                  .alias("total_price")))
+
+
+ORACLE_SKEW_JOIN = """
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Binned interval join: range predicate as coarse equi-bin + exact refine
+# ---------------------------------------------------------------------------
+
+_WIN_US = 600_000_000  # 10-minute incident window, microseconds
+
+
+def q_interval_incident_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every error event opens a 10-minute incident window [ts, ts+10m);
+    count ALL events landing in each window (no equi-key links the two
+    sides). The naive plan is a theta join — O(windows x events), the
+    classic range-join trap. Scale-safe shape: quantize time into
+    window-sized bins; a window overlaps exactly bins b and b+1, an event
+    lives in exactly one bin, so an equi-join on the bin id followed by
+    the exact containment filter finds every pair while touching only
+    same-bin candidates. Microsecond integer arithmetic end to end (no
+    float epochs; timestampdiff from a fixed NTZ epoch, since the events
+    ts is TIMESTAMP_NTZ and unix_micros/LTZ casts would drag the session
+    zone in). Output is the events-per-window histogram, so result size
+    stays bounded while the pair count is data-dependent."""
+    src = load(spark, sf_dir, "events")
+    # the generator emits ts as either native TIMESTAMP_NTZ or nanos that
+    # load() rebuilds as TIMESTAMP; pick the matching micros extraction —
+    # only *differences* and same-offset bins are used downstream, so the
+    # epoch choice cancels out
+    if dict(src.dtypes)["ts"] == "timestamp_ntz":
+        us = F.expr("timestampdiff(MICROSECOND, "
+                    "TIMESTAMP_NTZ '2000-01-01 00:00:00', ts)")
+    else:
+        us = F.expr("unix_micros(ts)")
+    ev = src.select("event_id", us.alias("us"))
+    # windows: each error event, exploded into its two covering bins
+    windows = (src.filter(F.col("event_type") == "error")
+               .select(F.col("event_id").alias("wid"), us.alias("wus"))
+               .select("wid", "wus", F.explode(F.array(
+                   F.floor(F.col("wus") / _WIN_US),
+                   F.floor(F.col("wus") / _WIN_US) + 1)).alias("bin")))
+    events = ev.select("event_id", "us",
+                       F.floor(F.col("us") / _WIN_US).alias("bin"))
+    pairs = (windows.join(events, "bin")
+             .filter((F.col("us") >= F.col("wus")) &
+                     (F.col("us") < F.col("wus") + F.lit(_WIN_US))))
+    per_win = pairs.groupBy("wid").agg(F.count("*").alias("n_events"))
+    return (per_win.groupBy("n_events")
+            .agg(F.count("*").alias("n_windows")))
+
+
+ORACLE_INTERVAL_JOIN = """
+WITH w AS (SELECT event_id AS wid, ts AS wts FROM events
+           WHERE event_type = 'error'),
+j AS (SELECT w.wid, COUNT(*) AS n_events
+      FROM w JOIN events e
+        ON e.ts >= w.wts AND e.ts < w.wts + INTERVAL 600 SECOND
+      GROUP BY w.wid)
+SELECT n_events, COUNT(*) AS n_windows FROM j GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# CDC merge-apply: op-log collapse with delete semantics (MERGE INTO)
+# ---------------------------------------------------------------------------
+
+def q_cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Treat the event stream as a CDC op-log keyed by user_id: 'error'
+    events are tombstones (DELETE), everything else upserts the user's
+    value. Applying the log = keep the newest op per key ((ts, event_id)
+    total order), then drop keys whose newest op is a tombstone — the
+    MERGE INTO collapse a lakehouse table service runs per batch. One
+    shuffle on the key; the op-count audit rides the same aggregation.
+    Differs from dedup_keep_latest (A2) by the delete channel: a key's
+    survival depends on WHICH op won, not just recency."""
+    ops = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+         .otherwise(F.lit("U")).alias("op"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    ranked = ops.select(
+        "user_id", "value", "op",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("user_id")).alias("op_count"))
+    return (ranked.filter((F.col("rn") == 1) & (F.col("op") == "U"))
+            .select("user_id", "op_count",
+                    F.col("value").alias("last_value")))
+
+
+ORACLE_CDC_MERGE = """
+WITH ops AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+  FROM events),
+ranked AS (
+  SELECT user_id, value, op,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS op_count
+  FROM ops)
+SELECT user_id, op_count, value AS last_value
+FROM ranked WHERE rn = 1 AND op = 'U'
+"""
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution: as-of semantics as one window pass (no join)
+# ---------------------------------------------------------------------------
+
+def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute each purchase to the user's most recent click at-or-before
+    it (last-touch), then roll attributed revenue up by the click's hour
+    of day. Where asof_join (J3) sort-merges two tables, this is the
+    same-table formulation: one window pass with last(click_ts,
+    ignorenulls) over (ts, event_id) ordering — no join, one shuffle on
+    user_id, the cheapest as-of shape when both streams already live in
+    one keyed log. Purchases with no preceding click drop out (no
+    attribution)."""
+    ev = (load(spark, sf_dir, "events")
+          .filter(F.col("event_type").isin("click", "purchase"))
+          .select("user_id", "ts", "event_id", "event_type", "value"))
+    w = (Window.partitionBy("user_id")
+         .orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    attributed = (ev.withColumn(
+        "last_click_ts", F.last(click_ts, ignorenulls=True).over(w))
+        .filter((F.col("event_type") == "purchase") &
+                F.col("last_click_ts").isNotNull()))
+    return (attributed
+            .groupBy(F.hour("last_click_ts").alias("click_hour"))
+            .agg(F.count("*").alias("n_purchases"),
+                 F.round(F.sum(_dec("value")).cast("double"), 2)
+                  .alias("attributed_value")))
+
+
+ORACLE_LAST_TOUCH = """
+WITH ev AS (
+  SELECT user_id, ts, event_id, event_type, value
+  FROM events WHERE event_type IN ('click', 'purchase')),
+att AS (
+  SELECT *,
+         LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS last_click_ts
+  FROM ev)
+SELECT EXTRACT(hour FROM last_click_ts) AS click_hour,
+       COUNT(*) AS n_purchases,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS attributed_value
+FROM att
+WHERE event_type = 'purchase' AND last_click_ts IS NOT NULL
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# One-pass column profiling: the audit before an expensive shuffle
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ["o_orderstatus", "o_orderpriority", "o_custkey",
+                 "o_totalprice", "o_orderdate"]
+
+
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of orders (nulls, exact distinct count, min/max)
+    in ONE aggregation pass: all columns' metrics are computed in a single
+    agg (Catalyst expands the multi-distinct into one shuffle), then the
+    single wide row pivots to one row per column via stack() — the scan
+    happens once no matter how many columns are profiled, vs the naive
+    one-query-per-column loop that re-reads the table N times. Min/max
+    are computed on the native type, then canonicalized to strings
+    (doubles through DECIMAL(18,2)) so all columns fit one schema."""
+    orders = load(spark, sf_dir, "orders")
+    dtypes = dict(orders.dtypes)
+
+    def _repr(col, c: str):
+        if dtypes[c] in ("double", "float"):
+            col = col.cast("decimal(18,2)")
+        return col.cast("string")
+
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            _repr(F.min(F.col(c)), c).alias(f"{c}__mn"),
+            _repr(F.max(F.col(c)), c).alias(f"{c}__mx"),
+        ]
+    wide = orders.agg(F.count("*").alias("__n"), *aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nn, {c}__nd, {c}__mn, {c}__mx" for c in _PROFILE_COLS)
+    return wide.select(
+        F.expr(f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+               "(column_name, n_nulls, n_distinct, min_value, max_value)"),
+        F.col("__n").alias("n_rows")
+    ).select("column_name", "n_rows", "n_nulls", "n_distinct",
+             "min_value", "max_value")
+
+
+def _oracle_profile_sql() -> str:
+    parts = []
+    for c in _PROFILE_COLS:
+        if c == "o_totalprice":
+            mn = f"CAST(CAST(MIN({c}) AS DECIMAL(18,2)) AS VARCHAR)"
+            mx = f"CAST(CAST(MAX({c}) AS DECIMAL(18,2)) AS VARCHAR)"
+        else:
+            mn, mx = f"CAST(MIN({c}) AS VARCHAR)", f"CAST(MAX({c}) AS VARCHAR)"
+        parts.append(f"""
+SELECT '{c}' AS column_name, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nulls,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       {mn} AS min_value, {mx} AS max_value
+FROM orders""")
+    return " UNION ALL ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Two-sample KS drift on binned values
+# ---------------------------------------------------------------------------
+
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic between the value
+    distributions of 'view' vs 'click' events, on values binned to 2
+    decimals: per-bin counts (one shuffle, bounded output), cumulative
+    counts over the bin order (window over the SMALL bin table, not the
+    raw rows — the trick that keeps exact-order statistics feasible at
+    100 TB), and D = max |ecdf_a - ecdf_b| computed in INTEGER arithmetic
+    (|ca*nb - cb*na| / (na*nb)) so no per-row float accumulation can
+    diverge between engines. Complements drift_tvd (L1 on categorical
+    histograms) with the order-sensitive two-sample test."""
+    ev = (load(spark, sf_dir, "events")
+          .filter(F.col("event_type").isin("view", "click")))
+    bins = (ev.groupBy(F.round("value", 2).alias("bin"))
+            .agg(F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+                  .alias("ca"),
+                 F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+                  .alias("cb")))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding,
+                                          Window.currentRow)
+    cum = bins.select(
+        F.sum("ca").over(w).alias("cca"),
+        F.sum("cb").over(w).alias("ccb"),
+        F.sum("ca").over(Window.partitionBy()).alias("na"),
+        F.sum("cb").over(Window.partitionBy()).alias("nb"))
+    return (cum.select(
+        "na", "nb",
+        F.abs(F.col("cca") * F.col("nb") - F.col("ccb") * F.col("na"))
+         .alias("num"))
+        .groupBy("na", "nb")
+        .agg(F.max("num").alias("mnum"))
+        .select(F.col("na").alias("n_view"), F.col("nb").alias("n_click"),
+                F.round(F.col("mnum") / (F.col("na") * F.col("nb")), 6)
+                 .alias("d_stat")))
+
+
+ORACLE_KS_DRIFT = """
+WITH ev AS (SELECT event_type, ROUND(value, 2) AS bin FROM events
+            WHERE event_type IN ('view', 'click')),
+bins AS (
+  SELECT bin,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS cb
+  FROM ev GROUP BY 1),
+cum AS (
+  SELECT SUM(ca) OVER (ORDER BY bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cca,
+         SUM(cb) OVER (ORDER BY bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS ccb,
+         SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+  FROM bins)
+SELECT CAST(na AS BIGINT) AS n_view, CAST(nb AS BIGINT) AS n_click,
+       ROUND(CAST(MAX(ABS(cca * nb - ccb * na)) AS DOUBLE)
+             / CAST(na * nb AS DOUBLE), 6) AS d_stat
+FROM cum GROUP BY na, nb
+"""
+
+
+LAKEOPS_QUERIES = [
+    QueryDef("bucketed_join_colocated", q_bucketed_join_colocated,
+             ORACLE_BUCKETED_JOIN, "S5+J1: bucketed co-located join"),
+    QueryDef("skew_join_salted", q_skew_join_salted, ORACLE_SKEW_JOIN,
+             "J1+X3: deterministic salted skew join", bench=True),
+    QueryDef("interval_incident_join", q_interval_incident_join,
+             ORACLE_INTERVAL_JOIN, "J3: binned interval/range join",
+             bench=True),
+    QueryDef("cdc_merge_apply", q_cdc_merge_apply, ORACLE_CDC_MERGE,
+             "A2: CDC merge-apply with tombstones"),
+    QueryDef("last_touch_attribution", q_last_touch_attribution,
+             ORACLE_LAST_TOUCH, "J3+X1: windowed last-touch attribution",
+             bench=True),
+    QueryDef("column_profile", q_column_profile, _oracle_profile_sql(),
+             "A5: one-pass multi-column profile"),
+    QueryDef("ks_drift", q_ks_drift, ORACLE_KS_DRIFT,
+             "X1: binned two-sample KS drift", bench=True),
+]

@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .base import QueryDef
 from .connectors import CONNECTOR_QUERIES
+from .lakeops import LAKEOPS_QUERIES
 from .relational import RELATIONAL_QUERIES
 from .textops import TEXT_QUERIES
 from .training import TRAINING_QUERIES
@@ -15,7 +16,7 @@ from .vector import VECTOR_QUERIES
 
 _ALL: list[QueryDef] = [*RELATIONAL_QUERIES, *TEXT_QUERIES,
                         *VECTOR_QUERIES, *TRAINING_QUERIES,
-                        *CONNECTOR_QUERIES]
+                        *CONNECTOR_QUERIES, *LAKEOPS_QUERIES]
 
 # Verification-priority order. The external correctness gate checks a
 # prefix window of the catalog (50 entries/round), so rotation aims each

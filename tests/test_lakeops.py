@@ -1,0 +1,145 @@
+"""Semantic tests for the lakehouse/scale-pattern entries (plans/lakeops.py)
+beyond the DuckDB parity gate: plan-shape assertions (the scale claims) and
+independent recomputation of the statistics."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pandas as pd
+import pyspark.sql.functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from nfl_data_engineering_spark.plans.base import load  # noqa: E402
+from nfl_data_engineering_spark.plans.lakeops import (  # noqa: E402
+    _SALT, q_bucketed_join_colocated, q_cdc_merge_apply, q_column_profile,
+    q_interval_incident_join, q_ks_drift, q_last_touch_attribution,
+    q_skew_join_salted)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bucketed_join_is_exchange_free(spark):
+    """The whole point of the bucketed layout: with broadcast disabled
+    (simulating two big sides), the join over the bucketed tables must be
+    a SortMergeJoin with NO shuffle on the join key — the only Exchange
+    allowed in the plan is the final small groupBy."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = q_bucketed_join_colocated(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert all("orderkey" not in ln for ln in exchanges), \
+        f"join-key shuffle survived bucketing: {exchanges}"
+    assert "Bucketed: true" in plan
+
+
+def test_salted_join_matches_plain_join(spark):
+    salted = {tuple(r) for r in q_skew_join_salted(spark, SF).collect()}
+    cust = load(spark, SF, "customer")
+    orders = load(spark, SF, "orders")
+    plain = (orders.join(cust, orders.o_custkey == cust.c_custkey)
+             .groupBy("c_mktsegment")
+             .agg(F.count("*").alias("n_orders"),
+                  F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                           .cast("double"), 2).alias("total_price")))
+    assert salted == {tuple(r) for r in plain.collect()}
+
+
+def test_salted_join_replicates_exactly_salt_ways(spark):
+    cust_rows = load(spark, SF, "customer").count()
+    from nfl_data_engineering_spark.plans.lakeops import load as _ld  # noqa
+    replicated = (load(spark, SF, "customer")
+                  .select("c_custkey",
+                          F.explode(F.sequence(F.lit(0), F.lit(_SALT - 1)))
+                           .alias("salt")))
+    assert replicated.count() == cust_rows * _SALT
+
+
+def test_interval_join_covers_every_window(spark):
+    hist = q_interval_incident_join(spark, SF).collect()
+    n_errors = (load(spark, SF, "events")
+                .filter(F.col("event_type") == "error").count())
+    # every error window contains at least its own opening event
+    assert all(r["n_events"] >= 1 for r in hist)
+    assert sum(r["n_windows"] for r in hist) == n_errors
+
+
+def test_interval_join_matches_theta_join(spark):
+    """The binned equi-join must find exactly the pairs the naive range
+    predicate defines."""
+    ev = load(spark, SF, "events")
+    w = (ev.filter(F.col("event_type") == "error")
+         .select(F.col("event_id").alias("wid"), F.col("ts").alias("wts")))
+    theta = (w.join(ev, (ev.ts >= w.wts) &
+                    (ev.ts < w.wts + F.expr("INTERVAL 600 SECOND")))
+             .groupBy("wid").agg(F.count("*").alias("n_events"))
+             .groupBy("n_events").agg(F.count("*").alias("n_windows")))
+    assert ({tuple(r) for r in theta.collect()} ==
+            {tuple(r) for r in q_interval_incident_join(spark, SF).collect()})
+
+
+def test_cdc_merge_drops_tombstoned_keys(spark):
+    out = q_cdc_merge_apply(spark, SF).toPandas().set_index("user_id")
+    ev = (load(spark, SF, "events")
+          .select("user_id", "ts", "event_id", "event_type", "value")
+          .toPandas())
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    last = ev.groupby("user_id").tail(1)
+    for _, r in last.iterrows():
+        if r["event_type"] == "error":
+            assert r["user_id"] not in out.index
+        else:
+            assert out.loc[r["user_id"], "last_value"] == r["value"]
+    counts = ev.groupby("user_id").size()
+    for uid in out.index:
+        assert out.loc[uid, "op_count"] == counts[uid]
+
+
+def test_last_touch_matches_pandas(spark):
+    got = {(r["click_hour"], r["n_purchases"])
+           for r in q_last_touch_attribution(spark, SF).collect()}
+    ev = (load(spark, SF, "events")
+          .filter(F.col("event_type").isin("click", "purchase"))
+          .select("user_id", "ts", "event_id", "event_type", "value")
+          .toPandas()
+          .sort_values(["user_id", "ts", "event_id"]))
+    ev["click_ts"] = ev["ts"].where(ev["event_type"] == "click")
+    ev["last_click"] = ev.groupby("user_id")["click_ts"].ffill()
+    pur = ev[(ev["event_type"] == "purchase") & ev["last_click"].notna()]
+    want = pur.groupby(pur["last_click"].dt.hour).size()
+    assert got == {(int(h), int(n)) for h, n in want.items()}
+
+
+def test_column_profile_counts(spark):
+    prof = {r["column_name"]: r for r in q_column_profile(spark, SF).collect()}
+    orders = load(spark, SF, "orders")
+    n = orders.count()
+    assert all(r["n_rows"] == n for r in prof.values())
+    nd = orders.select(F.countDistinct("o_orderstatus")).first()[0]
+    assert prof["o_orderstatus"]["n_distinct"] == nd
+    assert prof["o_custkey"]["n_nulls"] == \
+        orders.filter(F.col("o_custkey").isNull()).count()
+
+
+def test_ks_drift_matches_pandas(spark):
+    row = q_ks_drift(spark, SF).first()
+    ev = (load(spark, SF, "events")
+          .filter(F.col("event_type").isin("view", "click"))
+          .select("event_type", F.round("value", 2).alias("bin"))
+          .toPandas())
+    a = ev[ev.event_type == "view"]["bin"]
+    b = ev[ev.event_type == "click"]["bin"]
+    grid = pd.Series(sorted(set(ev["bin"])))
+    ecdf_a = grid.map(lambda x: (a <= x).sum()) / len(a)
+    ecdf_b = grid.map(lambda x: (b <= x).sum()) / len(b)
+    d = (ecdf_a - ecdf_b).abs().max()
+    assert row["n_view"] == len(a) and row["n_click"] == len(b)
+    assert abs(row["d_stat"] - round(d, 6)) <= 1e-6
+    assert 0.0 <= row["d_stat"] <= 1.0

@@ -4,6 +4,7 @@ typo (dropped/duplicated/renamed entry) fail fast instead of silently
 shrinking the verified surface."""
 
 from nfl_data_engineering_spark.plans.connectors import CONNECTOR_QUERIES
+from nfl_data_engineering_spark.plans.lakeops import LAKEOPS_QUERIES
 from nfl_data_engineering_spark.plans.registry import (CATALOG, _PRIORITY,
                                                        oracle_sql, queries)
 from nfl_data_engineering_spark.plans.relational import RELATIONAL_QUERIES
@@ -13,7 +14,8 @@ from nfl_data_engineering_spark.plans.vector import VECTOR_QUERIES
 
 _MODULE_NAMES = {q.name for qs in (RELATIONAL_QUERIES, TEXT_QUERIES,
                                    VECTOR_QUERIES, TRAINING_QUERIES,
-                                   CONNECTOR_QUERIES) for q in qs}
+                                   CONNECTOR_QUERIES, LAKEOPS_QUERIES)
+                 for q in qs}
 
 
 def test_rotation_preserves_full_catalog():
@@ -59,10 +61,12 @@ _BENCH_SET = {
     "region_volume", "rollup_revenue", "segment_dedup",
     "shipping_priority", "streaming_daily_rollup", "tfidf_top_terms",
     "trimmed_mean", "upsert_roundtrip", "vocab_topk", "weekly_rollup",
-    # round-3 addition (iterative-clustering representative): deliberate
-    # extension of the pin — the original 31 stay untouched so run-to-run
-    # comparisons on the common set remain valid
+    # round-3 additions (iterative clustering + lakeops scale patterns):
+    # deliberate extensions of the pin — the original 31 stay untouched so
+    # run-to-run comparisons on the common set remain valid
     "kmeans_embeddings",
+    "skew_join_salted", "interval_incident_join", "last_touch_attribution",
+    "ks_drift",
 }
 
 
