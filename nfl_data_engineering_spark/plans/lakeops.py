@@ -414,6 +414,52 @@ FROM cum GROUP BY na, nb
 """
 
 
+# ---------------------------------------------------------------------------
+# Streaming CDC apply: tombstones must flow THROUGH state, not be filtered
+# ---------------------------------------------------------------------------
+
+def q_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC merge-apply (q_cdc_merge_apply) as a continuously-maintained
+    stream: op-tagged events drain through the stateful keep-latest
+    operator (streaming/ingest.py:keep_latest_stream) with the op CARRIED
+    IN STATE, and the tombstone filter applies to the final state, not the
+    input. The order matters: pre-filtering 'D' rows before the stateful
+    op would resurrect each key's previous upsert — a delete must win the
+    per-key recency race like any other op and only then suppress the key.
+    The oracle recomputes the collapse in batch; hash equality proves the
+    streaming path applies identical semantics. rn-window drain selection
+    and state comparator share the (ts, event_id) total order."""
+    from ..streaming.ingest import keep_latest_stream
+    from .training import _event_stream
+    ops = _event_stream(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "value",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+         .otherwise(F.lit("U")).alias("op"))
+    latest = keep_latest_stream(ops, key_cols=["user_id"], ts_col="ts",
+                                value_cols=["value", "op"],
+                                tiebreak_cols=["event_id"])
+    sink = "streaming_cdc_apply_sink"
+    q = (latest.writeStream.format("memory").queryName(sink)
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    return (spark.table(sink)
+            .withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") == 1) & (F.col("op") == "U"))
+            .select("user_id", F.col("value").alias("last_value")))
+
+
+ORACLE_STREAMING_CDC = """
+SELECT user_id, value AS last_value FROM (
+  SELECT user_id, value,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1 AND op = 'U'
+"""
+
+
 LAKEOPS_QUERIES = [
     QueryDef("bucketed_join_colocated", q_bucketed_join_colocated,
              ORACLE_BUCKETED_JOIN, "S5+J1: bucketed co-located join"),
@@ -424,6 +470,8 @@ LAKEOPS_QUERIES = [
              bench=True),
     QueryDef("cdc_merge_apply", q_cdc_merge_apply, ORACLE_CDC_MERGE,
              "A2: CDC merge-apply with tombstones"),
+    QueryDef("streaming_cdc_apply", q_streaming_cdc_apply,
+             ORACLE_STREAMING_CDC, "§2.9b: streaming CDC with tombstones"),
     QueryDef("last_touch_attribution", q_last_touch_attribution,
              ORACLE_LAST_TOUCH, "J3+X1: windowed last-touch attribution",
              bench=True),

@@ -102,6 +102,17 @@ def test_cdc_merge_drops_tombstoned_keys(spark):
         assert out.loc[uid, "op_count"] == counts[uid]
 
 
+def test_streaming_cdc_matches_batch_collapse(spark):
+    """The streaming CDC apply must land on exactly the batch merge-apply
+    state — including suppressed (tombstoned) keys."""
+    from nfl_data_engineering_spark.plans.lakeops import q_streaming_cdc_apply
+    got = {(r["user_id"], r["last_value"])
+           for r in q_streaming_cdc_apply(spark, SF).collect()}
+    want = {(r["user_id"], r["last_value"])
+            for r in q_cdc_merge_apply(spark, SF).collect()}
+    assert got == want
+
+
 def test_last_touch_matches_pandas(spark):
     got = {(r["click_hour"], r["n_purchases"])
            for r in q_last_touch_attribution(spark, SF).collect()}
