@@ -460,6 +460,124 @@ SELECT user_id, value AS last_value FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# Stream-static enrichment join (streaming/ingest.py:enrich_stream)
+# ---------------------------------------------------------------------------
+
+def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment, run for real: the purchase stream joins
+    per-microbatch against a BATCH dimension (each user's total click
+    count, aggregated from the same table batch-side) via
+    streaming/ingest.py:enrich_stream. Stream-static joins are stateless —
+    state is the dimension, not stream history — so this is the one
+    streaming join shape with zero watermark bookkeeping; the static side
+    broadcasts under the threshold and is re-read per trigger, picking up
+    dimension upserts without a restart. Left join keeps click-less
+    purchasers (n_user_clicks null), which the oracle reproduces."""
+    from ..streaming.ingest import enrich_stream
+    from .training import _event_stream
+    purchases = (_event_stream(spark, sf_dir)
+                 .filter(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "value"))
+    clicks_dim = (load(spark, sf_dir, "events")
+                  .filter(F.col("event_type") == "click")
+                  .groupBy("user_id")
+                  .agg(F.count("*").alias("n_user_clicks")))
+    enriched = enrich_stream(purchases, clicks_dim, key="user_id")
+    sink = "streaming_enrich_sink"
+    q = (enriched.writeStream.format("memory").queryName(sink)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(sink).select("event_id", "user_id", "value",
+                                    "n_user_clicks")
+
+
+ORACLE_STREAMING_ENRICH = """
+SELECT p.event_id, p.user_id, p.value, c.n_user_clicks
+FROM events p
+LEFT JOIN (SELECT user_id, COUNT(*) AS n_user_clicks FROM events
+           WHERE event_type = 'click' GROUP BY 1) c USING (user_id)
+WHERE p.event_type = 'purchase'
+"""
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the event-transition graph: iterate-on-a-table
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 3
+_PR_N = 5           # event types = graph nodes
+_PR_BASE = 1_000_000_000 * 15 // 100 // _PR_N   # (1-d) mass per node, ppb
+
+
+def q_pagerank_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 3 synchronous iterations, dangling mass
+    dropped) over the event-type transition graph: edges are per-user
+    consecutive event pairs (lag over (ts, event_id)), weights are
+    floor-ppm transition probabilities. Each iteration is the canonical
+    iterate-on-a-table dataflow — join(rank, edges on src) → groupBy(dst)
+    → rejoin node list — the same shape as dedup_components/k-means, so it
+    scales as one shuffle per iteration at any |V|/|E|. ALL arithmetic is
+    integer (ppm weights, ppb ranks, floor division): float summation
+    order can never leak into the result, and the oracle unrolls the loop
+    as exact-integer CTEs."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (ev.select(F.col("event_type").alias("dst"),
+                       F.lag("event_type").over(w).alias("src"))
+             .filter(F.col("src").isNotNull())
+             .groupBy("src", "dst").agg(F.count("*").alias("cnt")))
+    out = edges.groupBy("src").agg(F.sum("cnt").alias("out_cnt"))
+    wedges = (edges.join(out, "src")
+              .select("src", "dst",
+                      F.expr("cnt * 1000000 div out_cnt").alias("w_ppm")))
+    nodes = ev.select(F.col("event_type").alias("node")).distinct()
+    ranks = nodes.select("node", F.lit(1_000_000_000 // _PR_N)
+                         .cast("long").alias("rank_ppb"))
+    for _ in range(_PR_ITERS):
+        contrib = (wedges.join(ranks, wedges.src == ranks.node)
+                   .select("dst",
+                           F.expr("rank_ppb * w_ppm div 1000000")
+                            .alias("c"))
+                   .groupBy("dst").agg(F.sum("c").alias("in_mass")))
+        ranks = (nodes.join(contrib, nodes.node == contrib.dst, "left")
+                 .select("node",
+                         (F.lit(_PR_BASE) +
+                          F.expr("85 * coalesce(in_mass, 0L) div 100"))
+                         .cast("long").alias("rank_ppb")))
+    return ranks.select(F.col("node").alias("event_type"), "rank_ppb")
+
+
+def _oracle_pagerank() -> str:
+    sql = f"""
+WITH seq AS (
+  SELECT event_type AS dst,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS src
+  FROM events),
+edges AS (SELECT src, dst, COUNT(*) AS cnt FROM seq
+          WHERE src IS NOT NULL GROUP BY 1, 2),
+outc AS (SELECT src, SUM(cnt) AS out_cnt FROM edges GROUP BY 1),
+wedges AS (SELECT e.src, e.dst,
+                  CAST(e.cnt * 1000000 AS BIGINT) // o.out_cnt AS w_ppm
+           FROM edges e JOIN outc o USING (src)),
+nodes AS (SELECT DISTINCT event_type AS node FROM events),
+r0 AS (SELECT node, CAST({1_000_000_000 // _PR_N} AS BIGINT) AS rank_ppb
+       FROM nodes)"""
+    for i in range(_PR_ITERS):
+        sql += f""",
+c{i} AS (SELECT w.dst, SUM(r.rank_ppb * w.w_ppm // 1000000) AS in_mass
+         FROM wedges w JOIN r{i} r ON w.src = r.node GROUP BY 1),
+r{i + 1} AS (SELECT n.node,
+             CAST({_PR_BASE} + 85 * COALESCE(c.in_mass, 0) // 100
+                  AS BIGINT) AS rank_ppb
+             FROM nodes n LEFT JOIN c{i} c ON n.node = c.dst)"""
+    sql += f"""
+SELECT node AS event_type, rank_ppb FROM r{_PR_ITERS}
+"""
+    return sql
+
+
 LAKEOPS_QUERIES = [
     QueryDef("bucketed_join_colocated", q_bucketed_join_colocated,
              ORACLE_BUCKETED_JOIN, "S5+J1: bucketed co-located join"),
@@ -472,6 +590,10 @@ LAKEOPS_QUERIES = [
              "A2: CDC merge-apply with tombstones"),
     QueryDef("streaming_cdc_apply", q_streaming_cdc_apply,
              ORACLE_STREAMING_CDC, "§2.9b: streaming CDC with tombstones"),
+    QueryDef("streaming_enrich", q_streaming_enrich, ORACLE_STREAMING_ENRICH,
+             "§2.9b: stream-static enrichment join"),
+    QueryDef("pagerank_event_graph", q_pagerank_event_graph,
+             _oracle_pagerank(), "A-iter: integer PageRank on a table"),
     QueryDef("last_touch_attribution", q_last_touch_attribution,
              ORACLE_LAST_TOUCH, "J3+X1: windowed last-touch attribution",
              bench=True),

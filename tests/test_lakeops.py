@@ -113,6 +113,31 @@ def test_streaming_cdc_matches_batch_collapse(spark):
     assert got == want
 
 
+def test_streaming_enrich_matches_batch_join(spark):
+    from nfl_data_engineering_spark.plans.lakeops import q_streaming_enrich
+    got = {tuple(r) for r in q_streaming_enrich(spark, SF).collect()}
+    ev = load(spark, SF, "events")
+    dim = (ev.filter(F.col("event_type") == "click")
+           .groupBy("user_id").agg(F.count("*").alias("n_user_clicks")))
+    want = (ev.filter(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", "value")
+            .join(dim, "user_id", "left")
+            .select("event_id", "user_id", "value", "n_user_clicks"))
+    assert got == {tuple(r) for r in want.collect()}
+
+
+def test_pagerank_conserves_mass_and_ranks_sensibly(spark):
+    from nfl_data_engineering_spark.plans.lakeops import (
+        _PR_N, q_pagerank_event_graph)
+    rows = q_pagerank_event_graph(spark, SF).collect()
+    assert len(rows) == _PR_N
+    total = sum(r["rank_ppb"] for r in rows)
+    # damping keeps 0.15 base + 0.85 propagated mass; floor division and
+    # dropped dangling mass only ever LOSE ppb, never create it
+    assert 0.8 * 1_000_000_000 <= total <= 1_000_000_000
+    assert all(r["rank_ppb"] > 0 for r in rows)
+
+
 def test_last_touch_matches_pandas(spark):
     got = {(r["click_hour"], r["n_purchases"])
            for r in q_last_touch_attribution(spark, SF).collect()}
