@@ -480,6 +480,32 @@ FROM documents
 """
 
 
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing, end to end: synthesize the multimodal
+    fixture, route the 'video' modality through sources/multimodal.py:
+    sample_frames — an Arrow-batched mapInPandas that fans each payload out
+    to one NARROW row per sampled timestamp (metadata-driven grid, payload
+    bytes never re-emitted). The deterministic fallback decoder (md5 of
+    payload + '#' + ts; real pyav decode is import-gated) makes every
+    output cell re-derivable in DuckDB: the oracle rebuilds the same
+    doc x frame-grid cross join and hashes. Proves schema, fan-out
+    cardinality, and batch shape — the parts of the pipeline Spark owns."""
+    from ..sources.multimodal import sample_frames, synthesize_multimodal
+    docs = load(spark, sf_dir, "documents")
+    mm = (synthesize_multimodal(docs.select("doc_id", "text"))
+          .filter(F.col("modality") == "video"))
+    return sample_frames(mm, every_ms=250)
+
+
+ORACLE_FRAME_SAMPLE = """
+SELECT doc_id, frame_ts_ms,
+       md5(text || '#' || CAST(frame_ts_ms AS VARCHAR)) AS frame_hash
+FROM documents
+CROSS JOIN (SELECT UNNEST([0, 250, 500, 750]) AS frame_ts_ms)
+WHERE CAST(doc_id % 3 AS INTEGER) = 2
+"""
+
+
 def q_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustered layout (io.write_zordered — the Delta/Iceberg
     OPTIMIZE ZORDER equivalent in stock Spark) proven as a query: write
@@ -553,4 +579,6 @@ CONNECTOR_QUERIES = [
              _box_scores_oracle(), "S8,S9"),
     QueryDef("multimodal_decode", q_multimodal_decode,
              ORACLE_MULTIMODAL_DECODE, "LLM-multimodal-udf"),
+    QueryDef("multimodal_frame_sample", q_multimodal_frame_sample,
+             ORACLE_FRAME_SAMPLE, "LLM-multimodal-frames"),
 ]

@@ -143,7 +143,20 @@ def test_multimodal_decode_plumbing(spark):
     assert len(by_id[1]["content_hash"]) == 32
 
 
-def test_video_sampling_is_gated(spark):
-    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
-    with pytest.raises(NotImplementedError):
-        sample_frames(synthesize_multimodal(docs))
+def test_video_sampling_fans_out_per_frame(spark):
+    # duration_ms=1000 @ every_ms=250 -> frames at 0/250/500/750; payload
+    # is never re-emitted (narrow rows), hash is the deterministic fake
+    import hashlib
+
+    docs = spark.createDataFrame([(2, "xy")], "doc_id long, text string")
+    rows = sample_frames(synthesize_multimodal(docs), every_ms=250).collect()
+    assert [r["frame_ts_ms"] for r in rows] == [0, 250, 500, 750]
+    assert rows[1]["frame_hash"] == hashlib.md5(b"xy#250").hexdigest()
+    assert "payload" not in rows[0].asDict()
+
+
+def test_video_sampling_respects_duration_grid(spark):
+    docs = spark.createDataFrame([(2, "x")], "doc_id long, text string")
+    rows = sample_frames(synthesize_multimodal(docs), every_ms=600).collect()
+    # 1000 ms duration / 600 ms stride -> ts 0 and 600 only
+    assert [r["frame_ts_ms"] for r in rows] == [0, 600]
