@@ -971,9 +971,127 @@ FROM p GROUP BY source, pack_seq
 """
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring with add-1 smoothing: per-doc mean
+    ln P(w_i | w_{i-1}) under the corpus bigram model — the next step up
+    from q_unigram_logprob's quality filter, sensitive to word ORDER
+    (shuffled gibberish scores low even when its unigram mix is normal).
+    Same float discipline as the unigram entry: one tf*ln(p) product per
+    (doc, bigram) — bit-identical across engines — quantized to integer
+    nano-units BEFORE any sum, so partial aggregation order can't perturb
+    the result. P(b|a) = (c(ab)+1) / (c(a·)+V): continuation counts and
+    the vocab size V are corpus-level aggregates that join back by bigram /
+    first-token equi-keys (broadcast-sized at any corpus: |vocab| keys,
+    not |rows|). Docs with < 2 tokens have no bigrams and drop out —
+    documented inner-join semantics, mirrored by the oracle."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.col("__toks")
+    n = F.greatest(F.size(toks) - 1, F.lit(0))
+    big = F.zip_with(F.slice(toks, 1, n), F.slice(toks, 2, n),
+                     lambda a, b: F.concat_ws(" ", a, b))
+    pairs = (docs.select("doc_id", tokens(F.col("text")).alias("__toks"))
+             .select("doc_id", F.explode(big).alias("bigram"))
+             .withColumn("w1", F.split(F.col("bigram"), " ")[0]))
+    tf2 = pairs.groupBy("doc_id", "bigram", "w1").agg(
+        F.count("*").alias("tf"))
+    c2 = pairs.groupBy("bigram").agg(F.count("*").alias("c2"))
+    c1 = pairs.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab_v = (docs.select(F.explode(tokens(F.col("text"))).alias("t"))
+               .agg(F.countDistinct("t")).first()[0])
+    p = (F.col("c2") + 1).cast("double") / \
+        (F.col("c1") + F.lit(int(vocab_v))).cast("double")
+    val = (tf2.join(c2, "bigram").join(c1, "w1")
+           .withColumn("iv", F.round(F.col("tf") * F.log(p) * 1e9)
+                       .cast("bigint")))
+    agg = val.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_bigrams"), F.sum("iv").alias("s"))
+    return agg.select(
+        "doc_id", "n_bigrams",
+        F.round(F.col("s") / 1e9 / F.col("n_bigrams"), 6)
+         .alias("avg_logprob"))
+
+
+def _oracle_bigram_logprob() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+pairs AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(tk) - 1, 0)),
+                               i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+  FROM t),
+p2 AS (SELECT doc_id, bigram,
+              string_split(bigram, ' ')[1] AS w1 FROM pairs),
+tf2 AS (SELECT doc_id, bigram, w1, COUNT(*) AS tf FROM p2 GROUP BY 1, 2, 3),
+c2 AS (SELECT bigram, COUNT(*) AS c2 FROM p2 GROUP BY 1),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM p2 GROUP BY 1),
+v AS (SELECT COUNT(DISTINCT tok) AS vn
+      FROM (SELECT unnest(tk) AS tok FROM t)),
+val AS (
+  SELECT doc_id, tf,
+         CAST(round(tf * ln((c2.c2 + 1)::DOUBLE / (c1.c1 + v.vn)::DOUBLE)
+                    * 1e9) AS BIGINT) AS iv
+  FROM tf2 JOIN c2 USING (bigram) JOIN c1 USING (w1) CROSS JOIN v),
+agg AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams, SUM(iv) AS s
+        FROM val GROUP BY 1)
+SELECT doc_id, n_bigrams, ROUND(s / 1e9 / n_bigrams, 6) AS avg_logprob
+FROM agg
+"""
+
+
+def q_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted importance resampling: each document is kept with
+    probability proportional to its unique-token ratio (repetitive/spammy
+    docs get downweighted), decided by a content-stable h60 gate — NOT
+    rand() — so the subsample is identical across engines, retries, and
+    partitionings, and the oracle replays the exact decision. The weight
+    is integer ppm (nd * 1e6 div n), the gate is h60 % 1e6 < w_ppm: pure
+    row-local arithmetic, pushable, no shuffle until the final per-source
+    report. This is the per-DOC continuous-weight complement to
+    temperature_mixing's source-level resampling."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    sized = docs.select(
+        "source", "doc_id",
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"))
+    w_ppm = F.expr("n_distinct * 1000000 div greatest(n_tok, 1)")
+    gate = h60(F.concat(F.lit("resample_"),
+                        F.col("doc_id").cast("string"))) % 1_000_000
+    kept = sized.withColumn("keep", (gate < w_ppm).cast("int"))
+    return (kept.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("keep").alias("n_kept"),
+                 F.sum(F.col("keep") * F.col("n_tok"))
+                  .alias("tokens_kept")))
+
+
+def _oracle_importance_resample() -> str:
+    from ..functions.hashing import h60_sql
+    gate = h60_sql("'resample_' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH s AS (
+  SELECT source, doc_id, len({_SQL_TOKS}) AS n_tok,
+         len(list_distinct({_SQL_TOKS})) AS n_distinct
+  FROM documents),
+k AS (
+  SELECT source, n_tok,
+         CASE WHEN {gate} % 1000000 <
+                   (n_distinct * 1000000) // greatest(n_tok, 1)
+              THEN 1 ELSE 0 END AS keep
+  FROM s)
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(keep) AS BIGINT) AS n_kept,
+       CAST(SUM(keep * n_tok) AS BIGINT) AS tokens_kept
+FROM k GROUP BY 1
+"""
+
+
 TRAINING_QUERIES = [
     QueryDef("shard_balance", q_shard_balance, _oracle_shard_balance(),
              "LLM-shard-pack"),
+    QueryDef("bigram_logprob", q_bigram_logprob, _oracle_bigram_logprob(),
+             "LLM-lm-score-2"),
+    QueryDef("importance_resample", q_importance_resample,
+             _oracle_importance_resample(), "LLM-importance-sample"),
     QueryDef("unigram_logprob", q_unigram_logprob, _oracle_unigram_logprob(),
              "LLM-lm-score"),
     QueryDef("kfold_assignment", q_kfold_assignment, _oracle_kfold(),

@@ -141,3 +141,62 @@ def test_zorder_pruning_matches_source_box(spark):
     want = li.filter((F.col("l_partkey") <= pk_hi)
                      & (F.col("l_suppkey") <= sk_hi)).count()
     assert got["n"] == want and got["n"] > 0
+
+
+def test_bigram_logprob_matches_pandas_model(spark):
+    import math
+
+    from nfl_data_engineering_spark.plans.training import q_bigram_logprob
+    got = {r["doc_id"]: r for r in q_bigram_logprob(spark, SF).collect()}
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet")) \
+                .select("doc_id", "text").toPandas()
+    c2, c1, vocab = {}, {}, set()
+    per_doc = {}
+    for _, row in docs.iterrows():
+        tk = [t for t in row["text"].lower().split() if t]
+        vocab.update(tk)
+        bgs = list(zip(tk, tk[1:]))
+        per_doc[row["doc_id"]] = bgs
+        for a, b in bgs:
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+            c1[a] = c1.get(a, 0) + 1
+    V = len(vocab)
+    for doc_id, bgs in per_doc.items():
+        if not bgs:
+            assert doc_id not in got
+            continue
+        # mirror the implementation exactly: one rounded tf*ln(p) nano-unit
+        # contribution per DISTINCT (doc, bigram), not per occurrence
+        tf = {}
+        for bg in bgs:
+            tf[bg] = tf.get(bg, 0) + 1
+        s = sum(round(t * math.log((c2[bg] + 1) / (c1[bg[0]] + V)) * 1e9)
+                for bg, t in tf.items())
+        want = round(s / 1e9 / len(bgs), 6)
+        assert got[doc_id]["n_bigrams"] == len(bgs)
+        assert abs(got[doc_id]["avg_logprob"] - want) <= 1e-6
+
+
+def test_importance_resample_gate_is_replayable(spark):
+    import hashlib
+
+    from nfl_data_engineering_spark.plans.training import q_importance_resample
+    got = {r["source"]: r for r in q_importance_resample(spark, SF).collect()}
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet")) \
+                .select("source", "doc_id", "text").toPandas()
+    agg = {}
+    for _, row in docs.iterrows():
+        tk = [t for t in row["text"].lower().split() if t]
+        n, nd = len(tk), len(set(tk))
+        w_ppm = nd * 1_000_000 // max(n, 1)
+        h = int(hashlib.md5(f"resample_{row['doc_id']}".encode())
+                .hexdigest()[:15], 16)
+        keep = 1 if h % 1_000_000 < w_ppm else 0
+        a = agg.setdefault(row["source"], [0, 0, 0])
+        a[0] += 1
+        a[1] += keep
+        a[2] += keep * n
+    for src, (n_docs, n_kept, tokens_kept) in agg.items():
+        assert got[src]["n_docs"] == n_docs
+        assert got[src]["n_kept"] == n_kept
+        assert got[src]["tokens_kept"] == tokens_kept
