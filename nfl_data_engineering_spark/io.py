@@ -60,7 +60,8 @@ def write_partitioned(df: DataFrame, path: str, ts_col: str = "timestamp",
 
 
 def upsert_partitioned(spark: SparkSession, new_df: DataFrame, path: str,
-                       key_cols: list[str] | None, ts_col: str = "timestamp") -> None:
+                       key_cols: list[str] | None, ts_col: str = "timestamp",
+                       tiebreak_cols: list[str] | None = None) -> None:
     """Keyed upsert into a year/month-partitioned Parquet table.
 
     Semantics of the reference's read-concat-dedup-rewrite
@@ -89,7 +90,9 @@ def upsert_partitioned(spark: SparkSession, new_df: DataFrame, path: str,
     if key_cols is None:
         merged = merged.dropDuplicates()
     else:
-        merged = dedup_keep_latest(merged, key_cols, ts_col)
+        # tiebreak_cols pin the winner at equal ts (see dedup_keep_latest);
+        # pass them whenever the key's max-ts uniqueness isn't guaranteed
+        merged = dedup_keep_latest(merged, key_cols, ts_col, tiebreak_cols)
     # partitionOverwriteMode=dynamic (session.py) -> only touched partitions
     # are replaced; untouched history is never read or written.
     (merged

@@ -506,6 +506,41 @@ WHERE CAST(doc_id % 3 AS INTEGER) = 2
 """
 
 
+_RS_W, _RS_H = 64, 48
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize plumbing end to end: the 'image' modality through
+    sources/multimodal.py:resize_images with the deterministic fake codec
+    pinned (codec='fake' — the real Pillow path is selected by codec=
+    'auto'/'real' where the lib exists; pinning keeps the entry oracle-
+    checkable in any environment). Resize is the one multimodal transform
+    that legitimately EMITS payloads (exactly width*height bytes each);
+    the checked projection hashes them instead of shipping them — the
+    oracle rebuilds each byte-plane by cycling the utf8 payload and must
+    md5-match, proving the Arrow batch pipeline byte-exact."""
+    from ..sources.multimodal import resize_images, synthesize_multimodal
+    docs = load(spark, sf_dir, "documents")
+    mm = (synthesize_multimodal(docs.select("doc_id", "text"))
+          .filter(F.col("modality") == "image"))
+    resized = resize_images(mm, _RS_W, _RS_H, codec="fake")
+    return resized.select(
+        "doc_id", "width", "height",
+        F.length("payload").alias("payload_bytes"),
+        F.md5("payload").alias("payload_hash"))
+
+
+ORACLE_MULTIMODAL_RESIZE = f"""
+SELECT doc_id, {_RS_W} AS width, {_RS_H} AS height,
+       CAST({_RS_W * _RS_H} AS INTEGER) AS payload_bytes,
+       md5(substr(repeat(text, CAST({_RS_W * _RS_H} / length(text)
+                                    AS INTEGER) + 1),
+                  1, {_RS_W * _RS_H})) AS payload_hash
+FROM documents
+WHERE CAST(doc_id % 3 AS INTEGER) = 0
+"""
+
+
 def q_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustered layout (io.write_zordered — the Delta/Iceberg
     OPTIMIZE ZORDER equivalent in stock Spark) proven as a query: write
@@ -581,4 +616,6 @@ CONNECTOR_QUERIES = [
              ORACLE_MULTIMODAL_DECODE, "LLM-multimodal-udf"),
     QueryDef("multimodal_frame_sample", q_multimodal_frame_sample,
              ORACLE_FRAME_SAMPLE, "LLM-multimodal-frames"),
+    QueryDef("multimodal_resize", q_multimodal_resize,
+             ORACLE_MULTIMODAL_RESIZE, "LLM-multimodal-resize"),
 ]

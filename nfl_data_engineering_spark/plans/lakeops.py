@@ -461,6 +461,53 @@ SELECT user_id, value AS last_value FROM (
 
 
 # ---------------------------------------------------------------------------
+# Streaming upsert sink: foreachBatch MERGE into the partitioned table
+# ---------------------------------------------------------------------------
+
+def q_streaming_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming MERGE path run end to end: the event stream drains
+    through streaming/ingest.py:upsert_stream — every microbatch foreach-
+    Batch'es into io.upsert_partitioned (partition-pruned read of touched
+    year/months, keyed keep-latest dedup with event_id tiebreak, dynamic
+    partition overwrite) — then the materialized table is read back and
+    aggregated. The oracle recomputes keep-latest-per-(user, event_type)
+    from the raw events: a hash match proves the streaming sink's table
+    state equals the batch MERGE semantics. Checkpoint + table dirs are
+    fresh per invocation (mkdtemp), so the entry is self-contained; replay
+    idempotency is exercised separately in tests/test_streaming.py."""
+    import tempfile as _tf
+
+    from ..streaming.ingest import upsert_stream
+    from .training import _event_stream
+    table = _tf.mkdtemp(prefix="spark_graft_supsert_")
+    ckpt = _tf.mkdtemp(prefix="spark_graft_supsert_ck_")
+    q = upsert_stream(_event_stream(spark, sf_dir), table, ckpt,
+                      key_cols=["user_id", "event_type"], ts_col="ts",
+                      tiebreak_cols=["event_id"])
+    q.awaitTermination()
+    back = spark.read.parquet(table)
+    return (back.groupBy("year", "month")
+            .agg(F.count("*").alias("n_latest"),
+                 F.round(F.sum(_dec("value")).cast("double"), 2)
+                  .alias("sum_value")))
+
+
+ORACLE_STREAMING_UPSERT = """
+WITH latest AS (
+  SELECT user_id, event_type, ts, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+SELECT CAST(EXTRACT(year FROM ts) AS INTEGER) AS year,
+       CAST(EXTRACT(month FROM ts) AS INTEGER) AS month,
+       COUNT(*) AS n_latest,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS sum_value
+FROM latest WHERE rn = 1 GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # Stream-static enrichment join (streaming/ingest.py:enrich_stream)
 # ---------------------------------------------------------------------------
 
@@ -592,6 +639,8 @@ LAKEOPS_QUERIES = [
              ORACLE_STREAMING_CDC, "§2.9b: streaming CDC with tombstones"),
     QueryDef("streaming_enrich", q_streaming_enrich, ORACLE_STREAMING_ENRICH,
              "§2.9b: stream-static enrichment join"),
+    QueryDef("streaming_upsert_sink", q_streaming_upsert_sink,
+             ORACLE_STREAMING_UPSERT, "§2.9a+S6: foreachBatch MERGE sink"),
     QueryDef("pagerank_event_graph", q_pagerank_event_graph,
              _oracle_pagerank(), "A-iter: integer PageRank on a table"),
     QueryDef("last_touch_attribution", q_last_touch_attribution,

@@ -64,15 +64,20 @@ def decode_features(docs: DataFrame, batch_budget_rows: int = 1024) -> DataFrame
     return docs.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
-def resize_images(docs: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize pipeline. Requires Pillow; the Spark plumbing (schema,
-    Arrow batching) is identical with or without the codec."""
-    if not _have_pillow():
-        raise NotImplementedError(
-            "Pillow not available in this container; resize_images is the "
-            "mapInPandas pipeline stub (schema: RESIZE_SCHEMA)")
+def resize_images(docs: DataFrame, width: int, height: int,
+                  codec: str = "auto") -> DataFrame:
+    """Image resize pipeline: one output payload of exactly width*height
+    bytes per input (this transform legitimately EMITS payloads — the one
+    exception to the narrow-rows rule, so keep it last before the sink).
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    ``codec``: 'real' = Pillow decode/resize/re-encode (raises ImportError
+    when the lib is absent); 'fake' = deterministic byte-plane (input bytes
+    cycled to width*height — exercises the identical Arrow plumbing and is
+    re-derivable by an oracle); 'auto' = real when Pillow imports, else
+    fake."""
+    use_real = codec == "real" or (codec == "auto" and _have_pillow())
+
+    def run_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io as _io
 
         from PIL import Image
@@ -86,7 +91,18 @@ def resize_images(docs: DataFrame, width: int, height: int) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "width": width,
                                 "height": height, "payload": out})
 
-    return docs.mapInPandas(run, schema=RESIZE_SCHEMA)
+    def run_fake(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        need = width * height
+        for pdf in batches:
+            out = []
+            for b in pdf["payload"]:
+                data = bytes(b) if b else b"\x00"
+                out.append((data * (need // len(data) + 1))[:need])
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "width": width,
+                                "height": height, "payload": out})
+
+    return docs.mapInPandas(run_real if use_real else run_fake,
+                            schema=RESIZE_SCHEMA)
 
 
 FRAME_SCHEMA = "doc_id long, frame_ts_ms long, frame_hash string"

@@ -204,7 +204,8 @@ def session_counts_stream(stream: DataFrame, gap: str = "30 minutes",
 
 def upsert_stream(stream: DataFrame, table_path: str, checkpoint_dir: str,
                   key_cols: list[str] | None, ts_col: str = "ts",
-                  available_now: bool = True) -> StreamingQuery:
+                  available_now: bool = True,
+                  tiebreak_cols: list[str] | None = None) -> StreamingQuery:
     """Streaming MERGE into the partitioned lakehouse table: every
     microbatch runs through io.upsert_partitioned via foreachBatch, so the
     sink gets the SAME keep-latest/dedup semantics as the batch collectors
@@ -220,7 +221,8 @@ def upsert_stream(stream: DataFrame, table_path: str, checkpoint_dir: str,
         if batch_df.isEmpty():
             return
         upsert_partitioned(batch_df.sparkSession, batch_df, table_path,
-                           key_cols=key_cols, ts_col=ts_col)
+                           key_cols=key_cols, ts_col=ts_col,
+                           tiebreak_cols=tiebreak_cols)
 
     writer = (stream.writeStream.foreachBatch(merge_batch)
               .option("checkpointLocation", checkpoint_dir)

@@ -160,3 +160,27 @@ def test_video_sampling_respects_duration_grid(spark):
     rows = sample_frames(synthesize_multimodal(docs), every_ms=600).collect()
     # 1000 ms duration / 600 ms stride -> ts 0 and 600 only
     assert [r["frame_ts_ms"] for r in rows] == [0, 600]
+
+
+def test_resize_fake_codec_is_byte_exact(spark):
+    from nfl_data_engineering_spark.sources.multimodal import resize_images
+
+    docs = spark.createDataFrame([(3, "abc")], "doc_id long, text string")
+    rows = resize_images(synthesize_multimodal(docs), 4, 2,
+                         codec="fake").collect()
+    assert len(rows) == 1
+    assert bytes(rows[0]["payload"]) == b"abcabcab"
+    assert (rows[0]["width"], rows[0]["height"]) == (4, 2)
+
+
+def test_resize_real_codec_requires_pillow(spark):
+    from nfl_data_engineering_spark.sources.multimodal import (_have_pillow,
+                                                               resize_images)
+    if _have_pillow():
+        pytest.skip("Pillow present: real path exercised elsewhere")
+    docs = spark.createDataFrame([(3, "abc")], "doc_id long, text string")
+    # codec='real' without the lib must fail loudly at execution, not
+    # silently fall back to the fake plane
+    with pytest.raises(Exception):
+        resize_images(synthesize_multimodal(docs), 4, 2,
+                      codec="real").collect()
