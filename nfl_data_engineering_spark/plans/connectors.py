@@ -506,6 +506,84 @@ WHERE CAST(doc_id % 3 AS INTEGER) = 2
 """
 
 
+def q_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction proven as a query: write events Hive-
+    partitioned with a deliberately fragmented layout (16 files per
+    year/month — the state a streaming sink or repeated upserts leave
+    behind), run io.compact_partitions down to 1 file per partition, read
+    the compacted table back and aggregate. The oracle aggregates the
+    SOURCE events, so a hash match proves compaction is a pure layout
+    change — no row lost/duplicated/mutated. File-count reduction itself
+    is asserted in tests/test_upsert.py; at 100 TB the job runs with an
+    explicit touched-partition list so it rewrites O(recent), not
+    O(table)."""
+    from ..io import compact_partitions, with_partition_cols
+    path = _tmp_path("compact", sf_dir)
+    ev = load(spark, sf_dir, "events").withColumnRenamed("ts", "timestamp")
+    (with_partition_cols(ev)
+     .repartition(16)                      # fragment: ~16 files/partition
+     .write.mode("overwrite").partitionBy("year", "month")
+     .parquet(path, compression="snappy"))
+    compact_partitions(spark, path, target_files_per_partition=1)
+    back = spark.read.parquet(path)
+    return (back.groupBy("year", "month")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                  .alias("sum_value")))
+
+
+ORACLE_COMPACT_ROUNDTRIP = """
+SELECT CAST(EXTRACT(year FROM ts) AS INTEGER) AS year,
+       CAST(EXTRACT(month FROM ts) AS INTEGER) AS month,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across batches, read side: batch 1 lands orders
+    WITHOUT o_orderpriority, batch 2 (appended later, schema widened) has
+    it — the inevitable state of any long-lived ingest. A mergeSchema read
+    unions the file schemas and null-fills the missing column for old
+    files; the aggregation buckets those rows under '<pre-evolution>'.
+    The oracle rebuilds the same two-batch union with an explicit NULL
+    column, proving Spark's schema merge adds the column without touching
+    any row. (Schema merge is a FILE-LEVEL union; at 100 TB enable it on
+    the specific evolving table, not globally — footer merging costs a
+    per-file read.)"""
+    path = _tmp_path("schemaevo", sf_dir)
+    orders = load(spark, sf_dir, "orders")
+    old = (orders.filter(F.col("o_orderkey") % 2 == 0)
+           .select("o_orderkey", "o_totalprice"))
+    new = (orders.filter(F.col("o_orderkey") % 2 == 1)
+           .select("o_orderkey", "o_totalprice", "o_orderpriority"))
+    old.write.mode("overwrite").parquet(path)
+    new.write.mode("append").parquet(path)
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return (back.groupBy(F.coalesce("o_orderpriority",
+                                    F.lit("<pre-evolution>"))
+                         .alias("priority"))
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                          .cast("double"), 2).alias("total_price")))
+
+
+ORACLE_SCHEMA_EVOLUTION = """
+WITH unioned AS (
+  SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 1)
+SELECT COALESCE(o_orderpriority, '<pre-evolution>') AS priority,
+       COUNT(*) AS n_orders,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS total_price
+FROM unioned GROUP BY 1
+"""
+
+
 _RS_W, _RS_H = 64, 48
 
 
@@ -618,4 +696,8 @@ CONNECTOR_QUERIES = [
              ORACLE_FRAME_SAMPLE, "LLM-multimodal-frames"),
     QueryDef("multimodal_resize", q_multimodal_resize,
              ORACLE_MULTIMODAL_RESIZE, "LLM-multimodal-resize"),
+    QueryDef("compact_roundtrip", q_compact_roundtrip,
+             ORACLE_COMPACT_ROUNDTRIP, "S5+S6: small-file compaction"),
+    QueryDef("schema_evolution_read", q_schema_evolution_read,
+             ORACLE_SCHEMA_EVOLUTION, "S4: mergeSchema evolution read"),
 ]
