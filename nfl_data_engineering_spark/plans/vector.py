@@ -935,8 +935,55 @@ FROM e GROUP BY label
 """
 
 
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-k most-similar corpus vectors with a DIFFERENT label —
+    the negatives that sit closest to the decision boundary and teach the
+    model the most. Same guarded broadcast shape as brute_force_topk
+    (query side capped by guard_allpairs; Arrow cosine kernel on the
+    corpus-linear scoring stage); the label-inequality predicate rides the
+    broadcast join. At 100 TB route through the IVF cells first and skip
+    the query's own cell — the filter composes with any ANN path since
+    negatives by construction live in other cells."""
+    from ..functions.similarity import cosine_arrow, guard_allpairs
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"),
+        F.col("label").alias("q_label"))
+    guard_allpairs(queries, "hard_negative_mining query set",
+                   max_rows=10_000)
+    pairs = emb.join(F.broadcast(queries),
+                     F.col("label") != F.col("q_label"))
+    scored = pairs.select(
+        "q_id", "q_label", "vec_id", F.col("label").alias("neg_label"),
+        cosine_arrow()(F.col("embedding"), F.col("q_vec")).alias("score"))
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), "vec_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOPK)
+            .select("q_id", "q_label", "vec_id", "neg_label", "rank",
+                    F.round("score", 6).alias("score")))
+
+
+ORACLE_HARD_NEGATIVES = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label
+           FROM embeddings WHERE vec_id < {N_QUERIES}),
+s AS (
+  SELECT q.q_id, q.q_label, e.vec_id, e.label AS neg_label,
+         {SQL_COS.format(a='e.embedding', b='q.q_vec')} AS score
+  FROM embeddings e CROSS JOIN q
+  WHERE e.label != q.q_label),
+r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY score DESC, vec_id) AS rank
+      FROM s)
+SELECT q_id, q_label, vec_id, neg_label, rank, ROUND(score, 6) AS score
+FROM r WHERE rank <= {TOPK}
+"""
+
+
 VECTOR_QUERIES = [
     QueryDef("embedding_topk", q_embedding_topk, ORACLE_EMBEDDING_TOPK, "LLM-sim-bruteforce", bench=True),
+    QueryDef("hard_negative_mining", q_hard_negative_mining,
+             ORACLE_HARD_NEGATIVES, "LLM-hard-negatives"),
     QueryDef("ann_ivf_topk", q_ann_ivf_topk, ORACLE_ANN_IVF, "LLM-sim-ivf"),
     QueryDef("ann_ivf_multiprobe", q_ann_ivf_multiprobe,
              ORACLE_ANN_IVF_MULTIPROBE, "LLM-sim-ivf-multiprobe"),
