@@ -50,7 +50,10 @@ def q_bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB. The lineitem side is pre-aggregated to per-order revenue
     before bucketing (the summary table you'd actually materialize).
     Oracle recomputes the join from the raw parquet."""
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # tag carries the sf AND the pid: concurrent harnesses (bench + parity)
+    # must not overwrite each other's table files mid-join
+    tag = (hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+           + f"_{os.getpid()}")
     rev_t, ord_t = f"graft_bkt_rev_{tag}", f"graft_bkt_ord_{tag}"
     # explicit external paths: the driver's session keeps its default
     # (cwd-relative) warehouse, so managed tables would land in cwd

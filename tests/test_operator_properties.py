@@ -87,3 +87,38 @@ def test_keep_latest_dedup_matches_model(spark, b1, b2):
         if cur is None or (t, v) > cur:
             model[(k, s)] = (t, v)
     assert got == model
+
+
+# ---------------------------------------------------------------------------
+# Binned interval join: bin equi-join + refine must equal the naive theta
+# join on arbitrary microsecond timestamps (boundary-heavy by construction)
+# ---------------------------------------------------------------------------
+
+_WIN = 1_000  # small window so hypothesis hits boundaries often
+
+_event_times = st.lists(st.integers(0, 5_000), min_size=1, max_size=14)
+_error_flags = st.lists(st.booleans(), min_size=1, max_size=14)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(times=_event_times, flags=_error_flags)
+def test_binned_interval_join_equals_theta(spark, times, flags):
+    rows = [(i, t, bool(f)) for i, (t, f) in
+            enumerate(zip(times, flags + [True] * len(times)))]
+    df = spark.createDataFrame(rows, "event_id long, us long, is_err boolean")
+    windows = (df.filter("is_err")
+               .selectExpr("event_id AS wid", "us AS wus")
+               .selectExpr("wid", "wus",
+                           f"explode(array(wus div {_WIN}, "
+                           f"wus div {_WIN} + 1)) AS bin"))
+    events = df.selectExpr("event_id", "us", f"us div {_WIN} AS bin")
+    binned = (windows.join(events, "bin")
+              .filter(f"(us >= wus) AND (us < wus + {_WIN})")
+              .select("wid", "event_id"))
+    theta = (df.filter("is_err").selectExpr("event_id AS wid", "us AS wus")
+             .join(df.selectExpr("event_id", "us"),
+                   F.expr(f"(us >= wus) AND (us < wus + {_WIN})"))
+             .select("wid", "event_id"))
+    assert ({tuple(r) for r in binned.collect()} ==
+            {tuple(r) for r in theta.collect()})
