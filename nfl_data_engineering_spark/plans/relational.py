@@ -2685,6 +2685,35 @@ FROM orders GROUP BY 1
 """
 
 
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through Spark 4's VARIANT type: parse_json
+    into the binary variant encoding once, then typed variant_get paths —
+    the engine-native replacement for per-query string re-parsing
+    (get_json_object re-tokenizes the JSON on EVERY extraction; variant
+    parses once and extracts from the encoded form, the columnar
+    semi-structured pattern shared with the lakehouse formats). Same
+    extraction contract as q_json_extract, so the oracle is the same
+    DuckDB json_extract_string — a hash match proves the variant path is a
+    pure encoding change."""
+    ev = load(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    return (ev.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum("k").alias("sum_k"),
+                 F.countDistinct("k").alias("n_distinct_k")))
+
+
+ORACLE_VARIANT_EXTRACT = """
+WITH j AS (SELECT event_type,
+                  json_extract_string(props, '$.k')::BIGINT AS k
+           FROM events)
+SELECT event_type, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
+       COUNT(DISTINCT k) AS n_distinct_k
+FROM j GROUP BY 1
+"""
+
+
 def q_first_digit_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford-style first-significant-digit profile of order totals — the
     digit-distribution audit fraud/data-quality pipelines run. The digit
@@ -2905,6 +2934,8 @@ RELATIONAL_QUERIES = [
              "A-concentration,X-window"),
     QueryDef("incremental_agg_merge", q_incremental_agg_merge,
              ORACLE_INCREMENTAL_AGG, "A-incremental-mv,U1"),
+    QueryDef("variant_extract", q_variant_extract, ORACLE_VARIANT_EXTRACT,
+             "T1: VARIANT semi-structured extraction"),
     QueryDef("first_digit_profile", q_first_digit_profile,
              ORACLE_FIRST_DIGIT, "A-benford,T4"),
     QueryDef("key_skew_profile", q_key_skew_profile, ORACLE_KEY_SKEW,
