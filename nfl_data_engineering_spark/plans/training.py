@@ -1038,6 +1038,42 @@ FROM agg
 """
 
 
+HASH_DIM = 256          # feature-hashing bucket count (2^8)
+
+
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009): tokens map to a fixed
+    HASH_DIM-bucket feature space via h60, with a second hash bit deciding
+    the sign so collisions cancel in expectation — the featurizer that
+    needs NO vocabulary build, no fit stage, and a constant-width output
+    at any corpus size. Everything is integer h60 arithmetic, so both
+    engines derive identical buckets/signs; the corpus-level projection
+    (per-bucket signed weight + touch count) is the bounded-output audit
+    of the per-doc vectors a trainer would consume. One explode + one
+    256-group aggregate; nothing leaves codegen."""
+    docs = load(spark, sf_dir, "documents")
+    toks = (docs.select(F.explode(tokens(F.col("text"))).alias("t")))
+    bucket = (h60(F.concat(F.lit("fh_"), F.col("t"))) % HASH_DIM).cast("int")
+    sign = ((h60(F.concat(F.lit("fhs_"), F.col("t"))) % 2) * 2 - 1).cast("int")
+    return (toks.select(bucket.alias("bucket"), sign.alias("sign"))
+            .groupBy("bucket")
+            .agg(F.sum("sign").alias("signed_weight"),
+                 F.count("*").alias("n_tokens")))
+
+
+def _oracle_feature_hashing() -> str:
+    from ..functions.hashing import h60_sql
+    hb = h60_sql("'fh_' || tok")
+    hs = h60_sql("'fhs_' || tok")
+    return f"""
+WITH t AS (SELECT unnest({_SQL_TOKS}) AS tok FROM documents)
+SELECT CAST({hb} % {HASH_DIM} AS INTEGER) AS bucket,
+       CAST(SUM(({hs} % 2) * 2 - 1) AS BIGINT) AS signed_weight,
+       COUNT(*) AS n_tokens
+FROM t GROUP BY 1
+"""
+
+
 def q_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted importance resampling: each document is kept with
     probability proportional to its unique-token ratio (repetitive/spammy
@@ -1092,6 +1128,8 @@ TRAINING_QUERIES = [
              "LLM-lm-score-2"),
     QueryDef("importance_resample", q_importance_resample,
              _oracle_importance_resample(), "LLM-importance-sample"),
+    QueryDef("feature_hashing", q_feature_hashing, _oracle_feature_hashing(),
+             "LLM-feature-hash"),
     QueryDef("unigram_logprob", q_unigram_logprob, _oracle_unigram_logprob(),
              "LLM-lm-score"),
     QueryDef("kfold_assignment", q_kfold_assignment, _oracle_kfold(),
