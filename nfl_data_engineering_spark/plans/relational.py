@@ -2685,6 +2685,59 @@ FROM orders GROUP BY 1
 """
 
 
+def q_sql_api_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure-SQL entry point: the same engine surface through
+    spark.sql() over registered temp views — multi-CTE, dimension joins,
+    exact-decimal aggregation, and a rank window, all parsed by Spark's
+    SQL front end instead of assembled via the DataFrame DSL. Both paths
+    lower to the same Catalyst plans (this query broadcast-joins the dims
+    and keeps ONE shuffle, like its DSL siblings); the entry proves a SQL
+    user of the reference could port their queries verbatim. Top-2
+    customers per region by 1995 revenue."""
+    for t in ("customer", "orders", "nation", "region"):
+        load(spark, sf_dir, t).createOrReplaceTempView(f"{t}_v")
+    return spark.sql("""
+        WITH rev AS (
+          SELECT c.c_custkey, c.c_name, n.n_regionkey,
+                 SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS r
+          FROM orders_v o
+          JOIN customer_v c ON o.o_custkey = c.c_custkey
+          JOIN nation_v n ON c.c_nationkey = n.n_nationkey
+          WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+            AND o.o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+          GROUP BY 1, 2, 3),
+        ranked AS (
+          SELECT r.*, rg.r_name,
+                 ROW_NUMBER() OVER (PARTITION BY rg.r_name
+                                    ORDER BY r.r DESC, r.c_custkey) AS rnk
+          FROM rev r JOIN region_v rg ON r.n_regionkey = rg.r_regionkey)
+        SELECT r_name, rnk, c_custkey, c_name,
+               ROUND(CAST(r AS DOUBLE), 2) AS revenue
+        FROM ranked WHERE rnk <= 2
+    """)
+
+
+ORACLE_SQL_API = """
+WITH rev AS (
+  SELECT c.c_custkey, c.c_name, n.n_regionkey,
+         SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS r
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND o.o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+  GROUP BY 1, 2, 3),
+ranked AS (
+  SELECT rev.*, rg.r_name,
+         ROW_NUMBER() OVER (PARTITION BY rg.r_name
+                            ORDER BY rev.r DESC, rev.c_custkey) AS rnk
+  FROM rev JOIN region rg ON rev.n_regionkey = rg.r_regionkey)
+SELECT r_name, rnk, c_custkey, c_name,
+       ROUND(CAST(r AS DOUBLE), 2) AS revenue
+FROM ranked WHERE rnk <= 2
+"""
+
+
 def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured props through Spark 4's VARIANT type: parse_json
     into the binary variant encoding once, then typed variant_get paths —
@@ -2936,6 +2989,8 @@ RELATIONAL_QUERIES = [
              ORACLE_INCREMENTAL_AGG, "A-incremental-mv,U1"),
     QueryDef("variant_extract", q_variant_extract, ORACLE_VARIANT_EXTRACT,
              "T1: VARIANT semi-structured extraction"),
+    QueryDef("sql_api_report", q_sql_api_report, ORACLE_SQL_API,
+             "§2.7: pure spark.sql surface"),
     QueryDef("first_digit_profile", q_first_digit_profile,
              ORACLE_FIRST_DIGIT, "A-benford,T4"),
     QueryDef("key_skew_profile", q_key_skew_profile, ORACLE_KEY_SKEW,
