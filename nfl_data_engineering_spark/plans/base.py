@@ -36,6 +36,12 @@ class QueryDef:
     bench: bool = False         # include in bench.py headline set
 
 
+def dec(c, p="18,2"):
+    """Exact-decimal cast for money/metric aggregation (determinism rule 1).
+    Shared here so every plan module rounds through the SAME precision."""
+    return F.col(c).cast(f"decimal({p})")
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read a testdata table.
 
@@ -49,7 +55,12 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
+            # rebuild as TIMESTAMP_NTZ (not timestamp_micros -> LTZ): the
+            # oracle engine reads nanos as naive UTC wall time, and LTZ
+            # would re-render every year/month/hour extraction through the
+            # session zone — a silent divergence on any non-UTC driver
             df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000")))
+                "ts", F.expr("timestampadd(MICROSECOND, ts div 1000, "
+                             "TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
         return df
     return spark.read.parquet(path)

@@ -15,11 +15,7 @@ from ..operators.joins import asof_join, matchup_join
 from ..operators.records import split_record
 from ..operators.timeseries import zero_filled_counts
 from ..operators.windows import exp_weighted_mean, topk_per_group, trailing_mean
-from .base import QueryDef, load
-
-
-def _dec(c, p="18,2"):
-    return F.col(c).cast(f"decimal({p})")
+from .base import QueryDef, dec as _dec, load
 
 
 # ---------------------------------------------------------------------------

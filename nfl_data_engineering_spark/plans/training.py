@@ -81,24 +81,11 @@ def q_streaming_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     With availableNow the stream drains the full input then terminates, so
     the result equals the batch rollup — which is exactly what the DuckDB
     oracle computes. Day windows are epoch-aligned, so window.start ==
-    date_trunc('day') in UTC on both engines.
+    date_trunc('day') in UTC on both engines; the shared _event_stream
+    helper pins the session zone to UTC so the day boundaries (and the
+    window.start wall clock) cannot shift on a non-UTC driver.
     """
-    path = os.path.join(sf_dir, "events.parquet")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(path).schema
-    # the file-stream source requires a directory; events.parquet is a single
-    # file, so stream the parent dir gated to just that file
-    stream = (spark.readStream.schema(raw_schema)
-              .option("pathGlobFilter", "events.parquet")
-              .parquet(sf_dir))
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")))
-    if dict(stream.dtypes).get("ts") == "timestamp_ntz":
-        # parquet timestamp[us] without tz -> NTZ, which watermarks reject;
-        # session tz is UTC so the cast is a pure type change
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    agg = (stream
+    agg = (_event_stream(spark, sf_dir)
            .withWatermark("ts", "1 day")
            .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
            .agg(F.count("*").alias("n"),
@@ -124,9 +111,13 @@ FROM events GROUP BY 1, 2
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet with the ts-type normalization
     every streaming entry needs (nanos-as-long conversion; NTZ -> session
-    timestamp so watermarks accept it)."""
+    timestamp so watermarks accept it). Watermarks force an LTZ cast, so
+    the session zone is pinned to UTC here: otherwise window/day/partition
+    boundaries (and the oracle's naive field extractions) would shift on a
+    non-UTC driver machine."""
     path = os.path.join(sf_dir, "events.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw_schema = spark.read.parquet(path).schema
     stream = (spark.readStream.schema(raw_schema)
               .option("pathGlobFilter", "events.parquet")
