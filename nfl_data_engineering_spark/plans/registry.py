@@ -20,7 +20,20 @@ _ALL: list[QueryDef] = [*RELATIONAL_QUERIES, *TEXT_QUERIES,
 
 # Verification-priority order. The external correctness gate checks a
 # prefix window of the catalog (50 entries/round), so rotation aims each
-# round's window at the entries with the most verification value. Round 3:
+# round's window at the entries with the most verification value.
+#
+# ROUND-4 ROTATION TODO: front-load the 21 entries added during round 3
+# (they sit after _PRIORITY in catalog order and have no driver row yet):
+# bucketed_join_colocated, skew_join_salted, interval_incident_join,
+# cdc_merge_apply, streaming_cdc_apply, streaming_enrich,
+# streaming_upsert_sink, pagerank_event_graph, last_touch_attribution,
+# column_profile, ks_drift, multimodal_frame_sample, multimodal_resize,
+# bigram_logprob, importance_resample, feature_hashing, compact_roundtrip,
+# schema_evolution_read, hard_negative_mining, variant_extract,
+# sql_api_report — all parity-green locally at sf0.001/0.01/0.1 plus the
+# nanos-timestamp/EST robustness sweep (SCALE.md round-3 section).
+#
+# Round 3:
 # the 45 entries that have never had a driver-green row (they passed the
 # rounds 1-2 windows' cut — all are local-parity green), then the two
 # entries that gained oracles this round (zscore_groups, multimodal_decode
