@@ -52,9 +52,13 @@ def main() -> None:
     deltas: dict[str, float] = {}
     total = 0.0
     for q in bench_queries():
-        # steady-state hygiene: collect garbage from the previous query's
-        # broadcasts/shuffles so its GC debt isn't billed to this one
-        # (measured ~2x inflation on the LSH queries without this)
+        # steady-state hygiene: drop the previous query's cached relations
+        # (several vector entries cache corpora they cannot unpersist
+        # themselves — the returned frame still reads them lazily) and
+        # collect garbage so neither stale storage memory nor GC debt is
+        # billed to this query (measured ~2x inflation on the LSH queries
+        # without the gc alone)
+        spark.catalog.clearCache()
         spark._jvm.System.gc()
         r1, r2 = _run(q, spark, sf_dir), _run(q, spark, sf_dir)
         dt = min(r1, r2)

@@ -16,6 +16,15 @@ Determinism rules (the driver hash-compares Spark vs DuckDB values):
    (observed: per-cell correct when filtered, wrong over the full table).
    Order-sensitive reductions are expressed as window row_number + joins,
    or sidestepped by quantizing addends to integers (order-free sums).
+7. ROUND on a DOUBLE is engine-divergent on tie-adjacent values (verified:
+   Spark round(1.005d, 2) = 1.01 via shortest-repr HALF_UP, DuckDB
+   ROUND(1.005::DOUBLE, 2) = 1.00 via float rounding). Round in exact
+   DECIMAL before any double cast (money paths), or replace the round
+   with an integer floor division (ks_drift's d_stat pattern) for
+   ratio-of-integer statistics. ROUND(double, 6) on organically-computed
+   ratios is tolerated in legacy entries (ties there require a 7-digit
+   shortest repr ending in 5 — never observed across three rounds and
+   three scale factors) but new entries should use the integer forms.
 """
 
 from __future__ import annotations

@@ -361,9 +361,15 @@ def q_odds_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python reader (spark.sql.python.filterPushdown). Hash-checked against
     the DuckDB re-flatten of the same payload literal, with the pushed
     market filter applied oracle-side."""
+    import shutil
+
     from ..sources.datasource import register_odds_source
     payload_dir = os.path.join(tempfile.gettempdir(),
                                "spark_graft_odds_payloads")
+    # recreate from scratch: the reader globs every *.json in the dir, so
+    # a stale payload from an older revision would silently become extra
+    # input partitions
+    shutil.rmtree(payload_dir, ignore_errors=True)
     os.makedirs(payload_dir, exist_ok=True)
     half = len(_ODDS_PAYLOAD) // 2
     for tag, games in (("us", _ODDS_PAYLOAD[:half]),
@@ -595,8 +601,9 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkable in any environment). Resize is the one multimodal transform
     that legitimately EMITS payloads (exactly width*height bytes each);
     the checked projection hashes them instead of shipping them — the
-    oracle rebuilds each byte-plane by cycling the utf8 payload and must
-    md5-match, proving the Arrow batch pipeline byte-exact."""
+    oracle rebuilds each byte-plane by cycling the payload's md5 digest
+    (ASCII, so char==byte on any input text, multi-byte or empty) and
+    must md5-match, proving the Arrow batch pipeline byte-exact."""
     from ..sources.multimodal import resize_images, synthesize_multimodal
     docs = load(spark, sf_dir, "documents")
     mm = (synthesize_multimodal(docs.select("doc_id", "text"))
@@ -611,8 +618,8 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_MULTIMODAL_RESIZE = f"""
 SELECT doc_id, {_RS_W} AS width, {_RS_H} AS height,
        CAST({_RS_W * _RS_H} AS INTEGER) AS payload_bytes,
-       md5(substr(repeat(text, CAST({_RS_W * _RS_H} / length(text)
-                                    AS INTEGER) + 1),
+       md5(substr(repeat(md5(text), {_RS_W * _RS_H
+                                     // 32} + 1),
                   1, {_RS_W * _RS_H})) AS payload_hash
 FROM documents
 WHERE CAST(doc_id % 3 AS INTEGER) = 0

@@ -26,6 +26,9 @@ from ..functions.text import tokens
 from .base import QueryDef, load
 
 SQL_H60 = "(('0x' || substr(md5({e}), 1, 15))::BIGINT)"
+# the one DuckDB-side twin of functions.text.tokens(); every oracle that
+# tokenizes MUST use this constant so a tokenizer change can't half-apply
+SQL_TOKENS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t != '')"
 
 
 # ---------------------------------------------------------------------------
@@ -346,8 +349,7 @@ def q_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_oracle() -> str:
-    tok_expr = ("list_filter(regexp_split_to_array(lower(text), '\\s+'),"
-                " t -> t != '')")
+    tok_expr = SQL_TOKENS
     ctes = [f"""t0 AS (
   SELECT doc_id, generate_subscripts(tk, 1) AS pos, unnest(tk) AS t
   FROM (SELECT doc_id, {tok_expr} AS tk FROM documents))"""]
@@ -496,7 +498,6 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(VOCAB_TOPK))
 
 
-SQL_TOKENS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t != '')"
 
 ORACLE_VOCAB_TOPK = f"""
 WITH per_doc AS (
@@ -536,7 +537,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TFIDF = f"""
 WITH terms AS (
-  SELECT doc_id, unnest({SQL_TOKENS.format(col='text')}) AS token FROM documents),
+  SELECT doc_id, unnest({SQL_TOKENS}) AS token FROM documents),
 tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
 dfc AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
 n AS (SELECT COUNT(*)::DOUBLE AS n_docs FROM documents),
@@ -573,7 +574,7 @@ def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_BIGRAM = f"""
-WITH t AS (SELECT {SQL_TOKENS.format(col='text')} AS tk FROM documents),
+WITH t AS (SELECT {SQL_TOKENS} AS tk FROM documents),
 b AS (
   SELECT unnest(list_transform(generate_series(1, greatest(len(tk) - 1, 0)),
                                i -> tk[i] || ' ' || tk[i + 1])) AS bigram
@@ -830,8 +831,7 @@ def q_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _oracle_shard_balance() -> str:
     from ..functions.hashing import h60_sql
     h = h60_sql("text")
-    toks = ("list_filter(regexp_split_to_array(lower(text), '\\s+'),"
-            " t -> t != '')")
+    toks = SQL_TOKENS
     return f"""
 SELECT {h} % {N_SHARDS} AS shard, COUNT(*) AS n_docs,
        CAST(SUM(len({toks})) AS BIGINT) AS n_tokens
@@ -866,8 +866,7 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_unigram_logprob() -> str:
-    toks = ("list_filter(regexp_split_to_array(lower(text), '\\s+'),"
-            " t -> t != '')")
+    toks = SQL_TOKENS
     return f"""
 WITH terms AS (SELECT doc_id, unnest({toks}) AS token FROM documents),
 tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
@@ -946,10 +945,8 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("doc_id").alias("last_doc")))
 
 
-_SQL_TOKS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t != '')"
-
 ORACLE_SEQUENCE_PACKING = f"""
-WITH t AS (SELECT source, doc_id, len({_SQL_TOKS}) AS n_tok FROM documents),
+WITH t AS (SELECT source, doc_id, len({SQL_TOKENS}) AS n_tok FROM documents),
 p AS (
   SELECT source, doc_id, n_tok,
          COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
@@ -1004,7 +1001,7 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _oracle_bigram_logprob() -> str:
     return f"""
-WITH t AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+WITH t AS (SELECT doc_id, {SQL_TOKENS} AS tk FROM documents),
 pairs AS (
   SELECT doc_id,
          unnest(list_transform(generate_series(1, greatest(len(tk) - 1, 0)),
@@ -1057,7 +1054,7 @@ def _oracle_feature_hashing() -> str:
     hb = h60_sql("'fh_' || tok")
     hs = h60_sql("'fhs_' || tok")
     return f"""
-WITH t AS (SELECT unnest({_SQL_TOKS}) AS tok FROM documents)
+WITH t AS (SELECT unnest({SQL_TOKENS}) AS tok FROM documents)
 SELECT CAST({hb} % {HASH_DIM} AS INTEGER) AS bucket,
        CAST(SUM(({hs} % 2) * 2 - 1) AS BIGINT) AS signed_weight,
        COUNT(*) AS n_tokens
@@ -1097,8 +1094,8 @@ def _oracle_importance_resample() -> str:
     gate = h60_sql("'resample_' || CAST(doc_id AS VARCHAR)")
     return f"""
 WITH s AS (
-  SELECT source, doc_id, len({_SQL_TOKS}) AS n_tok,
-         len(list_distinct({_SQL_TOKS})) AS n_distinct
+  SELECT source, doc_id, len({SQL_TOKENS}) AS n_tok,
+         len(list_distinct({SQL_TOKENS})) AS n_distinct
   FROM documents),
 k AS (
   SELECT source, n_tok,

@@ -47,21 +47,32 @@ SELECT q_id, vec_id, rank, ROUND(score, 6) AS score FROM r WHERE rank <= {TOPK}
 """
 
 
-def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: label cells as the coarse quantizer. Centroid = per-dim
-    exact-decimal mean rounded to 6 (deterministic across engines AND across
-    Spark partitionings); each query probes its best cell only (nprobe=1),
-    ranks within the cell. At 100 TB the corpus is bucketed by cell, so a
-    probe reads one bucket, not the table."""
+def exact_label_centroids(emb: DataFrame) -> DataFrame:
+    """Per-label centroid with the exact-decimal discipline (determinism
+    rule 1): per-dim sums go through DECIMAL(18,8) so Spark's partial-
+    aggregation order can't perturb the mean, rounded to 6 so the double
+    is bit-equal to the oracle's identical CTE. The ONE definition shared
+    by every IVF probe path — a change here must be mirrored in the
+    oracles' `cent`/`cvec` CTEs (grep: DECIMAL(18,8))."""
+    return (emb.select("label", F.posexplode("embedding").alias("d", "v"))
+            .groupBy("label", "d")
+            .agg(F.round(F.sum(F.col("v").cast("double").cast("decimal(18,8)"))
+                         .cast("double") / F.count("*"), 6).alias("c"))
+            .groupBy("label")
+            .agg(F.array_sort(F.collect_list(F.struct("d", "c"))).alias("dc"))
+            .select(F.col("label").alias("cell"),
+                    F.col("dc.c").alias("centroid")))
+
+
+def _ivf_probe_topk(spark: SparkSession, sf_dir: str, nprobe: int,
+                    emit_cell: bool) -> DataFrame:
+    """Shared IVF dataflow for nprobe=1 and multi-probe: route each query
+    to its ``nprobe`` nearest label-cell centroids (broadcast cross join
+    against the tiny centroid table), scan ONLY those cells (broadcast
+    equi-join against the cell-bucketed corpus), rank globally across the
+    probed cells with the pinned (score desc, vec_id) order."""
     emb = load(spark, sf_dir, "embeddings").cache()
-    cents = (emb.select("label", F.posexplode("embedding").alias("d", "v"))
-             .groupBy("label", "d")
-             .agg(F.round(F.sum(F.col("v").cast("double").cast("decimal(18,8)"))
-                          .cast("double") / F.count("*"), 6).alias("c"))
-             .groupBy("label")
-             .agg(F.array_sort(F.collect_list(F.struct("d", "c"))).alias("dc"))
-             .select(F.col("label").alias("cell"),
-                     F.col("dc.c").alias("centroid")))
+    cents = exact_label_centroids(emb)
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
     routed_scores = queries.crossJoin(F.broadcast(cents)).select(
@@ -69,18 +80,26 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine(F.col("q_vec"), F.col("centroid")).alias("cscore"))
     wq = Window.partitionBy("q_id").orderBy(F.col("cscore").desc(), F.col("cell"))
     routed = (routed_scores.withColumn("crank", F.row_number().over(wq))
-              .filter(F.col("crank") == 1).select("q_id", "q_vec", "cell"))
+              .filter(F.col("crank") <= nprobe).select("q_id", "q_vec", "cell"))
     pairs = load(spark, sf_dir, "embeddings").join(
         F.broadcast(routed),
         (F.col("label") == F.col("cell")) & (F.col("vec_id") != F.col("q_id")))
+    out_cols = ["q_id", "cell", "vec_id"] if emit_cell else ["q_id", "vec_id"]
     scored = pairs.select(
-        "q_id", "vec_id", "cell",
-        cosine(F.col("embedding"), F.col("q_vec")).alias("score"))
+        *out_cols, cosine(F.col("embedding"), F.col("q_vec")).alias("score"))
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("vec_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= TOPK)
-            .select("q_id", "cell", "vec_id", "rank",
-                    F.round("score", 6).alias("score")))
+            .select(*out_cols, "rank", F.round("score", 6).alias("score")))
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: label cells as the coarse quantizer. Centroid = per-dim
+    exact-decimal mean rounded to 6 (deterministic across engines AND across
+    Spark partitionings); each query probes its best cell only (nprobe=1),
+    ranks within the cell. At 100 TB the corpus is bucketed by cell, so a
+    probe reads one bucket, not the table."""
+    return _ivf_probe_topk(spark, sf_dir, nprobe=1, emit_cell=True)
 
 
 ORACLE_ANN_IVF = f"""
@@ -124,35 +143,7 @@ def q_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join against the cell-bucketed corpus, so the same bucketing
     serves any nprobe at 100 TB. Ranking is global across the probed
     cells (score desc, vec_id tiebreak)."""
-    emb = load(spark, sf_dir, "embeddings").cache()
-    cents = (emb.select("label", F.posexplode("embedding").alias("d", "v"))
-             .groupBy("label", "d")
-             .agg(F.round(F.sum(F.col("v").cast("double").cast("decimal(18,8)"))
-                          .cast("double") / F.count("*"), 6).alias("c"))
-             .groupBy("label")
-             .agg(F.array_sort(F.collect_list(F.struct("d", "c"))).alias("dc"))
-             .select(F.col("label").alias("cell"),
-                     F.col("dc.c").alias("centroid")))
-    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
-    routed_scores = queries.crossJoin(F.broadcast(cents)).select(
-        "q_id", "q_vec", "cell",
-        cosine(F.col("q_vec"), F.col("centroid")).alias("cscore"))
-    wq = Window.partitionBy("q_id").orderBy(F.col("cscore").desc(), F.col("cell"))
-    routed = (routed_scores.withColumn("crank", F.row_number().over(wq))
-              .filter(F.col("crank") <= IVF_NPROBE)
-              .select("q_id", "q_vec", "cell"))
-    pairs = load(spark, sf_dir, "embeddings").join(
-        F.broadcast(routed),
-        (F.col("label") == F.col("cell")) & (F.col("vec_id") != F.col("q_id")))
-    scored = pairs.select(
-        "q_id", "vec_id",
-        cosine(F.col("embedding"), F.col("q_vec")).alias("score"))
-    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("vec_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= TOPK)
-            .select("q_id", "vec_id", "rank",
-                    F.round("score", 6).alias("score")))
+    return _ivf_probe_topk(spark, sf_dir, nprobe=IVF_NPROBE, emit_cell=False)
 
 
 ORACLE_ANN_IVF_MULTIPROBE = f"""

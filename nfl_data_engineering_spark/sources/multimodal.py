@@ -71,10 +71,13 @@ def resize_images(docs: DataFrame, width: int, height: int,
     exception to the narrow-rows rule, so keep it last before the sink).
 
     ``codec``: 'real' = Pillow decode/resize/re-encode (raises ImportError
-    when the lib is absent); 'fake' = deterministic byte-plane (input bytes
-    cycled to width*height — exercises the identical Arrow plumbing and is
-    re-derivable by an oracle); 'auto' = real when Pillow imports, else
-    fake."""
+    when the lib is absent); 'fake' = deterministic byte-plane — the
+    payload's md5 hex digest cycled to width*height bytes. The digest (not
+    the raw bytes) is cycled so the plane is pure ASCII: byte and
+    character indexing coincide, which keeps the plane re-derivable by a
+    SQL oracle on any text (multi-byte or empty) even where the SQL
+    engine's string functions are character-based. 'auto' = real when
+    Pillow imports, else fake."""
     use_real = codec == "real" or (codec == "auto" and _have_pillow())
 
     def run_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -96,8 +99,9 @@ def resize_images(docs: DataFrame, width: int, height: int,
         for pdf in batches:
             out = []
             for b in pdf["payload"]:
-                data = bytes(b) if b else b"\x00"
-                out.append((data * (need // len(data) + 1))[:need])
+                data = bytes(b) if b is not None else b""
+                seed = hashlib.md5(data).hexdigest().encode()  # 32 ASCII
+                out.append((seed * (need // len(seed) + 1))[:need])
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "width": width,
                                 "height": height, "payload": out})
 
@@ -137,6 +141,8 @@ def sample_frames(docs: DataFrame, every_ms: int = 250) -> DataFrame:
             ids, tss, hashes = [], [], []
             for doc_id, payload, duration in zip(
                     pdf["doc_id"], pdf["payload"], pdf["duration_ms"]):
+                if duration is None or pd.isna(duration):
+                    continue        # no duration metadata -> no frame grid
                 data = bytes(payload) if payload is not None else b""
                 ts = 0
                 while ts < int(duration):

@@ -163,13 +163,17 @@ def test_video_sampling_respects_duration_grid(spark):
 
 
 def test_resize_fake_codec_is_byte_exact(spark):
+    import hashlib
+
     from nfl_data_engineering_spark.sources.multimodal import resize_images
 
     docs = spark.createDataFrame([(3, "abc")], "doc_id long, text string")
     rows = resize_images(synthesize_multimodal(docs), 4, 2,
                          codec="fake").collect()
     assert len(rows) == 1
-    assert bytes(rows[0]["payload"]) == b"abcabcab"
+    # plane = payload's md5 hex digest cycled to width*height bytes
+    seed = hashlib.md5(b"abc").hexdigest().encode()
+    assert bytes(rows[0]["payload"]) == seed[:8]
     assert (rows[0]["width"], rows[0]["height"]) == (4, 2)
 
 

@@ -110,6 +110,10 @@ def main():
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        # several vector entries cache corpora the returned frame still
+        # needs, so they can't unpersist themselves; clear between queries
+        # so a full-catalog run doesn't accumulate stale storage memory
+        spark.catalog.clearCache()
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
