@@ -638,6 +638,53 @@ SELECT node AS event_type, rank_ppb FROM r{_PR_ITERS}
     return sql
 
 
+# ---------------------------------------------------------------------------
+# Trailing-window COUNT DISTINCT via contribution explode
+# ---------------------------------------------------------------------------
+
+_TRAIL_DAYS = 7
+
+
+def q_trailing_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct active users per day — the windowed COUNT
+    DISTINCT no window frame can express (distinct doesn't compose over
+    sliding frames). Scale-safe shape: each (day, user) observation is
+    exploded into the 7 target days it contributes to (bounded ×7 fan-out
+    of the ALREADY-deduplicated per-day pairs, not of raw events), then
+    one distinct + count per target day. Work is O(active-pairs × window),
+    never O(days × events); the 100 TB variant swaps the exact distinct
+    for per-day HLL partials merged across the window — same dataflow.
+    Day arithmetic is integer (datediff from a fixed epoch), no float or
+    timezone math; only days with ≥1 event in their trailing window
+    appear (inner semantics, mirrored by the oracle)."""
+    ev = load(spark, sf_dir, "events")
+    day = F.datediff(F.col("ts").cast("date"),
+                     F.lit("2000-01-01").cast("date"))
+    pairs = ev.select(day.alias("d"), "user_id").distinct()
+    contrib = pairs.select(
+        F.explode(F.sequence(F.col("d"),
+                             F.col("d") + (_TRAIL_DAYS - 1))).alias("td"),
+        "user_id")
+    # a user active on several days inside one window must count once
+    return (contrib.distinct()
+            .groupBy("td").agg(F.countDistinct("user_id").alias("n_users"))
+            .select(F.col("td").alias("day_index"), "n_users"))
+
+
+ORACLE_TRAILING_UNIQUE = f"""
+WITH pairs AS (
+  SELECT DISTINCT datediff('day', DATE '2000-01-01', CAST(ts AS DATE)) AS d,
+         user_id
+  FROM events),
+contrib AS (
+  SELECT DISTINCT d + x AS td, user_id
+  FROM pairs CROSS JOIN (SELECT UNNEST(generate_series(0,
+                                {_TRAIL_DAYS - 1})) AS x))
+SELECT td AS day_index, COUNT(DISTINCT user_id) AS n_users
+FROM contrib GROUP BY 1
+"""
+
+
 LAKEOPS_QUERIES = [
     QueryDef("bucketed_join_colocated", q_bucketed_join_colocated,
              ORACLE_BUCKETED_JOIN, "S5+J1: bucketed co-located join"),
@@ -663,4 +710,7 @@ LAKEOPS_QUERIES = [
              "A5: one-pass multi-column profile"),
     QueryDef("ks_drift", q_ks_drift, ORACLE_KS_DRIFT,
              "X1: binned two-sample KS drift", bench=True),
+    QueryDef("trailing_unique_users", q_trailing_unique_users,
+             ORACLE_TRAILING_UNIQUE,
+             "X1+A3: sliding-window count distinct"),
 ]
