@@ -639,6 +639,64 @@ SELECT node AS event_type, rank_ppb FROM r{_PR_ITERS}
 
 
 # ---------------------------------------------------------------------------
+# Streaming exactly-once ingest dedup (dropDuplicatesWithinWatermark)
+# ---------------------------------------------------------------------------
+
+def q_streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once append dedup proven against a DOUBLED input: the
+    events file is staged twice into the stream source dir (the at-least-
+    once delivery a flaky upstream produces), drained through
+    streaming/ingest.py:deduped_stream — watermarked
+    dropDuplicatesWithinWatermark keyed on event_id, state bounded by the
+    watermark horizon instead of the full stream history — and aggregated
+    from the append-mode sink. The oracle aggregates the SINGLE copy: a
+    hash match proves every duplicate was eliminated, none over-dropped.
+    Dedup state is O(events inside the watermark), the property that lets
+    this run forever at 100 TB/day where a full-history distinct cannot."""
+    import shutil
+
+    from ..streaming.ingest import deduped_stream
+    tag = (hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+           + f"_{os.getpid()}")
+    dup_dir = os.path.join(tempfile.gettempdir(),
+                           f"spark_graft_dupstream_{tag}")
+    shutil.rmtree(dup_dir, ignore_errors=True)
+    os.makedirs(dup_dir)
+    src = os.path.join(sf_dir, "events.parquet")
+    shutil.copy(src, os.path.join(dup_dir, "copy_a.parquet"))
+    shutil.copy(src, os.path.join(dup_dir, "copy_b.parquet"))
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(raw_schema).parquet(dup_dir)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    dd = deduped_stream(stream, watermark="40 days", key_cols=["event_id"])
+    sink = "streaming_dedup_ingest_sink"
+    q = (dd.writeStream.format("memory").queryName(sink)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(sink)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum(_dec("value")), 2).cast("double")
+                  .alias("sum_value")))
+
+
+ORACLE_STREAMING_DEDUP = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Trailing-window COUNT DISTINCT via contribution explode
 # ---------------------------------------------------------------------------
 
@@ -713,4 +771,7 @@ LAKEOPS_QUERIES = [
     QueryDef("trailing_unique_users", q_trailing_unique_users,
              ORACLE_TRAILING_UNIQUE,
              "X1+A3: sliding-window count distinct"),
+    QueryDef("streaming_dedup_ingest", q_streaming_dedup_ingest,
+             ORACLE_STREAMING_DEDUP,
+             "§2.9a: watermarked exactly-once ingest dedup"),
 ]
