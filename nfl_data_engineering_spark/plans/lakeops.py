@@ -639,6 +639,64 @@ SELECT node AS event_type, rank_ppb FROM r{_PR_ITERS}
 
 
 # ---------------------------------------------------------------------------
+# Market-basket association rules (pair support + lift)
+# ---------------------------------------------------------------------------
+
+_BASKET_TOPK = 20
+
+
+def q_basket_pair_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over order baskets: co-occurring part pairs
+    ranked by support, with lift in integer ppm. The pair join is keyed on
+    the ORDER (self equi-join on l_orderkey with pa < pb), so pair volume
+    is sum-of-(basket-size choose 2) — linear in orders for bounded
+    baskets, never |parts|². Per-part support comes from one distinct
+    count; lift = (pair_n * n_orders) / (n_a * n_b) stays in integer
+    arithmetic (ppm floor division) end to end. Top-k pinned by
+    (pair_n desc, pa, pb). At 100 TB add a min-support prefilter on the
+    per-part counts before the self-join (classic a-priori pruning) —
+    same plan shape."""
+    li = (load(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    n_orders = li.select("l_orderkey").distinct().count()
+    part_n = li.groupBy("l_partkey").agg(F.count("*").alias("n_part"))
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    pairs = (a.join(b, "o").filter(F.col("pa") < F.col("pb"))
+             .groupBy("pa", "pb").agg(F.count("*").alias("pair_n")))
+    scored = (pairs
+              .join(part_n.select(F.col("l_partkey").alias("pa"),
+                                  F.col("n_part").alias("na")), "pa")
+              .join(part_n.select(F.col("l_partkey").alias("pb"),
+                                  F.col("n_part").alias("nb")), "pb")
+              .select("pa", "pb", "pair_n",
+                      F.expr(f"pair_n * {int(n_orders)} * 1000000"
+                             " div (na * nb)").alias("lift_ppm")))
+    return (scored.orderBy(F.col("pair_n").desc(), "pa", "pb")
+            .limit(_BASKET_TOPK))
+
+
+ORACLE_BASKET_RULES = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li),
+pn AS (SELECT l_partkey, COUNT(*) AS n_part FROM li GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS pair_n
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2)
+SELECT pa, pb, pair_n,
+       (pair_n * tot.n_orders * 1000000) // (na.n_part * nb.n_part)
+         AS lift_ppm
+FROM pairs
+JOIN pn na ON na.l_partkey = pa
+JOIN pn nb ON nb.l_partkey = pb
+CROSS JOIN tot
+ORDER BY pair_n DESC, pa, pb LIMIT {_BASKET_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Streaming exactly-once ingest dedup (dropDuplicatesWithinWatermark)
 # ---------------------------------------------------------------------------
 
@@ -774,4 +832,6 @@ LAKEOPS_QUERIES = [
     QueryDef("streaming_dedup_ingest", q_streaming_dedup_ingest,
              ORACLE_STREAMING_DEDUP,
              "§2.9a: watermarked exactly-once ingest dedup"),
+    QueryDef("basket_pair_rules", q_basket_pair_rules, ORACLE_BASKET_RULES,
+             "J2+A3: market-basket association rules"),
 ]
