@@ -639,6 +639,58 @@ SELECT node AS event_type, rank_ppb FROM r{_PR_ITERS}
 
 
 # ---------------------------------------------------------------------------
+# RFM customer segmentation (recency / frequency / monetary quintiles)
+# ---------------------------------------------------------------------------
+
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: each customer's recency (days since last order at a
+    fixed reference date), frequency (order count) and monetary (exact-
+    decimal spend) are quintiled with NTILE(5) over fully-pinned orders
+    (metric, custkey tiebreak — NTILE is ANSI-deterministic given a total
+    order), then segments report their population and spend. The NTILE
+    windows are global but run over the per-customer AGGREGATE (|customers|
+    rows, not |orders|); at 100 TB swap NTILE for percentile-threshold
+    cuts computed once and broadcast — same output contract."""
+    orders = load(spark, sf_dir, "orders")
+    per_cust = (orders.groupBy("o_custkey")
+                .agg(F.datediff(F.lit("1998-12-31").cast("date"),
+                                F.max(F.col("o_orderdate").cast("date")))
+                      .alias("recency_days"),
+                     F.count("*").alias("n_orders"),
+                     F.sum(_dec("o_totalprice")).alias("spend")))
+    r = F.ntile(5).over(Window.orderBy("recency_days", "o_custkey"))
+    f = F.ntile(5).over(Window.orderBy(F.col("n_orders").desc(), "o_custkey"))
+    m = F.ntile(5).over(Window.orderBy(F.col("spend").desc(), "o_custkey"))
+    scored = per_cust.select(
+        "o_custkey", "spend",
+        r.alias("r_score"), f.alias("f_score"), m.alias("m_score"))
+    return (scored.groupBy("r_score", "f_score", "m_score")
+            .agg(F.count("*").alias("n_customers"),
+                 F.round(F.sum("spend"), 2).cast("double")
+                  .alias("segment_spend")))
+
+
+ORACLE_RFM = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         datediff('day', MAX(CAST(o_orderdate AS DATE)),
+                  DATE '1998-12-31') AS recency_days,
+         COUNT(*) AS n_orders,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+  FROM orders GROUP BY 1),
+scored AS (
+  SELECT o_custkey, spend,
+         NTILE(5) OVER (ORDER BY recency_days, o_custkey) AS r_score,
+         NTILE(5) OVER (ORDER BY n_orders DESC, o_custkey) AS f_score,
+         NTILE(5) OVER (ORDER BY spend DESC, o_custkey) AS m_score
+  FROM per_cust)
+SELECT r_score, f_score, m_score, COUNT(*) AS n_customers,
+       CAST(ROUND(SUM(spend), 2) AS DOUBLE) AS segment_spend
+FROM scored GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # Market-basket association rules (pair support + lift)
 # ---------------------------------------------------------------------------
 
@@ -834,4 +886,6 @@ LAKEOPS_QUERIES = [
              "§2.9a: watermarked exactly-once ingest dedup"),
     QueryDef("basket_pair_rules", q_basket_pair_rules, ORACLE_BASKET_RULES,
              "J2+A3: market-basket association rules"),
+    QueryDef("rfm_segmentation", q_rfm_segmentation, ORACLE_RFM,
+             "X3+A5: RFM quintile segmentation"),
 ]
