@@ -179,3 +179,56 @@ def test_ks_drift_matches_pandas(spark):
     assert row["n_view"] == len(a) and row["n_click"] == len(b)
     assert abs(row["d_stat"] - round(d, 6)) <= 1e-6
     assert 0.0 <= row["d_stat"] <= 1.0
+
+
+def test_rfm_scores_partition_customers(spark):
+    from nfl_data_engineering_spark.plans.lakeops import q_rfm_segmentation
+    rows = q_rfm_segmentation(spark, SF).collect()
+    n_cust = (load(spark, SF, "orders")
+              .select("o_custkey").distinct().count())
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    for r in rows:
+        for c in ("r_score", "f_score", "m_score"):
+            assert 1 <= r[c] <= 5
+
+
+def test_basket_rules_counts_bound_by_supports(spark):
+    from nfl_data_engineering_spark.plans.lakeops import q_basket_pair_rules
+    li = (load(spark, SF, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    support = {r["l_partkey"]: r["n"]
+               for r in li.groupBy("l_partkey")
+                          .agg(F.count("*").alias("n")).collect()}
+    for r in q_basket_pair_rules(spark, SF).collect():
+        assert r["pa"] < r["pb"]
+        assert r["pair_n"] <= min(support[r["pa"]], support[r["pb"]])
+        assert r["lift_ppm"] >= 0
+
+
+def test_streaming_dedup_ingest_removes_doubled_input(spark):
+    from nfl_data_engineering_spark.plans.lakeops import (
+        q_streaming_dedup_ingest)
+    got = {r["event_type"]: r["n"]
+           for r in q_streaming_dedup_ingest(spark, SF).collect()}
+    want = {r["event_type"]: r["n"]
+            for r in load(spark, SF, "events").groupBy("event_type")
+                     .agg(F.count("*").alias("n")).collect()}
+    assert got == want
+
+
+def test_trailing_unique_users_matches_pandas(spark):
+    from nfl_data_engineering_spark.plans.lakeops import (
+        q_trailing_unique_users)
+    got = {r["day_index"]: r["n_users"]
+           for r in q_trailing_unique_users(spark, SF).collect()}
+    ev = (load(spark, SF, "events")
+          .select(F.col("ts").cast("date").alias("d"), "user_id")
+          .toPandas())
+    import datetime as dt
+    epoch = dt.date(2000, 1, 1)
+    pairs = {( (d - epoch).days, u) for d, u in zip(ev["d"], ev["user_id"])}
+    want = {}
+    for d, u in pairs:
+        for td in range(d, d + 7):
+            want.setdefault(td, set()).add(u)
+    assert got == {td: len(us) for td, us in want.items()}
