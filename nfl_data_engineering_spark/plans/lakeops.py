@@ -639,6 +639,61 @@ SELECT node AS event_type, rank_ppb FROM r{_PR_ITERS}
 
 
 # ---------------------------------------------------------------------------
+# Feature-store point-in-time join (leakage-safe training features)
+# ---------------------------------------------------------------------------
+
+def q_pit_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The feature-store PIT join: every purchase (the training spine) is
+    decorated with the newest feature row whose timestamp is AT OR BEFORE
+    the purchase — never after, the leakage rule every feature store
+    enforces. Features here are per-user daily snapshots published at day
+    start, carrying the cumulative event count STRICTLY BEFORE that day,
+    so a label can never see same-day activity. The join is
+    operators/joins.py:asof_join — the union + last-non-null window form:
+    ZERO joins, one shuffle on user_id, linear in rows, the shape that
+    survives a 100 TB spine where a range join + dedup would shuffle the
+    cross-range. The oracle re-derives each match as the classic
+    correlated newest-row subquery."""
+    from ..operators.joins import asof_join
+    ev = load(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    per_day = (ev.groupBy("user_id", day.alias("d"))
+               .agg(F.count("*").alias("cnt")))
+    wcum = (Window.partitionBy("user_id").orderBy("d")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    features = per_day.select(
+        "user_id", F.col("d").cast("timestamp").alias("fts"),
+        F.coalesce(F.sum("cnt").over(wcum), F.lit(0)).alias("n_before"))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts"))
+    joined = asof_join(purchases, features, key_cols=["user_id"],
+                       left_ts="ts", right_ts="fts",
+                       value_cols=["n_before"])
+    return joined.select("event_id", "user_id",
+                         F.col("n_before_asof").alias("feat_n_before"))
+
+
+ORACLE_PIT_JOIN = """
+WITH per_day AS (
+  SELECT user_id, CAST(ts AS DATE) AS d, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2),
+f AS (
+  SELECT user_id, CAST(d AS TIMESTAMP) AS fts,
+         CAST(COALESCE(SUM(cnt) OVER (PARTITION BY user_id ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS n_before
+  FROM per_day),
+p AS (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id,
+       (SELECT f.n_before FROM f
+        WHERE f.user_id = p.user_id AND f.fts <= p.ts
+        ORDER BY f.fts DESC LIMIT 1) AS feat_n_before
+FROM p
+"""
+
+
+# ---------------------------------------------------------------------------
 # RFM customer segmentation (recency / frequency / monetary quintiles)
 # ---------------------------------------------------------------------------
 
@@ -888,4 +943,6 @@ LAKEOPS_QUERIES = [
              "J2+A3: market-basket association rules"),
     QueryDef("rfm_segmentation", q_rfm_segmentation, ORACLE_RFM,
              "X3+A5: RFM quintile segmentation"),
+    QueryDef("pit_feature_join", q_pit_feature_join, ORACLE_PIT_JOIN,
+             "J3: feature-store point-in-time join"),
 ]
