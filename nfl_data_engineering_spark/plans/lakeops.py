@@ -639,6 +639,58 @@ SELECT node AS event_type, rank_ppb FROM r{_PR_ITERS}
 
 
 # ---------------------------------------------------------------------------
+# Time-to-event: signup -> first purchase conversion lag
+# ---------------------------------------------------------------------------
+
+def q_time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-event analysis: per user, the lag from first signup to the
+    first purchase AT OR AFTER it, reported as a whole-day histogram plus
+    the never-converted (right-censored) bucket — the survival-curve input
+    every growth team computes. One aggregation per event class + one
+    user-keyed join; day arithmetic in integer microseconds div 86400e6
+    (floor), no calendar or float math. Users whose only purchases precede
+    their signup count as censored (conversion is defined forward from
+    signup), matching the oracle's filtered MIN."""
+    ev = load(spark, sf_dir, "events")
+    su = (ev.filter(F.col("event_type") == "signup")
+          .groupBy("user_id").agg(F.min("ts").alias("signup_ts")))
+    pu = (ev.filter(F.col("event_type") == "purchase")
+          .select(F.col("user_id").alias("p_uid"), F.col("ts").alias("pts")))
+    # the >= predicate lives IN the left join, so never-converted (and
+    # only-before-signup) users keep their NULL row — right-censored
+    first_after = (su.join(pu, (su.user_id == pu.p_uid) &
+                           (pu.pts >= su.signup_ts), "left")
+                   .groupBy("user_id", "signup_ts")
+                   .agg(F.min("pts").alias("conv_ts")))
+    lag_days = F.expr(
+        "timestampdiff(MICROSECOND, signup_ts, conv_ts) div 86400000000")
+    curve = first_after.select(
+        F.when(F.col("conv_ts").isNull(), F.lit(-1))
+         .otherwise(lag_days).cast("long").alias("lag_days"))
+    return (curve.groupBy("lag_days")
+            .agg(F.count("*").alias("n_users")))
+
+
+ORACLE_TIME_TO_CONVERSION = """
+WITH su AS (SELECT user_id, MIN(ts) AS signup_ts FROM events
+            WHERE event_type = 'signup' GROUP BY 1),
+conv AS (
+  SELECT su.user_id, su.signup_ts, MIN(p.ts) AS conv_ts
+  FROM su LEFT JOIN events p
+    ON p.user_id = su.user_id AND p.event_type = 'purchase'
+   AND p.ts >= su.signup_ts
+  GROUP BY 1, 2),
+curve AS (
+  SELECT CASE WHEN conv_ts IS NULL THEN -1
+              ELSE datediff('microsecond', signup_ts, conv_ts)
+                   // 86400000000 END AS lag_days
+  FROM conv)
+SELECT CAST(lag_days AS BIGINT) AS lag_days, COUNT(*) AS n_users
+FROM curve GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Feature-store point-in-time join (leakage-safe training features)
 # ---------------------------------------------------------------------------
 
@@ -945,4 +997,6 @@ LAKEOPS_QUERIES = [
              "X3+A5: RFM quintile segmentation"),
     QueryDef("pit_feature_join", q_pit_feature_join, ORACLE_PIT_JOIN,
              "J3: feature-store point-in-time join"),
+    QueryDef("time_to_conversion", q_time_to_conversion,
+             ORACLE_TIME_TO_CONVERSION, "X1+J2: time-to-event histogram"),
 ]
