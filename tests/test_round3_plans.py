@@ -200,3 +200,31 @@ def test_importance_resample_gate_is_replayable(spark):
         assert got[src]["n_docs"] == n_docs
         assert got[src]["n_kept"] == n_kept
         assert got[src]["tokens_kept"] == tokens_kept
+
+
+def test_variant_extract_matches_string_json_path(spark):
+    """The VARIANT path must be a pure encoding change vs get_json_object."""
+    from nfl_data_engineering_spark.plans.relational import q_variant_extract
+    got = {tuple(r) for r in q_variant_extract(spark, SF).collect()}
+    ev = spark.read.parquet(os.path.join(SF, "events.parquet"))
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    want = (ev.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"), F.sum("k").alias("sum_k"),
+                 F.countDistinct("k").alias("n_distinct_k")))
+    assert got == {tuple(r) for r in want.collect()}
+
+
+def test_sql_api_report_rank_contract(spark):
+    from nfl_data_engineering_spark.plans.relational import q_sql_api_report
+    rows = q_sql_api_report(spark, SF).collect()
+    by_region = {}
+    for r in rows:
+        by_region.setdefault(r["r_name"], []).append(r)
+    for region, rs in by_region.items():
+        ranks = sorted(x["rnk"] for x in rs)
+        assert ranks == list(range(1, len(rs) + 1)) and len(rs) <= 2
+        # revenue ordering within the region matches the rank order
+        ordered = sorted(rs, key=lambda x: x["rnk"])
+        revs = [x["revenue"] for x in ordered]
+        assert revs == sorted(revs, reverse=True)
