@@ -639,6 +639,77 @@ SELECT node AS event_type, rank_ppb FROM r{_PR_ITERS}
 
 
 # ---------------------------------------------------------------------------
+# A/B experiment report: hash-assigned variants, exact-integer variance
+# ---------------------------------------------------------------------------
+
+def q_ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users are assigned to variants by the same
+    content-stable h60 gate the sampling ops use (no RNG — assignment is
+    reproducible across engines, reruns, and repartitioning, which is what
+    makes an experiment auditable), then purchase values are compared with
+    mean, variance and Welch's t. The variance is computed from EXACT
+    integer moments — values quantized to cents, sum and sum-of-squares as
+    bigint — so float summation order can't perturb the statistic on
+    either engine; only the final closed-form division/sqrt runs in
+    doubles (deterministic IEEE ops on exact integer inputs). One scan,
+    one two-group aggregate; the t-stat assembles on the 2-row result."""
+    from ..functions.hashing import h60
+    ev = (load(spark, sf_dir, "events")
+          .filter(F.col("event_type") == "purchase"))
+    variant = F.when(
+        h60(F.concat(F.lit("ab_"), F.col("user_id").cast("string"))) % 2 == 0,
+        F.lit("A")).otherwise(F.lit("B"))
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    g = (ev.select(variant.alias("variant"), cents.alias("c"))
+         .groupBy("variant")
+         .agg(F.count("*").alias("n"),
+              F.sum("c").alias("s"),
+              F.sum(F.col("c") * F.col("c")).alias("ss")))
+    stats = g.select(
+        "variant", "n",
+        F.round(F.col("s") / 100.0 / F.col("n"), 6).alias("mean_value"),
+        # sample variance in cents^2 from exact moments; s goes through
+        # double BEFORE squaring (s*s as bigint would overflow past ~3e9
+        # total cents) — same operation order as the oracle
+        ((F.col("ss") - F.col("s").cast("double") * F.col("s") / F.col("n"))
+         / (F.col("n") - 1)).alias("var_c2"))
+    a = stats.filter(F.col("variant") == "A").select(
+        F.col("n").alias("na"), F.col("mean_value").alias("ma"),
+        F.col("var_c2").alias("va"))
+    b = stats.filter(F.col("variant") == "B").select(
+        F.col("n").alias("nb"), F.col("mean_value").alias("mb"),
+        F.col("var_c2").alias("vb"))
+    t = ((F.col("ma") - F.col("mb")) * 100 /
+         F.sqrt(F.col("va") / F.col("na") + F.col("vb") / F.col("nb")))
+    return a.crossJoin(b).select(
+        "na", "nb", "ma", "mb", F.round(t, 6).alias("welch_t"))
+
+
+def _oracle_ab_test() -> str:
+    from ..functions.hashing import h60_sql
+    gate = h60_sql("'ab_' || CAST(user_id AS VARCHAR)")
+    return f"""
+WITH p AS (
+  SELECT CASE WHEN {gate} % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events WHERE event_type = 'purchase'),
+g AS (
+  SELECT variant, COUNT(*) AS n, CAST(SUM(c) AS BIGINT) AS s,
+         CAST(SUM(c * c) AS BIGINT) AS ss
+  FROM p GROUP BY 1),
+stats AS (
+  SELECT variant, n, ROUND(s / 100.0 / n, 6) AS mean_value,
+         (ss - CAST(s AS DOUBLE) * s / n) / (n - 1) AS var_c2
+  FROM g)
+SELECT a.n AS na, b.n AS nb, a.mean_value AS ma, b.mean_value AS mb,
+       ROUND((a.mean_value - b.mean_value) * 100
+             / sqrt(a.var_c2 / a.n + b.var_c2 / b.n), 6) AS welch_t
+FROM (SELECT * FROM stats WHERE variant = 'A') a
+CROSS JOIN (SELECT * FROM stats WHERE variant = 'B') b
+"""
+
+
+# ---------------------------------------------------------------------------
 # Time-to-event: signup -> first purchase conversion lag
 # ---------------------------------------------------------------------------
 
@@ -999,4 +1070,6 @@ LAKEOPS_QUERIES = [
              "J3: feature-store point-in-time join"),
     QueryDef("time_to_conversion", q_time_to_conversion,
              ORACLE_TIME_TO_CONVERSION, "X1+J2: time-to-event histogram"),
+    QueryDef("ab_test_report", q_ab_test_report, _oracle_ab_test(),
+             "A5+X1: hash-assigned A/B Welch readout"),
 ]
