@@ -639,6 +639,59 @@ SELECT node AS event_type, rank_ppb FROM r{_PR_ITERS}
 
 
 # ---------------------------------------------------------------------------
+# Period-over-period revenue bridge (volume / rate decomposition)
+# ---------------------------------------------------------------------------
+
+def q_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FP&A revenue bridge: per order-priority segment, decompose the
+    1996-vs-1995 revenue change into a volume effect (order-count change
+    at the base-period average ticket) and a rate/mix residual (everything
+    else) — volume + rate == total by construction. All arithmetic in
+    EXACT integer cents with an explicit floor-division convention for the
+    base average, so the attribution is bit-reproducible; segments missing
+    from either period drop out (inner semantics, mirrored). One scan,
+    one (segment, year) aggregate, the bridge assembles on the tiny
+    segment table."""
+    orders = load(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    g = (orders.filter(yr.isin(1995, 1996))
+         .groupBy("o_orderpriority", yr.alias("y"))
+         .agg(F.count("*").alias("n"), F.sum(cents).alias("rev_c")))
+    p1 = g.filter(F.col("y") == 1995).select(
+        "o_orderpriority", F.col("n").alias("n1"),
+        F.col("rev_c").alias("r1"))
+    p2 = g.filter(F.col("y") == 1996).select(
+        "o_orderpriority", F.col("n").alias("n2"),
+        F.col("rev_c").alias("r2"))
+    j = p1.join(p2, "o_orderpriority")
+    vol = (F.col("n2") - F.col("n1")) * F.expr("r1 div n1")
+    return j.select(
+        "o_orderpriority", "n1", "n2",
+        (F.col("r2") - F.col("r1")).alias("total_delta_cents"),
+        vol.alias("volume_effect_cents"),
+        (F.col("r2") - F.col("r1") - vol).alias("rate_effect_cents"))
+
+
+ORACLE_REVENUE_BRIDGE = """
+WITH g AS (
+  SELECT o_orderpriority, EXTRACT(year FROM o_orderdate) AS y,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_c
+  FROM orders WHERE EXTRACT(year FROM o_orderdate) IN (1995, 1996)
+  GROUP BY 1, 2),
+p1 AS (SELECT o_orderpriority, n AS n1, rev_c AS r1 FROM g WHERE y = 1995),
+p2 AS (SELECT o_orderpriority, n AS n2, rev_c AS r2 FROM g WHERE y = 1996)
+SELECT o_orderpriority, n1, n2,
+       r2 - r1 AS total_delta_cents,
+       (n2 - n1) * (r1 // n1) AS volume_effect_cents,
+       r2 - r1 - (n2 - n1) * (r1 // n1) AS rate_effect_cents
+FROM p1 JOIN p2 USING (o_orderpriority)
+"""
+
+
+# ---------------------------------------------------------------------------
 # A/B experiment report: hash-assigned variants, exact-integer variance
 # ---------------------------------------------------------------------------
 
@@ -1072,4 +1125,6 @@ LAKEOPS_QUERIES = [
              ORACLE_TIME_TO_CONVERSION, "X1+J2: time-to-event histogram"),
     QueryDef("ab_test_report", q_ab_test_report, _oracle_ab_test(),
              "A5+X1: hash-assigned A/B Welch readout"),
+    QueryDef("revenue_bridge", q_revenue_bridge, ORACLE_REVENUE_BRIDGE,
+             "A5+U2: period-over-period revenue bridge"),
 ]

@@ -22,7 +22,7 @@ _ALL: list[QueryDef] = [*RELATIONAL_QUERIES, *TEXT_QUERIES,
 # prefix window of the catalog (50 entries/round), so rotation aims each
 # round's window at the entries with the most verification value.
 #
-# ROUND-4 ROTATION TODO: front-load the 28 entries added during round 3
+# ROUND-4 ROTATION TODO: front-load the 29 entries added during round 3
 # (they sit after _PRIORITY in catalog order and have no driver row yet):
 # bucketed_join_colocated, skew_join_salted, interval_incident_join,
 # cdc_merge_apply, streaming_cdc_apply, streaming_enrich,
@@ -30,7 +30,7 @@ _ALL: list[QueryDef] = [*RELATIONAL_QUERIES, *TEXT_QUERIES,
 # column_profile, ks_drift, multimodal_frame_sample, multimodal_resize,
 # bigram_logprob, importance_resample, feature_hashing, compact_roundtrip,
 # schema_evolution_read, hard_negative_mining, variant_extract,
-# sql_api_report, trailing_unique_users, streaming_dedup_ingest, basket_pair_rules, rfm_segmentation, pit_feature_join, time_to_conversion, ab_test_report — all parity-green locally at sf0.001/0.01/0.1 plus the
+# sql_api_report, trailing_unique_users, streaming_dedup_ingest, basket_pair_rules, rfm_segmentation, pit_feature_join, time_to_conversion, ab_test_report, revenue_bridge — all parity-green locally at sf0.001/0.01/0.1 plus the
 # nanos-timestamp/EST robustness sweep (SCALE.md round-3 section).
 #
 # Round 3:
