@@ -51,6 +51,15 @@ def dec(c, p="18,2"):
     return F.col(c).cast(f"decimal({p})")
 
 
+def cents(col):
+    """Quantize a 2-decimal money double to exact integer cents — the
+    entry point to the all-integer statistics paths (rule 7). One shared
+    definition; the oracle twin is CAST(round(x * 100) AS BIGINT)."""
+    if isinstance(col, str):
+        col = F.col(col)
+    return F.round(col * 100).cast("bigint")
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read a testdata table.
 

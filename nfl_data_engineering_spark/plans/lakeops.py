@@ -27,7 +27,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..io import write_bucketed
-from .base import QueryDef, dec as _dec, load
+from .base import QueryDef, cents, dec as _dec, load
 
 
 # ---------------------------------------------------------------------------
@@ -647,26 +647,25 @@ def q_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     1996-vs-1995 revenue change into a volume effect (order-count change
     at the base-period average ticket) and a rate/mix residual (everything
     else) — volume + rate == total by construction. All arithmetic in
-    EXACT integer cents with an explicit floor-division convention for the
-    base average, so the attribution is bit-reproducible; segments missing
-    from either period drop out (inner semantics, mirrored). One scan,
-    one (segment, year) aggregate, the bridge assembles on the tiny
-    segment table."""
+    EXACT integer cents; the base average uses TRUNCATING integer
+    division (Spark `div` == DuckDB `//`, both toward zero — identical on
+    the positive revenue domain, and the convention that keeps the
+    attribution bit-reproducible). ONE scan + one segment-keyed
+    conditional aggregation — the two periods are CASE-split columns, not
+    a self-join, so orders is never read twice; segments missing a period
+    drop out via the null filter (inner semantics, mirrored)."""
     orders = load(spark, sf_dir, "orders")
     yr = F.year("o_orderdate")
-    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    c = cents("o_totalprice")
     g = (orders.filter(yr.isin(1995, 1996))
-         .groupBy("o_orderpriority", yr.alias("y"))
-         .agg(F.count("*").alias("n"), F.sum(cents).alias("rev_c")))
-    p1 = g.filter(F.col("y") == 1995).select(
-        "o_orderpriority", F.col("n").alias("n1"),
-        F.col("rev_c").alias("r1"))
-    p2 = g.filter(F.col("y") == 1996).select(
-        "o_orderpriority", F.col("n").alias("n2"),
-        F.col("rev_c").alias("r2"))
-    j = p1.join(p2, "o_orderpriority")
+         .groupBy("o_orderpriority")
+         .agg(F.count(F.when(yr == 1995, 1)).alias("n1"),
+              F.sum(F.when(yr == 1995, c)).alias("r1"),
+              F.count(F.when(yr == 1996, 1)).alias("n2"),
+              F.sum(F.when(yr == 1996, c)).alias("r2"))
+         .filter(F.col("n1") > 0).filter(F.col("n2") > 0))
     vol = (F.col("n2") - F.col("n1")) * F.expr("r1 div n1")
-    return j.select(
+    return g.select(
         "o_orderpriority", "n1", "n2",
         (F.col("r2") - F.col("r1")).alias("total_delta_cents"),
         vol.alias("volume_effect_cents"),
@@ -712,8 +711,7 @@ def q_ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant = F.when(
         h60(F.concat(F.lit("ab_"), F.col("user_id").cast("string"))) % 2 == 0,
         F.lit("A")).otherwise(F.lit("B"))
-    cents = F.round(F.col("value") * 100).cast("bigint")
-    g = (ev.select(variant.alias("variant"), cents.alias("c"))
+    g = (ev.select(variant.alias("variant"), cents("value").alias("c"))
          .groupBy("variant")
          .agg(F.count("*").alias("n"),
               F.sum("c").alias("s"),
