@@ -232,3 +232,28 @@ def test_trailing_unique_users_matches_pandas(spark):
         for td in range(d, d + 7):
             want.setdefault(td, set()).add(u)
     assert got == {td: len(us) for td, us in want.items()}
+
+
+def test_cents_quantization_is_exact(spark):
+    from nfl_data_engineering_spark.plans.base import cents
+    df = spark.createDataFrame(
+        [(6.55,), (0.0,), (123.45,), (0.01,)], "v double")
+    got = [r[0] for r in df.select(cents("v")).collect()]
+    assert got == [655, 0, 12345, 1]
+
+
+def test_ab_test_variants_cover_all_purchasers(spark):
+    from nfl_data_engineering_spark.plans.lakeops import q_ab_test_report
+    row = q_ab_test_report(spark, SF).first()
+    n_purch = (load(spark, SF, "events")
+               .filter(F.col("event_type") == "purchase").count())
+    assert row["na"] + row["nb"] == n_purch
+    assert row["na"] > 0 and row["nb"] > 0
+
+
+def test_revenue_bridge_effects_sum_to_total(spark):
+    from nfl_data_engineering_spark.plans.lakeops import q_revenue_bridge
+    for r in q_revenue_bridge(spark, SF).collect():
+        assert (r["volume_effect_cents"] + r["rate_effect_cents"]
+                == r["total_delta_cents"])
+        assert r["n1"] > 0 and r["n2"] > 0
