@@ -29,8 +29,12 @@ from .base import QueryDef, load
 
 
 def _tmp_path(tag: str, sf_dir: str) -> str:
+    # pid-scoped like lakeops' dirs: bench + parity harnesses run these
+    # entries concurrently, and write-then-read sequences (overwrite/append)
+    # interleaved across processes would yield mixed files and wrong counts.
     h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    return os.path.join(tempfile.gettempdir(), f"spark_graft_{tag}_{h}")
+    return os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_{tag}_{h}_{os.getpid()}")
 
 
 # ---------------------------------------------------------------------------
@@ -500,7 +504,7 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     mm = (synthesize_multimodal(docs.select("doc_id", "text"))
           .filter(F.col("modality") == "video"))
-    return sample_frames(mm, every_ms=250)
+    return sample_frames(mm, every_ms=250, codec="fake")
 
 
 ORACLE_FRAME_SAMPLE = """

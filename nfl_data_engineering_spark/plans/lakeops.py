@@ -359,8 +359,11 @@ FROM orders""")
 
 def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov drift statistic between the value
-    distributions of 'view' vs 'click' events, on values binned to 2
-    decimals: per-bin counts (one shuffle, bounded output), cumulative
+    distributions of 'view' vs 'click' events, on values binned to integer
+    cents (the shared cents() quantization — rule 7: binning via ROUND on
+    the double would diverge across engines on tie-adjacent inputs like
+    1.005, and cents is order-preserving so the ECDF is unchanged):
+    per-bin counts (one shuffle, bounded output), cumulative
     counts over the bin order (window over the SMALL bin table, not the
     raw rows — the trick that keeps exact-order statistics feasible at
     100 TB), and D = max |ecdf_a - ecdf_b| computed in INTEGER arithmetic
@@ -375,7 +378,7 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (load(spark, sf_dir, "events")
           .filter(F.col("event_type").isin("view", "click") &
                   F.col("value").isNotNull()))
-    bins = (ev.groupBy(F.round("value", 2).alias("bin"))
+    bins = (ev.groupBy(cents("value").alias("bin"))
             .agg(F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
                   .alias("ca"),
                  F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
@@ -399,7 +402,8 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_KS_DRIFT = """
-WITH ev AS (SELECT event_type, ROUND(value, 2) AS bin FROM events
+WITH ev AS (SELECT event_type,
+                   CAST(round(value * 100) AS BIGINT) AS bin FROM events
             WHERE event_type IN ('view', 'click') AND value IS NOT NULL),
 bins AS (
   SELECT bin,
@@ -702,9 +706,15 @@ def q_ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean, variance and Welch's t. The variance is computed from EXACT
     integer moments — values quantized to cents, sum and sum-of-squares as
     bigint — so float summation order can't perturb the statistic on
-    either engine; only the final closed-form division/sqrt runs in
-    doubles (deterministic IEEE ops on exact integer inputs). One scan,
-    one two-group aggregate; the t-stat assembles on the 2-row result."""
+    either engine. Per determinism rule 7 the REPORTED columns avoid
+    ROUND-on-double entirely: means are exact integer micro-dollars
+    (s * 10000 div n floor division — identical toward-zero semantics on
+    the positive domain), and the t statistic is quantized by FLOOR of a
+    deterministically-computed double — every op in its tree (int->double
+    cast, -, *, /, sqrt) is IEEE correctly-rounded, so both engines
+    produce bit-identical t and the floor lands on the same integer ppm.
+    One scan, one two-group aggregate; the t assembles on the 2-row
+    result."""
     from ..functions.hashing import h60
     ev = (load(spark, sf_dir, "events")
           .filter(F.col("event_type") == "purchase"))
@@ -717,23 +727,25 @@ def q_ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.sum("c").alias("s"),
               F.sum(F.col("c") * F.col("c")).alias("ss")))
     stats = g.select(
-        "variant", "n",
-        F.round(F.col("s") / 100.0 / F.col("n"), 6).alias("mean_value"),
+        "variant", "n", "s",
         # sample variance in cents^2 from exact moments; s goes through
         # double BEFORE squaring (s*s as bigint would overflow past ~3e9
         # total cents) — same operation order as the oracle
         ((F.col("ss") - F.col("s").cast("double") * F.col("s") / F.col("n"))
          / (F.col("n") - 1)).alias("var_c2"))
     a = stats.filter(F.col("variant") == "A").select(
-        F.col("n").alias("na"), F.col("mean_value").alias("ma"),
+        F.col("n").alias("na"), F.col("s").alias("sa"),
         F.col("var_c2").alias("va"))
     b = stats.filter(F.col("variant") == "B").select(
-        F.col("n").alias("nb"), F.col("mean_value").alias("mb"),
+        F.col("n").alias("nb"), F.col("s").alias("sb"),
         F.col("var_c2").alias("vb"))
-    t = ((F.col("ma") - F.col("mb")) * 100 /
+    t = ((F.col("sa") / F.col("na") - F.col("sb") / F.col("nb")) /
          F.sqrt(F.col("va") / F.col("na") + F.col("vb") / F.col("nb")))
     return a.crossJoin(b).select(
-        "na", "nb", "ma", "mb", F.round(t, 6).alias("welch_t"))
+        "na", "nb",
+        F.expr("sa * 10000 div na").alias("mean_a_udollar"),
+        F.expr("sb * 10000 div nb").alias("mean_b_udollar"),
+        F.floor(t * F.lit(1000000.0)).alias("welch_t_ppm"))
 
 
 def _oracle_ab_test() -> str:
@@ -749,12 +761,15 @@ g AS (
          CAST(SUM(c * c) AS BIGINT) AS ss
   FROM p GROUP BY 1),
 stats AS (
-  SELECT variant, n, ROUND(s / 100.0 / n, 6) AS mean_value,
+  SELECT variant, n, s,
          (ss - CAST(s AS DOUBLE) * s / n) / (n - 1) AS var_c2
   FROM g)
-SELECT a.n AS na, b.n AS nb, a.mean_value AS ma, b.mean_value AS mb,
-       ROUND((a.mean_value - b.mean_value) * 100
-             / sqrt(a.var_c2 / a.n + b.var_c2 / b.n), 6) AS welch_t
+SELECT a.n AS na, b.n AS nb,
+       a.s * 10000 // a.n AS mean_a_udollar,
+       b.s * 10000 // b.n AS mean_b_udollar,
+       CAST(floor((CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n)
+                  / sqrt(a.var_c2 / a.n + b.var_c2 / b.n) * 1000000.0)
+            AS BIGINT) AS welch_t_ppm
 FROM (SELECT * FROM stats WHERE variant = 'A') a
 CROSS JOIN (SELECT * FROM stats WHERE variant = 'B') b
 """
@@ -915,6 +930,97 @@ scored AS (
   FROM per_cust)
 SELECT r_score, f_score, m_score, COUNT(*) AS n_customers,
        CAST(ROUND(SUM(spend), 2) AS DOUBLE) AS segment_spend
+FROM scored GROUP BY 1, 2, 3
+"""
+
+
+def q_rfm_segmentation_cutoffs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation WITHOUT the three global NTILE(5) windows — the
+    100 TB twin of q_rfm_segmentation as a checked entry (the swap its
+    docstring narrates). All three quintile cut sets come from ONE
+    percentile_approx aggregate pass over the per-customer metrics
+    (map-side partial sketches, no global sort anywhere), broadcast back
+    as a 1-row frame; scores are row-local comparisons. Scoring is
+    VALUE-based (tie blocks share a quintile) — the deterministic
+    distribution-cut contract that scales, vs ntile's exactly-equal
+    populations which need a total order. Score orientation matches the
+    ntile twin: r_score 1 = most recent, f_score 1 = most orders,
+    m_score 1 = top spend. Cross-engine exactness: rank-exact GK sketch
+    at accuracy >> N == DuckDB quantile_disc (both ceil(p*N))."""
+    orders = load(spark, sf_dir, "orders")
+    per_cust = (orders.groupBy("o_custkey")
+                .agg(F.datediff(F.lit("1998-12-31").cast("date"),
+                                F.max(F.col("o_orderdate").cast("date")))
+                      .alias("recency_days"),
+                     F.count("*").alias("n_orders"),
+                     F.sum(cents("o_totalprice")).alias("spend_c")))
+    probs = F.array(*[F.lit(p) for p in (0.2, 0.4, 0.6, 0.8)])
+    acc = F.lit(1_000_000)
+    cuts = per_cust.agg(
+        F.percentile_approx("recency_days", probs, acc).alias("rc"),
+        F.percentile_approx("n_orders", probs, acc).alias("fc"),
+        F.percentile_approx("spend_c", probs, acc).alias("mc"))
+
+    def asc_score(col, cut):      # 1 = smallest values (most recent)
+        return F.lit(1) + sum(
+            ((F.col(col) > F.col(cut)[i]).cast("int") for i in range(4)),
+            F.lit(0))
+
+    def desc_score(col, cut):     # 1 = largest values (top quintile)
+        return F.lit(1) + sum(
+            ((F.col(col) <= F.col(cut)[i]).cast("int") for i in range(4)),
+            F.lit(0))
+
+    scored = per_cust.crossJoin(F.broadcast(cuts)).select(
+        "spend_c",
+        asc_score("recency_days", "rc").alias("r_score"),
+        desc_score("n_orders", "fc").alias("f_score"),
+        desc_score("spend_c", "mc").alias("m_score"))
+    return (scored.groupBy("r_score", "f_score", "m_score")
+            .agg(F.count("*").alias("n_customers"),
+                 F.sum("spend_c").alias("segment_spend_cents")))
+
+
+ORACLE_RFM_CUTOFFS = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         datediff('day', MAX(CAST(o_orderdate AS DATE)),
+                  DATE '1998-12-31') AS recency_days,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS spend_c
+  FROM orders GROUP BY 1),
+cuts AS (
+  SELECT quantile_disc(recency_days, 0.2) AS rc1,
+         quantile_disc(recency_days, 0.4) AS rc2,
+         quantile_disc(recency_days, 0.6) AS rc3,
+         quantile_disc(recency_days, 0.8) AS rc4,
+         quantile_disc(n_orders, 0.2) AS fc1,
+         quantile_disc(n_orders, 0.4) AS fc2,
+         quantile_disc(n_orders, 0.6) AS fc3,
+         quantile_disc(n_orders, 0.8) AS fc4,
+         quantile_disc(spend_c, 0.2) AS mc1,
+         quantile_disc(spend_c, 0.4) AS mc2,
+         quantile_disc(spend_c, 0.6) AS mc3,
+         quantile_disc(spend_c, 0.8) AS mc4
+  FROM per_cust),
+scored AS (
+  SELECT spend_c,
+         1 + CASE WHEN recency_days > rc1 THEN 1 ELSE 0 END
+           + CASE WHEN recency_days > rc2 THEN 1 ELSE 0 END
+           + CASE WHEN recency_days > rc3 THEN 1 ELSE 0 END
+           + CASE WHEN recency_days > rc4 THEN 1 ELSE 0 END AS r_score,
+         1 + CASE WHEN n_orders <= fc1 THEN 1 ELSE 0 END
+           + CASE WHEN n_orders <= fc2 THEN 1 ELSE 0 END
+           + CASE WHEN n_orders <= fc3 THEN 1 ELSE 0 END
+           + CASE WHEN n_orders <= fc4 THEN 1 ELSE 0 END AS f_score,
+         1 + CASE WHEN spend_c <= mc1 THEN 1 ELSE 0 END
+           + CASE WHEN spend_c <= mc2 THEN 1 ELSE 0 END
+           + CASE WHEN spend_c <= mc3 THEN 1 ELSE 0 END
+           + CASE WHEN spend_c <= mc4 THEN 1 ELSE 0 END AS m_score
+  FROM per_cust CROSS JOIN cuts)
+SELECT r_score, f_score, m_score, COUNT(*) AS n_customers,
+       CAST(SUM(spend_c) AS BIGINT) AS segment_spend_cents
 FROM scored GROUP BY 1, 2, 3
 """
 
@@ -1117,6 +1223,9 @@ LAKEOPS_QUERIES = [
              "J2+A3: market-basket association rules"),
     QueryDef("rfm_segmentation", q_rfm_segmentation, ORACLE_RFM,
              "X3+A5: RFM quintile segmentation"),
+    QueryDef("rfm_segmentation_cutoffs", q_rfm_segmentation_cutoffs,
+             ORACLE_RFM_CUTOFFS,
+             "X3+A5: RFM via broadcast percentile cutoffs (100 TB path)"),
     QueryDef("pit_feature_join", q_pit_feature_join, ORACLE_PIT_JOIN,
              "J3: feature-store point-in-time join"),
     QueryDef("time_to_conversion", q_time_to_conversion,

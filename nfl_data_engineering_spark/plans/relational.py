@@ -15,7 +15,7 @@ from ..operators.joins import asof_join, matchup_join
 from ..operators.records import split_record
 from ..operators.timeseries import zero_filled_counts
 from ..operators.windows import exp_weighted_mean, topk_per_group, trailing_mean
-from .base import QueryDef, dec as _dec, load
+from .base import QueryDef, cents, dec as _dec, load
 
 
 # ---------------------------------------------------------------------------
@@ -1162,6 +1162,66 @@ SELECT quartile, COUNT(*) AS n_customers,
        ROUND(CAST(SUM(CAST(spend AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6)
          AS avg_spend
 FROM q GROUP BY quartile
+"""
+
+
+def q_spend_quartiles_cutoffs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-spend quartiles WITHOUT a global window — the 100 TB twin
+    of q_spend_quartiles, shipped as a checked entry instead of docstring
+    prose. Cutoffs come from ONE percentile_approx aggregate over the
+    per-customer spend (map-side partial sketch merge, no sort, no
+    single-partition funnel), are broadcast back as a 1-row frame, and the
+    quartile assignment is a row-local comparison. Segmentation is
+    VALUE-based (ties share a bucket), the scale-correct contract — ntile's
+    exactly-equal populations need a global total order by construction.
+
+    Determinism across engines: at accuracy >> N the Greenwald-Khanna
+    sketch is rank-exact and Spark's percentile_approx returns the value
+    at rank ceil(p*N) — the same convention as DuckDB's quantile_disc
+    (verified empirically, including tie blocks). All money stays in
+    integer cents (rule 7); the mean is an integer floor division."""
+    o = load(spark, sf_dir, "orders")
+    spend = (o.groupBy("o_custkey")
+             .agg(F.sum(cents("o_totalprice")).alias("spend_c")))
+    probs = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    cuts = spend.agg(
+        F.percentile_approx("spend_c", probs, F.lit(1_000_000)).alias("c")
+    ).select(F.col("c")[0].alias("c25"), F.col("c")[1].alias("c50"),
+             F.col("c")[2].alias("c75"))
+    scored = spend.crossJoin(F.broadcast(cuts)).select(
+        "spend_c",
+        (F.lit(1) + (F.col("spend_c") <= F.col("c75")).cast("int")
+                  + (F.col("spend_c") <= F.col("c50")).cast("int")
+                  + (F.col("spend_c") <= F.col("c25")).cast("int"))
+        .alias("quartile"))          # 1 = top spenders, like the ntile twin
+    return (scored.groupBy("quartile")
+            .agg(F.count("*").alias("n_customers"),
+                 F.sum("spend_c").alias("sum_spend_cents"))
+            .withColumn("avg_spend_cents",
+                        F.expr("sum_spend_cents div n_customers")))
+
+
+ORACLE_SPEND_QUARTILES_CUTOFFS = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS spend_c
+  FROM orders GROUP BY 1),
+cuts AS (
+  SELECT quantile_disc(spend_c, 0.25) AS c25,
+         quantile_disc(spend_c, 0.5)  AS c50,
+         quantile_disc(spend_c, 0.75) AS c75
+  FROM spend),
+scored AS (
+  SELECT spend_c,
+         1 + CASE WHEN spend_c <= c75 THEN 1 ELSE 0 END
+           + CASE WHEN spend_c <= c50 THEN 1 ELSE 0 END
+           + CASE WHEN spend_c <= c25 THEN 1 ELSE 0 END AS quartile
+  FROM spend CROSS JOIN cuts)
+SELECT quartile, COUNT(*) AS n_customers,
+       CAST(SUM(spend_c) AS BIGINT) AS sum_spend_cents,
+       CAST(SUM(spend_c) AS BIGINT) // COUNT(*) AS avg_spend_cents
+FROM scored GROUP BY 1
 """
 
 
@@ -2914,6 +2974,8 @@ RELATIONAL_QUERIES = [
     QueryDef("cube_sales", q_cube_sales, ORACLE_CUBE_SALES, "A-cube"),
     QueryDef("status_intersect", q_status_intersect, ORACLE_STATUS_INTERSECT, "U-intersect"),
     QueryDef("spend_quartiles", q_spend_quartiles, ORACLE_SPEND_QUARTILES, "A-ntile"),
+    QueryDef("spend_quartiles_cutoffs", q_spend_quartiles_cutoffs,
+             ORACLE_SPEND_QUARTILES_CUTOFFS, "A-ntile-100TB-cutoffs"),
     QueryDef("semi_join", q_semi_join, ORACLE_SEMI_JOIN, "J-semi"),
     QueryDef("anti_join", q_anti_join, ORACLE_ANTI_JOIN, "J-anti,A4"),
     QueryDef("grouping_sets", q_grouping_sets, ORACLE_GROUPING_SETS, "A-gsets"),

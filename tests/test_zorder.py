@@ -8,7 +8,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from nfl_data_engineering_spark.io import write_zordered  # noqa: E402
+from nfl_data_engineering_spark.io import (write_zordered,  # noqa: E402
+                                           zorder_keyed)
 
 SF = "/root/testdata/sf0.001"
 
@@ -55,3 +56,20 @@ def test_zorder_roundtrip_and_two_dim_clustering(spark, tmp_path):
     containing = sum(1 for r in ranges
                      if r["l_partkey"][0] <= probe <= r["l_partkey"][1])
     assert containing < len(ranges)
+
+
+def test_zorder_key_plan_has_no_global_window(spark):
+    """The layout job must be cluster-shaped: z-key derivation is a
+    row-local expression over approxQuantile cut points — no Window (the
+    old ntile ranking funneled the whole table through ONE task) and no
+    SinglePartition exchange anywhere in the physical plan."""
+    li = spark.read.parquet(os.path.join(SF, "lineitem.parquet"))
+    keyed = zorder_keyed(li, "l_partkey", "l_suppkey")
+    plan = keyed._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert "Exchange" not in plan, plan  # row-local: no shuffle at all
+    # and the derivation is still correct: cells are within [0, 256)
+    import pyspark.sql.functions as F
+    row = keyed.agg(F.min("__z"), F.max("__z")).collect()[0]
+    assert 0 <= row[0] <= row[1] < (1 << 16)
