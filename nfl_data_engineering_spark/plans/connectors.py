@@ -551,6 +551,32 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_compact_multifile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """compact_partitions' N>1 path proven as a query: same fragmented
+    write as q_compact_roundtrip, compacted to target_files_per_partition
+    = 3 — the hash-salt fan-out (io.py: __salt = hash(all columns) % k)
+    that keeps output files per partition bounded WITHOUT a full sort.
+    The oracle aggregates the source, so a hash match proves the salt
+    column never leaks into the data and the rewrite is content-invariant;
+    the <=3-files-per-partition bound itself is asserted in
+    tests/test_upsert.py (file counts aren't SQL-visible). The N>1 target
+    is the realistic setting at 100 TB: one file per partition would
+    serialize each partition's write through one task."""
+    from ..io import compact_partitions, with_partition_cols
+    path = _tmp_path("compactN", sf_dir)
+    ev = load(spark, sf_dir, "events").withColumnRenamed("ts", "timestamp")
+    (with_partition_cols(ev)
+     .repartition(16)
+     .write.mode("overwrite").partitionBy("year", "month")
+     .parquet(path, compression="snappy"))
+    compact_partitions(spark, path, target_files_per_partition=3)
+    back = spark.read.parquet(path)
+    return (back.groupBy("year", "month")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                  .alias("sum_value")))
+
+
 def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution across batches, read side: batch 1 lands orders
     WITHOUT o_orderpriority, batch 2 (appended later, schema widened) has
@@ -630,6 +656,114 @@ WHERE CAST(doc_id % 3 AS INTEGER) = 0
 """
 
 
+# ---------------------------------------------------------------------------
+# S7 weather: unit conversion + forecast window (weather_client.py parity)
+# ---------------------------------------------------------------------------
+
+_WEATHER_START = "2025-01-01 00:00:00"
+
+
+def _weather_fake_fetch(lat, lon, start, end, gappy=False):
+    """Deterministic offline stand-in for the Open-Meteo fetch: values are
+    pure functions of (lat-encoded nation key, hour index), so a SQL
+    oracle can recompute them from the nation table. Native units
+    (celsius / km/h / mm), matching what the real connector would store
+    canonically. ``gappy`` drops hours where (key + h) % 7 == 3 — the
+    API-skipped-hours case the spine join must surface as NULLs."""
+    import pandas as pd
+    hours = pd.date_range(pd.Timestamp(start), pd.Timestamp(end),
+                          freq="1h", inclusive="left")
+    key = int(round(lat / 1.5))
+    rows = [(ts, i) for i, ts in enumerate(hours)
+            if not (gappy and (key + i) % 7 == 3)]
+    return pd.DataFrame({
+        "ts_utc": [ts for ts, _ in rows],
+        "temperature_2m": [lat + i for _, i in rows],
+        "windspeed_10m": [float((key + i) % 40) for _, i in rows],
+        "precipitation": [float(i % 5) for _, i in rows],
+    })
+
+
+def _weather_fake(lat, lon, start, end):
+    return _weather_fake_fetch(lat, lon, start, end, gappy=False)
+
+
+def _weather_fake_gappy(lat, lon, start, end):
+    return _weather_fake_fetch(lat, lon, start, end, gappy=True)
+
+
+def _weather_locations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load(spark, sf_dir, "nation")
+    return nation.select(
+        F.col("n_name").alias("loc_id"),
+        (F.col("n_nationkey") * 1.5).alias("lat"),
+        (F.col("n_regionkey") * -10.0).alias("lon"),
+        F.lit("UTC").alias("tz"))
+
+
+def q_weather_unit_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 unit-conversion parity (weather_client.py:45-56, 173-183): the
+    reference threads temperature_unit/wind_speed_unit/precipitation_unit
+    to the API; here the connector stores native metric and converts at
+    the edge (sources/weather.py:convert_units) — °C->°F, km/h->mph,
+    mm->inch as row-local builtin arithmetic. One fan-out fetch over a
+    nation-derived location list with a deterministic fake fetcher; the
+    oracle recomputes every converted value from the nation table with
+    the same IEEE op order, so the hash check proves the conversion
+    columns bit-exact. No aggregation — per-hour rows, so no float-sum
+    order sensitivity."""
+    from ..sources.weather import convert_units, fetch_hourly_observations
+    locs = _weather_locations(spark, sf_dir)
+    obs = fetch_hourly_observations(
+        locs, _WEATHER_START, "2025-01-02 00:00:00", fetcher=_weather_fake)
+    conv = convert_units(obs, temperature_unit="fahrenheit",
+                         wind_speed_unit="mph", precipitation_unit="inch")
+    return conv.select(
+        "loc_id", F.hour("ts_utc").alias("hour"),
+        F.col("temperature_2m").alias("temp_f"),
+        F.col("windspeed_10m").alias("wind_mph"),
+        F.col("precipitation").alias("precip_in"))
+
+
+ORACLE_WEATHER_UNIT_CONVERT = """
+SELECT n_name AS loc_id, CAST(t.h AS INTEGER) AS hour,
+       (n_nationkey * 1.5 + t.h) * 9.0 / 5.0 + 32.0 AS temp_f,
+       CAST((n_nationkey + t.h) % 40 AS DOUBLE) / 1.609344 AS wind_mph,
+       CAST(t.h % 5 AS DOUBLE) / 25.4 AS precip_in
+FROM nation CROSS JOIN range(0, 24) t(h)
+"""
+
+
+def q_weather_forecast_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 forecast parity (weather_client.py:153-236): the forecast API is
+    parameterized by forecast_days, not an end date — sources/weather.py:
+    fetch_hourly_forecast/forecast_frame derive the [start, start+days*24h)
+    window and align to the full spine. The fake fetcher SKIPS hours where
+    (key + h) % 7 == 3; the checked per-location counts prove (a) the
+    window is exactly forecast_days*24 spine hours, and (b) skipped hours
+    surface as NULL metrics (counted as gaps), never as missing rows."""
+    from ..sources.weather import fetch_hourly_forecast, forecast_frame
+    locs = _weather_locations(spark, sf_dir)
+    obs = fetch_hourly_forecast(locs, _WEATHER_START, forecast_days=2,
+                                fetcher=_weather_fake_gappy)
+    frame = forecast_frame(locs, obs, _WEATHER_START, forecast_days=2)
+    return (frame.groupBy("loc_id")
+            .agg(F.count("*").alias("n_hours"),
+                 F.count("temperature_2m").alias("n_obs"),
+                 (F.count("*") - F.count("temperature_2m")).alias("n_gaps")))
+
+
+ORACLE_WEATHER_FORECAST_WINDOW = """
+SELECT n_name AS loc_id, CAST(COUNT(*) AS BIGINT) AS n_hours,
+       CAST(SUM(CASE WHEN (n_nationkey + t.h) % 7 <> 3 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_obs,
+       CAST(SUM(CASE WHEN (n_nationkey + t.h) % 7 = 3 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_gaps
+FROM nation CROSS JOIN range(0, 48) t(h)
+GROUP BY 1
+"""
+
+
 def q_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustered layout (io.write_zordered — the Delta/Iceberg
     OPTIMIZE ZORDER equivalent in stock Spark) proven as a query: write
@@ -701,6 +835,10 @@ CONNECTOR_QUERIES = [
              _scraper_longform_oracle(), "S2,T6,O2"),
     QueryDef("box_scores_schedule", q_box_scores_schedule,
              _box_scores_oracle(), "S8,S9"),
+    QueryDef("weather_unit_convert", q_weather_unit_convert,
+             ORACLE_WEATHER_UNIT_CONVERT, "S7-units,T13"),
+    QueryDef("weather_forecast_window", q_weather_forecast_window,
+             ORACLE_WEATHER_FORECAST_WINDOW, "S7-forecast,T14"),
     QueryDef("multimodal_decode", q_multimodal_decode,
              ORACLE_MULTIMODAL_DECODE, "LLM-multimodal-udf"),
     QueryDef("multimodal_frame_sample", q_multimodal_frame_sample,
@@ -709,6 +847,9 @@ CONNECTOR_QUERIES = [
              ORACLE_MULTIMODAL_RESIZE, "LLM-multimodal-resize"),
     QueryDef("compact_roundtrip", q_compact_roundtrip,
              ORACLE_COMPACT_ROUNDTRIP, "S5+S6: small-file compaction"),
+    QueryDef("compact_multifile", q_compact_multifile,
+             ORACLE_COMPACT_ROUNDTRIP,
+             "S5+S6: salted N-file-per-partition compaction"),
     QueryDef("schema_evolution_read", q_schema_evolution_read,
              ORACLE_SCHEMA_EVOLUTION, "S4: mergeSchema evolution read"),
 ]

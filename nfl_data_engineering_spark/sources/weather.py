@@ -99,6 +99,77 @@ def fetch_hourly_observations(locations: DataFrame, start: str, end: str,
             .mapInPandas(run, OBS_SCHEMA))
 
 
+# Unit conversion (weather_client.py:45-56 historical, :173-183 forecast):
+# the reference threads temperature_unit / wind_speed_unit /
+# precipitation_unit through to the API; here the connector stores the
+# Open-Meteo NATIVE units (celsius, km/h, mm) canonically and converts at
+# the edge with row-local arithmetic — one stored table serves every unit
+# request instead of one fetch per unit combination.
+_KMH_PER_MPH = 1.609344
+_MM_PER_INCH = 25.4
+
+
+def convert_units(df: DataFrame,
+                  temperature_unit: str = "fahrenheit",
+                  wind_speed_unit: str = "mph",
+                  precipitation_unit: str = "inch") -> DataFrame:
+    """Convert the metric columns in place (same column names, requested
+    units — the reference's API contract). Accepted values mirror the
+    reference's defaults: temperature 'celsius'|'fahrenheit', wind
+    'kmh'|'mph', precipitation 'mm'|'inch'. Pure builtin column
+    arithmetic — codegen'd, no UDF, identical cost to a projection."""
+    out = df
+    if temperature_unit == "fahrenheit":
+        for c in ("temperature_2m",):
+            if c in out.columns:
+                out = out.withColumn(c, F.col(c) * 9.0 / 5.0 + 32.0)
+    elif temperature_unit != "celsius":
+        raise ValueError(f"unknown temperature_unit {temperature_unit!r}")
+    if wind_speed_unit == "mph":
+        if "windspeed_10m" in out.columns:
+            out = out.withColumn("windspeed_10m",
+                                 F.col("windspeed_10m") / _KMH_PER_MPH)
+    elif wind_speed_unit != "kmh":
+        raise ValueError(f"unknown wind_speed_unit {wind_speed_unit!r}")
+    if precipitation_unit == "inch":
+        if "precipitation" in out.columns:
+            out = out.withColumn("precipitation",
+                                 F.col("precipitation") / _MM_PER_INCH)
+    elif precipitation_unit != "mm":
+        raise ValueError(f"unknown precipitation_unit {precipitation_unit!r}")
+    return out
+
+
+def forecast_window(start: str, forecast_days: int = 14) -> tuple[str, str]:
+    """The forecast request shape (weather_client.py:153-236): the window
+    is [start, start + forecast_days*24h), parameterized by day count
+    instead of an end date. ``start`` is explicit (the reference implies
+    'today'; an explicit anchor keeps runs reproducible)."""
+    import datetime as _dt
+    t0 = _dt.datetime.fromisoformat(start)
+    t1 = t0 + _dt.timedelta(days=forecast_days)
+    return start, t1.strftime("%Y-%m-%d %H:%M:%S")
+
+
+def fetch_hourly_forecast(locations: DataFrame, start: str,
+                          forecast_days: int = 14,
+                          fetcher: Fetcher | None = None,
+                          retries: int = RETRIES) -> DataFrame:
+    """Forecast twin of fetch_hourly_observations — same fan-out, window
+    derived from ``forecast_days`` (weather_client.py:153-236)."""
+    s, e = forecast_window(start, forecast_days)
+    return fetch_hourly_observations(locations, s, e,
+                                     fetcher=fetcher, retries=retries)
+
+
+def forecast_frame(locations: DataFrame, observations: DataFrame,
+                   start: str, forecast_days: int = 14) -> DataFrame:
+    """Spine-aligned forecast frame: every (loc, hour) in the forecast
+    window exactly once, API gaps as NULL metrics."""
+    s, e = forecast_window(start, forecast_days)
+    return hourly_frame(locations, observations, s, e)
+
+
 def hourly_frame(locations: DataFrame, observations: DataFrame,
                  start: str, end: str) -> DataFrame:
     """Align observations to the complete per-location hourly spine.

@@ -69,18 +69,49 @@ def write_partitioned_stream(df: DataFrame, out_dir: str, checkpoint_dir: str,
     return writer.start()
 
 
+ROCKSDB_PROVIDER = ("org.apache.spark.sql.execution.streaming."
+                    "state.RocksDBStateStoreProvider")
+
+
+def _have_protobuf() -> bool:
+    """transformWithState's Python state client speaks protobuf to the
+    JVM state server; the library is an optional pyspark dependency and
+    is not in this container."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
 def keep_latest_stream(stream: DataFrame, key_cols: list[str], ts_col: str,
                        value_cols: list[str],
-                       tiebreak_cols: list[str] | None = None) -> DataFrame:
+                       tiebreak_cols: list[str] | None = None,
+                       ttl_ms: int | None = None,
+                       engine: str = "auto") -> DataFrame:
     """Stateful keep-latest-per-key over a stream — the rankings upsert
     (team_rankings_data_collector.py:34-50) as a continuously-maintained
     state instead of a read-modify-write batch.
 
-    ``applyInPandasWithState``: per-key state holds the newest
-    (ts, tiebreaks, values) seen; each microbatch emits the key's current
-    latest row (update semantics). State is one tuple per key — size is
-    O(|keys|), independent of stream length. Pair with
-    ``writeStream.outputMode("update")``.
+    Per-key state holds the newest (ts, tiebreaks, values) seen; each
+    microbatch emits the key's current latest row (update semantics).
+    State is one tuple per key — size is O(|keys|), independent of stream
+    length. Pair with ``writeStream.outputMode("update")``.
+
+    ``engine`` picks the stateful API:
+
+    * ``'tws'`` — ``transformWithStateInPandas`` (the Spark 4.x successor
+      of applyInPandasWithState): RocksDB-backed ValueState (the provider
+      conf is set on the stream's session here — a per-query-start
+      runtime conf, so a bone-stock session works) and per-key TTL via
+      ``ttl_ms`` — bounded state WITHOUT assuming a bounded key count,
+      the knob the legacy API lacks. Requires the ``protobuf`` Python
+      package (state-server wire protocol).
+    * ``'apiws'`` — ``applyInPandasWithState``: same semantics minus TTL,
+      no extra dependency.
+    * ``'auto'`` (default) — 'tws' when protobuf imports, else 'apiws'.
+      In this container protobuf is absent, so 'auto' runs 'apiws'; both
+      code paths compute the identical update rule and share the oracle.
 
     ``tiebreak_cols`` pin a total order among rows sharing a timestamp
     (greatest tiebreak wins). Without one, a ts tie makes "latest"
@@ -89,7 +120,14 @@ def keep_latest_stream(stream: DataFrame, key_cols: list[str], ts_col: str,
     output so downstream selection can re-apply the same order.
     """
     import pandas as pd
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if engine == "auto":
+        engine = "tws" if _have_protobuf() else "apiws"
+    if engine not in ("tws", "apiws"):
+        raise ValueError(f"unknown engine {engine!r}")
+    if ttl_ms is not None and engine != "tws":
+        raise ValueError("ttl_ms requires engine='tws' "
+                         "(applyInPandasWithState has no per-key TTL)")
 
     tiebreaks = tiebreak_cols or []
     ord_cols = [ts_col, *tiebreaks]
@@ -101,23 +139,59 @@ def keep_latest_stream(stream: DataFrame, key_cols: list[str], ts_col: str,
         key_fields + [ts_field] + tb_fields + val_fields)
     state_schema = T.StructType([ts_field] + tb_fields + val_fields)
     n_ord = 1 + len(tiebreaks)
+    out_cols = [*key_cols, ts_col, *tiebreaks, *value_cols]
 
-    def fn(key: tuple, pdfs, state: GroupState):
-        best = tuple(state.get) if state.exists else None
+    def fold_batches(best, pdfs):
+        """The shared update rule: newest (ts, *tiebreaks) wins."""
         for pdf in pdfs:
             if pdf.empty:
                 continue
             local = pdf.sort_values(ord_cols, kind="mergesort").iloc[-1]
             cand = (local[ts_col].to_pydatetime(),
                     *[v.item() if hasattr(v, "item") else v
-                      for v in (local[c] for c in (*tiebreaks, *value_cols))])
+                      for v in (local[c] for c in (*tiebreaks,
+                                                   *value_cols))])
             if best is None or cand[:n_ord] > best[:n_ord]:
                 best = cand
+        return best
+
+    if engine == "tws":
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor, StatefulProcessorHandle)
+
+        class KeepLatest(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._latest = handle.getValueState(
+                    "latest", state_schema, ttlDurationMs=ttl_ms)
+
+            def handleInputRows(self, key, rows, timer_values):
+                best = tuple(self._latest.get()) \
+                    if self._latest.exists() else None
+                best = fold_batches(best, rows)
+                if best is not None:
+                    self._latest.update(best)
+                    yield pd.DataFrame([tuple(key) + best],
+                                       columns=out_cols)
+
+            def close(self) -> None:
+                pass
+
+        stream.sparkSession.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            ROCKSDB_PROVIDER)
+        time_mode = "ProcessingTime" if ttl_ms is not None else "None"
+        return (stream.groupBy(*key_cols)
+                .transformWithStateInPandas(KeepLatest(), out_schema,
+                                            "Update", time_mode))
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key: tuple, pdfs, state: GroupState):
+        best = fold_batches(tuple(state.get) if state.exists else None,
+                            pdfs)
         if best is not None:
             state.update(best)
-            yield pd.DataFrame([key + best],
-                               columns=[*key_cols, ts_col, *tiebreaks,
-                                        *value_cols])
+            yield pd.DataFrame([key + best], columns=out_cols)
 
     return (stream.groupBy(*key_cols)
             .applyInPandasWithState(fn, out_schema, state_schema,

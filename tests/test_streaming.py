@@ -124,6 +124,30 @@ def test_keep_latest_tiebreak_at_equal_ts(spark, tmp_path):
         assert hist[-1]["event_id"] == 2, tag
 
 
+def test_keep_latest_engine_gate(spark, tmp_path):
+    """Engine dispatch: 'auto' resolves by protobuf availability; invalid
+    engines and ttl-without-tws fail fast at plan time (not at query
+    start on an executor)."""
+    import pytest
+
+    from nfl_data_engineering_spark.streaming.ingest import _have_protobuf
+    src = str(tmp_path / "src")
+    _write_events_json(src, EVENTS)
+    stream = (read_event_stream(spark, src)
+              .selectExpr("user_id", "ts", "value"))
+    with pytest.raises(ValueError, match="unknown engine"):
+        keep_latest_stream(stream, ["user_id"], "ts", ["value"],
+                           engine="flink")
+    with pytest.raises(ValueError, match="ttl_ms requires"):
+        keep_latest_stream(stream, ["user_id"], "ts", ["value"],
+                           ttl_ms=1000, engine="apiws")
+    # in this container protobuf is absent -> auto must pick the legacy
+    # API and still build a valid streaming plan
+    assert not _have_protobuf()
+    df = keep_latest_stream(stream, ["user_id"], "ts", ["value"])
+    assert df.isStreaming
+
+
 def test_windowed_counts_stream(spark, tmp_path):
     src = str(tmp_path / "src")
     _write_events_json(src, EVENTS)

@@ -79,10 +79,14 @@ def test_compaction_salted_multi_file(spark, tmp_path):
     b = _batch(spark, [(i, f"v{i}", dt.datetime(2024, 6, 1 + i % 20))
                        for i in range(200)])
     upsert_partitioned(spark, b, path, key_cols=None)
+    before_rows = sorted(map(tuple, spark.read.parquet(path).collect()))
     compact_partitions(spark, path, target_files_per_partition=3)
     jun_dir = os.path.join(path, "year=2024", "month=6")
     assert 1 <= len(_parquet_files(jun_dir)) <= 3
-    assert spark.read.parquet(path).count() == 200
+    # content invariance, not just count: the salt column must not leak
+    # into the output and no row may be lost/duplicated/mutated
+    after_rows = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert before_rows == after_rows
 
 
 def test_bucketed_join_is_shuffle_free(spark):

@@ -18,7 +18,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from nfl_data_engineering_spark.sources.box_scores import (  # noqa: E402
     SCHEDULE_COLUMNS, season_schedules, write_schedule_csv)
 from nfl_data_engineering_spark.sources.weather import (  # noqa: E402
-    fetch_hourly_observations, hourly_frame)
+    convert_units, fetch_hourly_forecast, fetch_hourly_observations,
+    forecast_frame, forecast_window, hourly_frame)
 
 START, END = "2025-01-01 00:00:00", "2025-01-02 00:00:00"
 
@@ -103,6 +104,53 @@ def test_weather_default_fetcher_raises(spark):
     obs = fetch_hourly_observations(locs, START, END, fetcher=None, retries=1)
     with pytest.raises(Exception, match="NotImplementedError|fetcher"):
         obs.count()
+
+
+def test_convert_units_values_and_validation(spark):
+    locs = _mk_locations(spark).limit(1)
+    obs = fetch_hourly_observations(locs, START, END,
+                                    fetcher=_mk_fake_weather())
+    conv = convert_units(obs)  # defaults mirror the reference: F/mph/inch
+    r = conv.filter("hour(ts_utc) = 0").first()
+    assert r["temperature_2m"] == pytest.approx((39.7) * 9 / 5 + 32)
+    assert r["windspeed_10m"] == pytest.approx(10.0 / 1.609344)
+    assert r["precipitation"] == 0.0
+    # identity path: native units request changes nothing
+    same = convert_units(obs, "celsius", "kmh", "mm")
+    assert same.first()["windspeed_10m"] == 10.0
+    with pytest.raises(ValueError, match="temperature_unit"):
+        convert_units(obs, temperature_unit="kelvin")
+    with pytest.raises(ValueError, match="wind_speed_unit"):
+        convert_units(obs, wind_speed_unit="knots")
+    with pytest.raises(ValueError, match="precipitation_unit"):
+        convert_units(obs, precipitation_unit="cm")
+
+
+def test_forecast_window_shape_and_gap_nulls(spark):
+    assert forecast_window("2025-01-01 00:00:00", 2) == \
+        ("2025-01-01 00:00:00", "2025-01-03 00:00:00")
+
+    def gappy(lat, lon, start, end):
+        import pandas as pd
+        hours = pd.date_range(pd.Timestamp(start), pd.Timestamp(end),
+                              freq="1h", inclusive="left")
+        keep = [(ts, i) for i, ts in enumerate(hours) if i % 5 != 2]
+        return pd.DataFrame({
+            "ts_utc": [ts for ts, _ in keep],
+            "temperature_2m": [float(i) for _, i in keep],
+            "windspeed_10m": [1.0] * len(keep),
+            "precipitation": [0.0] * len(keep),
+        })
+
+    locs = _mk_locations(spark)
+    obs = fetch_hourly_forecast(locs, START, forecast_days=2, fetcher=gappy)
+    frame = forecast_frame(locs, obs, START, forecast_days=2)
+    rows = frame.collect()
+    assert len(rows) == 2 * 48            # days*24 spine hours per location
+    for loc in ("den", "gb"):
+        lrs = [r for r in rows if r["loc_id"] == loc]
+        gaps = [r for r in lrs if r["temperature_2m"] is None]
+        assert len(gaps) == sum(1 for i in range(48) if i % 5 == 2)
 
 
 def _mk_fake_schedule():
