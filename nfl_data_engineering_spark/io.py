@@ -126,31 +126,44 @@ def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
     w.saveAsTable(table)
 
 
-def morton_key(a, b, bits: int = 16):
-    """Z-order (Morton) key: interleave the low ``bits`` bits of two
-    non-negative integer columns into one clustering key. Pure builtin
-    bit ops (shiftleft/or) — codegen-friendly, no UDF. Columns are first
+def morton_key_multi(cols, bits: int = 8):
+    """Z-order (Morton) key over N columns: interleave the low ``bits``
+    bits of each non-negative integer column into one clustering key
+    (column j contributes bit i at position N*i + j). Pure builtin bit
+    ops (shiftleft/or) — codegen-friendly, no UDF. Columns are first
     clamped into [0, 2^bits) by masking; callers with arbitrary ranges
-    should rank/quantize first (see write_zordered)."""
+    should rank/quantize first (see write_zordered). N*bits must stay
+    under 63 (long key)."""
+    n = len(cols)
+    if n * bits > 62:
+        raise ValueError(f"{n} cols x {bits} bits exceeds the long z-key")
     mask = (1 << bits) - 1
-    a = (F.col(a) if isinstance(a, str) else a).cast("long").bitwiseAND(mask)
-    b = (F.col(b) if isinstance(b, str) else b).cast("long").bitwiseAND(mask)
+    cs = [(F.col(c) if isinstance(c, str) else c).cast("long")
+          .bitwiseAND(mask) for c in cols]
     z = F.lit(0).cast("long")
     for i in range(bits):
-        z = (z
-             .bitwiseOR(F.shiftleft(F.shiftright(a, i).bitwiseAND(1), 2 * i))
-             .bitwiseOR(F.shiftleft(F.shiftright(b, i).bitwiseAND(1),
-                                    2 * i + 1)))
+        for j, c in enumerate(cs):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(c, i).bitwiseAND(1), n * i + j))
     return z
+
+
+def morton_key(a, b, bits: int = 16):
+    """Two-column Morton key (a in even bit positions, b in odd)."""
+    return morton_key_multi([a, b], bits)
 
 
 def quantile_cells(col: str, cuts: list[float], bits: int = 8):
     """Map a numeric column to an equal-population cell in [0, 2^bits)
-    given quantile cut points: raw cell = #cuts <= value, via a builtin
-    higher-order filter over the (small, broadcast-as-literal) cut array.
-    Pure JVM expression — O(|cuts|) comparisons per row inside codegen, no
-    UDF, no window, no extra shuffle. NULLs land in cell 0 (the comparison
-    is null -> filtered out), deterministically.
+    given quantile cut points: raw cell = #cuts <= value, evaluated as a
+    BALANCED nested-when binary-search tree over the sorted distinct cut
+    points — O(log |cuts|) comparisons per row on the one taken branch,
+    whole-stage-codegen'd as nested if/else. (A higher-order
+    filter/aggregate over the cut array would be O(|cuts|) AND
+    interpreted per element — measured 5x slower than even the old
+    global-ntile layout at sf0.1; the same Catalyst-HOF trap SCALE.md
+    documents for the SRP sketch.) NULLs take every when's otherwise
+    branch and land in cell 0, deterministically.
 
     Low-cardinality columns yield few DISTINCT cuts; the raw cell index is
     stretched to the full [0, 2^bits) range so the column still occupies
@@ -158,20 +171,61 @@ def quantile_cells(col: str, cuts: list[float], bits: int = 8):
     value column would vary only in the low z bits and every z-range file
     would span its whole domain (no pruning on that column)."""
     uniq = sorted(set(cuts))
-    arr = F.array(*[F.lit(float(c)) for c in uniq])
     v = F.col(col).cast("double")
-    cell = F.size(F.filter(arr, lambda c: c <= v))
+
+    def tree(lo: int, hi: int):
+        # invariant: cuts[:lo] are known <= v, cuts[hi:] known > v;
+        # returns #cuts <= v as a literal once the range is empty
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        return (F.when(F.lit(float(uniq[mid])) <= v, tree(mid + 1, hi))
+                .otherwise(tree(lo, mid)))
+
+    cell = tree(0, len(uniq))
     n_cells = 1 << bits
     return (cell * (n_cells - 1) / max(len(uniq), 1)).cast("int")
 
 
-def write_zordered(df: DataFrame, path: str, col_a: str, col_b: str,
+def _quantile_cells_arrow(cuts: list[float], bits: int = 8):
+    """Arrow kernel twin of quantile_cells: numpy searchsorted over the
+    broadcast cut array — vectorized O(log |cuts|) per row, cost CONSTANT
+    in |cuts| (measured at sf0.1: 0.55 s for 600k rows at 255 cuts vs
+    3.2 s for the codegen when-tree, whose cost grows with tree SIZE).
+    Returns identical cells: side='right' == #cuts <= v, NaN/null -> raw
+    cell 0, same floor-scaling to [0, 2^bits). The expression form stays
+    available for SQL-only/no-Python contexts; the layout job defaults to
+    this kernel (same boundary SCALE.md documents for the SRP sketch —
+    Catalyst expression trees are the wrong tool for wide per-row
+    numerics)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    arr = np.array(sorted({float(c) for c in cuts}), dtype=np.float64)
+    m = max(len(arr), 1)
+    n_cells = 1 << bits
+
+    def cell(v):
+        x = v.to_numpy(dtype=np.float64, na_value=np.nan)
+        raw = np.searchsorted(arr, x, side="right")
+        raw[np.isnan(x)] = 0
+        return pd.Series((raw * (n_cells - 1) // m).astype(np.int32))
+
+    # real (non-string) annotations: this module's `from __future__ import
+    # annotations` would otherwise stringify hints and break inference
+    cell.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return pandas_udf(cell, "int")
+
+
+def write_zordered(df: DataFrame, path: str, *cols: str,
                    num_files: int = 32, bits: int = 8,
                    rel_err: float | None = None) -> None:
-    """Z-order-clustered parquet: co-locate rows that are close in BOTH
-    ``col_a`` and ``col_b`` so parquet row-group min/max stats prune scans
-    filtered on EITHER column (or both) — the multi-dimensional layout
-    single-column sorting can't give (sorting by a prunes a, scatters b).
+    """Z-order-clustered parquet: co-locate rows that are close in ALL of
+    ``cols`` (two or three hot filter columns) so parquet row-group
+    min/max stats prune scans filtered on ANY of them (or several) — the
+    multi-dimensional layout single-column sorting can't give (sorting by
+    a prunes a, scatters the rest).
 
     Each column is quantized to an equal-population cell in [0, 2^bits)
     using ``approxQuantile`` cut points — a distributed Greenwald-Khanna
@@ -181,32 +235,43 @@ def write_zordered(df: DataFrame, path: str, col_a: str, col_b: str,
     ranks are Morton-interleaved and the frame is range-partitioned +
     sorted by the z-key before writing. 2^bits cells per dimension only
     needs to comfortably exceed the file count for file-level pruning, so
-    the default 256 cells (65k z-cells) resolves layouts up to thousands
+    the default 256 cells per dimension resolves layouts up to thousands
     of files; the per-row cell mapping is an O(2^bits) codegen'd filter
     over the literal cut array, so keep bits <= ~10. The Delta/Iceberg
     OPTIMIZE ZORDER equivalent expressed with stock Spark.
     """
-    keyed = zorder_keyed(df, col_a, col_b, bits, rel_err)
+    keyed = zorder_keyed(df, list(cols), bits, rel_err)
     (keyed.repartitionByRange(num_files, F.col("__z"))
      .sortWithinPartitions("__z")
      .drop("__z")
      .write.mode("overwrite").parquet(path, compression="snappy"))
 
 
-def zorder_keyed(df: DataFrame, col_a: str, col_b: str, bits: int = 8,
+def zorder_keyed(df: DataFrame, cols: list[str], bits: int = 8,
                  rel_err: float | None = None) -> DataFrame:
     """The z-key derivation of write_zordered, exposed so tests can assert
     its plan shape (no Window, no single-partition exchange)."""
+    if len(cols) < 2:
+        raise ValueError("z-ordering needs at least two columns")
     n_cells = 1 << bits
     if rel_err is None:
         # half-a-cell rank error: cell boundaries may shift by ~0.5 cells
         # of population, which only blurs file edges, never correctness
         rel_err = 0.5 / n_cells
     probs = [i / n_cells for i in range(1, n_cells)]
-    cuts_a, cuts_b = df.stat.approxQuantile([col_a, col_b], probs, rel_err)
-    return df.withColumn(
-        "__z", morton_key(quantile_cells(col_a, cuts_a, bits),
-                          quantile_cells(col_b, cuts_b, bits), bits))
+    cuts = df.stat.approxQuantile(list(cols), probs, rel_err)
+    # cells come from the Arrow searchsorted kernel (see
+    # _quantile_cells_arrow for the measured numbers), materialized as
+    # their own columns BEFORE interleaving so the Morton expression
+    # references plain ints, not a duplicated kernel per bit
+    keyed, cell_cols = df, []
+    for idx, (c, cs) in enumerate(zip(cols, cuts)):
+        name = f"__zcell{idx}"
+        kern = _quantile_cells_arrow(cs, bits)
+        keyed = keyed.withColumn(name, kern(F.col(c).cast("double")))
+        cell_cols.append(name)
+    return (keyed.withColumn("__z", morton_key_multi(cell_cols, bits))
+            .drop(*cell_cols))
 
 
 def compact_partitions(spark: SparkSession, path: str,

@@ -1273,7 +1273,7 @@ TEXT_QUERIES = [
     QueryDef("dedup_survivor_table", q_dedup_survivor_table,
              ORACLE_SURVIVOR_TABLE, "LLM-dedup-survivors"),
     QueryDef("dedup_star_survivors", q_dedup_star_survivors,
-             ORACLE_STAR_SURVIVORS, "LLM-dedup-star-scale"),
+             ORACLE_STAR_SURVIVORS, "LLM-dedup-star-scale", bench=True),
     QueryDef("ngram_jaccard_pairs", q_ngram_jaccard_pairs, ORACLE_NGRAM_JACCARD, "LLM-dedup-jaccard"),
     QueryDef("dedup_simhash", q_dedup_simhash, ORACLE_SIMHASH, "LLM-dedup-simhash", bench=True),
     QueryDef("lang_id", q_lang_id, ORACLE_LANG_ID, "LLM-text-langid"),

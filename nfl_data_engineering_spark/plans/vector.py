@@ -985,7 +985,7 @@ VECTOR_QUERIES = [
     QueryDef("lsh_recall_audit", q_lsh_recall_audit, ORACLE_LSH_RECALL,
              "LLM-lsh-recall-audit"),
     QueryDef("ann_pq_topk", q_ann_pq_topk, ORACLE_ANN_PQ,
-             "LLM-sim-pq"),
+             "LLM-sim-pq", bench=True),
     QueryDef("kmeans_embeddings", q_kmeans_embeddings, _oracle_kmeans(),
              "LLM-cluster-kmeans", bench=True),
     QueryDef("embedding_int8_quant", q_embedding_int8_quant,

@@ -67,6 +67,10 @@ _BENCH_SET = {
     "kmeans_embeddings",
     "skew_join_salted", "interval_incident_join", "last_touch_attribution",
     "ks_drift",
+    # round-4 additions: the two heaviest catalog deliverables (flagship
+    # corpus dedup + PQ ANN) pinned so their scaling is tracked
+    # round-over-round (VERDICT r3 item 5)
+    "dedup_star_survivors", "ann_pq_topk",
 }
 
 

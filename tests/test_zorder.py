@@ -64,7 +64,7 @@ def test_zorder_key_plan_has_no_global_window(spark):
     old ntile ranking funneled the whole table through ONE task) and no
     SinglePartition exchange anywhere in the physical plan."""
     li = spark.read.parquet(os.path.join(SF, "lineitem.parquet"))
-    keyed = zorder_keyed(li, "l_partkey", "l_suppkey")
+    keyed = zorder_keyed(li, ["l_partkey", "l_suppkey"])
     plan = keyed._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, plan
     assert "SinglePartition" not in plan, plan
@@ -73,3 +73,26 @@ def test_zorder_key_plan_has_no_global_window(spark):
     import pyspark.sql.functions as F
     row = keyed.agg(F.min("__z"), F.max("__z")).collect()[0]
     assert 0 <= row[0] <= row[1] < (1 << 16)
+
+
+def test_zorder_three_columns_cluster_all_dims(spark, tmp_path):
+    """N-column layout: with three z-ordered columns, every file covers a
+    minority of EVERY column's range (a single-column sort would leave
+    two of the three at ~1.0)."""
+    li = spark.read.parquet(os.path.join(SF, "lineitem.parquet"))
+    out = str(tmp_path / "li_z3")
+    cols = ("l_partkey", "l_suppkey", "l_orderkey")
+    write_zordered(li, out, *cols, num_files=16)
+    back = spark.read.parquet(out)
+    assert back.count() == li.count()
+
+    spans = {}
+    for c in cols:
+        row = li.selectExpr(f"min({c}) a0", f"max({c}) a1").collect()[0]
+        spans[c] = (row["a1"] - row["a0"]) or 1
+    ranges = _file_ranges(out, cols)
+    assert len(ranges) > 4
+    for c in cols:
+        frac = sum((r[c][1] - r[c][0]) / spans[c]
+                   for r in ranges) / len(ranges)
+        assert frac < 0.75, (c, frac)
