@@ -50,10 +50,10 @@ _PRIORITY: list[str] = [
     # --- (b) new this round ---
     "spend_quartiles_cutoffs", "rfm_segmentation_cutoffs",
     "weather_unit_convert", "weather_forecast_window", "compact_multifile",
+    "incremental_corpus_dedup", "pq_recall_audit",
     # --- (c) re-verify after this round's code changes ---
     "upsert_roundtrip", "csv_roundtrip", "json_roundtrip", "orc_roundtrip",
     "xlsx_roundtrip", "streaming_keep_latest", "multimodal_decode",
-    "odds_flatten", "scraper_longform",
 ]
 
 assert not set(_PRIORITY) - {q.name for q in _ALL}, \

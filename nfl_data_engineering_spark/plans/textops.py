@@ -312,6 +312,97 @@ FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id
 """
 
 
+def q_incremental_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup — the steady-state shape of a 100 TB
+    corpus pipeline, where batches arrive against an ALREADY-deduped
+    corpus and the work must be O(incoming x matched), never a re-dedup
+    of the whole corpus. Existing corpus = doc_id % 4 != 0 (standing in
+    for the persisted fingerprint tables a real pipeline keeps); incoming
+    batch = doc_id % 4 == 0. Two layers, each an equi-join against
+    existing-side state only — no incoming-vs-incoming work at all:
+
+    1. EXACT: md5 content fingerprints of the existing corpus (the
+       persisted hash table), left-joined by hash.
+    2. NEAR: MinHash band keys, with candidates restricted to
+       (incoming band) x (existing band) — the LSH index IS the persisted
+       state; each candidate verified by exact shingle jaccard against
+       the matched existing doc only.
+
+    Verdict per incoming doc: 'exact_dup' (ref = min existing doc with
+    identical content), else 'near_dup' (ref = min existing doc passing
+    the jaccard gate), else 'new'. ref_doc_id = -1 for new docs (no
+    nullable-int dtype roulette across engines)."""
+    docs = load(spark, sf_dir, "documents")
+    is_inc = F.col("doc_id") % 4 == 0
+    ex_min = (docs.filter(~is_inc)
+              .groupBy(F.md5("text").alias("h"))
+              .agg(F.min("doc_id").alias("exact_ref")))
+    inc = docs.filter(is_inc).select("doc_id", F.md5("text").alias("h"))
+    sh = explode_shingle_hashes(docs, "doc_id", "text", n=3).cache()
+    bands = minhash_bands_fast(sh, "doc_id", "sh60", NUM_HASHES, NUM_BANDS,
+                               hashed=True)
+    bi = (bands.filter(F.col("doc_id") % 4 == 0)
+          .select(F.col("doc_id").alias("di"), "band", "band_key"))
+    be = (bands.filter(F.col("doc_id") % 4 != 0)
+          .select(F.col("doc_id").alias("de"), "band", "band_key"))
+    cand = bi.join(be, ["band", "band_key"]).select("di", "de").distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    s1 = sh.select(F.col("doc_id").alias("di"), "sh60")
+    s2 = sh.select(F.col("doc_id").alias("de"), "sh60")
+    inter = (cand.join(s1, "di").join(s2, ["de", "sh60"])
+             .groupBy("di", "de").agg(F.count("*").alias("i")))
+    jac = (F.col("i").cast("double")
+           / (F.col("sz1") + F.col("sz2") - F.col("i")).cast("double"))
+    near = (inter
+            .join(sizes.select(F.col("doc_id").alias("di"),
+                               F.col("sz").alias("sz1")), "di")
+            .join(sizes.select(F.col("doc_id").alias("de"),
+                               F.col("sz").alias("sz2")), "de")
+            .filter(jac >= JACCARD_THRESHOLD)
+            .groupBy("di").agg(F.min("de").alias("near_ref")))
+    status = (F.when(F.col("exact_ref").isNotNull(), F.lit("exact_dup"))
+              .when(F.col("near_ref").isNotNull(), F.lit("near_dup"))
+              .otherwise(F.lit("new")))
+    return (inc.join(ex_min, "h", "left")
+            .join(near.withColumnRenamed("di", "doc_id"), "doc_id", "left")
+            .select("doc_id", status.alias("status"),
+                    F.coalesce("exact_ref", "near_ref", F.lit(-1))
+                    .alias("ref_doc_id")))
+
+
+ORACLE_INCREMENTAL_DEDUP = f"""
+WITH {_SQL_MINHASH_BAND_CTES},
+exm AS (SELECT md5(text) AS h, MIN(doc_id) AS exact_ref
+        FROM documents WHERE doc_id % 4 <> 0 GROUP BY 1),
+inc AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 4 = 0),
+cand AS (
+  SELECT DISTINCT a.doc_id AS di, b.doc_id AS de
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id % 4 = 0 AND b.doc_id % 4 <> 0),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shh GROUP BY 1),
+inter AS (
+  SELECT c.di, c.de, COUNT(*) AS i
+  FROM cand c JOIN shh x ON x.doc_id = c.di
+  JOIN shh y ON y.doc_id = c.de AND y.sh60 = x.sh60
+  GROUP BY 1, 2),
+near AS (
+  SELECT di, MIN(de) AS near_ref
+  FROM inter
+  JOIN sizes s1 ON s1.doc_id = di
+  JOIN sizes s2 ON s2.doc_id = de
+  WHERE i::DOUBLE / (s1.sz + s2.sz - i)::DOUBLE >= {JACCARD_THRESHOLD}
+  GROUP BY 1)
+SELECT i.doc_id,
+       CASE WHEN e.exact_ref IS NOT NULL THEN 'exact_dup'
+            WHEN n.near_ref IS NOT NULL THEN 'near_dup'
+            ELSE 'new' END AS status,
+       COALESCE(e.exact_ref, n.near_ref, -1) AS ref_doc_id
+FROM inc i
+LEFT JOIN exm e ON e.h = i.h
+LEFT JOIN near n ON n.di = i.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Exact n-gram jaccard (no LSH) — correctness baseline for the LSH path
 # ---------------------------------------------------------------------------
@@ -1274,6 +1365,8 @@ TEXT_QUERIES = [
              ORACLE_SURVIVOR_TABLE, "LLM-dedup-survivors"),
     QueryDef("dedup_star_survivors", q_dedup_star_survivors,
              ORACLE_STAR_SURVIVORS, "LLM-dedup-star-scale", bench=True),
+    QueryDef("incremental_corpus_dedup", q_incremental_corpus_dedup,
+             ORACLE_INCREMENTAL_DEDUP, "LLM-dedup-incremental"),
     QueryDef("ngram_jaccard_pairs", q_ngram_jaccard_pairs, ORACLE_NGRAM_JACCARD, "LLM-dedup-jaccard"),
     QueryDef("dedup_simhash", q_dedup_simhash, ORACLE_SIMHASH, "LLM-dedup-simhash", bench=True),
     QueryDef("lang_id", q_lang_id, ORACLE_LANG_ID, "LLM-text-langid"),

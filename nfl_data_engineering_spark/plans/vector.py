@@ -658,8 +658,7 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("s") / 1e9, 6).alias("approx_dot")))
 
 
-ORACLE_ANN_PQ = f"""
-WITH u AS (
+_SQL_PQ_CTES = f"""u AS (
   SELECT label, vec_id, unnest(embedding) AS v,
          generate_subscripts(embedding, 1) AS d
   FROM embeddings),
@@ -698,17 +697,83 @@ adc AS (
            q.qv[cv.m * {PQ_SUBDIM} + 1 : cv.m * {PQ_SUBDIM} + {PQ_SUBDIM}],
            cv.csub) AS part
   FROM q CROSS JOIN cvec cv),
-scored AS (
+pq_scored AS (
   SELECT a.q_id, e.vec_id,
          SUM(CAST(ROUND(a.part * 1e9) AS BIGINT)) AS s
   FROM enc e JOIN adc a ON a.m = e.m AND a.code = e.code
   WHERE e.vec_id != a.q_id
   GROUP BY a.q_id, e.vec_id),
-r AS (SELECT *, row_number() OVER (PARTITION BY q_id
-                                   ORDER BY s DESC, vec_id) AS rank
-      FROM scored)
+pq_top AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY s DESC, vec_id) AS rank
+    FROM pq_scored)
+  WHERE rank <= {TOPK})"""
+
+ORACLE_ANN_PQ = f"""
+WITH {_SQL_PQ_CTES}
 SELECT q_id, vec_id, rank, ROUND(s / 1e9, 6) AS approx_dot
-FROM r WHERE rank <= {TOPK}
+FROM pq_top
+"""
+
+
+def q_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Honest-metrics audit for the PQ trade (the q_lsh_recall_audit
+    discipline applied to the second ANN family): per-query recall@k of
+    the ADC top-k against the EXACT inner-product top-k, in exact integer
+    ppm. PQ's 64x memory cut costs ranking fidelity through two
+    approximations (codebook quantization + per-subspace independence);
+    this entry MEASURES what that costs on the actual corpus instead of
+    assuming it. The exact side is the guarded brute-force baseline
+    (broadcast query set, linear scan — at 100 TB run it over a sample;
+    recall estimates compose); ground truth uses the same metric PQ
+    approximates (unnormalized dot), same self-exclusion, same
+    (score desc, vec_id) tie order."""
+    from ..functions.similarity import dot as _dot, guard_allpairs
+    emb = guard_allpairs(load(spark, sf_dir, "embeddings"),
+                         "pq_recall_audit exact side")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    pairs = (emb.crossJoin(F.broadcast(queries))
+             .filter(F.col("vec_id") != F.col("q_id")))
+    scored = pairs.select(
+        "q_id", "vec_id",
+        _dot(F.col("embedding"), F.col("q_vec")).alias("score"))
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), "vec_id")
+    exact = (scored.withColumn("rank", F.row_number().over(w))
+             .filter(F.col("rank") <= TOPK).select("q_id", "vec_id"))
+    pq = q_ann_pq_topk(spark, sf_dir).select("q_id", "vec_id")
+    hits = (exact.join(pq, ["q_id", "vec_id"])
+            .groupBy("q_id").agg(F.count("*").alias("nh")))
+    return (exact.groupBy("q_id").agg(F.count("*").alias("k"))
+            .join(hits, "q_id", "left")
+            .select("q_id", "k",
+                    F.coalesce("nh", F.lit(0)).alias("n_hits"),
+                    F.expr("coalesce(nh, 0) * 1000000 div k")
+                    .alias("recall_ppm")))
+
+
+ORACLE_PQ_RECALL = f"""
+WITH {_SQL_PQ_CTES},
+ex_s AS (
+  SELECT q.q_id, e.vec_id,
+         list_dot_product(e.embedding::DOUBLE[], q.qv) AS score
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.q_id),
+ex_top AS (
+  SELECT q_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY score DESC, vec_id) AS rank
+    FROM ex_s)
+  WHERE rank <= {TOPK}),
+hits AS (
+  SELECT e.q_id, COUNT(*) AS nh
+  FROM ex_top e JOIN pq_top p ON p.q_id = e.q_id AND p.vec_id = e.vec_id
+  GROUP BY 1)
+SELECT e.q_id, COUNT(*) AS k,
+       CAST(COALESCE(MAX(h.nh), 0) AS BIGINT) AS n_hits,
+       COALESCE(MAX(h.nh), 0) * 1000000 // COUNT(*) AS recall_ppm
+FROM ex_top e LEFT JOIN hits h ON h.q_id = e.q_id
+GROUP BY e.q_id
 """
 
 
@@ -986,6 +1051,8 @@ VECTOR_QUERIES = [
              "LLM-lsh-recall-audit"),
     QueryDef("ann_pq_topk", q_ann_pq_topk, ORACLE_ANN_PQ,
              "LLM-sim-pq", bench=True),
+    QueryDef("pq_recall_audit", q_pq_recall_audit, ORACLE_PQ_RECALL,
+             "LLM-sim-pq-recall"),
     QueryDef("kmeans_embeddings", q_kmeans_embeddings, _oracle_kmeans(),
              "LLM-cluster-kmeans", bench=True),
     QueryDef("embedding_int8_quant", q_embedding_int8_quant,
