@@ -24,7 +24,15 @@ ALLOW_NESTED_LOOP = {"cosine_neardup_pairs", "embedding_topk", "ann_ivf_topk",
                      # kmeans broadcasts the K=8-row centroid table per
                      # assignment pass; pmi broadcasts two 1-row corpus
                      # totals — both O(n) in the fact side at any scale
-                     "kmeans_embeddings", "pmi_collocations"}
+                     "kmeans_embeddings", "pmi_collocations",
+                     # 1-row broadcast frames by construction: the A/B
+                     # readout crosses two 1-row variant aggregates; the
+                     # percentile-cutoff twins cross the per-customer
+                     # aggregate with ONE broadcast cutoff row; the PQ
+                     # recall audit's exact side broadcasts the bounded
+                     # N_QUERIES query set (the guarded brute baseline)
+                     "ab_test_report", "spend_quartiles_cutoffs",
+                     "rfm_segmentation_cutoffs", "pq_recall_audit"}
 
 JOIN_RE = re.compile(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
                      r"BroadcastNestedLoopJoin|CartesianProduct)")
