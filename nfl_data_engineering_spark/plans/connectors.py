@@ -815,11 +815,65 @@ WHERE l_partkey <= b.pk_hi AND l_suppkey <= b.sk_hi
 """
 
 
+def q_zorder_pruning_3col(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-column z-order layout proven as a query (morton_key_multi —
+    the 'two or three hottest filter columns' contract delivered for
+    three): lineitem clustered on (l_partkey, l_suppkey, l_orderkey),
+    read back through a THREE-sided box predicate, aggregated. The oracle
+    runs the identical box on the source table — hash equality proves the
+    N-column layout job is still a pure reorganization. File-level
+    3-dimensional clustering (every file spans a minority of all three
+    ranges) is asserted in tests/test_zorder.py; the box bounds are
+    literal-pushed like the 2-col twin."""
+    from ..io import write_zordered
+    path = _tmp_path("zorder3", sf_dir)
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice")
+    write_zordered(li, path, "l_partkey", "l_suppkey", "l_orderkey",
+                   num_files=16)
+    b = li.agg(F.min("l_partkey").alias("p0"), F.max("l_partkey").alias("p1"),
+               F.min("l_suppkey").alias("s0"), F.max("l_suppkey").alias("s1"),
+               F.min("l_orderkey").alias("o0"),
+               F.max("l_orderkey").alias("o1")).collect()[0]
+    pk_hi = b["p0"] + (b["p1"] - b["p0"]) / 4.0
+    sk_hi = b["s0"] + (b["s1"] - b["s0"]) / 4.0
+    ok_hi = b["o0"] + (b["o1"] - b["o0"]) / 4.0
+    back = spark.read.parquet(path)
+    sel = back.filter((F.col("l_partkey") <= F.lit(pk_hi))
+                      & (F.col("l_suppkey") <= F.lit(sk_hi))
+                      & (F.col("l_orderkey") <= F.lit(ok_hi)))
+    return sel.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+         .alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+         .alias("sum_price"))
+
+
+ORACLE_ZORDER_PRUNING_3COL = """
+WITH b AS (
+  SELECT MIN(l_partkey) + (MAX(l_partkey) - MIN(l_partkey)) / 4.0 AS pk_hi,
+         MIN(l_suppkey) + (MAX(l_suppkey) - MIN(l_suppkey)) / 4.0 AS sk_hi,
+         MIN(l_orderkey) + (MAX(l_orderkey) - MIN(l_orderkey)) / 4.0 AS ok_hi
+  FROM lineitem)
+SELECT COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price
+FROM lineitem CROSS JOIN b
+WHERE l_partkey <= b.pk_hi AND l_suppkey <= b.sk_hi
+  AND l_orderkey <= b.ok_hi
+"""
+
+
 CONNECTOR_QUERIES = [
     QueryDef("upsert_roundtrip", q_upsert_roundtrip, ORACLE_UPSERT_ROUNDTRIP,
              "S4,S5,S6,A1,A2", bench=True),
     QueryDef("zorder_pruning", q_zorder_pruning, ORACLE_ZORDER_PRUNING,
              "S5-zorder,T11"),
+    QueryDef("zorder_pruning_3col", q_zorder_pruning_3col,
+             ORACLE_ZORDER_PRUNING_3COL, "S5-zorder-3col,T11"),
     QueryDef("csv_roundtrip", q_csv_roundtrip, ORACLE_CSV_ROUNDTRIP, "S9"),
     QueryDef("json_roundtrip", q_json_roundtrip, ORACLE_JSON_ROUNDTRIP, "S1-sink"),
     QueryDef("orc_roundtrip", q_orc_roundtrip, ORACLE_ORC_ROUNDTRIP, "S5-orc"),
