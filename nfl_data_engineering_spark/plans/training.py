@@ -767,6 +767,82 @@ WHERE doc_id = keep_id AND lang_pred != 'und'
 """
 
 
+def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-cleaning FUNNEL REPORT next to q_corpus_filter's final
+    verdict: per-stage attrition (n_in / n_dropped / n_out) through the
+    ordered pipeline exact-dedup -> language-id -> quality -> repetition —
+    the C4-style table every corpus build publishes so reviewers can see
+    WHERE documents die, not just how many survive. Each doc is assigned
+    its FIRST failing stage row-locally (same proven signal expressions as
+    q_corpus_filter), one tiny conditional aggregate produces the drop
+    counts, and the 4-row report unstacks from that single row — one scan,
+    one 1-row shuffle, at any corpus size."""
+    from ..functions.text import lang_id
+    from .textops import _quality_scaled_cols
+    docs = load(spark, sf_dir, "documents")
+    scaled = _quality_scaled_cols(docs)
+    keep_w = Window.partitionBy(F.md5("text"))
+    staged = scaled.select(
+        "doc_id", "score_ppm", "rep_ppm",
+        F.min("doc_id").over(keep_w).alias("keep_id"),
+        lang_id(F.col("text")).alias("lang_pred"))
+    fail = (F.when(F.col("doc_id") != F.col("keep_id"), 1)
+            .when(F.col("lang_pred") == "und", 2)
+            .when(F.col("score_ppm") < 500000, 3)
+            .when(F.col("rep_ppm") > 500000, 4)
+            .otherwise(0))
+    agg = staged.select(fail.alias("f")).agg(
+        F.count("*").alias("n_total"),
+        *[F.sum(F.when(F.col("f") == i, 1).otherwise(0)).alias(f"d{i}")
+          for i in (1, 2, 3, 4)])
+    report = agg.selectExpr("""stack(4,
+        'exact_dedup',      n_total,                n_total - d1,
+        'lang_id',          n_total - d1,           n_total - d1 - d2,
+        'quality_score',    n_total - d1 - d2,      n_total - d1 - d2 - d3,
+        'repetition',       n_total - d1 - d2 - d3, n_total - d1 - d2 - d3 - d4
+        ) AS (stage, n_in, n_out)""")
+    return report.select("stage", "n_in", "n_out",
+                         (F.col("n_in") - F.col("n_out")).alias("n_dropped"))
+
+
+def _oracle_filter_funnel() -> str:
+    from .textops import SQL_QUALITY_SCALED, _LANG_PRED_CASE, _sql_lang_scores
+    return f"""
+WITH {SQL_QUALITY_SCALED},
+langed AS (
+  SELECT s.doc_id, s.score_ppm, s.rep_ppm,
+         MIN(s.doc_id) OVER (PARTITION BY md5(s.text)) AS keep_id,
+         {_LANG_PRED_CASE} AS lang_pred
+  FROM scaled s
+  JOIN (SELECT doc_id, {_sql_lang_scores()} FROM documents) l
+    ON l.doc_id = s.doc_id),
+f AS (
+  SELECT CASE WHEN doc_id != keep_id THEN 1
+              WHEN lang_pred = 'und' THEN 2
+              WHEN score_ppm < 500000 THEN 3
+              WHEN rep_ppm > 500000 THEN 4
+              ELSE 0 END AS f
+  FROM langed),
+agg AS (
+  SELECT COUNT(*) AS n_total,
+         CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+         CAST(SUM(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+         CAST(SUM(CASE WHEN f = 3 THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+         CAST(SUM(CASE WHEN f = 4 THEN 1 ELSE 0 END) AS BIGINT) AS d4
+  FROM f)
+SELECT 'exact_dedup' AS stage, n_total AS n_in, n_total - d1 AS n_out,
+       d1 AS n_dropped FROM agg
+UNION ALL
+SELECT 'lang_id', n_total - d1, n_total - d1 - d2, d2 FROM agg
+UNION ALL
+SELECT 'quality_score', n_total - d1 - d2, n_total - d1 - d2 - d3, d3
+FROM agg
+UNION ALL
+SELECT 'repetition', n_total - d1 - d2 - d3,
+       n_total - d1 - d2 - d3 - d4, d4 FROM agg
+"""
+
+
 MIX_RATES = {"src0": 100, "src1": 80, "src2": 60, "src3": 40, "src4": 20}
 MIX_DEFAULT_RATE = 50
 
@@ -1147,6 +1223,8 @@ TRAINING_QUERIES = [
              "LLM-collocations"),
     QueryDef("corpus_filter", q_corpus_filter, _oracle_corpus_filter(),
              "LLM-corpus-filter"),
+    QueryDef("filter_funnel", q_filter_funnel, _oracle_filter_funnel(),
+             "LLM-corpus-funnel"),
     QueryDef("source_mixture", q_source_mixture, _oracle_source_mixture(),
              "LLM-mixing"),
     QueryDef("temperature_mixing", q_temperature_mixing,

@@ -12,6 +12,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from nfl_data_engineering_spark.plans.textops import (  # noqa: E402
     q_incremental_corpus_dedup)
+from nfl_data_engineering_spark.plans.training import (  # noqa: E402
+    q_corpus_filter, q_filter_funnel)
 from nfl_data_engineering_spark.plans.vector import (  # noqa: E402
     N_QUERIES, TOPK, q_pq_recall_audit)
 
@@ -48,6 +50,21 @@ def test_incremental_dedup_verdicts_are_consistent(spark):
             assert r["ref_doc_id"] == min(matches)
         else:
             assert r["status"] != "exact_dup"
+
+
+def test_filter_funnel_is_a_consistent_pipeline(spark):
+    rows = {r["stage"]: r for r in q_filter_funnel(spark, SF).collect()}
+    assert list(rows) == ["exact_dedup", "lang_id", "quality_score",
+                         "repetition"] or len(rows) == 4
+    order = ["exact_dedup", "lang_id", "quality_score", "repetition"]
+    docs_n = (spark.read.parquet(os.path.join(SF, "documents.parquet"))
+              .count())
+    assert rows[order[0]]["n_in"] == docs_n
+    for a, b in zip(order, order[1:]):
+        assert rows[a]["n_out"] == rows[b]["n_in"]     # stages chain
+        assert rows[a]["n_in"] - rows[a]["n_dropped"] == rows[a]["n_out"]
+    # the funnel's final survivors == the composed filter's verdict
+    assert rows["repetition"]["n_out"] == q_corpus_filter(spark, SF).count()
 
 
 def test_pq_recall_audit_shape_and_bounds(spark):
