@@ -111,6 +111,47 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_streaming_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 OVERLAPPING sliding windows over a stream (window 1 day,
+    slide 12 h) next to the tumbling q_streaming_daily_rollup: every event
+    feeds window/slide = 2 open windows, the state pattern behind
+    '24 h metrics refreshed every 12 h' dashboards. Same availableNow
+    drain discipline — the stream consumes the full input then
+    terminates, so the result equals the batch semantics the oracle
+    computes: each event contributes to the two epoch-aligned 12 h-start
+    windows covering it (starts at floor(ts/12h)*12h − k*12h, k∈{0,1} —
+    always exactly two, no boundary filter needed). Watermark bounds
+    state to watermark + window per key either way; UTC pinned by
+    _event_stream so window.start wall-clock matches the oracle's naive
+    epoch arithmetic on any driver."""
+    agg = (_event_stream(spark, sf_dir)
+           .withWatermark("ts", "1 day")
+           .groupBy(F.window("ts", "1 day", "12 hours").alias("w"),
+                    "event_type")
+           .agg(F.count("*").alias("n"),
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                 .alias("sum_value")))
+    sink = "streaming_sliding_rollup_sink"
+    q = (agg.writeStream.format("memory").queryName(sink)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(sink)
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n", "sum_value"))
+
+
+ORACLE_STREAMING_SLIDING = """
+WITH k AS (SELECT unnest(generate_series(0, 1)) AS k)
+SELECT TIMESTAMP '1970-01-01'
+         + to_seconds((CAST(epoch(ts::TIMESTAMP) AS BIGINT) // 43200)
+                      * 43200 - k.k * 43200) AS window_start,
+       event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events CROSS JOIN k
+GROUP BY 1, 2
+"""
+
+
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet with the ts-type normalization
     every streaming entry needs (nanos-as-long conversion; NTZ -> session
@@ -1202,6 +1243,8 @@ TRAINING_QUERIES = [
              "T6,T7,T15"),
     QueryDef("streaming_daily_rollup", q_streaming_daily_rollup,
              ORACLE_STREAMING_DAILY, "S2.9-streaming", bench=True),
+    QueryDef("streaming_sliding_rollup", q_streaming_sliding_rollup,
+             ORACLE_STREAMING_SLIDING, "S2.9-streaming-sliding"),
     QueryDef("streaming_keep_latest", q_streaming_keep_latest,
              ORACLE_STREAMING_KEEP_LATEST, "S2.9-stateful,A2"),
     QueryDef("streaming_interval_join", q_streaming_interval_join,
