@@ -224,6 +224,36 @@ FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id
 """
 
 
+def _star_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket -> star edges (member -> bucket minimum, O(members) per
+    bucket) -> exact-jaccard verification against the representative.
+    Shared by the star survivor table and the cross-shard audit."""
+    from pyspark.sql import Window
+    docs = load(spark, sf_dir, "documents")
+    sh = explode_shingle_hashes(docs, "doc_id", "text", n=3).cache()
+    bands = minhash_bands_fast(sh, "doc_id", "sh60", NUM_HASHES, NUM_BANDS,
+                               hashed=True)
+    wmin = Window.partitionBy("band", "band_key")
+    star = (bands.withColumn("rep", F.min("doc_id").over(wmin))
+            .filter(F.col("doc_id") != F.col("rep"))
+            .select(F.col("rep").alias("d1"), F.col("doc_id").alias("d2"))
+            .distinct())
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    s1 = sh.select(F.col("doc_id").alias("d1"), "sh60")
+    s2 = sh.select(F.col("doc_id").alias("d2"), "sh60")
+    inter = (star.join(s1, "d1").join(s2, ["d2", "sh60"])
+             .groupBy("d1", "d2").agg(F.count("*").alias("i")))
+    jac = (F.col("i").cast("double")
+           / (F.col("sz1") + F.col("sz2") - F.col("i")).cast("double"))
+    return (inter
+            .join(sizes.select(F.col("doc_id").alias("d1"),
+                               F.col("sz").alias("sz1")), "d1")
+            .join(sizes.select(F.col("doc_id").alias("d2"),
+                               F.col("sz").alias("sz2")), "d2")
+            .filter(jac >= JACCARD_THRESHOLD)
+            .select("d1", "d2"))
+
+
 def q_dedup_star_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-scale near-dup survivor table WITHOUT pair enumeration — the
     shape that survives giant duplicate clusters. q_dedup_minhash_lsh's
@@ -244,30 +274,8 @@ def q_dedup_star_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: generalizes odds_data_collector.py:40-44 dedup the
     same way as A1/A2, at corpus scale."""
     from ..operators.dedup import connected_components
-    from pyspark.sql import Window
     docs = load(spark, sf_dir, "documents")
-    sh = explode_shingle_hashes(docs, "doc_id", "text", n=3).cache()
-    bands = minhash_bands_fast(sh, "doc_id", "sh60", NUM_HASHES, NUM_BANDS,
-                               hashed=True)
-    wmin = Window.partitionBy("band", "band_key")
-    star = (bands.withColumn("rep", F.min("doc_id").over(wmin))
-            .filter(F.col("doc_id") != F.col("rep"))
-            .select(F.col("rep").alias("d1"), F.col("doc_id").alias("d2"))
-            .distinct())
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    s1 = sh.select(F.col("doc_id").alias("d1"), "sh60")
-    s2 = sh.select(F.col("doc_id").alias("d2"), "sh60")
-    inter = (star.join(s1, "d1").join(s2, ["d2", "sh60"])
-             .groupBy("d1", "d2").agg(F.count("*").alias("i")))
-    jac = (F.col("i").cast("double")
-           / (F.col("sz1") + F.col("sz2") - F.col("i")).cast("double"))
-    verified = (inter
-                .join(sizes.select(F.col("doc_id").alias("d1"),
-                                   F.col("sz").alias("sz1")), "d1")
-                .join(sizes.select(F.col("doc_id").alias("d2"),
-                                   F.col("sz").alias("sz2")), "d2")
-                .filter(jac >= JACCARD_THRESHOLD)
-                .select("d1", "d2"))
+    verified = _star_verified_pairs(spark, sf_dir)
     labels = connected_components(verified, "d1", "d2")
     canon = F.coalesce(F.col("label"), F.col("doc_id"))
     return (docs.select("doc_id")
@@ -277,8 +285,7 @@ def q_dedup_star_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("is_survivor")))
 
 
-ORACLE_STAR_SURVIVORS = f"""
-WITH RECURSIVE {_SQL_MINHASH_BAND_CTES},
+_SQL_STAR_COMP_CTES = f"""{_SQL_MINHASH_BAND_CTES},
 star AS (
   SELECT DISTINCT d1, d2 FROM (
     SELECT MIN(doc_id) OVER (PARTITION BY band, band_key) AS d1,
@@ -303,12 +310,73 @@ r AS (
   SELECT n AS a, n AS b FROM nodes
   UNION
   SELECT r.a, bi.b FROM r JOIN bi ON r.b = bi.a),
-comp AS (SELECT a AS doc_id, MIN(b) AS component FROM r GROUP BY a)
+comp AS (SELECT a AS doc_id, MIN(b) AS component FROM r GROUP BY a)"""
+
+ORACLE_STAR_SURVIVORS = f"""
+WITH RECURSIVE {_SQL_STAR_COMP_CTES}
 SELECT d.doc_id,
        COALESCE(comp.component, d.doc_id) AS canonical_doc_id,
        CASE WHEN COALESCE(comp.component, d.doc_id) = d.doc_id
             THEN 1 ELSE 0 END AS is_survivor
 FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id
+"""
+
+
+def q_cross_shard_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does content-hash sharding SPLIT near-dup clusters across shards?
+    The audit that decides pipeline ordering: if a near-dup cluster spans
+    shards, per-shard dedup misses it — dedup must run before (or across)
+    the shard pack. Members of every multi-doc near-dup component (the
+    star-edge machinery shared with q_dedup_star_survivors) are joined to
+    their h60 % N_SHARDS shard (the exact q_shard_balance assignment);
+    the report counts clusters, clusters spanning >1 shard, and the split
+    rate in integer ppm. Near-dups have DIFFERENT text (different h60),
+    so content-hash sharding scatters them ~uniformly — expect a high
+    split rate; exact dups (identical text) co-shard by construction.
+    Measuring it turns 'run global dedup first' from folklore into a
+    number for this corpus."""
+    from ..functions.hashing import h60
+    from ..operators.dedup import connected_components
+    from .training import N_SHARDS
+    docs = load(spark, sf_dir, "documents")
+    labels = connected_components(_star_verified_pairs(spark, sf_dir),
+                                  "d1", "d2")
+    members = (labels.withColumnRenamed("n", "doc_id")
+               .join(docs.select(
+                   "doc_id",
+                   F.pmod(h60(F.col("text")), F.lit(N_SHARDS))
+                   .alias("shard")), "doc_id"))
+    per = (members.groupBy("label")
+           .agg(F.count("*").alias("n_docs"),
+                F.countDistinct("shard").alias("n_shards")))
+    return per.agg(
+        F.count("*").alias("n_clusters"),
+        F.sum((F.col("n_shards") > 1).cast("int")).cast("bigint")
+         .alias("n_split_clusters"),
+        F.expr("CASE WHEN count(*) > 0 THEN "
+               "sum(CAST(n_shards > 1 AS INT)) * 1000000 div count(*) END")
+         .alias("split_ppm"))
+
+
+def _oracle_cross_shard_audit() -> str:
+    from ..functions.hashing import h60_sql
+    from .training import N_SHARDS
+    h = h60_sql("text")
+    return f"""
+WITH RECURSIVE {_SQL_STAR_COMP_CTES},
+members AS (
+  SELECT comp.component, {h} % {N_SHARDS} AS shard
+  FROM comp JOIN documents d ON d.doc_id = comp.doc_id),
+per AS (
+  SELECT component, COUNT(*) AS n_docs, COUNT(DISTINCT shard) AS n_shards
+  FROM members GROUP BY 1)
+SELECT COUNT(*) AS n_clusters,
+       CAST(SUM(CASE WHEN n_shards > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_split_clusters,
+       CAST(CASE WHEN COUNT(*) > 0 THEN
+              SUM(CASE WHEN n_shards > 1 THEN 1 ELSE 0 END) * 1000000
+              // COUNT(*) END AS BIGINT) AS split_ppm
+FROM per
 """
 
 
@@ -1367,6 +1435,8 @@ TEXT_QUERIES = [
              ORACLE_STAR_SURVIVORS, "LLM-dedup-star-scale", bench=True),
     QueryDef("incremental_corpus_dedup", q_incremental_corpus_dedup,
              ORACLE_INCREMENTAL_DEDUP, "LLM-dedup-incremental"),
+    QueryDef("cross_shard_dedup_audit", q_cross_shard_dedup_audit,
+             _oracle_cross_shard_audit(), "LLM-dedup-shard-audit"),
     QueryDef("ngram_jaccard_pairs", q_ngram_jaccard_pairs, ORACLE_NGRAM_JACCARD, "LLM-dedup-jaccard"),
     QueryDef("dedup_simhash", q_dedup_simhash, ORACLE_SIMHASH, "LLM-dedup-simhash", bench=True),
     QueryDef("lang_id", q_lang_id, ORACLE_LANG_ID, "LLM-text-langid"),
