@@ -75,6 +75,28 @@ def test_zorder_key_plan_has_no_global_window(spark):
     assert 0 <= row[0] <= row[1] < (1 << 16)
 
 
+def test_expression_cells_equal_arrow_cells(spark):
+    """The codegen'd nested-when quantile_cells (the SQL-only/no-Python
+    alternative) must map every value to the SAME cell as the Arrow
+    searchsorted kernel the layout job ships — including nulls (cell 0)
+    and values below/above all cuts."""
+    import pyspark.sql.functions as F
+
+    from nfl_data_engineering_spark.io import (_quantile_cells_arrow,
+                                               quantile_cells)
+    li = (spark.read.parquet(os.path.join(SF, "lineitem.parquet"))
+          .select(F.col("l_partkey").cast("double").alias("v"))
+          .union(spark.sql("SELECT CAST(NULL AS DOUBLE)"))
+          .union(spark.sql("SELECT -1e18"))
+          .union(spark.sql("SELECT 1e18")))
+    cuts = li.stat.approxQuantile("v", [i / 64 for i in range(1, 64)],
+                                  0.5 / 64)
+    kern = _quantile_cells_arrow(cuts, bits=6)
+    both = li.select(quantile_cells("v", cuts, bits=6).alias("expr_cell"),
+                     kern(F.col("v")).alias("arrow_cell"))
+    assert both.filter("expr_cell IS DISTINCT FROM arrow_cell").count() == 0
+
+
 def test_zorder_three_columns_cluster_all_dims(spark, tmp_path):
     """N-column layout: with three z-ordered columns, every file covers a
     minority of EVERY column's range (a single-column sort would leave
