@@ -122,9 +122,15 @@ def lang_score(col: Column, lang: str) -> Column:
     return F.size(F.filter(col, lambda t: F.array_contains(markers, t)))
 
 
-def lang_id(text_col: Column) -> Column:
-    """Pick the language with the most marker hits; deterministic tie-break
-    on (score desc, code asc); 'und' when nothing matches."""
+def lang_id_expr(text_col: Column) -> Column:
+    """Expression form of lang_id (pure Catalyst, SQL-mirrorable 1:1):
+    pick the language with the most marker hits; deterministic tie-break
+    on (score desc, code asc); 'und' when nothing matches. Catalyst
+    evaluates the higher-order filters interpreted per element — 5 langs
+    x tokens x 8 markers per doc, measured 26.4 s for 50k docs — so the
+    default lang_id below is an Arrow kernel computing the identical
+    function (equality proven in tests/test_text_functions.py); this
+    form remains for SQL-only contexts."""
     toks = tokens(text_col)
     scored = F.array(*[
         F.struct(lang_score(toks, code).alias("score"),
@@ -133,6 +139,43 @@ def lang_id(text_col: Column) -> Column:
     max_score = F.array_max(F.transform(scored, lambda s: s.score))
     winner = F.array_min(F.filter(scored, lambda s: s.score == max_score).code)
     return F.when(max_score > 0, winner).otherwise(F.lit("und"))
+
+
+def lang_id(text_col: Column) -> Column:
+    """Marker-hit language id, Arrow-kernel evaluation (same function as
+    lang_id_expr: tokens = lower + split \\s+ + drop empties; score =
+    count of marker-word occurrences per language; winner = max score
+    with (score desc, code asc) tie-break; 'und' on zero hits or NULL
+    text). One vectorized pass with set lookups — ~50x the interpreted
+    higher-order-filter form on replica corpora (SCALE.md round 4)."""
+    import re
+
+    import pandas as pd
+
+    marker_sets = [(code, frozenset(LANG_MARKERS[code]))
+                   for code in sorted(LANG_MARKERS)]
+    ws = re.compile(r"\s+")
+
+    def kernel(s):
+        out = []
+        for text in s:
+            if text is None:
+                out.append("und")
+                continue
+            toks = [t for t in ws.split(text.lower()) if t]
+            best_code, best_score = "und", 0
+            for code, words in marker_sets:
+                sc = 0
+                for t in toks:
+                    if t in words:
+                        sc += 1
+                if sc > best_score:
+                    best_code, best_score = code, sc
+            out.append(best_code)
+        return pd.Series(out, dtype=object)
+
+    kernel.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return F.pandas_udf(kernel, "string")(text_col)
 
 
 def quality_features(text_col: Column) -> dict[str, Column]:

@@ -600,11 +600,12 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language heuristic per doc vs the labeled lang column."""
     docs = load(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", F.col("lang").alias("lang_actual"),
-        lang_id(F.col("text")).alias("lang_pred"),
-        F.when(lang_id(F.col("text")) == F.col("lang"), F.lit(1))
-         .otherwise(F.lit(0)).alias("is_match"))
+    pred = docs.select("doc_id", F.col("lang").alias("lang_actual"),
+                       lang_id(F.col("text")).alias("lang_pred"))
+    return pred.withColumn(
+        "is_match",
+        F.when(F.col("lang_pred") == F.col("lang_actual"), F.lit(1))
+         .otherwise(F.lit(0)))
 
 
 def _sql_lang_scores() -> str:

@@ -85,6 +85,24 @@ def test_lang_id_markers(spark):
     assert out[1] == "en" and out[2] == "es" and out[3] == "und"
 
 
+def test_lang_id_kernel_equals_expression_form(spark):
+    """The Arrow kernel and the Catalyst expression form must agree on
+    every document plus the edge rows (NULL text, empty, whitespace-only,
+    cross-language tie where the lowest code must win)."""
+    from nfl_data_engineering_spark.functions.text import lang_id_expr
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    edge = spark.createDataFrame(
+        [(1000001, None), (1000002, ""), (1000003, "   \t \n "),
+         (1000004, "la la"),          # es/fr tie -> 'es' (lowest code)
+         (1000005, "the el le der de5")],
+        "doc_id long, text string")
+    both = (docs.unionByName(edge)
+            .select(lang_id(F.col("text")).alias("k"),
+                    lang_id_expr(F.col("text")).alias("e")))
+    assert both.filter("k IS DISTINCT FROM e").count() == 0
+
+
 def test_udtf_expand_record(spark):
     # §2.8 UDTF surface: lateral table function, variable row expansion
     from nfl_data_engineering_spark.functions.udtfs import ExpandRecord
