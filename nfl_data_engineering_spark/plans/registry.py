@@ -50,10 +50,13 @@ _PRIORITY: list[str] = [
     # --- (b) new this round ---
     "spend_quartiles_cutoffs", "rfm_segmentation_cutoffs",
     "weather_unit_convert", "weather_forecast_window", "compact_multifile",
-    "incremental_corpus_dedup", "pq_recall_audit",
-    # --- (c) re-verify after this round's code changes ---
-    "upsert_roundtrip", "csv_roundtrip", "json_roundtrip", "orc_roundtrip",
-    "xlsx_roundtrip", "streaming_keep_latest", "multimodal_decode",
+    "incremental_corpus_dedup", "pq_recall_audit", "zorder_pruning_3col",
+    "filter_funnel", "streaming_sliding_rollup", "cross_shard_dedup_audit",
+    # --- (c) re-verify after this round's code changes: the partitioned
+    # upsert writer (pid-scoped tmp paths), the refactored streaming
+    # keep-latest fold, and lang_id's Arrow kernel (equality-proven vs the
+    # expression form, but a changed implementation earns a driver row)
+    "upsert_roundtrip", "streaming_keep_latest", "lang_id",
 ]
 
 assert not set(_PRIORITY) - {q.name for q in _ALL}, \
