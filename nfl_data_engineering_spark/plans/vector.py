@@ -380,7 +380,7 @@ def q_embedding_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("n").alias("max_vec_id")))
 
 
-def _srp_oracle() -> str:
+def _srp_band_ctes() -> str:
     # full SRP_MAX_BITS-wide plane matrix: plane j is srp_j in BOTH widths,
     # so indexing dv[band*bits + r + 1] with the SQL-computed bits hits the
     # exact planes the Spark side uses at that corpus size; surplus planes
@@ -413,7 +413,11 @@ bands AS (
   CROSS JOIN (SELECT unnest(generate_series(0, {SRP_BANDS - 1})) AS band) b
   CROSS JOIN (SELECT unnest(generate_series(0, {SRP_MAX_BITS - 1})) AS r) r
   WHERE r.r < p.bits
-  GROUP BY d.vec_id, b.band),
+  GROUP BY d.vec_id, b.band)"""
+
+
+def _srp_oracle() -> str:
+    return f"""{_srp_band_ctes()},
 cand AS (
   SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
   FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
@@ -445,6 +449,73 @@ r AS (
 comp AS (SELECT a AS vec_id, MIN(b) AS component FROM r GROUP BY a)
 SELECT component, COUNT(*) AS n_vecs, MAX(vec_id) AS max_vec_id
 FROM comp GROUP BY component
+"""
+
+
+def q_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine train/eval decontamination — the semantic twin of
+    the n-gram q_contamination_check: an eval example is contaminated
+    when a TRAIN vector sits within SRP_THRESHOLD cosine (paraphrase-level
+    leakage that n-gram overlap misses). Split by content id (vec_id % 5
+    == 0 -> eval). The scale shape is the incremental-dedup discipline
+    applied to vectors: ONE shared SRP sketch pass, candidates ONLY from
+    (eval band) x (train band) buckets — no eval-vs-eval or
+    train-vs-train work — then exact-cosine verification per candidate.
+    Output per eval vector: verified train-hit count, min matching train
+    id (-1 when clean), contamination flag."""
+    from ..functions.similarity import dot as _dot, l2norm
+    emb = load(spark, sf_dir, "embeddings")
+    bits = srp_bits(emb.count())
+    bands = _srp_bands(emb, bits).cache()
+    bt = (bands.filter(F.col("vec_id") % 5 == 0)
+          .select(F.col("vec_id").alias("vt"), "band", "band_key"))
+    btr = (bands.filter(F.col("vec_id") % 5 != 0)
+           .select(F.col("vec_id").alias("vr"), "band", "band_key"))
+    cand = bt.join(btr, ["band", "band_key"]).select("vt", "vr").distinct()
+    enorm = emb.select("vec_id", "embedding",
+                       l2norm(F.col("embedding")).alias("nrm"))
+    et = enorm.select(F.col("vec_id").alias("vt"),
+                      F.col("embedding").alias("e1"),
+                      F.col("nrm").alias("n1"))
+    er = enorm.select(F.col("vec_id").alias("vr"),
+                      F.col("embedding").alias("e2"),
+                      F.col("nrm").alias("n2"))
+    score = F.try_divide(_dot(F.col("e1"), F.col("e2")),
+                         F.col("n1") * F.col("n2"))
+    hits = (cand.join(et, "vt").join(er, "vr")
+            .filter(score >= SRP_THRESHOLD)
+            .groupBy("vt")
+            .agg(F.count("*").alias("nh"), F.min("vr").alias("ref")))
+    tests = emb.filter(F.col("vec_id") % 5 == 0).select("vec_id")
+    return (tests.join(hits.withColumnRenamed("vt", "vec_id"),
+                       "vec_id", "left")
+            .select("vec_id",
+                    F.coalesce("nh", F.lit(0)).alias("n_train_hits"),
+                    F.coalesce("ref", F.lit(-1)).alias("ref_vec_id"),
+                    F.col("nh").isNotNull().cast("int")
+                    .alias("is_contaminated")))
+
+
+def _oracle_semantic_contamination() -> str:
+    return f"""
+WITH {_srp_band_ctes()},
+cand AS (
+  SELECT DISTINCT a.vec_id AS vt, b.vec_id AS vr
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.vec_id % 5 = 0 AND b.vec_id % 5 <> 0),
+hits AS (
+  SELECT c.vt, COUNT(*) AS nh, MIN(c.vr) AS ref
+  FROM cand c
+  JOIN embeddings x ON x.vec_id = c.vt
+  JOIN embeddings y ON y.vec_id = c.vr
+  WHERE {SQL_COS.format(a='x.embedding', b='y.embedding')}
+        >= {SRP_THRESHOLD}
+  GROUP BY 1)
+SELECT e.vec_id, CAST(COALESCE(h.nh, 0) AS BIGINT) AS n_train_hits,
+       COALESCE(h.ref, -1) AS ref_vec_id,
+       CASE WHEN h.vt IS NOT NULL THEN 1 ELSE 0 END AS is_contaminated
+FROM embeddings e LEFT JOIN hits h ON h.vt = e.vec_id
+WHERE e.vec_id % 5 = 0
 """
 
 
@@ -1049,6 +1120,9 @@ VECTOR_QUERIES = [
              ORACLE_EMB_COMPONENTS, "LLM-dedup-cosine-components"),
     QueryDef("lsh_recall_audit", q_lsh_recall_audit, ORACLE_LSH_RECALL,
              "LLM-lsh-recall-audit"),
+    QueryDef("semantic_contamination", q_semantic_contamination,
+             _oracle_semantic_contamination(),
+             "LLM-decontamination-semantic"),
     QueryDef("ann_pq_topk", q_ann_pq_topk, ORACLE_ANN_PQ,
              "LLM-sim-pq", bench=True),
     QueryDef("pq_recall_audit", q_pq_recall_audit, ORACLE_PQ_RECALL,
