@@ -154,7 +154,12 @@ def lang_id(text_col: Column) -> Column:
 
     marker_sets = [(code, frozenset(LANG_MARKERS[code]))
                    for code in sorted(LANG_MARKERS)]
-    ws = re.compile(r"\s+")
+    # re.ASCII: Python's default \s is Unicode-wide (U+00A0, U+2028, ...)
+    # while Java's \s — the Spark expression form — is ASCII-only
+    # [ \t\n\x0B\f\r]; the ASCII flag makes both identical (tested with a
+    # U+00A0 row in test_text_functions.py). DuckDB's RE2 \s differs from
+    # Java only on \x0B — a character the corpus contract excludes.
+    ws = re.compile(r"\s+", re.ASCII)
 
     def kernel(s):
         out = []

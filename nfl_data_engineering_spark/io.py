@@ -162,8 +162,11 @@ def quantile_cells(col: str, cuts: list[float], bits: int = 8):
     filter/aggregate over the cut array would be O(|cuts|) AND
     interpreted per element — measured 5x slower than even the old
     global-ntile layout at sf0.1; the same Catalyst-HOF trap SCALE.md
-    documents for the SRP sketch.) NULLs take every when's otherwise
-    branch and land in cell 0, deterministically.
+    documents for the SRP sketch.) NULL and NaN land in cell 0 via an
+    explicit guard: Arrow's pandas conversion collapses null and NaN
+    into one NaN, so cell(NULL) == cell(NaN) is forced — and without
+    the guard Spark's NaN-is-greatest SQL ordering would send NaN to
+    the TOP cell here while the kernel sent it to 0.
 
     Low-cardinality columns yield few DISTINCT cuts; the raw cell index is
     stretched to the full [0, 2^bits) range so the column still occupies
@@ -182,7 +185,8 @@ def quantile_cells(col: str, cuts: list[float], bits: int = 8):
         return (F.when(F.lit(float(uniq[mid])) <= v, tree(mid + 1, hi))
                 .otherwise(tree(lo, mid)))
 
-    cell = tree(0, len(uniq))
+    cell = F.when(v.isNull() | F.isnan(v), F.lit(0)) \
+        .otherwise(tree(0, len(uniq)))
     n_cells = 1 << bits
     return (cell * (n_cells - 1) / max(len(uniq), 1)).cast("int")
 
@@ -236,9 +240,10 @@ def write_zordered(df: DataFrame, path: str, *cols: str,
     sorted by the z-key before writing. 2^bits cells per dimension only
     needs to comfortably exceed the file count for file-level pruning, so
     the default 256 cells per dimension resolves layouts up to thousands
-    of files; the per-row cell mapping is an O(2^bits) codegen'd filter
-    over the literal cut array, so keep bits <= ~10. The Delta/Iceberg
-    OPTIMIZE ZORDER equivalent expressed with stock Spark.
+    of files; the per-row cell mapping is the Arrow searchsorted kernel
+    (cost constant in the cut count — see _quantile_cells_arrow), and the
+    real bits ceiling is the Morton key's N*bits <= 62 long budget. The
+    Delta/Iceberg OPTIMIZE ZORDER equivalent expressed with stock Spark.
     """
     keyed = zorder_keyed(df, list(cols), bits, rel_err)
     (keyed.repartitionByRange(num_files, F.col("__z"))

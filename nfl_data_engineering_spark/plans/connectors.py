@@ -32,9 +32,27 @@ def _tmp_path(tag: str, sf_dir: str) -> str:
     # pid-scoped like lakeops' dirs: bench + parity harnesses run these
     # entries concurrently, and write-then-read sequences (overwrite/append)
     # interleaved across processes would yield mixed files and wrong counts.
+    # Each path self-registers for removal at process exit — pid scoping
+    # means every process writes fresh table copies, which would otherwise
+    # accumulate in /tmp without bound across harness runs. (Removing only
+    # OUR pid's dirs is what keeps this race-free: another process's live
+    # dir is never touched.)
     h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    return os.path.join(tempfile.gettempdir(),
+    path = os.path.join(tempfile.gettempdir(),
                         f"spark_graft_{tag}_{h}_{os.getpid()}")
+    _register_cleanup(path)
+    return path
+
+
+_CLEANUP_REGISTERED: set[str] = set()
+
+
+def _register_cleanup(path: str) -> None:
+    import atexit
+    import shutil
+    if path not in _CLEANUP_REGISTERED:
+        _CLEANUP_REGISTERED.add(path)
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------
@@ -368,8 +386,10 @@ def q_odds_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     from ..sources.datasource import register_odds_source
-    payload_dir = os.path.join(tempfile.gettempdir(),
-                               "spark_graft_odds_payloads")
+    # pid-scoped like _tmp_path: the rmtree+rewrite below racing another
+    # process's in-flight glob/read on a shared dir is exactly the
+    # cross-process corruption the pid tag exists to prevent
+    payload_dir = _tmp_path("odds_payloads", sf_dir)
     # recreate from scratch: the reader globs every *.json in the dir, so
     # a stale payload from an older revision would silently become extra
     # input partitions
@@ -432,7 +452,7 @@ def q_box_scores_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pdf[list(reversed(pdf.columns.tolist()))]
 
     sched = season_schedules(spark, _BOX_YEARS, fetcher=fetcher)
-    path = os.path.join(tempfile.gettempdir(), "spark_graft_box_scores_csv")
+    path = _tmp_path("box_scores_csv", sf_dir)
     write_schedule_csv(sched, path)
     back = (spark.read.schema(SCHEDULE_SCHEMA)
             .option("header", True).csv(path))

@@ -37,6 +37,16 @@ from .base import QueryDef, cents, dec as _dec, load
 _BUCKETS = 8
 
 
+def _pid_tmp(base_name: str) -> str:
+    """pid-scoped tmp dir registered for removal at process exit (same
+    growth-bounding as connectors._tmp_path: each process writes fresh
+    copies; only OUR pid's dirs are removed, so it stays race-free)."""
+    from .connectors import _register_cleanup
+    path = os.path.join(tempfile.gettempdir(), base_name)
+    _register_cleanup(path)
+    return path
+
+
 def q_bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucket both join sides by l_orderkey/o_orderkey at write time
     (bucketBy -> saveAsTable), then join the bucketed tables: Catalyst
@@ -53,7 +63,7 @@ def q_bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev_t, ord_t = f"graft_bkt_rev_{tag}", f"graft_bkt_ord_{tag}"
     # explicit external paths: the driver's session keeps its default
     # (cwd-relative) warehouse, so managed tables would land in cwd
-    base = os.path.join(tempfile.gettempdir(), f"spark_graft_bkt_{tag}")
+    base = _pid_tmp(f"spark_graft_bkt_{tag}")
 
     rev = (load(spark, sf_dir, "lineitem")
            .groupBy("l_orderkey")
@@ -495,7 +505,7 @@ def q_streaming_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .training import _event_stream
     tag = (hashlib.md5(sf_dir.encode()).hexdigest()[:8]
            + f"_{os.getpid()}")
-    base = os.path.join(tempfile.gettempdir(), f"spark_graft_supsert_{tag}")
+    base = _pid_tmp(f"spark_graft_supsert_{tag}")
     table = os.path.join(base, "table")
     ckpt = os.path.join(base, "ckpt")
     q = upsert_stream(_event_stream(spark, sf_dir), table, ckpt,
@@ -946,7 +956,10 @@ def q_rfm_segmentation_cutoffs(spark: SparkSession, sf_dir: str) -> DataFrame:
     populations which need a total order. Score orientation matches the
     ntile twin: r_score 1 = most recent, f_score 1 = most orders,
     m_score 1 = top spend. Cross-engine exactness: rank-exact GK sketch
-    at accuracy >> N == DuckDB quantile_disc (both ceil(p*N))."""
+    at accuracy >> N == DuckDB quantile_disc (both ceil(p*N)); accuracy
+    adapts to the customer count (max(1e6, 10*N) via a bounded scalar
+    probe — see q_spend_quartiles_cutoffs for the sketch-bound-scale
+    note)."""
     orders = load(spark, sf_dir, "orders")
     per_cust = (orders.groupBy("o_custkey")
                 .agg(F.datediff(F.lit("1998-12-31").cast("date"),
@@ -955,7 +968,7 @@ def q_rfm_segmentation_cutoffs(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.count("*").alias("n_orders"),
                      F.sum(cents("o_totalprice")).alias("spend_c")))
     probs = F.array(*[F.lit(p) for p in (0.2, 0.4, 0.6, 0.8)])
-    acc = F.lit(1_000_000)
+    acc = F.lit(max(1_000_000, 10 * per_cust.count()))
     cuts = per_cust.agg(
         F.percentile_approx("recency_days", probs, acc).alias("rc"),
         F.percentile_approx("n_orders", probs, acc).alias("fc"),
@@ -1103,8 +1116,7 @@ def q_streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.ingest import deduped_stream
     tag = (hashlib.md5(sf_dir.encode()).hexdigest()[:8]
            + f"_{os.getpid()}")
-    dup_dir = os.path.join(tempfile.gettempdir(),
-                           f"spark_graft_dupstream_{tag}")
+    dup_dir = _pid_tmp(f"spark_graft_dupstream_{tag}")
     shutil.rmtree(dup_dir, ignore_errors=True)
     os.makedirs(dup_dir)
     src = os.path.join(sf_dir, "events.parquet")

@@ -26,12 +26,15 @@ _ALL: list[QueryDef] = [*RELATIONAL_QUERIES, *TEXT_QUERIES,
 # (a) the 36 entries with no driver-green row after rounds 1-3 (all are
 #     local-parity green at sf0.001/0.01/0.1 — rounds 1-3 cumulative
 #     driver-green is 142/178 of the round-3 catalog; this closes it);
-# (b) the 5 entries added this round (percentile-cutoff segmentation
-#     twins, weather unit/forecast parity, salted multifile compaction);
-# (c) 9 re-verifies: entries whose code changed this round — the
-#     pid-scoped _tmp_path connectors and the refactored streaming
-#     keep-latest fold — plus multimodal_decode/odds_flatten as
-#     connector-surface canaries.
+# (b) the 12 entries added this round (percentile-cutoff segmentation
+#     twins, weather unit/forecast parity, salted multifile compaction,
+#     incremental dedup, PQ recall, 3-col z-order, filter funnel,
+#     sliding rollup, cross-shard audit, semantic contamination);
+# (c) 2 re-verifies: the partitioned upsert writer (pid-scoped tmp
+#     paths) and the refactored streaming keep-latest fold. lang_id's
+#     Arrow kernel is equality-proven against the expression form and
+#     parity-green at three SFs + EST; its driver row rotates in next
+#     round.
 # Names absent from this list keep catalog order after it.
 _PRIORITY: list[str] = [
     # --- (a) never driver-checked ---
@@ -52,11 +55,9 @@ _PRIORITY: list[str] = [
     "weather_unit_convert", "weather_forecast_window", "compact_multifile",
     "incremental_corpus_dedup", "pq_recall_audit", "zorder_pruning_3col",
     "filter_funnel", "streaming_sliding_rollup", "cross_shard_dedup_audit",
-    # --- (c) re-verify after this round's code changes: the partitioned
-    # upsert writer (pid-scoped tmp paths), the refactored streaming
-    # keep-latest fold, and lang_id's Arrow kernel (equality-proven vs the
-    # expression form, but a changed implementation earns a driver row)
-    "upsert_roundtrip", "streaming_keep_latest", "lang_id",
+    "semantic_contamination",
+    # --- (c) re-verify after this round's code changes ---
+    "upsert_roundtrip", "streaming_keep_latest",
 ]
 
 assert not set(_PRIORITY) - {q.name for q in _ALL}, \

@@ -1178,14 +1178,21 @@ def q_spend_quartiles_cutoffs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism across engines: at accuracy >> N the Greenwald-Khanna
     sketch is rank-exact and Spark's percentile_approx returns the value
     at rank ceil(p*N) — the same convention as DuckDB's quantile_disc
-    (verified empirically, including tie blocks). All money stays in
-    integer cents (rule 7); the mean is an integer floor division."""
+    (verified empirically, including tie blocks). Accuracy ADAPTS to the
+    customer count (max(1e6, 10*N), a bounded scalar probe) so
+    rank-exactness doesn't silently expire when N crosses the fixed
+    accuracy; at genuinely sketch-bound scale (N beyond the accuracy
+    memory budget) pin a fixed accuracy and accept half-a-cell boundary
+    blur — value-based bucketing stays deterministic, only the cut
+    placement blurs. All money stays in integer cents (rule 7); the mean
+    is an integer floor division."""
     o = load(spark, sf_dir, "orders")
     spend = (o.groupBy("o_custkey")
              .agg(F.sum(cents("o_totalprice")).alias("spend_c")))
     probs = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    acc = F.lit(max(1_000_000, 10 * spend.count()))
     cuts = spend.agg(
-        F.percentile_approx("spend_c", probs, F.lit(1_000_000)).alias("c")
+        F.percentile_approx("spend_c", probs, acc).alias("c")
     ).select(F.col("c")[0].alias("c25"), F.col("c")[1].alias("c50"),
              F.col("c")[2].alias("c75"))
     scored = spend.crossJoin(F.broadcast(cuts)).select(

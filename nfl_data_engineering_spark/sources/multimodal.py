@@ -77,7 +77,9 @@ def resize_images(docs: DataFrame, width: int, height: int,
     character indexing coincide, which keeps the plane re-derivable by a
     SQL oracle on any text (multi-byte or empty) even where the SQL
     engine's string functions are character-based. 'auto' = real when
-    Pillow imports, else fake."""
+    Pillow imports, else fake; unknown values raise."""
+    if codec not in ("fake", "real", "auto"):
+        raise ValueError(f"unknown codec {codec!r}")
     use_real = codec == "real" or (codec == "auto" and _have_pillow())
 
     def run_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -134,12 +136,19 @@ def sample_frames(docs: DataFrame, every_ms: int = 250,
     per-frame hash — md5(payload || '#' || ts) — so the whole pipeline
     (Arrow batches in, per-frame fan-out, narrow rows out) is exercised
     and oracle-checkable in any environment, with or without pyav
-    installed; 'real' = decode via pyav (raises ImportError when absent);
-    'auto' = real when pyav imports, else fake. The catalog entry pins
-    codec='fake' so installing the optional dependency can never change
-    or break the checked result."""
+    installed; 'real' = decode via pyav (ImportError when the lib is
+    absent; the decoder body itself is not wired in this container —
+    NotImplementedError); 'auto' = real when pyav imports, else fake.
+    Unknown codec values raise (same contract as weather convert_units —
+    a typo must not silently produce fake hashes labeled as decoded
+    frames). The catalog entry pins codec='fake' so installing the
+    optional dependency can never change or break the checked result."""
+    if codec not in ("fake", "real", "auto"):
+        raise ValueError(f"unknown codec {codec!r}")
     use_real = codec == "real" or (codec == "auto" and _have_av())
     if use_real:  # pragma: no cover - codec not in this container
+        if not _have_av():
+            raise ImportError("codec='real' requires the pyav package")
         raise NotImplementedError(
             "real frame decoder not wired in this container (pyav): same "
             "fan-out, frame_hash = md5 of decoded frame bytes)")

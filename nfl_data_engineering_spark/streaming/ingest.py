@@ -101,12 +101,18 @@ def keep_latest_stream(stream: DataFrame, key_cols: list[str], ts_col: str,
     ``engine`` picks the stateful API:
 
     * ``'tws'`` — ``transformWithStateInPandas`` (the Spark 4.x successor
-      of applyInPandasWithState): RocksDB-backed ValueState (the provider
-      conf is set on the stream's session here — a per-query-start
-      runtime conf, so a bone-stock session works) and per-key TTL via
-      ``ttl_ms`` — bounded state WITHOUT assuming a bounded key count,
-      the knob the legacy API lacks. Requires the ``protobuf`` Python
-      package (state-server wire protocol).
+      of applyInPandasWithState): RocksDB-backed ValueState and per-key
+      TTL via ``ttl_ms`` — bounded state WITHOUT assuming a bounded key
+      count, the knob the legacy API lacks. Requires the ``protobuf``
+      Python package (state-server wire protocol). CAUTION: selecting
+      'tws' sets ``spark.sql.streaming.stateStore.providerClass`` to
+      RocksDB on the stream's SESSION (queries read it at start), and
+      the setting stays for every streaming query started afterwards —
+      in particular an unrelated query RESTARTING from an existing
+      HDFS-backed checkpoint would come up under the wrong provider.
+      Sessions mixing state-store providers across queries must manage
+      the conf around each query start themselves; the set below is
+      skipped when a provider is already explicitly configured.
     * ``'apiws'`` — ``applyInPandasWithState``: same semantics minus TTL,
       no extra dependency.
     * ``'auto'`` (default) — 'tws' when protobuf imports, else 'apiws'.
@@ -176,9 +182,15 @@ def keep_latest_stream(stream: DataFrame, key_cols: list[str], ts_col: str,
             def close(self) -> None:
                 pass
 
-        stream.sparkSession.conf.set(
-            "spark.sql.streaming.stateStore.providerClass",
-            ROCKSDB_PROVIDER)
+        # default-or-HDFS provider -> switch to RocksDB (transformWithState
+        # requires it; a session still on the default hasn't chosen); a
+        # session that explicitly configured some OTHER provider keeps its
+        # choice (see the docstring CAUTION on conf persistence)
+        sess = stream.sparkSession
+        key = "spark.sql.streaming.stateStore.providerClass"
+        cur = sess.conf.get(key, "") or ""
+        if cur == "" or cur.endswith("HDFSBackedStateStoreProvider"):
+            sess.conf.set(key, ROCKSDB_PROVIDER)
         time_mode = "ProcessingTime" if ttl_ms is not None else "None"
         return (stream.groupBy(*key_cols)
                 .transformWithStateInPandas(KeepLatest(), out_schema,

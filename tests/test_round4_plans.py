@@ -54,9 +54,8 @@ def test_incremental_dedup_verdicts_are_consistent(spark):
 
 def test_filter_funnel_is_a_consistent_pipeline(spark):
     rows = {r["stage"]: r for r in q_filter_funnel(spark, SF).collect()}
-    assert list(rows) == ["exact_dedup", "lang_id", "quality_score",
-                         "repetition"] or len(rows) == 4
     order = ["exact_dedup", "lang_id", "quality_score", "repetition"]
+    assert sorted(rows) == sorted(order)
     docs_n = (spark.read.parquet(os.path.join(SF, "documents.parquet"))
               .count())
     assert rows[order[0]]["n_in"] == docs_n

@@ -95,7 +95,11 @@ def test_lang_id_kernel_equals_expression_form(spark):
     edge = spark.createDataFrame(
         [(1000001, None), (1000002, ""), (1000003, "   \t \n "),
          (1000004, "la la"),          # es/fr tie -> 'es' (lowest code)
-         (1000005, "the el le der de5")],
+         (1000005, "the el le der de5"),
+         # U+00A0 (NBSP) is \s in Python's Unicode default but NOT in
+         # Java's ASCII \s: both forms must treat 'le\xa0le' as ONE
+         # (non-marker) token, scoring only the trailing 'la'
+         (1000006, "le\u00a0le la")],
         "doc_id long, text string")
     both = (docs.unionByName(edge)
             .select(lang_id(F.col("text")).alias("k"),

@@ -87,6 +87,7 @@ def test_expression_cells_equal_arrow_cells(spark):
     li = (spark.read.parquet(os.path.join(SF, "lineitem.parquet"))
           .select(F.col("l_partkey").cast("double").alias("v"))
           .union(spark.sql("SELECT CAST(NULL AS DOUBLE)"))
+          .union(spark.sql("SELECT CAST('NaN' AS DOUBLE)"))
           .union(spark.sql("SELECT -1e18"))
           .union(spark.sql("SELECT 1e18")))
     cuts = li.stat.approxQuantile("v", [i / 64 for i in range(1, 64)],
