@@ -653,6 +653,93 @@ SELECT node AS event_type, rank_ppb FROM r{_PR_ITERS}
 
 
 # ---------------------------------------------------------------------------
+# Triangle counting on the co-purchase graph (degree-oriented wedge join)
+# ---------------------------------------------------------------------------
+
+_TRI_MIN_SUPPORT = 2
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting on the co-purchase affinity graph —
+    the clustering-coefficient / community-density primitive next to
+    q_pagerank_event_graph's centrality. Nodes are parts; an edge joins
+    two parts co-occurring in >= _TRI_MIN_SUPPORT distinct orders (the
+    same a-priori support prefilter as q_basket_pair_rules — the knob
+    that keeps edge density bounded as the order log grows toward
+    100 TB; the raw >=1 graph densifies toward a clique and triangle
+    counts stop meaning anything).
+
+    Scale shape is the degree-oriented wedge join (the Cohen / MapReduce
+    triangle algorithm, and what GraphFrames' motif plan compiles to):
+    every edge is oriented from its lower-(degree, id) endpoint to the
+    higher, wedges are enumerated only at each triangle's LOWEST apex,
+    and the closing edge is a semi-join back against the oriented edge
+    list. Orientation caps per-node out-degree at O(sqrt(m)), so the
+    wedge join is O(m^1.5) worst-case instead of the naive
+    sum-of-degrees-squared — the difference between a skewed hub node
+    exploding the join and a bounded fan-out. All equi-joins, no
+    driver-side graph state; the oracle counts the same triangles from
+    the canonical id-ordered three-way self-join (orientation is a
+    counting-invariant permutation, so the two formulations must agree
+    exactly)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    op = (li.alias("a").join(li.alias("b"), "l_orderkey")
+          .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+          .select(F.col("a.l_partkey").alias("u"),
+                  F.col("b.l_partkey").alias("v"),
+                  "l_orderkey")
+          .distinct())
+    edges = (op.groupBy("u", "v").agg(F.count("*").alias("supp"))
+             .filter(F.col("supp") >= _TRI_MIN_SUPPORT)
+             .select("u", "v"))
+    deg = (edges.select(F.col("u").alias("node"))
+           .unionAll(edges.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count("*").alias("d")))
+    e = (edges
+         .join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")),
+               "u")
+         .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")),
+               "v"))
+    lo_first = ((F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))))
+    oriented = e.select(
+        F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(lo_first, F.col("dv")).otherwise(F.col("du")).alias("ddst"))
+    w1 = oriented.select("src", F.col("dst").alias("x"),
+                         F.col("ddst").alias("dx"))
+    w2 = oriented.select("src", F.col("dst").alias("y"),
+                         F.col("ddst").alias("dy"))
+    wedges = (w1.join(w2, "src")
+              .filter((F.col("dx") < F.col("dy"))
+                      | ((F.col("dx") == F.col("dy"))
+                         & (F.col("x") < F.col("y"))))
+              .select(F.col("x").alias("src"), F.col("y").alias("dst")))
+    tri = wedges.join(oriented.select("src", "dst"),
+                      ["src", "dst"], "left_semi")
+    return (deg.agg(F.count("*").alias("n_nodes"))
+            .crossJoin(edges.agg(F.count("*").alias("n_edges")))
+            .crossJoin(tri.agg(F.count("*").alias("n_triangles"))))
+
+
+ORACLE_TRIANGLE_COUNT = f"""
+WITH op AS (
+  SELECT DISTINCT a.l_orderkey AS ok, a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey),
+e AS (SELECT u, v FROM op GROUP BY u, v
+      HAVING COUNT(*) >= {_TRI_MIN_SUPPORT}),
+nodes AS (SELECT DISTINCT node
+          FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e))
+SELECT (SELECT COUNT(*) FROM nodes) AS n_nodes,
+       (SELECT COUNT(*) FROM e) AS n_edges,
+       (SELECT COUNT(*) FROM e e1
+          JOIN e e2 ON e2.u = e1.v
+          JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles
+"""
+
+
+# ---------------------------------------------------------------------------
 # Period-over-period revenue bridge (volume / rate decomposition)
 # ---------------------------------------------------------------------------
 
@@ -1246,4 +1333,6 @@ LAKEOPS_QUERIES = [
              "A5+X1: hash-assigned A/B Welch readout"),
     QueryDef("revenue_bridge", q_revenue_bridge, ORACLE_REVENUE_BRIDGE,
              "A5+U2: period-over-period revenue bridge"),
+    QueryDef("triangle_count", q_triangle_count, ORACLE_TRIANGLE_COUNT,
+             "A-iter: degree-oriented triangle counting"),
 ]

@@ -327,30 +327,15 @@ FROM g GROUP BY user_id, sid
 BPE_STEPS = 3
 
 
-def q_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE merge training, the tokenizer-building inner loop, as iterative
-    relational ops: BPE_STEPS rounds of (count adjacent token pairs ->
-    pick the most frequent -> merge every non-overlapping occurrence
-    left-to-right). Word-level pairs here (the corpus is word soup); the
-    relational formulation is representation-agnostic.
-
-    The greedy left-to-right merge is NOT a sequential fold: a position
-    merges iff it starts the pair and — when left==right — sits at an
-    EVEN offset within its island of consecutive equal tokens
-    (gaps-and-islands + parity, e.g. 'a a a' -> [a_a, a]); a position is
-    consumed iff its predecessor merged. That window formulation is
-    expressed IDENTICALLY in Spark and the staged DuckDB oracle, so the
-    oracle checks the full iterative pipeline, not a proxy. Per round:
-    one pair-count shuffle + one window pass; the driver reads back only
-    the single best pair (a scalar, like the components convergence sum).
-    Lineage is checkpoint-truncated per round — the 100 TB shape for any
-    iterate-on-a-table loop. Tie-break on (count desc, pair asc) pins
-    the learned merge list on both engines."""
-    tok = (load(spark, sf_dir, "documents")
-           .select("doc_id", F.posexplode(tokens(F.col("text")))
-                   .alias("pos", "t")))
+def _bpe_loop(tok: DataFrame, steps: int):
+    """The shared BPE merge loop (see q_bpe_merge_train for the greedy
+    left-to-right-as-windows derivation). Returns the token table after
+    ``steps`` merge rounds plus the per-round (step, left, right,
+    n_merged) log. Both the trainer (which reports the log) and the
+    encoder (which reports the rewritten corpus) run THIS loop, so the
+    two catalog entries check the same dataflow from two angles."""
     out_rows = []
-    for step in range(1, BPE_STEPS + 1):
+    for step in range(1, steps + 1):
         wdoc = Window.partitionBy("doc_id").orderBy("pos")
         cur = tok.withColumn("nxt", F.lead("t").over(wdoc))
         top = (cur.filter(F.col("nxt").isNotNull())
@@ -361,7 +346,7 @@ def q_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             # no adjacent pairs anywhere (degenerate corpus): mirror the
             # oracle's empty-CTE scalar subqueries — NULL pair, 0 merges
             out_rows += [(s, None, None, 0)
-                         for s in range(step, BPE_STEPS + 1)]
+                         for s in range(step, steps + 1)]
             break
         a, b = top[0]["t"], top[0]["nxt"]
         # islands of consecutive equal tokens; parity gates left==right
@@ -385,8 +370,62 @@ def q_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                               F.concat_ws("_", F.lit(a), F.lit(b)))
                         .otherwise(F.col("t")).alias("t"))
                .localCheckpoint(eager=True))
+    return tok, out_rows
+
+
+def q_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge training, the tokenizer-building inner loop, as iterative
+    relational ops: BPE_STEPS rounds of (count adjacent token pairs ->
+    pick the most frequent -> merge every non-overlapping occurrence
+    left-to-right). Word-level pairs here (the corpus is word soup); the
+    relational formulation is representation-agnostic.
+
+    The greedy left-to-right merge is NOT a sequential fold: a position
+    merges iff it starts the pair and — when left==right — sits at an
+    EVEN offset within its island of consecutive equal tokens
+    (gaps-and-islands + parity, e.g. 'a a a' -> [a_a, a]); a position is
+    consumed iff its predecessor merged. That window formulation is
+    expressed IDENTICALLY in Spark and the staged DuckDB oracle, so the
+    oracle checks the full iterative pipeline, not a proxy. Per round:
+    one pair-count shuffle + one window pass; the driver reads back only
+    the single best pair (a scalar, like the components convergence sum).
+    Lineage is checkpoint-truncated per round — the 100 TB shape for any
+    iterate-on-a-table loop. Tie-break on (count desc, pair asc) pins
+    the learned merge list on both engines."""
+    tok = (load(spark, sf_dir, "documents")
+           .select("doc_id", F.posexplode(tokens(F.col("text")))
+                   .alias("pos", "t")))
+    _, out_rows = _bpe_loop(tok, BPE_STEPS)
     return spark.createDataFrame(
         out_rows, "step int, left_tok string, right_tok string, n_merged bigint")
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY — the other half of the BPE lifecycle: run the
+    trained merge list over the corpus and report each document's token
+    count before/after plus the integer-ppm compression ratio. Re-runs
+    the same _bpe_loop the trainer checks (merge list derivation + greedy
+    application are one dataflow), then aggregates the rewritten token
+    table per document — so this entry hash-verifies the ENCODED CORPUS
+    itself, not just the learned merges (a merge list can be right while
+    the application pass is off-by-one at island boundaries; counting the
+    surviving tokens per doc catches exactly that). At 100 TB the apply
+    pass is the dominant cost and shape: per-doc windows over the token
+    table, no cross-doc shuffle beyond the pair counts, checkpoint-
+    truncated lineage per round. Ratio is floor integer ppm (rule 7 —
+    no float division crosses the engine boundary)."""
+    base = (load(spark, sf_dir, "documents")
+            .select("doc_id", F.posexplode(tokens(F.col("text")))
+                    .alias("pos", "t")))
+    encoded, _ = _bpe_loop(base, BPE_STEPS)
+    n_before = base.groupBy("doc_id").agg(
+        F.count("*").alias("n_base_tokens"))
+    n_after = encoded.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"))
+    return (n_before.join(n_after, "doc_id")
+            .select("doc_id", "n_base_tokens", "n_tokens",
+                    F.expr("n_tokens * 1000000 div n_base_tokens")
+                     .alias("compression_ppm")))
 
 
 def _bpe_oracle() -> str:
@@ -429,10 +468,23 @@ t{q} AS (
             f"(SELECT b FROM b{q}) AS right_tok, "
             f"CAST((SELECT COUNT(*) FROM e{q} WHERE m) AS BIGINT) AS n_merged")
     return ("WITH " + ",\n".join(ctes) + "\n"
-            + "\nUNION ALL\n".join(selects))
+            + "\nUNION ALL\n".join(selects), ctes)
 
 
-ORACLE_BPE_MERGE_TRAIN = _bpe_oracle()
+def _bpe_encode_oracle(ctes: list[str]) -> str:
+    """Encode-side oracle: the SAME staged merge CTEs, but the final read
+    is the rewritten token table t{BPE_STEPS} aggregated per document
+    (before/after counts + floor-ppm compression)."""
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT b.doc_id, b.n_base_tokens, a.n_tokens,
+       a.n_tokens * 1000000 // b.n_base_tokens AS compression_ppm
+FROM (SELECT doc_id, COUNT(*) AS n_base_tokens FROM t0 GROUP BY 1) b
+JOIN (SELECT doc_id, COUNT(*) AS n_tokens FROM t{BPE_STEPS} GROUP BY 1) a
+  USING (doc_id)""")
+
+
+ORACLE_BPE_MERGE_TRAIN, _BPE_CTES = _bpe_oracle()
+ORACLE_BPE_ENCODE = _bpe_encode_oracle(_BPE_CTES)
 
 
 def q_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1274,6 +1326,8 @@ TRAINING_QUERIES = [
              ORACLE_TEMPERATURE_MIXING, "LLM-mixing-temperature"),
     QueryDef("bpe_merge_train", q_bpe_merge_train, ORACLE_BPE_MERGE_TRAIN,
              "LLM-bpe-train"),
+    QueryDef("bpe_encode", q_bpe_encode, ORACLE_BPE_ENCODE,
+             "LLM-bpe-apply"),
     QueryDef("sequence_packing", q_sequence_packing, ORACLE_SEQUENCE_PACKING,
              "LLM-seq-pack"),
 ]
