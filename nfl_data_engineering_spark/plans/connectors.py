@@ -640,6 +640,84 @@ FROM unioned GROUP BY 1
 """
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table time-travel diff — the Delta/Iceberg 'what changed between
+    snapshot v1 and v2' audit, on plain partitioned parquet (no table-
+    format lib in this container, so versions are Hive dirs v=1/v=2 and
+    the diff is computed relationally; a format's change-file metadata
+    would shortcut the join, the semantics are identical). Snapshot v2 is
+    derived from v1 by deterministic h60 gates (5% deleted, 5% price-
+    updated, 5% cloned under fresh keys — no RNG state, replayable by the
+    oracle). Both versions are WRITTEN through the engine's parquet sink
+    and read back through partition discovery (v prunes at the dir
+    level), so the checked path is storage-in-the-loop, like the other
+    connector entries. The diff itself is ONE full-outer join on the key
+    with per-key change classification + exact-integer-cents deltas —
+    at 100 TB both sides hash-partition on the key (one shuffle each) and
+    the unchanged mass never leaves its executor; with a real table
+    format the join reads only the changed files."""
+    from ..functions.hashing import h60
+    from .base import cents
+    path = _tmp_path("snapdiff", sf_dir)
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p"))
+    base = orders.withColumn(
+        "g", h60(F.concat(F.lit("snapv_"), F.col("k").cast("string"))) % 20)
+    v1 = base.select("k", "p")
+    v2 = (base.filter(F.col("g") != 0)
+          .select("k", F.when(F.col("g") == 1, F.col("p") + 10.0)
+                        .otherwise(F.col("p")).alias("p"))
+          .unionAll(base.filter(F.col("g") == 2)
+                    .select((F.col("k") + F.lit(1000000000)).alias("k"),
+                            "p")))
+    v1.write.mode("overwrite").parquet(os.path.join(path, "v=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(path, "v=2"))
+    snaps = spark.read.parquet(path)
+    s1 = (snaps.filter(F.col("v") == 1)
+          .select(F.col("k").alias("k1"), F.col("p").alias("p1")))
+    s2 = (snaps.filter(F.col("v") == 2)
+          .select(F.col("k").alias("k2"), F.col("p").alias("p2")))
+    d = (s1.join(s2, F.col("k1") == F.col("k2"), "full_outer")
+         .select(F.coalesce("k1", "k2").alias("k"),
+                 F.when(F.col("k1").isNull(), "added")
+                  .when(F.col("k2").isNull(), "deleted")
+                  .when(F.col("p1") != F.col("p2"), "updated")
+                  .otherwise("unchanged").alias("change_type"),
+                 (F.coalesce(cents(F.col("p2")), F.lit(0))
+                  - F.coalesce(cents(F.col("p1")), F.lit(0))).alias("dc")))
+    return (d.groupBy("change_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum("k").alias("key_sum"),
+                 F.sum("dc").alias("delta_cents")))
+
+
+ORACLE_SNAPSHOT_DIFF = """
+WITH g AS (
+  SELECT o_orderkey AS k, o_totalprice AS p,
+         (('0x' || substr(md5('snapv_' || CAST(o_orderkey AS VARCHAR)),
+                          1, 15))::BIGINT) % 20 AS g
+  FROM orders),
+v1 AS (SELECT k, p FROM g),
+v2 AS (SELECT k, CASE WHEN g = 1 THEN p + 10.0 ELSE p END AS p
+       FROM g WHERE g <> 0
+       UNION ALL
+       SELECT k + 1000000000, p FROM g WHERE g = 2),
+d AS (
+  SELECT COALESCE(a.k, b.k) AS k,
+         CASE WHEN a.k IS NULL THEN 'added'
+              WHEN b.k IS NULL THEN 'deleted'
+              WHEN a.p <> b.p THEN 'updated'
+              ELSE 'unchanged' END AS change_type,
+         COALESCE(CAST(round(b.p * 100) AS BIGINT), 0)
+           - COALESCE(CAST(round(a.p * 100) AS BIGINT), 0) AS dc
+  FROM v1 a FULL OUTER JOIN v2 b ON a.k = b.k)
+SELECT change_type, COUNT(*) AS n,
+       CAST(SUM(k) AS BIGINT) AS key_sum,
+       CAST(SUM(dc) AS BIGINT) AS delta_cents
+FROM d GROUP BY 1
+"""
+
+
 _RS_W, _RS_H = 64, 48
 
 
@@ -926,4 +1004,6 @@ CONNECTOR_QUERIES = [
              "S5+S6: salted N-file-per-partition compaction"),
     QueryDef("schema_evolution_read", q_schema_evolution_read,
              ORACLE_SCHEMA_EVOLUTION, "S4: mergeSchema evolution read"),
+    QueryDef("snapshot_diff", q_snapshot_diff, ORACLE_SNAPSHOT_DIFF,
+             "S4+S5+J2: snapshot time-travel diff"),
 ]

@@ -17,6 +17,7 @@ reproduces results bit-for-bit.
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
@@ -247,6 +248,85 @@ FROM events p JOIN events c
   ON c.user_id = p.user_id
  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
 WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""
+
+
+def q_streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 stream-stream LEFT OUTER interval join, run for real: the
+    click-attribution shape where purchases WITHOUT a preceding click
+    must still come out (null-padded) — the semantics inner joins silently
+    drop. Outer rows are special in streaming: Spark may only emit an
+    unmatched left row after the watermark proves no matching right row
+    can still arrive, so a finite drain leaves rows younger than the
+    final watermark stuck in state. This entry makes the flush
+    deterministic the production way — advancing the watermark past the
+    data — by staging the events file alongside a far-future flush
+    sentinel on both input branches (user_id -1, filtered from the
+    result); after the sentinel the no-data batch (SPARK-24156) evicts
+    and emits every remaining unmatched purchase. State stays bounded by
+    watermark + lookback per the inner-join analysis
+    (streaming/ingest.py:interval_join_streams); the oracle is the plain
+    batch LEFT JOIN over the single copy."""
+    import shutil
+    from datetime import timedelta
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..streaming.ingest import interval_join_streams
+    from .lakeops import _pid_tmp
+    tag = (hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+           + f"_{os.getpid()}")
+    src_dir = _pid_tmp(f"spark_graft_lojstream_{tag}")
+    shutil.rmtree(src_dir, ignore_errors=True)
+    os.makedirs(src_dir)
+    src = os.path.join(sf_dir, "events.parquet")
+    shutil.copy(src, os.path.join(src_dir, "aa_events.parquet"))
+    tbl = pq.read_table(src)
+    flush_ts = pc.max(tbl.column("ts")).as_py() + timedelta(days=30)
+    sent = pa.table(
+        {"event_id": [-1, -2], "ts": [flush_ts, flush_ts],
+         "user_id": [-1, -1], "event_type": ["purchase", "click"],
+         "value": [0.0, 0.0], "props": ["{}", "{}"]},
+        schema=tbl.schema.remove_metadata())
+    pq.write_table(sent, os.path.join(src_dir, "zz_flush.parquet"))
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(raw_schema).parquet(src_dir)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    purchases = (stream.filter(F.col("event_type") == "purchase")
+                 .select("user_id", "ts", "event_id"))
+    clicks = (stream.filter(F.col("event_type") == "click")
+              .select("user_id", "ts", "event_id"))
+    joined = interval_join_streams(purchases, clicks, key="user_id",
+                                   ts_col="ts", lookback="1 hour",
+                                   watermark="1 day", how="leftOuter")
+    sink = "streaming_left_outer_join_sink"
+    q = (joined.writeStream.format("memory").queryName(sink)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(sink).filter(F.col("user_id") >= 0)
+            .select("user_id", F.col("ts").alias("purchase_ts"),
+                    F.col("event_id").alias("purchase_event_id"),
+                    F.col("ts_r").alias("click_ts"),
+                    F.col("event_id_r").alias("click_event_id")))
+
+
+ORACLE_STREAMING_LEFT_OUTER_JOIN = """
+SELECT p.user_id, p.ts AS purchase_ts, p.event_id AS purchase_event_id,
+       c.ts AS click_ts, c.event_id AS click_event_id
+FROM events p LEFT JOIN events c
+  ON c.user_id = p.user_id AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+WHERE p.event_type = 'purchase'
 """
 
 
@@ -1301,6 +1381,9 @@ TRAINING_QUERIES = [
              ORACLE_STREAMING_KEEP_LATEST, "S2.9-stateful,A2"),
     QueryDef("streaming_interval_join", q_streaming_interval_join,
              ORACLE_STREAMING_INTERVAL_JOIN, "S2.9-stream-join,J3"),
+    QueryDef("streaming_left_outer_join", q_streaming_left_outer_join,
+             ORACLE_STREAMING_LEFT_OUTER_JOIN,
+             "S2.9-stream-outer-join,J3"),
     QueryDef("streaming_sessionization", q_streaming_sessionization,
              ORACLE_STREAMING_SESSIONIZATION, "S2.9-session-window"),
     QueryDef("stratified_sample", q_stratified_sample,

@@ -213,7 +213,8 @@ def keep_latest_stream(stream: DataFrame, key_cols: list[str], ts_col: str,
 def interval_join_streams(left: DataFrame, right: DataFrame,
                           key: str = "user_id", ts_col: str = "ts",
                           lookback: str = "1 hour",
-                          watermark: str = "1 day") -> DataFrame:
+                          watermark: str = "1 day",
+                          how: str = "inner") -> DataFrame:
     """Stream-stream interval join: pair each left event with the right
     events of the same key from the preceding ``lookback`` window — the
     streaming twin of the batch range join (plans/relational.py:
@@ -223,7 +224,15 @@ def interval_join_streams(left: DataFrame, right: DataFrame,
     event time to [left_ts - lookback, left_ts), so Spark can expire join
     state: each side's buffer holds at most watermark + lookback of data
     per key — bounded state, which is what makes this runnable forever at
-    100 TB/day. Right columns come back suffixed ``_r``."""
+    100 TB/day. Right columns come back suffixed ``_r``.
+
+    ``how='leftOuter'`` additionally emits each unmatched left row once,
+    null-padded — but only AFTER the watermark passes the row's join
+    window (Spark must prove no matching right row can still arrive
+    before declaring the left row unmatched). A finite drain therefore
+    only flushes the outer rows the final watermark has cleared; callers
+    wanting a complete flush must advance the watermark past the data
+    (e.g. a far-future sentinel row on both inputs)."""
     renamed = right.select(
         F.col(key).alias(f"{key}_r"), F.col(ts_col).alias(f"{ts_col}_r"),
         *[F.col(c).alias(f"{c}_r") for c in right.columns
@@ -233,7 +242,7 @@ def interval_join_streams(left: DataFrame, right: DataFrame,
     cond = ((F.col(key) == F.col(f"{key}_r"))
             & (F.col(f"{ts_col}_r") >= F.col(ts_col) - F.expr(f"INTERVAL {lookback}"))
             & (F.col(f"{ts_col}_r") < F.col(ts_col)))
-    return l.join(r, cond, "inner").drop(f"{key}_r")
+    return l.join(r, cond, how).drop(f"{key}_r")
 
 
 def windowed_counts_stream(stream: DataFrame, window: str = "1 hour",
