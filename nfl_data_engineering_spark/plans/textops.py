@@ -530,6 +530,70 @@ WHERE i::DOUBLE / (s1.sz + s2.sz - i)::DOUBLE >= 0.7
 """
 
 
+def q_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Honest-metrics audit for the MinHash family, completing the
+    measured-recall discipline across all three similarity sketches
+    (SRP cosine: q_lsh_recall_audit; PQ: q_pq_recall_audit): exact
+    all-pairs jaccard >= JACCARD_THRESHOLD (the shingle-keyed self-join
+    with the df cap, q_ngram_jaccard_pairs' machinery at the minhash
+    threshold) vs the 64-hash/16-band LSH pipeline's verified pairs, as
+    counts + recall in exact integer ppm. Verified LSH pairs pass the
+    same exact-jaccard filter, so they are a subset of truth and recall
+    = |lsh| / |exact|. The standard b/r S-curve puts pair-catch
+    probability at 1-(1-j^4)^16 (~99.8% at j=0.8), so recall_ppm should
+    sit near 1e6 — run this at any sf to validate a band configuration
+    before a corpus job; the exact side is the quadratic baseline, so
+    sample first at 100 TB (recall estimates compose)."""
+    docs = load(spark, sf_dir, "documents")
+    sh = explode_shingle_hashes(docs, "doc_id", "text", n=3).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    rare = (sh.groupBy("sh60").agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= NGRAM_DF_CAP).select("sh60"))
+    capped = sh.join(rare, "sh60")
+    s1 = capped.select(F.col("doc_id").alias("d1"), "sh60")
+    s2 = capped.select(F.col("doc_id").alias("d2"), "sh60")
+    inter = (s1.join(s2, "sh60").filter(F.col("d1") < F.col("d2"))
+             .groupBy("d1", "d2").agg(F.count("*").alias("i")))
+    jac = (F.col("i").cast("double")
+           / (F.col("sz1") + F.col("sz2") - F.col("i")).cast("double"))
+    exact = (inter
+             .join(sizes.select(F.col("doc_id").alias("d1"),
+                                F.col("sz").alias("sz1")), "d1")
+             .join(sizes.select(F.col("doc_id").alias("d2"),
+                                F.col("sz").alias("sz2")), "d2")
+             .filter(jac >= JACCARD_THRESHOLD)
+             .agg(F.count("*").alias("n_exact")))
+    lsh = _minhash_pairs(spark, sf_dir).agg(F.count("*").alias("n_lsh"))
+    return (exact.crossJoin(lsh)
+            .select("n_exact", "n_lsh",
+                    F.expr("CASE WHEN n_exact > 0 "
+                           "THEN n_lsh * 1000000 div n_exact END")
+                    .alias("recall_ppm")))
+
+
+ORACLE_MINHASH_RECALL = f"""
+WITH {_SQL_MINHASH_PAIR_CTES},
+rare AS (SELECT sh60 FROM shh GROUP BY sh60
+         HAVING COUNT(*) <= {NGRAM_DF_CAP}),
+capped AS (SELECT shh.doc_id, shh.sh60 FROM shh JOIN rare USING (sh60)),
+einter AS (
+  SELECT x.doc_id AS d1, y.doc_id AS d2, COUNT(*) AS i
+  FROM capped x JOIN capped y ON y.sh60 = x.sh60 AND x.doc_id < y.doc_id
+  GROUP BY 1, 2),
+exact AS (
+  SELECT COUNT(*) AS n_exact
+  FROM einter
+  JOIN sizes s1 ON s1.doc_id = d1
+  JOIN sizes s2 ON s2.doc_id = d2
+  WHERE i::DOUBLE / (s1.sz + s2.sz - i)::DOUBLE >= {JACCARD_THRESHOLD}),
+lsh AS (SELECT COUNT(*) AS n_lsh FROM pairs)
+SELECT n_exact, n_lsh,
+       CAST(CASE WHEN n_exact > 0 THEN n_lsh * 1000000 // n_exact END
+            AS BIGINT) AS recall_ppm
+FROM exact CROSS JOIN lsh
+"""
+
+
 # ---------------------------------------------------------------------------
 # SimHash near-dedup
 # ---------------------------------------------------------------------------
@@ -1439,6 +1503,8 @@ TEXT_QUERIES = [
     QueryDef("cross_shard_dedup_audit", q_cross_shard_dedup_audit,
              _oracle_cross_shard_audit(), "LLM-dedup-shard-audit"),
     QueryDef("ngram_jaccard_pairs", q_ngram_jaccard_pairs, ORACLE_NGRAM_JACCARD, "LLM-dedup-jaccard"),
+    QueryDef("minhash_recall_audit", q_minhash_recall_audit,
+             ORACLE_MINHASH_RECALL, "LLM-dedup-minhash-recall"),
     QueryDef("dedup_simhash", q_dedup_simhash, ORACLE_SIMHASH, "LLM-dedup-simhash", bench=True),
     QueryDef("lang_id", q_lang_id, ORACLE_LANG_ID, "LLM-text-langid"),
     QueryDef("text_quality", q_text_quality, ORACLE_TEXT_QUALITY, "LLM-text-quality"),
