@@ -1023,6 +1023,141 @@ FROM agg a JOIN exact e ON a.event_type = e.event_type
 """
 
 
+def q_hll_partition_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGEABILITY, proven — the property that makes sketches the
+    100 TB path at all: HLL registers built independently per month
+    partition and merged by MAX must equal the registers of one direct
+    global build, bucket for bucket. This is incremental_agg_merge's
+    materialized-view law applied to the sketch family: a cluster
+    maintains per-partition sketch tables and answers global COUNT
+    DISTINCT by merging O(partitions x m) registers — never rescanning
+    history. Output is all-integer (register equality counts + the exact
+    int64 indicator sums both ways), so the proof is hash-checked, not
+    eyeballed: n_equal == n_buckets and s_merged == s_direct for every
+    group, by the associativity of MAX."""
+    from ..functions.hashing import h60
+    ev = load(spark, sf_dir, "events")
+    ranked = (ev.select("event_type",
+                        F.expr("year(ts) * 100 + month(ts)").alias("ym"),
+                        h60(F.col("user_id").cast("string")).alias("h"))
+              .withColumn("bucket", F.expr(f"h % {HLL_M}"))
+              .withColumn("w", F.expr(f"h div {HLL_M}"))
+              .withColumn("rank",
+                          F.when(F.col("w") == 0, F.lit(HLL_WBITS + 1))
+                           .otherwise(HLL_WBITS
+                                      - F.length(F.expr("bin(w)")) + 1)))
+    monthly = (ranked.groupBy("event_type", "ym", "bucket")
+               .agg(F.max("rank").alias("reg")))
+    merged = (monthly.groupBy("event_type", "bucket")
+              .agg(F.max("reg").alias("reg_m")))
+    direct = (ranked.groupBy("event_type", "bucket")
+              .agg(F.max("rank").alias("reg_d")))
+    term = "cast(pow(2, {p} - {c}) as bigint)"
+    return (direct.join(merged, ["event_type", "bucket"])
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_buckets"),
+                 F.sum((F.col("reg_m") == F.col("reg_d")).cast("bigint"))
+                  .alias("n_equal"),
+                 F.sum(F.expr(term.format(p=HLL_WBITS + 1, c="reg_d")))
+                  .alias("s_direct"),
+                 F.sum(F.expr(term.format(p=HLL_WBITS + 1, c="reg_m")))
+                  .alias("s_merged")))
+
+
+ORACLE_HLL_MERGE = f"""
+WITH ranked AS (
+  SELECT event_type,
+         year(ts) * 100 + month(ts) AS ym,
+         (('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT) % {HLL_M}
+           AS bucket,
+         CASE WHEN (('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT)
+                   // {HLL_M} = 0 THEN {HLL_WBITS + 1}
+              ELSE {HLL_WBITS}
+                   - length(bin((('0x' || substr(md5(user_id::VARCHAR), 1,
+                                                 15))::BIGINT) // {HLL_M}))
+                   + 1 END AS rank
+  FROM events),
+monthly AS (
+  SELECT event_type, ym, bucket, MAX(rank) AS reg
+  FROM ranked GROUP BY 1, 2, 3),
+merged AS (
+  SELECT event_type, bucket, MAX(reg) AS reg_m FROM monthly GROUP BY 1, 2),
+direct AS (
+  SELECT event_type, bucket, MAX(rank) AS reg_d FROM ranked GROUP BY 1, 2)
+SELECT event_type, COUNT(*) AS n_buckets,
+       CAST(SUM(CASE WHEN reg_m = reg_d THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_equal,
+       CAST(SUM(CAST(POW(2, {HLL_WBITS + 1} - reg_d) AS BIGINT)) AS BIGINT)
+         AS s_direct,
+       CAST(SUM(CAST(POW(2, {HLL_WBITS + 1} - reg_m) AS BIGINT)) AS BIGINT)
+         AS s_merged
+FROM direct JOIN merged USING (event_type, bucket)
+GROUP BY 1
+"""
+
+
+SKYLINE_BAND_CENTS = 10000      # $100 price bands for the two-phase plan
+
+
+def q_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline / Pareto frontier: the parts no other part beats on
+    BOTH price (lower-or-equal) and size (higher-or-equal, one strict) —
+    the multi-criteria shortlist query (cheapest-per-capability curve).
+    The spec is a quadratic NOT EXISTS dominance check; the implemented
+    plan is the two-phase distributed skyline: points land in fixed
+    $100 price bands (data-independent key, no global sort), each band
+    computes its local running-max-size window over bounded rows, and
+    cross-band dominance folds through a per-band max table (|bands|
+    rows — broadcast, like topk_salted's phase 2). A point survives iff
+    its size exceeds every strictly-cheaper point's (local window + prev-
+    band max) and it tops its exact price group. Prices are compared in
+    exact integer cents (rule 7); the oracle states the same frontier as
+    one global RANGE window — single-node DuckDB's natural form — so the
+    banded decomposition is proven equivalent to the declarative spec."""
+    pts = (load(spark, sf_dir, "part")
+           .select(F.col("p_partkey").alias("k"),
+                   cents("p_retailprice").alias("pc"),
+                   F.col("p_size").cast("bigint").alias("s"))
+           .withColumn("band", F.expr(f"pc div {SKYLINE_BAND_CENTS}")))
+    band_max = pts.groupBy("band").agg(F.max("s").alias("bmax"))
+    wband = (Window.orderBy("band")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    prev = (band_max
+            .withColumn("prev_max", F.max("bmax").over(wband))
+            .select("band", "prev_max"))
+    wb = (Window.partitionBy("band").orderBy("pc")
+          .rangeBetween(Window.unboundedPreceding, -1))
+    wp = Window.partitionBy("pc")
+    return (pts.join(F.broadcast(prev), "band", "left")
+            .withColumn("m_local", F.max("s").over(wb))
+            .withColumn("m1", F.greatest(
+                F.coalesce(F.col("m_local"), F.lit(-1)),
+                F.coalesce(F.col("prev_max"), F.lit(-1))))
+            .withColumn("pmax", F.max("s").over(wp))
+            .filter((F.col("s") > F.col("m1"))
+                    & (F.col("s") == F.col("pmax")))
+            .select(F.col("k").alias("p_partkey"),
+                    F.col("pc").alias("price_cents"),
+                    F.col("s").alias("p_size")))
+
+
+ORACLE_SKYLINE = """
+WITH pts AS (
+  SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS pc,
+         CAST(p_size AS BIGINT) AS s
+  FROM part),
+m AS (
+  SELECT *,
+         MAX(s) OVER (ORDER BY pc
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS m1,
+         MAX(s) OVER (PARTITION BY pc) AS pmax
+  FROM pts)
+SELECT p_partkey, pc AS price_cents, s AS p_size
+FROM m WHERE (m1 IS NULL OR s > m1) AND s = pmax
+"""
+
+
 SESSION_GAP = "30 minutes"
 
 
@@ -2975,6 +3110,10 @@ RELATIONAL_QUERIES = [
     QueryDef("distinct_kmv", q_distinct_kmv, ORACLE_DISTINCT_KMV, "A-sketch-kmv"),
     QueryDef("distinct_hll", q_distinct_hll, ORACLE_DISTINCT_HLL,
              "A-sketch-hll"),
+    QueryDef("hll_partition_merge", q_hll_partition_merge, ORACLE_HLL_MERGE,
+             "A-sketch-merge"),
+    QueryDef("skyline_frontier", q_skyline_frontier, ORACLE_SKYLINE,
+             "X3+T11: two-phase Pareto skyline"),
     QueryDef("user_sessions", q_user_sessions, ORACLE_USER_SESSIONS, "W-session"),
     QueryDef("rollup_revenue", q_rollup_revenue, ORACLE_ROLLUP_REVENUE, "A-rollup", bench=True),
     QueryDef("daily_delta", q_daily_delta, ORACLE_DAILY_DELTA, "X-lag,T14"),
