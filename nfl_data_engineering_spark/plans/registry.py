@@ -61,13 +61,13 @@ _PRIORITY: list[str] = [
 ]
 
 # Round-5 window, staged (enact by moving to the head of _PRIORITY after
-# the round-4 CORRECTNESS gate runs): the 7 entries added late in round 4
+# the round-4 CORRECTNESS gate runs): the entries added late in round 4
 # with no driver row yet — "bpe_encode", "triangle_count",
 # "snapshot_diff", "streaming_left_outer_join", "minhash_recall_audit",
-# "hll_partition_merge", "skyline_frontier" — plus "lang_id" (parity- and
-# equality-proven after the Arrow-kernel rewrite; its driver row predates
-# the kernel). Remaining slots: the entries with the OLDEST driver rows
-# (round-1 vintage), oldest first.
+# "hll_partition_merge", "skyline_frontier", "prefix_filter_join" — plus
+# "lang_id" (parity- and equality-proven after the Arrow-kernel rewrite;
+# its driver row predates the kernel). Remaining slots: the entries with
+# the OLDEST driver rows (round-1 vintage), oldest first.
 
 assert not set(_PRIORITY) - {q.name for q in _ALL}, \
     "stale names in _PRIORITY (renamed/removed catalog entries)"

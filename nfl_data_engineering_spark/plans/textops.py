@@ -16,7 +16,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.hashing import (MERSENNE_P, h60, h60_py,
                                  minhash_bands_fast, simhash)
@@ -569,6 +569,75 @@ def q_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr("CASE WHEN n_exact > 0 "
                            "THEN n_lsh * 1000000 div n_exact END")
                     .alias("recall_ppm")))
+
+
+def q_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity join via prefix filtering (the PPJoin/AllPairs
+    family) — the third similarity-join strategy next to the sketch path
+    (MinHash-LSH, probabilistic) and the plain shingle self-join (exact
+    but df-capped): exact AND join-bounded, with zero recall loss by
+    construction. Each doc's shingle set is ordered by the GLOBAL
+    canonical rarity order (df asc, hash asc) and only its prefix of
+    length sz - ceil(t*sz) + 1 joins: any pair with jaccard >= t must
+    share a prefix token in BOTH prefixes (overlap o >= t*|A| exceeds the
+    suffix length ceil(t*|A|)-1 — the prefix-filter theorem), so
+    candidates are complete. Rarity ordering puts the LOWEST-df tokens in
+    prefixes, so join fan-out per token is minimal by construction — the
+    boilerplate phrase that forces the plain self-join's df cap sits at
+    the END of every doc's ordering and never joins. The length filter
+    (5*min_sz >= 4*max_sz for t=0.8, integer form) prunes cross-size
+    candidates before the verify. Verification recomputes exact jaccard
+    on candidates only. The oracle is the INDEPENDENT quadratic spec (an
+    uncapped shingle self-join), so the hash match proves the
+    prefix-filter algebra lossless, not merely self-consistent."""
+    docs = load(spark, sf_dir, "documents")
+    sh = explode_shingle_hashes(docs, "doc_id", "text", n=3).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    dfreq = sh.groupBy("sh60").agg(F.count("*").alias("df"))
+    ranked = (sh.join(dfreq, "sh60")
+              .withColumn("rn", F.row_number().over(
+                  Window.partitionBy("doc_id").orderBy("df", "sh60"))))
+    pre = (ranked.join(sizes, "doc_id")
+           .filter(F.col("rn") <= F.expr("sz - ((4 * sz + 4) div 5) + 1"))
+           .select("doc_id", "sh60", "sz"))
+    p1 = pre.select(F.col("doc_id").alias("d1"), "sh60",
+                    F.col("sz").alias("sz1"))
+    p2 = pre.select(F.col("doc_id").alias("d2"), "sh60",
+                    F.col("sz").alias("sz2"))
+    cand = (p1.join(p2, "sh60").filter(F.col("d1") < F.col("d2"))
+            .filter(F.least("sz1", "sz2") * 5
+                    >= F.greatest("sz1", "sz2") * 4)
+            .select("d1", "d2").distinct())
+    s1 = sh.select(F.col("doc_id").alias("d1"), "sh60")
+    s2 = sh.select(F.col("doc_id").alias("d2"), "sh60")
+    inter = (cand.join(s1, "d1").join(s2, ["d2", "sh60"])
+             .groupBy("d1", "d2").agg(F.count("*").alias("i")))
+    jac = (F.col("i").cast("double")
+           / (F.col("sz1") + F.col("sz2") - F.col("i")).cast("double"))
+    return (inter
+            .join(sizes.select(F.col("doc_id").alias("d1"),
+                               F.col("sz").alias("sz1")), "d1")
+            .join(sizes.select(F.col("doc_id").alias("d2"),
+                               F.col("sz").alias("sz2")), "d2")
+            .filter(jac >= JACCARD_THRESHOLD)
+            .select("d1", "d2", F.round(jac, 6).alias("jaccard")))
+
+
+ORACLE_PREFIX_FILTER_JOIN = f"""
+WITH {_sql_shingles_cte(3)},
+shh AS (SELECT DISTINCT doc_id, {SQL_H60.format(e='shingle')} AS sh60 FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shh GROUP BY 1),
+inter AS (
+  SELECT x.doc_id AS d1, y.doc_id AS d2, COUNT(*) AS i
+  FROM shh x JOIN shh y ON y.sh60 = x.sh60 AND x.doc_id < y.doc_id
+  GROUP BY 1, 2)
+SELECT d1, d2,
+       ROUND(i::DOUBLE / (s1.sz + s2.sz - i)::DOUBLE, 6) AS jaccard
+FROM inter
+JOIN sizes s1 ON s1.doc_id = d1
+JOIN sizes s2 ON s2.doc_id = d2
+WHERE i::DOUBLE / (s1.sz + s2.sz - i)::DOUBLE >= {JACCARD_THRESHOLD}
+"""
 
 
 ORACLE_MINHASH_RECALL = f"""
@@ -1505,6 +1574,8 @@ TEXT_QUERIES = [
     QueryDef("ngram_jaccard_pairs", q_ngram_jaccard_pairs, ORACLE_NGRAM_JACCARD, "LLM-dedup-jaccard"),
     QueryDef("minhash_recall_audit", q_minhash_recall_audit,
              ORACLE_MINHASH_RECALL, "LLM-dedup-minhash-recall"),
+    QueryDef("prefix_filter_join", q_prefix_filter_join,
+             ORACLE_PREFIX_FILTER_JOIN, "LLM-dedup-prefix-filter"),
     QueryDef("dedup_simhash", q_dedup_simhash, ORACLE_SIMHASH, "LLM-dedup-simhash", bench=True),
     QueryDef("lang_id", q_lang_id, ORACLE_LANG_ID, "LLM-text-langid"),
     QueryDef("text_quality", q_text_quality, ORACLE_TEXT_QUALITY, "LLM-text-quality"),
