@@ -652,6 +652,96 @@ SELECT node AS event_type, rank_ppb FROM r{_PR_ITERS}
     return sql
 
 
+_SYNC_MOD = 2305843009213693951        # 2^61 - 1: keeps folded sums in int64
+
+
+def q_table_sync_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy table reconciliation — the replica-sync audit
+    (Cassandra/Dynamo Merkle repair, Delta DEEP CLONE verify): decide
+    WHICH partitions of two table copies diverge by exchanging one
+    content hash per partition, never rows. Each row folds to a
+    deterministic h60 fingerprint over (key, exact-integer cents); a
+    partition's digest is the order-insensitive exact-DECIMAL sum of its
+    fingerprints reduced mod 2^61-1 (integer summation order can't leak —
+    rule 1's decimal discipline applied to hashes). The replica is
+    derived in-query by the same h60 mutation gates as snapshot_diff
+    (deletes + price updates), scoped to the 1997+ partitions — the
+    replica-drift reality where history is settled and recent partitions
+    diverge — so the audit must separate clean from dirty partitions and
+    the oracle replays both sides exactly.
+    At 100 TB this is THE shape that makes cross-site table comparison
+    feasible: each side aggregates locally (map-side partial sums), ships
+    O(partitions) digests, and only flagged partitions pay a row-level
+    diff (q_snapshot_diff) — the audit itself never shuffles row data."""
+    from ..functions.hashing import h60
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        cents("o_totalprice").alias("pc"),
+        F.year("o_orderdate").alias("year"),
+        F.month("o_orderdate").alias("month"))
+    g = F.when(F.col("year") >= 1997,
+               h60(F.concat(F.lit("syncmut_"),
+                            F.col("k").cast("string"))) % 20
+               ).otherwise(F.lit(-1))
+    replica = (orders.withColumn("g", g)
+               .filter(F.col("g") != 0)
+               .select("k",
+                       F.when(F.col("g") == 1, F.col("pc") + 1000)
+                        .otherwise(F.col("pc")).alias("pc"),
+                       "year", "month"))
+
+    def digest(df, n_name, h_name):
+        rh = h60(F.concat(F.lit("sync_"), F.col("k").cast("string"),
+                          F.lit("_"), F.col("pc").cast("string")))
+        return (df.select("year", "month",
+                          rh.cast("decimal(38,0)").alias("rh"))
+                .groupBy("year", "month")
+                .agg(F.count("*").alias(n_name),
+                     F.expr(f"CAST(SUM(rh) % {_SYNC_MOD} AS BIGINT)")
+                      .alias(h_name)))
+
+    a = digest(orders, "n_a", "hash_a")
+    b = digest(replica, "n_b", "hash_b")
+    return (a.join(b, ["year", "month"], "full_outer")
+            .select("year", "month", "n_a", "n_b", "hash_a", "hash_b",
+                    ((F.col("n_a").eqNullSafe(F.col("n_b")))
+                     & (F.col("hash_a").eqNullSafe(F.col("hash_b"))))
+                    .cast("int").alias("in_sync")))
+
+
+ORACLE_TABLE_SYNC = f"""
+WITH base AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS pc,
+         CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS year,
+         CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS month,
+         CASE WHEN EXTRACT(year FROM o_orderdate) >= 1997
+              THEN (('0x' || substr(md5('syncmut_'
+                        || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT) % 20
+              ELSE -1 END AS g
+  FROM orders),
+replica AS (
+  SELECT k, CASE WHEN g = 1 THEN pc + 1000 ELSE pc END AS pc, year, month
+  FROM base WHERE g <> 0),
+da AS (
+  SELECT year, month, COUNT(*) AS n_a,
+         CAST(SUM(CAST((('0x' || substr(md5('sync_' || CAST(k AS VARCHAR)
+                    || '_' || CAST(pc AS VARCHAR)), 1, 15))::BIGINT)
+                   AS DECIMAL(38,0))) % {_SYNC_MOD} AS BIGINT) AS hash_a
+  FROM base GROUP BY 1, 2),
+db AS (
+  SELECT year, month, COUNT(*) AS n_b,
+         CAST(SUM(CAST((('0x' || substr(md5('sync_' || CAST(k AS VARCHAR)
+                    || '_' || CAST(pc AS VARCHAR)), 1, 15))::BIGINT)
+                   AS DECIMAL(38,0))) % {_SYNC_MOD} AS BIGINT) AS hash_b
+  FROM replica GROUP BY 1, 2)
+SELECT year, month, n_a, n_b, hash_a, hash_b,
+       CAST(n_a IS NOT DISTINCT FROM n_b
+            AND hash_a IS NOT DISTINCT FROM hash_b AS INTEGER) AS in_sync
+FROM da FULL OUTER JOIN db USING (year, month)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Triangle counting on the co-purchase graph (degree-oriented wedge join)
 # ---------------------------------------------------------------------------
@@ -1335,4 +1425,6 @@ LAKEOPS_QUERIES = [
              "A5+U2: period-over-period revenue bridge"),
     QueryDef("triangle_count", q_triangle_count, ORACLE_TRIANGLE_COUNT,
              "A-iter: degree-oriented triangle counting"),
+    QueryDef("table_sync_audit", q_table_sync_audit, ORACLE_TABLE_SYNC,
+             "A5+U1: Merkle-style partition digest reconciliation"),
 ]
