@@ -1158,6 +1158,53 @@ FROM m WHERE (m1 IS NULL OR s > m1) AND s = pmax
 """
 
 
+def q_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsampling to daily OHLC bars (open/high/low/close —
+    the financial-resample shape, and generally 'first/last/extremes per
+    bucket'). The scale trick: open and close do NOT need a window —
+    min/max over a (ts, event_id, value) STRUCT picks the value at the
+    earliest/latest pinned instant inside an ordinary aggregation, so the
+    whole query is ONE map-side-combinable groupBy (shuffle volume =
+    |buckets|), where the textbook row_number formulation pays a full
+    per-bucket sort window. The oracle states exactly that textbook
+    double-row_number form, proving the struct-extrema algebra equal to
+    the windowed spec. (first_value/last_value without a deterministic
+    tiebreak is the classic silent-nondeterminism bug — the struct
+    carries the (ts, event_id) total order by construction.)"""
+    ev = load(spark, sf_dir, "events")
+    # day as an ISO string: Spark DATE -> pandas object vs DuckDB DATE ->
+    # datetime64 is a driver dtype-kind mismatch even on equal values
+    return (ev.select(
+                "event_type",
+                F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                F.struct("ts", "event_id", "value").alias("o"),
+                "value")
+            .groupBy("event_type", "day")
+            .agg(F.min("o").getField("value").alias("open_value"),
+                 F.max("value").alias("high_value"),
+                 F.min("value").alias("low_value"),
+                 F.max("o").getField("value").alias("close_value"),
+                 F.count("*").alias("n_events")))
+
+
+ORACLE_OHLC_DAILY = """
+WITH r AS (
+  SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                            ORDER BY ts, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events)
+SELECT event_type, day,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open_value,
+       MAX(value) AS high_value,
+       MIN(value) AS low_value,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close_value,
+       COUNT(*) AS n_events
+FROM r GROUP BY 1, 2
+"""
+
+
 SESSION_GAP = "30 minutes"
 
 
@@ -3114,6 +3161,8 @@ RELATIONAL_QUERIES = [
              "A-sketch-merge"),
     QueryDef("skyline_frontier", q_skyline_frontier, ORACLE_SKYLINE,
              "X3+T11: two-phase Pareto skyline"),
+    QueryDef("ohlc_daily", q_ohlc_daily, ORACLE_OHLC_DAILY,
+             "A5+X1: OHLC downsample via struct extrema"),
     QueryDef("user_sessions", q_user_sessions, ORACLE_USER_SESSIONS, "W-session"),
     QueryDef("rollup_revenue", q_rollup_revenue, ORACLE_ROLLUP_REVENUE, "A-rollup", bench=True),
     QueryDef("daily_delta", q_daily_delta, ORACLE_DAILY_DELTA, "X-lag,T14"),
