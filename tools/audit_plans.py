@@ -32,7 +32,11 @@ ALLOW_NESTED_LOOP = {"cosine_neardup_pairs", "embedding_topk", "ann_ivf_topk",
                      # recall audit's exact side broadcasts the bounded
                      # N_QUERIES query set (the guarded brute baseline)
                      "ab_test_report", "spend_quartiles_cutoffs",
-                     "rfm_segmentation_cutoffs", "pq_recall_audit"}
+                     "rfm_segmentation_cutoffs", "pq_recall_audit",
+                     # triangle_count crosses three 1-row count aggregates
+                     # into the summary row; minhash_recall_audit crosses
+                     # two 1-row counts (exact vs lsh) for the ppm ratio
+                     "triangle_count", "minhash_recall_audit"}
 
 JOIN_RE = re.compile(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
                      r"BroadcastNestedLoopJoin|CartesianProduct)")
