@@ -1424,7 +1424,7 @@ LAKEOPS_QUERIES = [
     QueryDef("revenue_bridge", q_revenue_bridge, ORACLE_REVENUE_BRIDGE,
              "A5+U2: period-over-period revenue bridge"),
     QueryDef("triangle_count", q_triangle_count, ORACLE_TRIANGLE_COUNT,
-             "A-iter: degree-oriented triangle counting"),
+             "A-iter: degree-oriented triangle counting", bench=True),
     QueryDef("table_sync_audit", q_table_sync_audit, ORACLE_TABLE_SYNC,
              "A5+U1: Merkle-style partition digest reconciliation"),
 ]

@@ -1575,7 +1575,8 @@ TEXT_QUERIES = [
     QueryDef("minhash_recall_audit", q_minhash_recall_audit,
              ORACLE_MINHASH_RECALL, "LLM-dedup-minhash-recall"),
     QueryDef("prefix_filter_join", q_prefix_filter_join,
-             ORACLE_PREFIX_FILTER_JOIN, "LLM-dedup-prefix-filter"),
+             ORACLE_PREFIX_FILTER_JOIN, "LLM-dedup-prefix-filter",
+             bench=True),
     QueryDef("dedup_simhash", q_dedup_simhash, ORACLE_SIMHASH, "LLM-dedup-simhash", bench=True),
     QueryDef("lang_id", q_lang_id, ORACLE_LANG_ID, "LLM-text-langid"),
     QueryDef("text_quality", q_text_quality, ORACLE_TEXT_QUALITY, "LLM-text-quality"),
