@@ -652,6 +652,80 @@ SELECT node AS event_type, rank_ppb FROM r{_PR_ITERS}
     return sql
 
 
+_JSE_D, _JSE_W = 4, 256
+
+
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from count sketches — the optimizer
+    statistic that decides shuffle strategy BEFORE paying for the join:
+    |A join B on k| = sum_k cA(k)*cB(k), estimated as the CMS inner
+    product (AMS/count-min classic: min over d rows of
+    sum_w A[d][w]*B[d][w], always >= exact, expected overestimate
+    |A||B|/w per row). Both the exact sum (from the two per-key count
+    tables — |keys| rows each, the cheap side) and the sketch estimate
+    are computed and compared in integer ppm, so the entry MEASURES the
+    estimator's bias at this key distribution instead of assuming it.
+    At 100 TB the count tables themselves stop being cheap; the sketches
+    are d x w counters per side regardless of key cardinality, build
+    map-side in one pass, and two sites can estimate a cross-site join
+    by exchanging O(d*w) integers — same philosophy as table_sync_audit:
+    ship summaries, not rows. h60 bucketing keeps the oracle's sketch
+    identical; all arithmetic integer."""
+    from ..functions.hashing import h60
+    ev = load(spark, sf_dir, "events")
+    ca = (ev.filter(F.col("event_type") == "click")
+          .groupBy("user_id").agg(F.count("*").alias("ca")))
+    cb = (ev.filter(F.col("event_type") == "purchase")
+          .groupBy("user_id").agg(F.count("*").alias("cb")))
+    exact = (ca.join(cb, "user_id")
+             .agg(F.sum(F.col("ca") * F.col("cb")).alias("exact_pairs")))
+    ks = F.explode(F.sequence(F.lit(0), F.lit(_JSE_D - 1))).alias("d")
+    bucket = F.pmod(
+        h60(F.concat(F.col("d").cast("string"), F.lit(":"),
+                     F.col("user_id").cast("string"))), F.lit(_JSE_W))
+
+    def sketch(cnts, col, out):
+        return (cnts.select("user_id", col, ks)
+                .select("d", bucket.alias("bucket"), F.col(col))
+                .groupBy("d", "bucket").agg(F.sum(col).alias(out)))
+
+    est = (sketch(ca, "ca", "a").join(sketch(cb, "cb", "b"),
+                                      ["d", "bucket"])
+           .groupBy("d").agg(F.sum(F.col("a") * F.col("b")).alias("e"))
+           .agg(F.min("e").alias("cms_estimate")))
+    return (exact.crossJoin(est)
+            .select("exact_pairs", "cms_estimate",
+                    F.expr("CASE WHEN exact_pairs > 0 THEN "
+                           "(cms_estimate - exact_pairs) * 1000000 "
+                           "div exact_pairs END").alias("over_ppm")))
+
+
+def _oracle_join_size() -> str:
+    from ..functions.hashing import h60_sql
+    h = h60_sql("(d::VARCHAR || ':' || user_id::VARCHAR)")
+    return f"""
+WITH ca AS (SELECT user_id, COUNT(*) AS ca FROM events
+            WHERE event_type = 'click' GROUP BY 1),
+cb AS (SELECT user_id, COUNT(*) AS cb FROM events
+       WHERE event_type = 'purchase' GROUP BY 1),
+exact AS (SELECT CAST(SUM(ca * cb) AS BIGINT) AS exact_pairs
+          FROM ca JOIN cb USING (user_id)),
+ks AS (SELECT unnest(generate_series(0, {_JSE_D - 1})) AS d),
+sa AS (SELECT d, {h} % {_JSE_W} AS bucket, CAST(SUM(ca) AS BIGINT) AS a
+       FROM ca CROSS JOIN ks GROUP BY 1, 2),
+sb AS (SELECT d, {h} % {_JSE_W} AS bucket, CAST(SUM(cb) AS BIGINT) AS b
+       FROM cb CROSS JOIN ks GROUP BY 1, 2),
+est AS (SELECT CAST(MIN(e) AS BIGINT) AS cms_estimate
+        FROM (SELECT d, SUM(a * b) AS e
+              FROM sa JOIN sb USING (d, bucket) GROUP BY 1))
+SELECT exact_pairs, cms_estimate,
+       CAST(CASE WHEN exact_pairs > 0 THEN
+            (cms_estimate - exact_pairs) * 1000000 // exact_pairs END
+            AS BIGINT) AS over_ppm
+FROM exact CROSS JOIN est
+"""
+
+
 _SYNC_MOD = 2305843009213693951        # 2^61 - 1: keeps folded sums in int64
 
 
@@ -1427,4 +1501,7 @@ LAKEOPS_QUERIES = [
              "A-iter: degree-oriented triangle counting", bench=True),
     QueryDef("table_sync_audit", q_table_sync_audit, ORACLE_TABLE_SYNC,
              "A5+U1: Merkle-style partition digest reconciliation"),
+    QueryDef("join_size_estimate", q_join_size_estimate,
+             _oracle_join_size(),
+             "A-sketch: CMS inner-product join-cardinality estimate"),
 ]

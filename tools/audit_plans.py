@@ -36,7 +36,9 @@ ALLOW_NESTED_LOOP = {"cosine_neardup_pairs", "embedding_topk", "ann_ivf_topk",
                      # triangle_count crosses three 1-row count aggregates
                      # into the summary row; minhash_recall_audit crosses
                      # two 1-row counts (exact vs lsh) for the ppm ratio
-                     "triangle_count", "minhash_recall_audit"}
+                     "triangle_count", "minhash_recall_audit",
+                     # 1-row exact-vs-estimate cross for the ppm ratio
+                     "join_size_estimate"}
 
 JOIN_RE = re.compile(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
                      r"BroadcastNestedLoopJoin|CartesianProduct)")
