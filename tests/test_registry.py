@@ -71,6 +71,10 @@ _BENCH_SET = {
     # corpus dedup + PQ ANN) pinned so their scaling is tracked
     # round-over-round (VERDICT r3 item 5)
     "dedup_star_survivors", "ann_pq_topk",
+    # round-4 late additions: the exact prefix-filter similarity join and
+    # the degree-oriented triangle count — two new algorithm families
+    # whose scaling should be tracked from their first round
+    "prefix_filter_join", "triangle_count",
 }
 
 
