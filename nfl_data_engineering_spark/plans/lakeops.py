@@ -1451,6 +1451,105 @@ FROM contrib GROUP BY 1
 """
 
 
+def q_trailing_unique_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB swap q_trailing_unique_users' docstring promises,
+    SHIPPED as a checked entry (the spend_quartiles_cutoffs pattern —
+    a documented scale alternative is prose until it has an oracle):
+    trailing 7-day distinct users per day from per-day HLL partials
+    merged across the window. The exact form explodes every (day, user)
+    pair x7; this form explodes 256 REGISTERS per day x7 — window work
+    collapses from O(active-pairs x window) to O(days x m x window),
+    independent of user cardinality, which is what survives a 100 TB
+    event log. Register build + MAX-merge reuse q_distinct_hll's
+    integer discipline (exact int64 indicator terms, no float
+    accumulation); hll_partition_merge proves the merge law this entry
+    leans on. The exact distinct rides along as the audit column, so the
+    sketch's error is measured per window, not assumed."""
+    from ..functions.hashing import h60
+    from .relational import HLL_ALPHA, HLL_M, HLL_WBITS
+    ev = load(spark, sf_dir, "events")
+    day = F.datediff(F.col("ts").cast("date"),
+                     F.lit("2000-01-01").cast("date"))
+    h = h60(F.col("user_id").cast("string"))
+    ranked = (ev.select(day.alias("d"), h.alias("h"))
+              .withColumn("bucket", F.expr(f"h % {HLL_M}"))
+              .withColumn("w", F.expr(f"h div {HLL_M}"))
+              .withColumn("rank",
+                          F.when(F.col("w") == 0, F.lit(HLL_WBITS + 1))
+                           .otherwise(HLL_WBITS
+                                      - F.length(F.expr("bin(w)")) + 1)))
+    daily = (ranked.groupBy("d", "bucket").agg(F.max("rank").alias("reg")))
+    contrib = daily.select(
+        F.explode(F.sequence(F.col("d"),
+                             F.col("d") + (_TRAIL_DAYS - 1))).alias("td"),
+        "bucket", "reg")
+    winregs = (contrib.groupBy("td", "bucket")
+               .agg(F.max("reg").alias("reg")))
+    agg = (winregs.groupBy("td")
+           .agg(F.sum(F.expr(f"cast(pow(2, {HLL_WBITS + 1} - reg) "
+                             "as bigint)")).alias("sp"),
+                F.count("*").alias("nb")))
+    s = (F.col("sp")
+         + (F.lit(HLL_M) - F.col("nb"))
+         * F.lit(int(2 ** (HLL_WBITS + 1))))
+    est = (F.lit(HLL_ALPHA * HLL_M * HLL_M * float(1 << (HLL_WBITS + 1)))
+           / s.cast("double"))
+    pairs = ev.select(day.alias("d"), "user_id").distinct()
+    exact = (pairs.select(
+                F.explode(F.sequence(F.col("d"),
+                                     F.col("d") + (_TRAIL_DAYS - 1)))
+                 .alias("td"), "user_id")
+             .distinct()
+             .groupBy("td")
+             .agg(F.countDistinct("user_id").alias("exact_users")))
+    return (agg.join(exact, "td")
+            .select(F.col("td").alias("day_index"), "exact_users",
+                    (F.lit(HLL_M) - F.col("nb")).alias("n_zero_regs"),
+                    F.round(est, 3).alias("hll_estimate")))
+
+
+def _oracle_trailing_hll() -> str:
+    from ..functions.hashing import h60_sql
+    from .relational import HLL_ALPHA, HLL_M, HLL_WBITS
+    h = h60_sql("user_id::VARCHAR")
+    return f"""
+WITH ranked AS (
+  SELECT datediff('day', DATE '2000-01-01', CAST(ts AS DATE)) AS d,
+         {h} % {HLL_M} AS bucket,
+         CASE WHEN {h} // {HLL_M} = 0 THEN {HLL_WBITS + 1}
+              ELSE {HLL_WBITS} - length(bin({h} // {HLL_M})) + 1 END AS rank
+  FROM events),
+daily AS (SELECT d, bucket, MAX(rank) AS reg FROM ranked GROUP BY 1, 2),
+contrib AS (
+  SELECT d + x AS td, bucket, reg
+  FROM daily CROSS JOIN (SELECT UNNEST(generate_series(0,
+                                {_TRAIL_DAYS - 1})) AS x)),
+winregs AS (SELECT td, bucket, MAX(reg) AS reg FROM contrib GROUP BY 1, 2),
+agg AS (
+  SELECT td,
+         CAST(SUM(CAST(POW(2, {HLL_WBITS + 1} - reg) AS BIGINT)) AS BIGINT)
+           AS sp,
+         COUNT(*) AS nb
+  FROM winregs GROUP BY 1),
+pairs AS (
+  SELECT DISTINCT datediff('day', DATE '2000-01-01', CAST(ts AS DATE)) AS d,
+         user_id
+  FROM events),
+ex AS (
+  SELECT td, COUNT(DISTINCT user_id) AS exact_users
+  FROM (SELECT DISTINCT d + x AS td, user_id
+        FROM pairs CROSS JOIN (SELECT UNNEST(generate_series(0,
+                                      {_TRAIL_DAYS - 1})) AS x))
+  GROUP BY 1)
+SELECT a.td AS day_index, ex.exact_users,
+       CAST({HLL_M} - a.nb AS BIGINT) AS n_zero_regs,
+       ROUND({HLL_ALPHA * HLL_M * HLL_M * float(1 << (HLL_WBITS + 1))!r}
+             / (a.sp + ({HLL_M} - a.nb)
+                * {int(2 ** (HLL_WBITS + 1))})::DOUBLE, 3) AS hll_estimate
+FROM agg a JOIN ex ON ex.td = a.td
+"""
+
+
 LAKEOPS_QUERIES = [
     QueryDef("bucketed_join_colocated", q_bucketed_join_colocated,
              ORACLE_BUCKETED_JOIN, "S5+J1: bucketed co-located join"),
@@ -1504,4 +1603,7 @@ LAKEOPS_QUERIES = [
     QueryDef("join_size_estimate", q_join_size_estimate,
              _oracle_join_size(),
              "A-sketch: CMS inner-product join-cardinality estimate"),
+    QueryDef("trailing_unique_hll", q_trailing_unique_hll,
+             _oracle_trailing_hll(),
+             "X1+A-sketch: sliding distinct via merged HLL partials"),
 ]
