@@ -187,3 +187,55 @@ def test_streaming_left_outer_superset_of_inner(spark):
     assert unmatched.count() == unmatched.select(
         "purchase_event_id").distinct().count()
     louter.unpersist()
+
+
+def test_trailing_hll_estimate_tracks_exact(spark):
+    """The merged-partials sliding estimate must behave like an HLL once
+    the standard small-range correction is applied (the entry reports the
+    RAW estimate + n_zero_regs per the distinct_hll family convention, so
+    the consumer-side linear-counting swap happens here): within the
+    1.04/sqrt(256) ~ 6.5% standard error at a generous 4-sigma band."""
+    import math
+
+    from nfl_data_engineering_spark.plans.lakeops import (
+        q_trailing_unique_hll)
+    from nfl_data_engineering_spark.plans.relational import HLL_M
+    rows = q_trailing_unique_hll(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["exact_users"] > 0
+        est = r["hll_estimate"]
+        if r["n_zero_regs"] > 0 and est <= 2.5 * HLL_M:
+            est = HLL_M * math.log(HLL_M / r["n_zero_regs"])
+        rel = abs(est - r["exact_users"]) / r["exact_users"]
+        assert rel < 0.26, (r["day_index"], est, r["exact_users"])
+
+
+def test_join_size_estimate_is_upper_bound(spark):
+    """CMS inner product never underestimates: min over d of the bucket
+    dot products >= the exact join size, so over_ppm >= 0."""
+    from nfl_data_engineering_spark.plans.lakeops import q_join_size_estimate
+    r = q_join_size_estimate(spark, SF).collect()[0]
+    assert r["exact_pairs"] > 0
+    assert r["cms_estimate"] >= r["exact_pairs"]
+    assert r["over_ppm"] >= 0
+
+
+def test_skyline_frontier_is_undominated(spark):
+    """No surviving point may be dominated by any other part (the
+    quadratic spec, re-checked in python over the full part table)."""
+    from nfl_data_engineering_spark.plans.relational import (
+        q_skyline_frontier)
+    sky = {(r["price_cents"], r["p_size"])
+           for r in q_skyline_frontier(spark, SF).collect()}
+    pts = [(int(round(r["p_retailprice"] * 100)), r["p_size"])
+           for r in spark.read.parquet(
+               os.path.join(SF, "part.parquet")).collect()]
+    for pc, s in sky:
+        assert not any(qc <= pc and qs >= s and (qc < pc or qs > s)
+                       for qc, qs in pts), (pc, s)
+    # and every undominated point is IN the frontier (completeness)
+    for pc, s in pts:
+        if not any(qc <= pc and qs >= s and (qc < pc or qs > s)
+                   for qc, qs in pts):
+            assert (pc, s) in sky
