@@ -1451,6 +1451,127 @@ FROM contrib GROUP BY 1
 """
 
 
+_RL_OFFSET = 5_000_000
+
+
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage / entity resolution, end to end: a 'dirty' feed of
+    the customer table (h60-gated noise — 10% dropped, 10% case-mangled
+    names, 10% cent-level balance drift, 10% lost segment, 10% destroyed
+    names, 10% dollar-crossing balance shifts; its OWN surrogate keys)
+    is re-linked to the clean master by the classic three-stage pipeline:
+    BLOCK (equi-join on nation + whole-dollar balance — never all-pairs;
+    blocking recall loss at dollar boundaries is the real trade, left
+    visible), SCORE (integer Fellegi-Sunter-style agreement weights:
+    case-insensitive name +40, exact case +10, exact cents +30 / within
+    5 cents +15, segment +20), CLASSIFY (best candidate per dirty record
+    via a pinned top-1 window; >=70 match, >=40 possible, else
+    non-match; blockless records surface as no_candidate instead of
+    vanishing). The destroyed-name class lands in 'possible' (balance +
+    segment agreement alone), and the dollar-crossing class exercises
+    the blocking FAILURE mode for real — its true match is out of the
+    block, so it resolves to a wrong neighbor or to no_candidate.
+    Because the noise is synthetic the TRUE link is known,
+    so the deliverable includes measured per-class precision (n_correct)
+    — the audit every real ER deployment wants and can't have. Scale
+    shape: one block-keyed equi-join + one per-dirty-record window; the
+    h60 gates are row-local; nothing is quadratic in |customers|."""
+    from ..functions.hashing import h60
+    cust = load(spark, sf_dir, "customer")
+    clean = cust.select(F.col("c_custkey").alias("k"),
+                        F.col("c_name").alias("name"),
+                        F.col("c_nationkey").alias("nat"),
+                        cents("c_acctbal").alias("bal"),
+                        F.col("c_mktsegment").alias("seg"))
+    g = h60(F.concat(F.lit("rl_"),
+                     F.col("c_custkey").cast("string"))) % 10
+    dirty = (cust.withColumn("g", g).filter(F.col("g") != 0)
+             .select((F.col("c_custkey") + _RL_OFFSET).alias("dk"),
+                     F.when(F.col("g") == 1, F.lower("c_name"))
+                      .when(F.col("g") == 4, F.lit("Customer#UNKNOWN"))
+                      .otherwise(F.col("c_name")).alias("dname"),
+                     F.col("c_nationkey").alias("dnat"),
+                     F.when(F.col("g") == 2,
+                            cents(F.col("c_acctbal") + 0.01))
+                      .when(F.col("g") == 5,
+                            cents(F.col("c_acctbal")) + 103)
+                      .otherwise(cents("c_acctbal")).alias("dbal"),
+                     F.when(F.col("g") == 3, F.lit("UNKNOWN"))
+                      .otherwise(F.col("c_mktsegment")).alias("dseg")))
+    block = ((F.col("nat") == F.col("dnat"))
+             & (F.expr("bal div 100") == F.expr("dbal div 100")))
+    score = (F.when(F.lower("name") == F.lower("dname"), 40).otherwise(0)
+             + F.when(F.col("name") == F.col("dname"), 10).otherwise(0)
+             + F.when(F.col("bal") == F.col("dbal"), 30)
+                .when(F.abs(F.col("bal") - F.col("dbal")) <= 5, 15)
+                .otherwise(0)
+             + F.when(F.col("seg") == F.col("dseg"), 20).otherwise(0))
+    pairs = (dirty.join(clean, block, "left")
+             .withColumn("score",
+                         F.when(F.col("k").isNull(), F.lit(-1))
+                          .otherwise(score)))
+    w = Window.partitionBy("dk").orderBy(F.col("score").desc(), "k")
+    best = pairs.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+    cls = (F.when(F.col("score") < 0, "no_candidate")
+           .when(F.col("score") >= 70, "match")
+           .when(F.col("score") >= 40, "possible")
+           .otherwise("non_match"))
+    return (best.select(cls.alias("match_class"),
+                        F.when(F.col("k").isNull(), F.lit(0))
+                         .otherwise((F.col("k") == F.col("dk") - _RL_OFFSET)
+                                    .cast("bigint")).alias("ok"))
+            .groupBy("match_class")
+            .agg(F.count("*").alias("n"),
+                 F.sum("ok").alias("n_correct")))
+
+
+def _oracle_record_linkage() -> str:
+    from ..functions.hashing import h60_sql
+    g = h60_sql("'rl_' || CAST(c_custkey AS VARCHAR)")
+    return f"""
+WITH clean AS (
+  SELECT c_custkey AS k, c_name AS name, c_nationkey AS nat,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal,
+         c_mktsegment AS seg
+  FROM customer),
+dirty AS (
+  SELECT c_custkey + {_RL_OFFSET} AS dk,
+         CASE WHEN {g} % 10 = 1 THEN lower(c_name)
+              WHEN {g} % 10 = 4 THEN 'Customer#UNKNOWN'
+              ELSE c_name END AS dname,
+         c_nationkey AS dnat,
+         CASE WHEN {g} % 10 = 2
+              THEN CAST(round((c_acctbal + 0.01) * 100) AS BIGINT)
+              WHEN {g} % 10 = 5
+              THEN CAST(round(c_acctbal * 100) AS BIGINT) + 103
+              ELSE CAST(round(c_acctbal * 100) AS BIGINT) END AS dbal,
+         CASE WHEN {g} % 10 = 3 THEN 'UNKNOWN' ELSE c_mktsegment END AS dseg
+  FROM customer WHERE {g} % 10 <> 0),
+pairs AS (
+  SELECT d.dk, c.k,
+         CASE WHEN c.k IS NULL THEN -1 ELSE
+           CASE WHEN lower(c.name) = lower(d.dname) THEN 40 ELSE 0 END
+           + CASE WHEN c.name = d.dname THEN 10 ELSE 0 END
+           + CASE WHEN c.bal = d.dbal THEN 30
+                  WHEN abs(c.bal - d.dbal) <= 5 THEN 15 ELSE 0 END
+           + CASE WHEN c.seg = d.dseg THEN 20 ELSE 0 END END AS score
+  FROM dirty d LEFT JOIN clean c
+    ON c.nat = d.dnat AND c.bal // 100 = d.dbal // 100),
+best AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY dk
+                               ORDER BY score DESC, k) AS rn
+  FROM pairs)
+SELECT CASE WHEN score < 0 THEN 'no_candidate'
+            WHEN score >= 70 THEN 'match'
+            WHEN score >= 40 THEN 'possible'
+            ELSE 'non_match' END AS match_class,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN k = dk - {_RL_OFFSET} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct
+FROM best WHERE rn = 1 GROUP BY 1
+"""
+
+
 def q_trailing_unique_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB swap q_trailing_unique_users' docstring promises,
     SHIPPED as a checked entry (the spend_quartiles_cutoffs pattern —
@@ -1606,4 +1727,6 @@ LAKEOPS_QUERIES = [
     QueryDef("trailing_unique_hll", q_trailing_unique_hll,
              _oracle_trailing_hll(),
              "X1+A-sketch: sliding distinct via merged HLL partials"),
+    QueryDef("record_linkage", q_record_linkage, _oracle_record_linkage(),
+             "J2+X3: block-score-classify entity resolution"),
 ]
