@@ -1158,6 +1158,86 @@ FROM m WHERE (m1 IS NULL OR s > m1) AND s = pmax
 """
 
 
+_NEAREST_TOL_US = 2 * 3600 * 1_000_000      # 2-hour match window
+
+
+def q_nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-event temporal join — the BIDIRECTIONAL as-of: each
+    purchase pairs with the same user's click closest in time (either
+    direction, |delta| <= 2 h, null if none) — sensor-alignment /
+    closest-fill semantics that backward-only as-of can't express.
+    Scale shape is the same join-free union trick as
+    operators/joins.py:asof_join, run once per direction over ONE
+    (user, time)-sorted window partitioning: the backward candidate is a
+    running MAX of a (ts, -event_id) struct over preceding clicks, the
+    forward one a MIN of (ts, event_id) over following clicks — struct
+    extrema give the per-direction nearest WITH its pinned tiebreak, no
+    range join, no per-row scan. The two candidates then reduce by the
+    total order (|delta|, click_ts, click_id) — ties at equal distance
+    resolve toward the earlier (backward) click. The oracle states the
+    quadratic spec (all candidate pairs ranked by that same order), so
+    the window algebra is proven against the definition, not itself.
+    Integer microsecond arithmetic throughout (rule 7)."""
+    ev = load(spark, sf_dir, "events")
+    us = F.expr("timestampdiff(MICROSECOND, "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    base = (ev.filter(F.col("event_type").isin("purchase", "click"))
+            .select("user_id", "event_id", us.alias("us"),
+                    (F.col("event_type") == "click").cast("int")
+                    .alias("is_click")))
+    w = Window.partitionBy("user_id").orderBy(
+        "us", F.col("is_click").desc(), "event_id")
+    click_back = F.when(
+        F.col("is_click") == 1,
+        F.struct(F.col("us").alias("cus"),
+                 (-F.col("event_id")).alias("neg_eid"),
+                 F.col("event_id").alias("eid")))
+    click_fwd = F.when(
+        F.col("is_click") == 1,
+        F.struct(F.col("us").alias("cus"), F.col("event_id").alias("eid")))
+    cand = (base
+            .withColumn("b", F.max(click_back).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)))
+            .withColumn("f", F.min(click_fwd).over(
+                w.rowsBetween(1, Window.unboundedFollowing)))
+            .filter(F.col("is_click") == 0))
+    kb = F.when(F.col("b").isNotNull(), F.struct(
+        (F.col("us") - F.col("b.cus")).alias("d"),
+        F.col("b.cus").alias("cus"), F.col("b.eid").alias("eid")))
+    kf = F.when(F.col("f").isNotNull(), F.struct(
+        (F.col("f.cus") - F.col("us")).alias("d"),
+        F.col("f.cus").alias("cus"), F.col("f.eid").alias("eid")))
+    chosen = F.when(kb.isNull(), kf).when(kf.isNull(), kb) \
+              .when(kb <= kf, kb).otherwise(kf)
+    cand = cand.withColumn("ch", chosen)
+    ok = F.col("ch").isNotNull() & (F.col("ch.d") <= _NEAREST_TOL_US)
+    return cand.select(
+        "user_id", F.col("event_id").alias("purchase_event_id"),
+        F.when(ok, F.col("ch.eid")).alias("click_event_id"),
+        F.when(ok, F.col("ch.cus") - F.col("us")).alias("delta_us"))
+
+
+ORACLE_NEAREST_EVENT = f"""
+WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+           WHERE event_type = 'purchase'),
+c AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+      WHERE event_type = 'click'),
+cand AS (
+  SELECT p.event_id AS pe, c.event_id AS ce,
+         c.us - p.us AS delta, abs(c.us - p.us) AS d, c.us AS cus
+  FROM p JOIN c USING (user_id)
+  WHERE abs(c.us - p.us) <= {_NEAREST_TOL_US}),
+best AS (
+  SELECT pe, ce, delta,
+         ROW_NUMBER() OVER (PARTITION BY pe
+                            ORDER BY d, cus, ce) AS rn
+  FROM cand)
+SELECT p.user_id, p.event_id AS purchase_event_id,
+       b.ce AS click_event_id, b.delta AS delta_us
+FROM p LEFT JOIN best b ON b.pe = p.event_id AND b.rn = 1
+"""
+
+
 def q_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series downsampling to daily OHLC bars (open/high/low/close —
     the financial-resample shape, and generally 'first/last/extremes per
@@ -3163,6 +3243,9 @@ RELATIONAL_QUERIES = [
              "X3+T11: two-phase Pareto skyline"),
     QueryDef("ohlc_daily", q_ohlc_daily, ORACLE_OHLC_DAILY,
              "A5+X1: OHLC downsample via struct extrema"),
+    QueryDef("nearest_event_join", q_nearest_event_join,
+             ORACLE_NEAREST_EVENT,
+             "J3: bidirectional nearest-event as-of join"),
     QueryDef("user_sessions", q_user_sessions, ORACLE_USER_SESSIONS, "W-session"),
     QueryDef("rollup_revenue", q_rollup_revenue, ORACLE_ROLLUP_REVENUE, "A-rollup", bench=True),
     QueryDef("daily_delta", q_daily_delta, ORACLE_DAILY_DELTA, "X-lag,T14"),
