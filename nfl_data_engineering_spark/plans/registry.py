@@ -66,7 +66,8 @@ _PRIORITY: list[str] = [
 # "snapshot_diff", "streaming_left_outer_join", "minhash_recall_audit",
 # "hll_partition_merge", "skyline_frontier", "prefix_filter_join",
 # "table_sync_audit", "ohlc_daily", "join_size_estimate",
-# "trailing_unique_hll", "record_linkage", "nearest_event_join" — plus
+# "trailing_unique_hll", "record_linkage", "nearest_event_join",
+# "streaming_append_rollup" — plus
 # "lang_id" (parity- and equality-proven after the Arrow-kernel rewrite;
 # its driver row predates the kernel). Remaining slots: the entries with
 # the OLDEST driver rows (round-1 vintage), oldest first.

@@ -251,22 +251,21 @@ WHERE p.event_type = 'purchase' AND c.event_type = 'click'
 """
 
 
-def q_streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.9 stream-stream LEFT OUTER interval join, run for real: the
-    click-attribution shape where purchases WITHOUT a preceding click
-    must still come out (null-padded) — the semantics inner joins silently
-    drop. Outer rows are special in streaming: Spark may only emit an
-    unmatched left row after the watermark proves no matching right row
-    can still arrive, so a finite drain leaves rows younger than the
-    final watermark stuck in state. This entry makes the flush
-    deterministic the production way — advancing the watermark past the
-    data — by staging the events file alongside a far-future flush
-    sentinel on both input branches (user_id -1, filtered from the
-    result); after the sentinel the no-data batch (SPARK-24156) evicts
-    and emits every remaining unmatched purchase. State stays bounded by
-    watermark + lookback per the inner-join analysis
-    (streaming/ingest.py:interval_join_streams); the oracle is the plain
-    batch LEFT JOIN over the single copy."""
+def _flush_staged_stream(spark: SparkSession, sf_dir: str, tag: str):
+    """Stage the events file plus a far-future flush sentinel (one
+    purchase + one click, user_id -1, max ts + 30 days) into a
+    pid-scoped stream source dir and return the ts-normalized
+    readStream. The sentinel advances the watermark past every real
+    row, so append-mode finalization (outer-join null emission, window
+    eviction) drains deterministically under trigger(availableNow) via
+    the no-data batch (SPARK-24156). Callers filter user_id -1 out of
+    results; the sentinel file sorts last (zz_) so real data is never
+    late relative to it even if the source splits batches. Returns
+    (stream, flush_ts). CAUTION: do not filter the sentinel out between
+    withWatermark and the source — Catalyst pushes the filter below the
+    EventTimeWatermark operator, so the sentinel never reaches the
+    watermark tracker and the flush silently stops working; exclude it
+    from the RESULT (by user_id or by its flush_ts window) instead."""
     import shutil
     from datetime import timedelta
 
@@ -274,11 +273,10 @@ def q_streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    from ..streaming.ingest import interval_join_streams
     from .lakeops import _pid_tmp
-    tag = (hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-           + f"_{os.getpid()}")
-    src_dir = _pid_tmp(f"spark_graft_lojstream_{tag}")
+    full_tag = (hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+                + f"_{os.getpid()}")
+    src_dir = _pid_tmp(f"spark_graft_{tag}_{full_tag}")
     shutil.rmtree(src_dir, ignore_errors=True)
     os.makedirs(src_dir)
     src = os.path.join(sf_dir, "events.parquet")
@@ -301,7 +299,27 @@ def q_streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ts", F.timestamp_micros(F.expr("ts div 1000")))
     if dict(stream.dtypes).get("ts") == "timestamp_ntz":
         stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream, flush_ts
 
+
+def q_streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 stream-stream LEFT OUTER interval join, run for real: the
+    click-attribution shape where purchases WITHOUT a preceding click
+    must still come out (null-padded) — the semantics inner joins silently
+    drop. Outer rows are special in streaming: Spark may only emit an
+    unmatched left row after the watermark proves no matching right row
+    can still arrive, so a finite drain leaves rows younger than the
+    final watermark stuck in state. This entry makes the flush
+    deterministic the production way — advancing the watermark past the
+    data — by staging the events file alongside a far-future flush
+    sentinel on both input branches (user_id -1, filtered from the
+    result); after the sentinel the no-data batch (SPARK-24156) evicts
+    and emits every remaining unmatched purchase. State stays bounded by
+    watermark + lookback per the inner-join analysis
+    (streaming/ingest.py:interval_join_streams); the oracle is the plain
+    batch LEFT JOIN over the single copy."""
+    from ..streaming.ingest import interval_join_streams
+    stream, _ = _flush_staged_stream(spark, sf_dir, "lojstream")
     purchases = (stream.filter(F.col("event_type") == "purchase")
                  .select("user_id", "ts", "event_id"))
     clicks = (stream.filter(F.col("event_type") == "click")
@@ -327,6 +345,47 @@ FROM events p LEFT JOIN events c
   ON c.user_id = p.user_id AND c.event_type = 'click'
  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
 WHERE p.event_type = 'purchase'
+"""
+
+
+def q_streaming_append_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 APPEND-mode windowed aggregation — the third output-mode
+    semantics next to complete (q_streaming_daily_rollup) and update
+    (q_streaming_sliding_rollup): each daily window is emitted EXACTLY
+    ONCE, only after the watermark proves it closed — the mode a
+    downstream append-only sink (parquet, Kafka) requires, where
+    re-emission would double-count. A window younger than the final
+    watermark would simply never appear in a finite drain, so the flush
+    sentinel (_flush_staged_stream) advances the watermark past all real
+    data and the no-data batch finalizes every window; a hash match with
+    the batch rollup over the single copy proves completeness (no window
+    stuck in state) AND exactly-once emission (no window doubled)."""
+    stream, flush_ts = _flush_staged_stream(spark, sf_dir, "approllup")
+    agg = (stream.withWatermark("ts", "1 day")
+           .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+           .agg(F.count("*").alias("n"),
+                F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+                 .cast("double").alias("sum_value")))
+    sink = "streaming_append_rollup_sink"
+    q = (agg.writeStream.format("memory").queryName(sink)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    # the sentinel sits 30 days past the real max, so a cutoff 15 days
+    # before flush cleanly separates its window from every real one
+    from datetime import timedelta
+    cutoff = flush_ts - timedelta(days=15)
+    return (spark.table(sink)
+            .filter(F.col("w.start") < F.lit(cutoff))
+            .select(F.col("w.start").alias("day_start"), "event_type",
+                    "n", "sum_value"))
+
+
+ORACLE_STREAMING_APPEND_ROLLUP = """
+SELECT date_trunc('day', ts) AS day_start, event_type,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS sum_value
+FROM events GROUP BY 1, 2
 """
 
 
@@ -1384,6 +1443,9 @@ TRAINING_QUERIES = [
     QueryDef("streaming_left_outer_join", q_streaming_left_outer_join,
              ORACLE_STREAMING_LEFT_OUTER_JOIN,
              "S2.9-stream-outer-join,J3"),
+    QueryDef("streaming_append_rollup", q_streaming_append_rollup,
+             ORACLE_STREAMING_APPEND_ROLLUP,
+             "S2.9-append-finalized-windows"),
     QueryDef("streaming_sessionization", q_streaming_sessionization,
              ORACLE_STREAMING_SESSIONIZATION, "S2.9-session-window"),
     QueryDef("stratified_sample", q_stratified_sample,
