@@ -965,6 +965,71 @@ WHERE l_partkey <= b.pk_hi AND l_suppkey <= b.sk_hi
 """
 
 
+# ---------------------------------------------------------------------------
+# File-statistics manifest: the data-skipping decision, made checkable
+# ---------------------------------------------------------------------------
+
+MANIFEST_BAND_W = 5_000_000    # $50k bands in cents -> ~11 files over orders
+MANIFEST_LO = 15_000_000       # skip-test predicate: total BETWEEN $150k
+MANIFEST_HI = 30_000_000       # and $300k (cents)
+
+
+def q_file_stats_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file min/max statistics manifest + the pruning decision — the
+    mechanism behind every lakehouse data-skipping layer (Delta/Iceberg
+    manifests, parquet row-group stats), built and verified as a query.
+    Orders are clustered into $50k price bands (hash-repartitioned on the
+    band so each Hive dir holds exactly ONE file — layout under test, not
+    luck: the oracle pins n_files = 1) and written through the engine
+    sink. The readback groups by `_metadata.file_path` to collect what a
+    table format would persist in its manifest: per-file row count and
+    min/max of the clustered column. `would_read` is the skipping
+    predicate a scan planner evaluates against the manifest (file range
+    intersects [lo, hi]); `n_matching` counts the rows the predicate
+    actually selects — bands with would_read = false must show 0, which
+    the oracle enforces bin-for-bin. At 100 TB the manifest is O(files),
+    the decision is made without touching data files, and clustering
+    quality (here: banding; zorder_pruning for multi-column) determines
+    how many files survive the intersection test."""
+    path = _tmp_path("manifest", sf_dir)
+    from .base import cents
+    o = (load(spark, sf_dir, "orders")
+         .select("o_orderkey", cents("o_totalprice").alias("cts"))
+         .withColumn("band", F.expr(f"cts div {MANIFEST_BAND_W}")))
+    (o.repartition("band")
+     .write.mode("overwrite").partitionBy("band").parquet(path))
+    back = spark.read.parquet(path)
+    manifest = (back.groupBy("band")
+                .agg(F.count("*").alias("n_rows"),
+                     F.countDistinct(F.col("_metadata.file_path"))
+                      .alias("n_files"),
+                     F.min("cts").alias("min_cents"),
+                     F.max("cts").alias("max_cents"),
+                     F.sum(F.col("cts").between(MANIFEST_LO, MANIFEST_HI)
+                            .cast("int")).alias("n_matching")))
+    return manifest.select(
+        "band", "n_rows", "n_files", "min_cents", "max_cents",
+        ((F.col("min_cents") <= MANIFEST_HI) &
+         (F.col("max_cents") >= MANIFEST_LO)).alias("would_read"),
+        F.col("n_matching").cast("bigint").alias("n_matching"))
+
+
+ORACLE_FILE_STATS_MANIFEST = f"""
+WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cts
+           FROM orders),
+bands AS (SELECT cts // {MANIFEST_BAND_W} AS band, COUNT(*) AS n_rows,
+                 MIN(cts) AS min_cents, MAX(cts) AS max_cents,
+                 CAST(SUM(CASE WHEN cts BETWEEN {MANIFEST_LO} AND
+                   {MANIFEST_HI} THEN 1 ELSE 0 END) AS BIGINT) AS n_matching
+          FROM o GROUP BY 1)
+SELECT band, n_rows, CAST(1 AS BIGINT) AS n_files, min_cents, max_cents,
+       min_cents <= {MANIFEST_HI} AND max_cents >= {MANIFEST_LO}
+         AS would_read,
+       n_matching
+FROM bands
+"""
+
+
 CONNECTOR_QUERIES = [
     QueryDef("upsert_roundtrip", q_upsert_roundtrip, ORACLE_UPSERT_ROUNDTRIP,
              "S4,S5,S6,A1,A2", bench=True),
@@ -1006,4 +1071,7 @@ CONNECTOR_QUERIES = [
              ORACLE_SCHEMA_EVOLUTION, "S4: mergeSchema evolution read"),
     QueryDef("snapshot_diff", q_snapshot_diff, ORACLE_SNAPSHOT_DIFF,
              "S4+S5+J2: snapshot time-travel diff"),
+    QueryDef("file_stats_manifest", q_file_stats_manifest,
+             ORACLE_FILE_STATS_MANIFEST,
+             "S-manifest: per-file min/max stats + data-skipping decision"),
 ]

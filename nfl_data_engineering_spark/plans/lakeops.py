@@ -205,6 +205,72 @@ SELECT n_events, COUNT(*) AS n_windows FROM j GROUP BY 1
 """
 
 
+_ERR_LEN_US = 600_000_000   # error intervals: 10 minutes
+_PUR_LEN_US = 300_000_000   # purchase intervals: 5 minutes
+
+
+def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-OVERLAP join — both sides are intervals, matched when they
+    share any instant (s_a < e_b AND s_b < e_a), the other half of the
+    range-join family next to q_interval_incident_join's point-in-window
+    case. Error events open 10-minute outage intervals, purchases open
+    5-minute fulfillment intervals; the report sums the total overlapped
+    exposure. The scale shape generalizes the binning trick: with bin
+    width >= the longest interval, an interval intersects <= 2 bins and
+    two intervals overlap only if they SHARE an intersected bin — so
+    explode each side into its covered bins (<= 2 rows/interval, bounded
+    fan-out), equi-join on the bin id, and refine exactly. A pair sharing
+    two bins appears twice, so pairs dedupe through one keyed aggregation
+    before the rollup (overlap length is recomputed identically on every
+    copy — max() just collapses duplicates). Microsecond integer
+    arithmetic throughout; only interval DIFFERENCES are emitted, so the
+    Spark-vs-oracle epoch offset cancels. The oracle is the direct theta
+    join (DuckDB plans IEJoin for it)."""
+    src = load(spark, sf_dir, "events")
+    if dict(src.dtypes)["ts"] == "timestamp_ntz":
+        us = F.expr("timestampdiff(MICROSECOND, "
+                    "TIMESTAMP_NTZ '2000-01-01 00:00:00', ts)")
+    else:
+        us = F.expr("unix_micros(ts)")
+    base = src.select("event_id", "event_type", us.alias("s"))
+    binw = _ERR_LEN_US  # >= max interval length
+
+    def side(df: DataFrame, etype: str, length: int, pre: str) -> DataFrame:
+        iv = (df.filter(F.col("event_type") == etype)
+              .select(F.col("event_id").alias(f"{pre}id"),
+                      F.col("s").alias(f"s_{pre}"),
+                      (F.col("s") + length).alias(f"e_{pre}")))
+        return iv.select(
+            "*", F.explode(F.array_distinct(F.array(
+                F.expr(f"s_{pre} div {binw}"),
+                F.expr(f"(e_{pre} - 1) div {binw}")))).alias("bin"))
+
+    a = side(base, "error", _ERR_LEN_US, "a")
+    b = side(base, "purchase", _PUR_LEN_US, "b")
+    ov = F.least("e_a", "e_b") - F.greatest("s_a", "s_b")
+    pairs = (a.join(b, "bin")
+             .filter((F.col("s_a") < F.col("e_b")) &
+                     (F.col("s_b") < F.col("e_a")))
+             .groupBy("aid", "bid").agg(F.max(ov).alias("ov")))
+    return pairs.agg(F.count("*").alias("n_pairs"),
+                     F.sum("ov").alias("sum_overlap_us"),
+                     F.max("ov").alias("max_overlap_us"))
+
+
+ORACLE_INTERVAL_OVERLAP = f"""
+WITH a AS (SELECT epoch_us(ts) AS s_a, epoch_us(ts) + {_ERR_LEN_US} AS e_a
+           FROM events WHERE event_type = 'error'),
+b AS (SELECT epoch_us(ts) AS s_b, epoch_us(ts) + {_PUR_LEN_US} AS e_b
+      FROM events WHERE event_type = 'purchase')
+SELECT COUNT(*) AS n_pairs,
+       CAST(SUM(LEAST(e_a, e_b) - GREATEST(s_a, s_b)) AS BIGINT)
+         AS sum_overlap_us,
+       CAST(MAX(LEAST(e_a, e_b) - GREATEST(s_a, s_b)) AS BIGINT)
+         AS max_overlap_us
+FROM a JOIN b ON s_a < e_b AND s_b < e_a
+"""
+
+
 # ---------------------------------------------------------------------------
 # CDC merge-apply: op-log collapse with delete semantics (MERGE INTO)
 # ---------------------------------------------------------------------------
@@ -1679,6 +1745,9 @@ LAKEOPS_QUERIES = [
     QueryDef("interval_incident_join", q_interval_incident_join,
              ORACLE_INTERVAL_JOIN, "J3: binned interval/range join",
              bench=True),
+    QueryDef("interval_overlap_join", q_interval_overlap_join,
+             ORACLE_INTERVAL_OVERLAP,
+             "J3: interval-overlap join via shared-bin candidates"),
     QueryDef("cdc_merge_apply", q_cdc_merge_apply, ORACLE_CDC_MERGE,
              "A2: CDC merge-apply with tombstones"),
     QueryDef("streaming_cdc_apply", q_streaming_cdc_apply,

@@ -67,7 +67,10 @@ _PRIORITY: list[str] = [
 # "hll_partition_merge", "skyline_frontier", "prefix_filter_join",
 # "table_sync_audit", "ohlc_daily", "join_size_estimate",
 # "trailing_unique_hll", "record_linkage", "nearest_event_join",
-# "streaming_append_rollup" — plus
+# "streaming_append_rollup", "exact_quantiles_twopass",
+# "histogram_quantile_merge", "file_stats_manifest",
+# "interval_overlap_join", "priority_sample_weighted",
+# "streaming_multibatch_backfill" — plus
 # "lang_id" (parity- and equality-proven after the Arrow-kernel rewrite;
 # its driver row predates the kernel). Remaining slots: the entries with
 # the OLDEST driver rows (round-1 vintage), oldest first.

@@ -3202,6 +3202,282 @@ FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
 """
 
 
+# ---------------------------------------------------------------------------
+# Duration-capped sessionization: gaps-and-islands + fixed-offset splits
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_US = 1_800_000_000    # 30-minute inactivity gap
+SESSION_CAP_US = 3_600_000_000    # 1-hour max sub-session duration
+
+
+def q_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with BOTH boundary rules real products use: a new
+    session after 30 min of inactivity (the gap rule — session_window /
+    streaming_sessionization's semantics) AND a 1-hour cap on session
+    duration (the rule gap-based sessionization alone cannot express: a
+    steady drip of events keeps a gap-session open forever — the
+    pathological key that grows streaming state without bound). The cap
+    is the fixed-offset convention: a gap-session splits at start+1h,
+    start+2h, ... (sub_id = elapsed div cap — row-local integer math),
+    which is the SQL-tractable form; restart-the-clock-on-split capping
+    is inherently sequential and needs the stateful streaming operator
+    instead. Dataflow: ONE shuffle on user_id serves the lag-gap flag,
+    the island id (running sum), and the session-start propagation
+    (min over the island); the report histogram is a bounded second
+    aggregation. Microsecond integer arithmetic; epoch offset cancels in
+    the differences."""
+    src = load(spark, sf_dir, "events")
+    if dict(src.dtypes)["ts"] == "timestamp_ntz":
+        us = F.expr("timestampdiff(MICROSECOND, "
+                    "TIMESTAMP_NTZ '2000-01-01 00:00:00', ts)")
+    else:
+        us = F.expr("unix_micros(ts)")
+    ev = src.select("user_id", us.alias("us"))
+    wo = Window.partitionBy("user_id").orderBy("us")
+    flagged = ev.withColumn(
+        "new_sess",
+        (F.col("us") - F.lag("us").over(wo) > SESSION_GAP_US)
+        .cast("int")).fillna({"new_sess": 1})
+    ids = flagged.withColumn(
+        "sess", F.sum("new_sess").over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    ws = Window.partitionBy("user_id", "sess")
+    sub = ids.withColumn("start_us", F.min("us").over(ws)).withColumn(
+        "sub_id", F.expr(f"(us - start_us) div {SESSION_CAP_US}"))
+    per = (sub.groupBy("user_id", "sess", "sub_id")
+           .agg(F.count("*").alias("n_events")))
+    return (per.groupBy("n_events")
+            .agg(F.count("*").alias("n_subsessions")))
+
+
+ORACLE_CAPPED_SESSIONS = f"""
+WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+flagged AS (
+  SELECT user_id, us,
+         CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us)
+                   > {SESSION_GAP_US} OR
+                   LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM ev),
+ids AS (
+  SELECT user_id, us,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+  FROM flagged),
+sub AS (
+  SELECT user_id, sess,
+         (us - MIN(us) OVER (PARTITION BY user_id, sess))
+           // {SESSION_CAP_US} AS sub_id
+  FROM ids),
+per AS (SELECT user_id, sess, sub_id, COUNT(*) AS n_events
+        FROM sub GROUP BY 1, 2, 3)
+SELECT n_events, COUNT(*) AS n_subsessions FROM per GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Weekday seasonality decomposition in exact integers
+# ---------------------------------------------------------------------------
+
+def q_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal profile of the daily order-revenue series: per-weekday
+    mean daily revenue and its offset from the global daily mean — the
+    decomposition behind 'is Tuesday really slower' and the input to any
+    seasonal-naive forecast baseline. Exact integer arithmetic end to
+    end (rule 7): daily totals are exact cents, weekday means are
+    TRUNCATING integer division (convention pinned in both engines),
+    offsets subtract the same-convention global mean, so no float
+    accumulation or rounding can diverge. Weekday numbering is pinned to
+    Monday=0 (Spark weekday() == DuckDB isodow-1 — the two engines'
+    DEFAULT dow functions disagree on where Sunday lands). Dataflow: one
+    shuffle to daily grain, one to the 7-row weekday table; the global
+    mean is a window over 7 rows."""
+    o = load(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("day"),
+        cents("o_totalprice").alias("c"))
+    daily = o.groupBy("day").agg(F.sum("c").alias("day_cents"))
+    wd = (daily.withColumn("weekday", F.weekday("day"))
+          .groupBy("weekday")
+          .agg(F.count("*").alias("n_days"),
+               F.sum("day_cents").alias("total_cents")))
+    wg = Window.partitionBy()
+    return (wd.withColumn("gt", F.sum("total_cents").over(wg))
+            .withColumn("gn", F.sum("n_days").over(wg))
+            .select("weekday", "n_days", "total_cents",
+                    F.expr("total_cents div n_days").alias("mean_cents"),
+                    F.expr("total_cents div n_days - gt div gn")
+                     .alias("offset_cents")))
+
+
+ORACLE_WEEKDAY_SEASONALITY = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS day_cents
+  FROM orders GROUP BY 1),
+wd AS (
+  SELECT isodow(day) - 1 AS weekday, COUNT(*) AS n_days,
+         SUM(day_cents) AS total_cents
+  FROM daily GROUP BY 1)
+SELECT CAST(weekday AS INTEGER) AS weekday, n_days,
+       CAST(total_cents AS BIGINT) AS total_cents,
+       CAST(total_cents // n_days AS BIGINT) AS mean_cents,
+       CAST(total_cents // n_days -
+            (SUM(total_cents) OVER ()) // (SUM(n_days) OVER ()) AS BIGINT)
+         AS offset_cents
+FROM wd
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact order statistics at scale: two-pass distributed selection
+# ---------------------------------------------------------------------------
+
+QSEL_BUCKET_W = 100_000       # pass-1 bucket width: $1,000 in cents
+QSEL_PCTS = (25, 50, 90, 99)  # rank convention: k = ceil(q*n/100), 1-based
+
+
+def q_exact_quantiles_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global percentiles without a global sort — the distributed
+    selection algorithm (two-pass bucket narrowing). `percentile()` is
+    exact but buffers whole groups; `sampled_quantiles` trades exactness
+    for a bounded sort; THIS is the remaining cell of the matrix: exact
+    values at 100 TB. Pass 1 histograms values into fixed $1,000 buckets
+    (map-side combine; shuffle = |buckets|, here ~100 rows independent of
+    data size) and the driver reads that bounded table to locate, for each
+    target rank k = ceil(q*n/100), the bucket containing the k-th value
+    and the residual rank within it. Pass 2 scans only rows in the (<=4)
+    targeted buckets, aggregates per distinct value (shuffle = |distinct
+    cents in targeted bands|, bounded by band width), and a per-bucket
+    cumulative window finds the unique value whose cumulative count
+    crosses the residual rank. No row-level sort anywhere; if a band were
+    still hot at 100 TB the same narrowing recurses with a finer width.
+    All arithmetic on integer cents (rule 7); ties are rank-stable because
+    selection is by value count, not row order."""
+    li = load(spark, sf_dir, "lineitem").select(
+        cents("l_extendedprice").alias("c"))
+    li = li.withColumn("b", F.expr(f"c div {QSEL_BUCKET_W}"))
+
+    # pass 1: bounded bucket histogram -> driver (O(value_range / width))
+    hist = sorted((r["b"], r["cnt"]) for r in
+                  li.groupBy("b").agg(F.count("*").alias("cnt")).collect())
+    n = sum(cnt for _, cnt in hist)
+    targets = []          # (pct, bucket, residual rank within bucket)
+    for q in QSEL_PCTS:
+        k = (n * q + 99) // 100
+        cum = 0
+        for b, cnt in hist:
+            if cum + cnt >= k:
+                targets.append((q, b, k - cum))
+                break
+            cum += cnt
+    tdf = spark.createDataFrame(targets, "pct int, b bigint, rk bigint")
+
+    # pass 2: per-value counts inside targeted buckets only, then the
+    # crossing value per target (cum >= rk and cum - cnt < rk is unique)
+    vc = (li.filter(F.col("b").isin([b for _, b, _ in targets]))
+          .groupBy("b", "c").agg(F.count("*").alias("cnt")))
+    wb = (Window.partitionBy("b").orderBy("c")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    vcc = vc.withColumn("cum", F.sum("cnt").over(wb))
+    return (vcc.join(tdf, "b")
+            .filter((F.col("cum") >= F.col("rk")) &
+                    (F.col("cum") - F.col("cnt") < F.col("rk")))
+            .select("pct", F.col("c").alias("value_cents"),
+                    F.lit(n).cast("bigint").alias("n_rows")))
+
+
+ORACLE_EXACT_QUANTILES = f"""
+WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+           FROM lineitem),
+ranked AS (SELECT c, row_number() OVER (ORDER BY c) AS rn,
+                  COUNT(*) OVER () AS n FROM c)
+SELECT q AS pct, c AS value_cents, CAST(n AS BIGINT) AS n_rows
+FROM ranked JOIN (VALUES {", ".join(f"({q})" for q in QSEL_PCTS)}) AS t(q)
+  ON rn = (n * q + 99) // 100
+"""
+
+
+def q_histogram_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-histogram quantiles: the sketch-maintenance law behind
+    incremental percentiles at 100 TB (hll_partition_merge's analog for
+    order statistics). Per-month partial equi-width histograms of order
+    totals (integer-cent bins, $5,000 wide) are SUM-merged into a global
+    histogram, proven bin-for-bin identical to the directly-built one
+    (bins_mismatched must be 0 — counters are associative, so partials
+    written at ingest time can serve any later quantile query without
+    rescanning history). p50/p90 are then estimated from the merged
+    histogram by integer linear interpolation inside the crossing bin —
+    exact integer arithmetic end to end, so both engines derive the
+    identical estimate. Dataflow: two bounded shuffles (|months x bins|,
+    then |bins|); every window runs over the bounded bin table, never raw
+    rows."""
+    W_BIN = 500_000
+    o = load(spark, sf_dir, "orders").select(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("mo"),
+        cents("o_totalprice").alias("cts")).select(
+        "mo", F.expr(f"cts div {W_BIN}").alias("bin"))
+    partials = o.groupBy("mo", "bin").agg(F.count("*").alias("c"))
+    merged = partials.groupBy("bin").agg(F.sum("c").alias("n_merged"))
+    direct = o.groupBy("bin").agg(F.count("*").alias("n_direct"))
+    bins = (merged.join(direct, "bin", "full_outer")
+            .select("bin",
+                    F.coalesce("n_merged", F.lit(0)).alias("n_merged"),
+                    F.coalesce("n_direct", F.lit(0)).alias("n_direct")))
+    wg = Window.partitionBy()
+    wprev = (Window.orderBy("bin")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    ann = bins.select(
+        "bin", "n_merged",
+        F.coalesce(F.sum("n_merged").over(wprev), F.lit(0)).alias("cumb"),
+        F.sum("n_merged").over(wg).alias("n_total"),
+        F.sum((F.col("n_merged") != F.col("n_direct")).cast("int"))
+         .over(wg).alias("bins_mismatched"),
+        F.count("*").over(wg).alias("n_bins"))
+    parts = []
+    for q in (50, 90):
+        k = F.expr(f"(n_total * {q} + 99) div 100")
+        est = F.expr(f"bin * {W_BIN} + "
+                     f"(((n_total * {q} + 99) div 100) - cumb) "
+                     f"* {W_BIN} div n_merged")
+        parts.append(ann.filter((F.col("cumb") < k) &
+                                (k <= F.col("cumb") + F.col("n_merged")))
+                     .select(F.lit(q).alias("pct"), est.alias("est_cents"),
+                             F.col("bins_mismatched").cast("bigint")
+                              .alias("bins_mismatched"),
+                             F.col("n_bins").cast("bigint").alias("n_bins")))
+    return parts[0].unionByName(parts[1])
+
+
+ORACLE_HISTOGRAM_QUANTILE_MERGE = """
+WITH o AS (SELECT year(o_orderdate) * 100 + month(o_orderdate) AS mo,
+                  CAST(round(o_totalprice * 100) AS BIGINT) // 500000 AS bin
+           FROM orders),
+partials AS (SELECT mo, bin, COUNT(*) AS c FROM o GROUP BY 1, 2),
+merged AS (SELECT bin, SUM(c) AS n_merged FROM partials GROUP BY 1),
+direct AS (SELECT bin, COUNT(*) AS n_direct FROM o GROUP BY 1),
+bins AS (SELECT COALESCE(m.bin, d.bin) AS bin,
+                COALESCE(n_merged, 0) AS n_merged,
+                COALESCE(n_direct, 0) AS n_direct
+         FROM merged m FULL OUTER JOIN direct d ON m.bin = d.bin),
+ann AS (SELECT bin, n_merged,
+               COALESCE(SUM(n_merged) OVER (ORDER BY bin ROWS BETWEEN
+                 UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb,
+               SUM(n_merged) OVER () AS n_total,
+               SUM(CASE WHEN n_merged <> n_direct THEN 1 ELSE 0 END)
+                 OVER () AS bins_mismatched,
+               COUNT(*) OVER () AS n_bins
+        FROM bins)
+SELECT q AS pct,
+       CAST(bin * 500000 + ((n_total * q + 99) // 100 - cumb) * 500000
+         // n_merged AS BIGINT) AS est_cents,
+       CAST(bins_mismatched AS BIGINT) AS bins_mismatched,
+       CAST(n_bins AS BIGINT) AS n_bins
+FROM ann JOIN (VALUES (50), (90)) AS t(q)
+  ON cumb < (n_total * q + 99) // 100
+ AND (n_total * q + 99) // 100 <= cumb + n_merged
+"""
+
+
 RELATIONAL_QUERIES = [
     QueryDef("pricing_summary", q_pricing_summary, ORACLE_PRICING, "T11,A5,X-avg,S4", bench=True),
     QueryDef("shipping_priority", q_shipping_priority, ORACLE_SHIPPING, "J2,O1,A5", bench=True),
@@ -3333,4 +3609,15 @@ RELATIONAL_QUERIES = [
              "A-skew-audit"),
     QueryDef("referential_integrity_audit", q_referential_integrity_audit,
              ORACLE_REFERENTIAL_INTEGRITY, "J-anti,A-integrity"),
+    QueryDef("exact_quantiles_twopass", q_exact_quantiles_twopass,
+             ORACLE_EXACT_QUANTILES, "A-quantile-select: 2-pass exact "
+             "distributed selection, no global sort"),
+    QueryDef("histogram_quantile_merge", q_histogram_quantile_merge,
+             ORACLE_HISTOGRAM_QUANTILE_MERGE, "A-quantile-sketch-merge: "
+             "mergeable partial histograms, integer interpolation"),
+    QueryDef("capped_sessions", q_capped_sessions, ORACLE_CAPPED_SESSIONS,
+             "A-session-capped: gap + duration-cap sessionization"),
+    QueryDef("weekday_seasonality", q_weekday_seasonality,
+             ORACLE_WEEKDAY_SEASONALITY,
+             "A-seasonal: weekday decomposition, exact integers"),
 ]

@@ -1417,9 +1417,158 @@ FROM k GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Multi-batch incremental backfill: state carried across microbatches
+# ---------------------------------------------------------------------------
+
+BACKFILL_CHUNKS = 4
+_LAST_BACKFILL_NUM_BATCHES = -1   # set by the entry; read by tests
+
+
+def q_streaming_multibatch_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental backfill parity across MULTIPLE microbatches — the
+    missing case next to the other §2.9 entries, whose single-file
+    sources usually drain in one batch: here the events table is staged
+    as 4 chronological chunk files and consumed with maxFilesPerTrigger=1
+    under trigger(availableNow), so the daily aggregation's state is
+    built up across >= 4 separate microbatches (asserted in
+    tests/test_streaming_extras.py via recentProgress) exactly the way a
+    day-by-day historical backfill replays a 100 TB archive through the
+    SAME query that then serves the live stream. Update-mode emissions
+    land in the memory sink once per (day, batch-that-changed-it); the
+    final state per day is the emission with the maximal count (count is
+    monotone across batches, and equal counts are identical emissions —
+    selecting max(n) needs no batch-id column). Hash equality against the
+    batch oracle proves cross-batch state merge is lossless: no chunk
+    boundary drops or double-counts a row. No watermark: backfill state
+    must NOT be evicted mid-replay (days straddle chunk boundaries);
+    the live continuation adds one for eviction once caught up."""
+    import shutil
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from .lakeops import _pid_tmp
+    full_tag = (hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+                + f"_{os.getpid()}")
+    src_dir = _pid_tmp(f"spark_graft_backfill_{full_tag}")
+    shutil.rmtree(src_dir, ignore_errors=True)
+    os.makedirs(src_dir)
+    src = os.path.join(sf_dir, "events.parquet")
+    tbl = pq.read_table(src)
+    tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[("ts", "ascending")]))
+    step = (tbl.num_rows + BACKFILL_CHUNKS - 1) // BACKFILL_CHUNKS
+    for i in range(BACKFILL_CHUNKS):
+        pq.write_table(tbl.slice(i * step, step),
+                       os.path.join(src_dir, f"chunk_{i:02d}.parquet"))
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(raw_schema)
+              .option("maxFilesPerTrigger", 1).parquet(src_dir))
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    agg = (stream.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+           .agg(F.count("*").alias("n"),
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                 .alias("sum_value")))
+    sink = "streaming_multibatch_backfill_sink"
+    q = (agg.writeStream.format("memory").queryName(sink)
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    global _LAST_BACKFILL_NUM_BATCHES
+    _LAST_BACKFILL_NUM_BATCHES = sum(
+        1 for p in q.recentProgress
+        if (p if isinstance(p, dict) else {}).get("numInputRows", 0) > 0)
+    w = Window.partitionBy("day").orderBy(F.col("n").desc())
+    return (spark.table(sink)
+            .withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+            .select("day", "n", "sum_value"))
+
+
+ORACLE_STREAMING_BACKFILL = """
+SELECT date_trunc('day', ts)::TIMESTAMP AS day, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement: deterministic priority sampling
+# ---------------------------------------------------------------------------
+
+PRIORITY_SAMPLE_K = 200
+
+
+def q_priority_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via hash-priority (the
+    Duffield-Lund-Thorup priority-sampling scheme, made deterministic):
+    each document draws priority = u / w where u is its h60 content hash
+    (uniform, reproducible — no rand(), so the sample survives retries,
+    repartitioning, and engine swaps) and w = n_chars is its weight; the
+    k smallest priorities form the sample, giving inclusion probability
+    ~ proportional to weight. Division is INTEGER (u div w) with a
+    (priority, doc_id) total-order tiebreak, so both engines select the
+    identical k documents. The report compares each source's share of
+    total WEIGHT against its share of the SAMPLE (both in integer ppm) —
+    the proportional-to-size property is measured, not assumed. Scale
+    shape: priority is row-local; top-k-by-priority is Spark's
+    TakeOrderedAndProject (per-partition heap of k, merge of k*partitions
+    — no global sort); shares are windows over the bounded per-source
+    table. ppm numerators hold in int64 while total weight < 9.2e12;
+    beyond that, compute shares in decimal(38,0)."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars")
+    pri = (docs.withColumn(
+        "u", h60(F.concat(F.lit("ps_"), F.col("doc_id").cast("string"))))
+        .withColumn("pri", F.expr("u div n_chars")))
+    sel = pri.orderBy("pri", "doc_id").limit(PRIORITY_SAMPLE_K)
+    tot = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("w"))
+    s = sel.groupBy("source").agg(F.count("*").alias("n_sel"))
+    wg = Window.partitionBy()
+    return (tot.join(s, "source", "left")
+            .withColumn("wt", F.sum("w").over(wg))
+            .select("source", "n_docs",
+                    F.expr("w * 1000000 div wt").alias("weight_share_ppm"),
+                    F.coalesce("n_sel", F.lit(0)).cast("bigint")
+                     .alias("n_selected"),
+                    F.expr(f"coalesce(n_sel, 0) * 1000000 div "
+                           f"{PRIORITY_SAMPLE_K}")
+                     .alias("selected_share_ppm")))
+
+
+def _oracle_priority_sample() -> str:
+    from ..functions.hashing import h60_sql
+    h = h60_sql("'ps_' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH d AS (SELECT doc_id, source, n_chars,
+                  {h} // n_chars AS pri FROM documents),
+sel AS (SELECT source FROM d ORDER BY pri, doc_id
+        LIMIT {PRIORITY_SAMPLE_K}),
+tot AS (SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS w
+        FROM d GROUP BY 1),
+s AS (SELECT source, COUNT(*) AS n_sel FROM sel GROUP BY 1)
+SELECT t.source, n_docs,
+       CAST(w * 1000000 // (SUM(w) OVER ()) AS BIGINT) AS weight_share_ppm,
+       COALESCE(n_sel, 0) AS n_selected,
+       CAST(COALESCE(n_sel, 0) * 1000000 // {PRIORITY_SAMPLE_K} AS BIGINT)
+         AS selected_share_ppm
+FROM tot t LEFT JOIN s ON t.source = s.source
+"""
+
+
 TRAINING_QUERIES = [
     QueryDef("shard_balance", q_shard_balance, _oracle_shard_balance(),
              "LLM-shard-pack"),
+    QueryDef("priority_sample_weighted", q_priority_sample_weighted,
+             _oracle_priority_sample(),
+             "LLM-weighted-sample-wor: deterministic priority sampling"),
     QueryDef("bigram_logprob", q_bigram_logprob, _oracle_bigram_logprob(),
              "LLM-lm-score-2"),
     QueryDef("importance_resample", q_importance_resample,
@@ -1446,6 +1595,9 @@ TRAINING_QUERIES = [
     QueryDef("streaming_append_rollup", q_streaming_append_rollup,
              ORACLE_STREAMING_APPEND_ROLLUP,
              "S2.9-append-finalized-windows"),
+    QueryDef("streaming_multibatch_backfill", q_streaming_multibatch_backfill,
+             ORACLE_STREAMING_BACKFILL,
+             "S2.9-multibatch-backfill: cross-batch state merge"),
     QueryDef("streaming_sessionization", q_streaming_sessionization,
              ORACLE_STREAMING_SESSIONIZATION, "S2.9-session-window"),
     QueryDef("stratified_sample", q_stratified_sample,

@@ -1,0 +1,122 @@
+"""Semantic tests for the late round-4 catalog additions (beyond the DuckDB
+parity gate): distributed exact selection, mergeable histogram quantiles,
+the file-stats manifest, interval-overlap join, priority sampling, and the
+multi-batch streaming backfill."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pyspark.sql.functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from nfl_data_engineering_spark.plans import training as T  # noqa: E402
+from nfl_data_engineering_spark.plans.connectors import (  # noqa: E402
+    MANIFEST_HI, MANIFEST_LO, q_file_stats_manifest)
+from nfl_data_engineering_spark.plans.lakeops import (  # noqa: E402
+    _ERR_LEN_US, _PUR_LEN_US, q_interval_overlap_join)
+from nfl_data_engineering_spark.plans.relational import (  # noqa: E402
+    QSEL_PCTS, q_exact_quantiles_twopass, q_histogram_quantile_merge)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_exact_quantiles_match_sorted_truth(spark):
+    rows = {r["pct"]: r for r in q_exact_quantiles_twopass(spark, SF).collect()}
+    vals = sorted(
+        int(round(r["l_extendedprice"] * 100)) for r in
+        spark.read.parquet(os.path.join(SF, "lineitem.parquet"))
+        .select("l_extendedprice").collect())
+    n = len(vals)
+    assert set(rows) == set(QSEL_PCTS)
+    for q in QSEL_PCTS:
+        k = (n * q + 99) // 100           # the pinned rank convention
+        assert rows[q]["value_cents"] == vals[k - 1]
+        assert rows[q]["n_rows"] == n
+    # order statistics are monotone in the rank
+    got = [rows[q]["value_cents"] for q in sorted(QSEL_PCTS)]
+    assert got == sorted(got)
+
+
+def test_histogram_merge_is_lossless_and_estimate_is_in_bin(spark):
+    rows = {r["pct"]: r for r in
+            q_histogram_quantile_merge(spark, SF).collect()}
+    assert set(rows) == {50, 90}
+    vals = sorted(
+        int(round(r["o_totalprice"] * 100)) for r in
+        spark.read.parquet(os.path.join(SF, "orders.parquet"))
+        .select("o_totalprice").collect())
+    n = len(vals)
+    for q, r in rows.items():
+        assert r["bins_mismatched"] == 0   # the merge law itself
+        exact = vals[(n * q + 99) // 100 - 1]
+        # interpolated estimate lands within one bin width of the truth
+        assert abs(r["est_cents"] - exact) <= 500_000
+
+
+def test_file_stats_manifest_prunes_correctly(spark):
+    rows = q_file_stats_manifest(spark, SF).collect()
+    n_orders = spark.read.parquet(os.path.join(SF, "orders.parquet")).count()
+    assert sum(r["n_rows"] for r in rows) == n_orders
+    assert all(r["n_files"] == 1 for r in rows)      # layout under test
+    for r in rows:
+        assert r["min_cents"] <= r["max_cents"]
+        intersects = (r["min_cents"] <= MANIFEST_HI
+                      and r["max_cents"] >= MANIFEST_LO)
+        assert r["would_read"] == intersects
+        if not r["would_read"]:
+            assert r["n_matching"] == 0              # skipping is safe
+    # the predicate must NOT degenerate to all-read or all-skip
+    flags = {r["would_read"] for r in rows}
+    assert flags == {True, False}
+
+
+def test_interval_overlap_matches_quadratic_truth(spark):
+    row = q_interval_overlap_join(spark, SF).collect()[0]
+    ev = (spark.read.parquet(os.path.join(SF, "events.parquet"))
+          .select("event_id", "ts", "event_type").collect())
+
+    def us(t):
+        return int(t.timestamp() * 1_000_000) if hasattr(t, "timestamp") \
+            else int(t)
+    a = [(us(r["ts"]), us(r["ts"]) + _ERR_LEN_US) for r in ev
+         if r["event_type"] == "error"]
+    b = [(us(r["ts"]), us(r["ts"]) + _PUR_LEN_US) for r in ev
+         if r["event_type"] == "purchase"]
+    ovs = [min(ea, eb) - max(sa, sb)
+           for sa, ea in a for sb, eb in b if sa < eb and sb < ea]
+    assert row["n_pairs"] == len(ovs)
+    assert row["sum_overlap_us"] == sum(ovs)
+    assert row["max_overlap_us"] == max(ovs)
+
+
+def test_priority_sample_is_exact_k_and_weight_biased(spark):
+    rows = T.q_priority_sample_weighted(spark, SF).collect()
+    assert sum(r["n_selected"] for r in rows) == T.PRIORITY_SAMPLE_K
+    # ppm shares sum to ~1e6 (floor-division slack < one ppm per source)
+    assert abs(sum(r["selected_share_ppm"] for r in rows) - 1_000_000) \
+        <= len(rows)
+    assert abs(sum(r["weight_share_ppm"] for r in rows) - 1_000_000) \
+        <= len(rows)
+    # proportional-to-weight, coarsely: aggregate the top-weight half of
+    # sources; their sample share must exceed the bottom half's
+    ordered = sorted(rows, key=lambda r: -r["weight_share_ppm"])
+    half = len(ordered) // 2
+    top = sum(r["selected_share_ppm"] for r in ordered[:half])
+    bottom = sum(r["selected_share_ppm"] for r in ordered[half:])
+    assert top > bottom
+
+
+def test_multibatch_backfill_ran_multiple_batches(spark):
+    out = {r["day"]: r for r in
+           T.q_streaming_multibatch_backfill(spark, SF).collect()}
+    assert T._LAST_BACKFILL_NUM_BATCHES >= T.BACKFILL_CHUNKS
+    batch = (spark.read.parquet(os.path.join(SF, "events.parquet"))
+             .groupBy(F.date_trunc("day", F.col("ts").cast("timestamp"))
+                      .alias("day"))
+             .agg(F.count("*").alias("n")).collect())
+    assert len(batch) == len(out)
+    for r in batch:
+        assert out[r["day"]]["n"] == r["n"]
