@@ -966,6 +966,54 @@ WHERE l_partkey <= b.pk_hi AND l_suppkey <= b.sk_hi
 
 
 # ---------------------------------------------------------------------------
+# Python Data Source WRITER: custom sink exercised end to end
+# ---------------------------------------------------------------------------
+
+def q_python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITE half of the Python Data Source API (§2.1/S-surface —
+    odds_python_source covers the read half): events flow through the
+    registered ``jsonl_dir`` sink (sources/datasource.py:JsonlDirWriter),
+    whose ``write()`` runs per partition on executors (uuid-named file
+    per task — retry-safe, no renames needed) and whose driver-side
+    ``commit()`` publishes a _manifest.json only after every task
+    succeeded — the all-or-nothing contract a custom sink must provide.
+    The readback (Spark's json reader, schema-pinned; the _-prefixed
+    manifest is invisible to it) aggregates per event_type, and the
+    oracle computes the same aggregate over the SOURCE table — hash
+    equality proves the custom writer serialized every row exactly once
+    with doubles surviving the json round-trip (repr-exact). Scale: the
+    sink is embarrassingly parallel (no coordination until commit);
+    commit cost is O(tasks)."""
+    import shutil
+
+    from ..sources.datasource import register_jsonl_sink
+    register_jsonl_sink(spark)
+    path = _tmp_path("pysink", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value")
+    (ev.write.format("jsonl_dir").mode("append")
+     .option("path", path).save())
+    back = spark.read.schema(
+        "event_id bigint, user_id bigint, event_type string, value double"
+    ).json(path)
+    return (back.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                  .alias("sum_value"),
+                 F.countDistinct("user_id").alias("n_users")))
+
+
+ORACLE_PYTHON_DATASOURCE_SINK = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # File-statistics manifest: the data-skipping decision, made checkable
 # ---------------------------------------------------------------------------
 
@@ -1074,4 +1122,7 @@ CONNECTOR_QUERIES = [
     QueryDef("file_stats_manifest", q_file_stats_manifest,
              ORACLE_FILE_STATS_MANIFEST,
              "S-manifest: per-file min/max stats + data-skipping decision"),
+    QueryDef("python_datasource_sink", q_python_datasource_sink,
+             ORACLE_PYTHON_DATASOURCE_SINK,
+             "S1-datasource-writer: Python DataSource custom sink"),
 ]

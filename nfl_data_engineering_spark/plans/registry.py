@@ -70,7 +70,9 @@ _PRIORITY: list[str] = [
 # "streaming_append_rollup", "exact_quantiles_twopass",
 # "histogram_quantile_merge", "file_stats_manifest",
 # "interval_overlap_join", "priority_sample_weighted",
-# "streaming_multibatch_backfill" — plus
+# "streaming_multibatch_backfill", "capped_sessions",
+# "weekday_seasonality", "rank_twophase", "kmv_set_ops",
+# "python_datasource_sink" — plus
 # "lang_id" (parity- and equality-proven after the Arrow-kernel rewrite;
 # its driver row predates the kernel). Remaining slots: the entries with
 # the OLDEST driver rows (round-1 vintage), oldest first.

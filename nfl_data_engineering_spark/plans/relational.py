@@ -3203,6 +3203,178 @@ FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
 
 
 # ---------------------------------------------------------------------------
+# KMV set algebra: union/intersection estimates from merged sketches
+# ---------------------------------------------------------------------------
+
+H60_FULL = 1 << 60
+
+
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SET ALGEBRA on KMV sketches — the capability that makes distinct
+    sketches composable: 'viewers', 'clickers', 'viewers OR clickers',
+    and 'viewers AND clickers' all answered from two K=64 sketches built
+    once, never rescanning raw data. Union sketch = the K smallest of the
+    two sketches' union (KMV's closure property — the merged sketch is
+    EXACTLY the sketch of the merged set, so union estimation inherits
+    single-set accuracy); intersection by inclusion-exclusion over the
+    three estimates. Estimates are exact-integer: (K-1) * 2^60 div kth
+    in decimal(38,0) (the numerator overflows int64; rule 7 forbids
+    settling a hash on float division), so the oracle reproduces every
+    estimate bit-for-bit and the measured signed error rides along in
+    integer ppm. Scale shape: each sketch is a distinct (one shuffle of
+    |distinct users|, the exact-audit cost — a production build keeps
+    per-partition K-mins instead) + a K-row TakeOrdered; merges and
+    estimates touch only K-row frames."""
+    from ..functions.hashing import h60
+    ev = load(spark, sf_dir, "events")
+
+    def hashes(etype: str) -> DataFrame:
+        return (ev.filter(F.col("event_type") == etype)
+                .select(h60(F.col("user_id").cast("string")).alias("h"))
+                .distinct())
+
+    hv, hc = hashes("view"), hashes("click")
+    est_expr = F.when(
+        F.col("got") < KMV_K, F.col("got").cast("bigint")).otherwise(
+        F.expr(f"cast((cast({KMV_K - 1} as decimal(38,0)) * "
+               f"cast({H60_FULL} as decimal(38,0))) div kth as bigint)"))
+
+    def sketch_est(df: DataFrame, name: str) -> DataFrame:
+        return (df.orderBy("h").limit(KMV_K)
+                .agg(F.max("h").alias("kth"), F.count("*").alias("got"))
+                .select(F.lit(name).alias("set_name"),
+                        est_expr.alias("est")))
+
+    ests3 = (sketch_est(hv, "view")
+             .unionByName(sketch_est(hc, "click"))
+             .unionByName(sketch_est(hv.union(hc).distinct(), "union")))
+    wide = ests3.agg(
+        F.max(F.when(F.col("set_name") == "view", F.col("est"))).alias("ev"),
+        F.max(F.when(F.col("set_name") == "click", F.col("est"))).alias("ec"),
+        F.max(F.when(F.col("set_name") == "union", F.col("est"))).alias("eu"))
+    esti = wide.select(F.lit("intersection").alias("set_name"),
+                       (F.col("ev") + F.col("ec") - F.col("eu")).alias("est"))
+    ests = ests3.unionByName(esti)
+
+    exacts = (hv.agg(F.count("*").alias("exact"))
+              .select(F.lit("view").alias("set_name"), "exact")
+              .unionByName(hc.agg(F.count("*").alias("exact"))
+                           .select(F.lit("click").alias("set_name"), "exact"))
+              .unionByName(hv.union(hc).distinct()
+                           .agg(F.count("*").alias("exact"))
+                           .select(F.lit("union").alias("set_name"), "exact"))
+              .unionByName(hv.join(hc, "h")
+                           .agg(F.count("*").alias("exact"))
+                           .select(F.lit("intersection").alias("set_name"),
+                                   "exact")))
+    return (ests.join(exacts, "set_name")
+            .select("set_name", "est", F.col("exact").cast("bigint")
+                    .alias("exact_distinct"),
+                    F.expr("(est - exact) * 1000000 div exact")
+                     .alias("err_ppm")))
+
+
+def _oracle_kmv_set_ops() -> str:
+    from ..functions.hashing import h60_sql
+    h = h60_sql("user_id::VARCHAR")
+    est = (f"CASE WHEN got < {KMV_K} THEN got ELSE "
+           f"CAST(({KMV_K - 1}::HUGEINT * {H60_FULL}::HUGEINT) // kth "
+           f"AS BIGINT) END")
+    return f"""
+WITH hv AS (SELECT DISTINCT {h} AS h FROM events
+            WHERE event_type = 'view'),
+hc AS (SELECT DISTINCT {h} AS h FROM events WHERE event_type = 'click'),
+hu AS (SELECT h FROM hv UNION SELECT h FROM hc),
+skv AS (SELECT h FROM hv ORDER BY h LIMIT {KMV_K}),
+skc AS (SELECT h FROM hc ORDER BY h LIMIT {KMV_K}),
+sku AS (SELECT h FROM hu ORDER BY h LIMIT {KMV_K}),
+ev AS (SELECT {est} AS est FROM
+       (SELECT MAX(h) AS kth, COUNT(*) AS got FROM skv)),
+ec AS (SELECT {est} AS est FROM
+       (SELECT MAX(h) AS kth, COUNT(*) AS got FROM skc)),
+eu AS (SELECT {est} AS est FROM
+       (SELECT MAX(h) AS kth, COUNT(*) AS got FROM sku)),
+ests AS (
+  SELECT 'view' AS set_name, est FROM ev
+  UNION ALL SELECT 'click', est FROM ec
+  UNION ALL SELECT 'union', est FROM eu
+  UNION ALL SELECT 'intersection',
+    (SELECT est FROM ev) + (SELECT est FROM ec) - (SELECT est FROM eu)),
+exacts AS (
+  SELECT 'view' AS set_name, COUNT(*) AS exact FROM hv
+  UNION ALL SELECT 'click', COUNT(*) FROM hc
+  UNION ALL SELECT 'union', COUNT(*) FROM hu
+  UNION ALL SELECT 'intersection', COUNT(*)
+    FROM hv JOIN hc ON hv.h = hc.h)
+SELECT e.set_name, CAST(est AS BIGINT) AS est,
+       CAST(exact AS BIGINT) AS exact_distinct,
+       CAST((est - exact) * 1000000 // exact AS BIGINT) AS err_ppm
+FROM ests e JOIN exacts x ON e.set_name = x.set_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Two-phase global ranking: the scale-safe global row_number
+# ---------------------------------------------------------------------------
+
+RANK_BUCKET_W = 100_000   # $1,000 ranking buckets (cents)
+
+
+def q_rank_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global row_number WITHOUT a global window — the two-phase ranking
+    pattern this repo's global-NTILE reports name as their 100 TB swap
+    (q_spend_quartiles docstring), here implemented and oracle-PROVEN:
+    (1) bucket rows by value range and aggregate per-bucket counts (one
+    bounded shuffle); (2) turn counts into per-bucket starting offsets
+    with a window over the ~100-row bucket table; (3) broadcast-join the
+    offsets back and rank WITHIN each bucket (Window.partitionBy(bucket)
+    — parallel across buckets, each partition holds one band, never the
+    table); global_rank = offset + within-bucket rank. The tie order
+    (cents, orderkey, linenumber) is total, so every row's rank is
+    pinned. Because the full ranking is |rows|-sized, the checked result
+    compresses it into order-SENSITIVE aggregates: n, sum(rank) (= the
+    triangular number — any duplicate/missing rank breaks it), and a
+    rank-weighted content checksum sum(rank * (h60(key) % 1000)) that a
+    single transposition of any two ranks would change. The oracle ranks
+    with a plain global row_number — hash equality proves the two-phase
+    decomposition computes the identical permutation."""
+    from ..functions.hashing import h60
+    li = load(spark, sf_dir, "lineitem").select(
+        cents("l_extendedprice").alias("c"), "l_orderkey", "l_linenumber")
+    li = li.withColumn("b", F.expr(f"c div {RANK_BUCKET_W}"))
+    counts = li.groupBy("b").agg(F.count("*").alias("cnt"))
+    woff = (Window.orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = counts.select(
+        "b", F.coalesce(F.sum("cnt").over(woff), F.lit(0)).alias("off"))
+    win = Window.partitionBy("b").orderBy("c", "l_orderkey", "l_linenumber")
+    ranked = (li.join(F.broadcast(offsets), "b")
+              .withColumn("rank", F.col("off") + F.row_number().over(win)))
+    key = F.concat(F.col("l_orderkey").cast("string"), F.lit("_"),
+                   F.col("l_linenumber").cast("string"))
+    return ranked.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("rank").alias("sum_rank"),
+        F.sum(F.col("rank") * (h60(key) % 1000)).alias("rank_checksum"))
+
+
+def _oracle_rank_twophase() -> str:
+    from ..functions.hashing import h60_sql
+    h = h60_sql("CAST(l_orderkey AS VARCHAR) || '_' || "
+                "CAST(l_linenumber AS VARCHAR)")
+    return f"""
+WITH t AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+                  l_orderkey, l_linenumber, {h} % 1000 AS hk
+           FROM lineitem),
+ranked AS (SELECT hk, row_number() OVER
+             (ORDER BY c, l_orderkey, l_linenumber) AS rank FROM t)
+SELECT COUNT(*) AS n_rows, CAST(SUM(rank) AS BIGINT) AS sum_rank,
+       CAST(SUM(rank * hk) AS BIGINT) AS rank_checksum
+FROM ranked
+"""
+
+
+# ---------------------------------------------------------------------------
 # Duration-capped sessionization: gaps-and-islands + fixed-offset splits
 # ---------------------------------------------------------------------------
 
@@ -3617,6 +3789,11 @@ RELATIONAL_QUERIES = [
              "mergeable partial histograms, integer interpolation"),
     QueryDef("capped_sessions", q_capped_sessions, ORACLE_CAPPED_SESSIONS,
              "A-session-capped: gap + duration-cap sessionization"),
+    QueryDef("rank_twophase", q_rank_twophase, _oracle_rank_twophase(),
+             "X-global-rank-twophase: offset + per-bucket window, "
+             "no global sort"),
+    QueryDef("kmv_set_ops", q_kmv_set_ops, _oracle_kmv_set_ops(),
+             "A-sketch-set-algebra: KMV union/intersection, measured ppm"),
     QueryDef("weekday_seasonality", q_weekday_seasonality,
              ORACLE_WEEKDAY_SEASONALITY,
              "A-seasonal: weekday decomposition, exact integers"),

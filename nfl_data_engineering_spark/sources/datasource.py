@@ -25,9 +25,11 @@ import json
 import os
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import (DataSource, DataSourceReader, EqualTo,
-                                    Filter, In, InputPartition,
-                                    SimpleDataSourceStreamReader)
+from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                    DataSourceWriter, EqualTo, Filter, In,
+                                    InputPartition,
+                                    SimpleDataSourceStreamReader,
+                                    WriterCommitMessage)
 
 ODDS_FLAT_SCHEMA = ("game_id string, game_time string, home_team string, "
                     "away_team string, book string, market string, "
@@ -173,3 +175,79 @@ def register_odds_source(spark) -> None:
     fail on first read."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(OddsRestDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Python Data Source WRITER: a jsonl directory sink
+# ---------------------------------------------------------------------------
+
+class _JsonlCommit(WriterCommitMessage):
+    """Per-task commit message: (file written, rows in it) — picklable,
+    shipped executor -> driver."""
+
+    def __init__(self, path: str, rows: int):
+        self.path = path
+        self.rows = rows
+
+
+class JsonlDirWriter(DataSourceWriter):
+    """DataSourceWriter half of the sink: ``write(iterator)`` runs once
+    per input partition ON AN EXECUTOR and appends nothing — each task
+    owns a fresh uuid-named file, so concurrent tasks (and task retries,
+    which get a new uuid) never collide; ``commit(messages)`` runs on the
+    driver after ALL tasks succeed and publishes the _manifest.json (the
+    underscore prefix hides it from Spark's own readers), making the
+    write all-or-nothing at the manifest level the way a table format's
+    commit log is. Rows serialize via json.dumps of the row dict —
+    float repr round-trips doubles exactly. At scale the directory is an
+    object-store prefix; the local path works because local[*] shares
+    one filesystem."""
+
+    def __init__(self, options, schema):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_dir sink requires .option('path', ...)")
+
+    def write(self, iterator):
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+        fname = _os.path.join(self.path,
+                              f"part-{_uuid.uuid4().hex}.jsonl")
+        rows = 0
+        with open(fname, "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict()) + "\n")
+                rows += 1
+        return _JsonlCommit(fname, rows)
+
+    def commit(self, messages) -> None:
+        import json as _json
+        import os as _os
+        manifest = {
+            "files": [{"path": _os.path.basename(m.path), "rows": m.rows}
+                      for m in messages],
+            "total_rows": sum(m.rows for m in messages),
+        }
+        with open(_os.path.join(self.path, "_manifest.json"), "w") as f:
+            _json.dump(manifest, f)
+
+    def abort(self, messages) -> None:
+        import os as _os
+        for m in messages:
+            if m is not None and _os.path.exists(m.path):
+                _os.remove(m.path)
+
+
+class JsonlDirDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_dir"
+
+    def writer(self, schema, overwrite: bool) -> JsonlDirWriter:
+        return JsonlDirWriter(self.options, schema)
+
+
+def register_jsonl_sink(spark) -> None:
+    """Make ``df.write.format('jsonl_dir')`` available on this session."""
+    spark.dataSource.register(JsonlDirDataSource)

@@ -109,6 +109,120 @@ def test_priority_sample_is_exact_k_and_weight_biased(spark):
     assert top > bottom
 
 
+def test_capped_sessions_conserves_events_and_caps_duration(spark):
+    from nfl_data_engineering_spark.plans.relational import (
+        SESSION_CAP_US, SESSION_GAP_US, q_capped_sessions)
+    rows = q_capped_sessions(spark, SF).collect()
+    total_events = sum(r["n_events"] * r["n_subsessions"] for r in rows)
+    n_events = spark.read.parquet(os.path.join(SF, "events.parquet")).count()
+    assert total_events == n_events       # every event in exactly one sub
+
+    # recompute sub-sessions in python and check the cap invariant:
+    # within a sub-session, max(ts) - min(ts) < cap
+    ev = (spark.read.parquet(os.path.join(SF, "events.parquet"))
+          .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+          .collect())
+    by_user: dict = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append(
+            int(r["ts"].timestamp() * 1_000_000))
+    sizes = []
+    for times in by_user.values():
+        times.sort()
+        sess_start = None
+        prev = None
+        subs: dict = {}
+        sess = 0
+        for t in times:
+            if prev is None or t - prev > SESSION_GAP_US:
+                sess += 1
+                sess_start = t
+            sub = (t - sess_start) // SESSION_CAP_US
+            subs.setdefault((sess, sub), []).append(t)
+            prev = t
+        for ts_list in subs.values():
+            assert max(ts_list) - min(ts_list) < SESSION_CAP_US
+            sizes.append(len(ts_list))
+    from collections import Counter
+    want = Counter(sizes)
+    got = {r["n_events"]: r["n_subsessions"] for r in rows}
+    assert got == dict(want)
+
+
+def test_weekday_seasonality_balances(spark):
+    from nfl_data_engineering_spark.plans.relational import (
+        q_weekday_seasonality)
+    rows = q_weekday_seasonality(spark, SF).collect()
+    assert sorted(r["weekday"] for r in rows) == list(range(7))
+    o = (spark.read.parquet(os.path.join(SF, "orders.parquet"))
+         .select(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+                 .alias("t")).collect()[0])
+    assert sum(r["total_cents"] for r in rows) == o["t"]
+    for r in rows:
+        assert r["mean_cents"] == r["total_cents"] // r["n_days"]
+    # day-count-weighted offsets sum to ~0: each per-weekday floor loses
+    # < n_days cents and the global floor adds < total days, so the
+    # worst-case imbalance is < 2 * total days
+    slack = sum(r["n_days"] for r in rows)
+    assert abs(sum(r["offset_cents"] * r["n_days"] for r in rows)) < 2 * slack
+
+
+def test_rank_twophase_is_the_global_permutation(spark):
+    from pyspark.sql import Window
+    from nfl_data_engineering_spark.functions.hashing import h60
+    from nfl_data_engineering_spark.plans.relational import q_rank_twophase
+    row = q_rank_twophase(spark, SF).collect()[0]
+    n = row["n_rows"]
+    assert row["sum_rank"] == n * (n + 1) // 2     # a true permutation
+    # the checksum must equal the one computed by a plain global window
+    li = (spark.read.parquet(os.path.join(SF, "lineitem.parquet"))
+          .select(F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                  .alias("c"), "l_orderkey", "l_linenumber"))
+    key = F.concat(F.col("l_orderkey").cast("string"), F.lit("_"),
+                   F.col("l_linenumber").cast("string"))
+    w = Window.orderBy("c", "l_orderkey", "l_linenumber")
+    truth = (li.withColumn("rank", F.row_number().over(w))
+             .agg(F.sum(F.col("rank") * (h60(key) % 1000)).alias("cs"))
+             .collect()[0]["cs"])
+    assert row["rank_checksum"] == truth
+
+
+def test_kmv_set_ops_estimates_track_exact(spark):
+    from nfl_data_engineering_spark.plans.relational import q_kmv_set_ops
+    rows = {r["set_name"]: r for r in q_kmv_set_ops(spark, SF).collect()}
+    assert set(rows) == {"view", "click", "union", "intersection"}
+    # inclusion-exclusion holds by construction
+    assert rows["intersection"]["est"] == (rows["view"]["est"]
+                                           + rows["click"]["est"]
+                                           - rows["union"]["est"])
+    # K=64 -> stderr ~ 1/sqrt(62) ~ 13%; allow 4 sigma on the direct
+    # sketches (intersection inherits three errors, checked above)
+    for name in ("view", "click", "union"):
+        r = rows[name]
+        assert abs(r["est"] - r["exact_distinct"]) \
+            <= max(0.52 * r["exact_distinct"], 2)
+
+
+def test_python_datasource_sink_manifest_accounts_every_row(spark, tmp_path):
+    import json
+    from nfl_data_engineering_spark.sources.datasource import (
+        register_jsonl_sink)
+    register_jsonl_sink(spark)
+    ev = (spark.read.parquet(os.path.join(SF, "events.parquet"))
+          .select("event_id", "event_type").repartition(5))
+    out = str(tmp_path / "sink")
+    os.makedirs(out)
+    ev.write.format("jsonl_dir").mode("append").option("path", out).save()
+    man = json.load(open(os.path.join(out, "_manifest.json")))
+    assert man["total_rows"] == ev.count()
+    assert len(man["files"]) == 5                 # one file per task
+    assert sum(f["rows"] for f in man["files"]) == man["total_rows"]
+    back = spark.read.schema("event_id bigint, event_type string").json(out)
+    assert back.count() == ev.count()             # manifest invisible to read
+    assert (back.select(F.sum("event_id")).collect()[0][0]
+            == ev.select(F.sum("event_id")).collect()[0][0])
+
+
 def test_multibatch_backfill_ran_multiple_batches(spark):
     out = {r["day"]: r for r in
            T.q_streaming_multibatch_backfill(spark, SF).collect()}
