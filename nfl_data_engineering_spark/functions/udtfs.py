@@ -41,3 +41,34 @@ class ExpandRecord:
         for outcome, n in (("win", wins), ("loss", losses), ("tie", ties)):
             if n > 0:
                 yield outcome, n
+
+
+# ---------------------------------------------------------------------------
+# Polymorphic UDTF: output schema computed by analyze() from the call site
+# ---------------------------------------------------------------------------
+
+class FirstTokens:
+    """Dynamic-schema table function: ``first_tokens(text, n)`` emits one
+    row with columns tok_1..tok_n (the first n whitespace tokens, NULL-
+    padded). The schema is not declared — ``analyze`` derives it from the
+    constant ``n`` argument at plan time, the Spark 4 polymorphic-UDTF
+    contract (AnalyzeResult), which a fixed ``returnType`` cannot
+    express. eval stays a row-local generator like ExpandRecord."""
+
+    @staticmethod
+    def analyze(text, n):
+        from pyspark.sql.types import StringType, StructType
+        from pyspark.sql.udtf import AnalyzeResult
+        if n.value is None or not isinstance(n.value, int) or n.value < 1:
+            raise ValueError("first_tokens requires a constant positive n")
+        st = StructType()
+        for i in range(n.value):
+            st = st.add(f"tok_{i + 1}", StringType())
+        return AnalyzeResult(st)
+
+    def eval(self, text: str, n: int):
+        toks = (text or "").split()
+        yield tuple(toks[i] if i < len(toks) else None for i in range(n))
+
+
+FirstTokensUdtf = udtf(FirstTokens)

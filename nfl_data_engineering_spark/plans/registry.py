@@ -72,7 +72,9 @@ _PRIORITY: list[str] = [
 # "interval_overlap_join", "priority_sample_weighted",
 # "streaming_multibatch_backfill", "capped_sessions",
 # "weekday_seasonality", "rank_twophase", "kmv_set_ops",
-# "python_datasource_sink" — plus
+# "python_datasource_sink", "rolling_mad_anomaly",
+# "cogrouped_asof_pandas", "streaming_late_data_drop",
+# "udtf_polymorphic" — plus
 # "lang_id" (parity- and equality-proven after the Arrow-kernel rewrite;
 # its driver row predates the kernel). Remaining slots: the entries with
 # the OLDEST driver rows (round-1 vintage), oldest first.

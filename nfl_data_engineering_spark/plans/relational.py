@@ -3203,6 +3203,108 @@ FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
 
 
 # ---------------------------------------------------------------------------
+# Polymorphic UDTF: schema decided by analyze() at plan time
+# ---------------------------------------------------------------------------
+
+def q_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The POLYMORPHIC half of the UDTF surface (§2.8 —
+    record_expand_udtf covers the declared-schema half): first_tokens'
+    output columns tok_1..tok_3 exist nowhere in code; ``analyze``
+    derives them at plan time from the constant n=3 argument
+    (functions/udtfs.py:FirstTokens), the Spark 4 AnalyzeResult
+    contract. The call runs row-local through SQL LATERAL inside the
+    scan stage; the only shuffle is the report aggregation (leading
+    token bigram of each document — a cheap corpus fingerprint). The
+    oracle re-derives the same tokens with a whitespace regexp split,
+    proving analyze-planned columns carry exactly the declared
+    semantics."""
+    from ..functions.udtfs import FirstTokens
+    from pyspark.sql.functions import udtf as _udtf
+    spark.udtf.register("first_tokens", _udtf(FirstTokens))
+    load(spark, sf_dir, "documents").createOrReplaceTempView("docs_udtf")
+    return spark.sql("""
+        SELECT t.tok_1, t.tok_2, COUNT(*) AS n_docs,
+               COUNT(t.tok_3) AS n_with_three
+        FROM docs_udtf, LATERAL first_tokens(text, 3) AS t
+        GROUP BY t.tok_1, t.tok_2
+    """)
+
+
+ORACLE_UDTF_POLYMORPHIC = r"""
+WITH toks AS (
+  SELECT list_filter(regexp_split_to_array(text, '\s+'),
+                     x -> x <> '') AS a
+  FROM documents)
+SELECT a[1] AS tok_1, a[2] AS tok_2, COUNT(*) AS n_docs,
+       COUNT(a[3]) AS n_with_three
+FROM toks GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rolling robust anomaly detection: trailing median/MAD on the daily series
+# ---------------------------------------------------------------------------
+
+MAD_WIN_DAYS = 28
+
+
+def q_rolling_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series anomaly flags with a ROLLING robust baseline: each
+    day's revenue is compared against the median and MAD of its trailing
+    28 days — the streaming-monitor shape of mad_outliers (whose baseline
+    is global and static). Medians inside a moving window have no builtin
+    (percentile doesn't window), so the frame rides the trailing_median
+    technique: collect the 28-day frame into an array, sort row-locally,
+    take the LOWER median by integer index; deviations are a row-local
+    array transform off that median, sorted again for the MAD. Everything
+    is integer cents — lower-median convention avoids interpolation
+    entirely, so both engines agree bit-for-bit. The window is a global
+    orderBy over the DAILY table — bounded (|days|, ~2.4k at a decade),
+    the same bounded-table exemption as ks_drift's ECDF; the raw-row
+    shuffle is only the daily rollup. Flag rule: |x - med| > 3 * MAD,
+    strict, so MAD = 0 stretches flag only genuine deviations."""
+    o = load(spark, sf_dir, "orders").select(
+        F.date_trunc("day", "o_orderdate").alias("day"),
+        cents("o_totalprice").alias("c"))
+    daily = o.groupBy("day").agg(F.sum("c").alias("c"))
+    w = (Window.orderBy("day")
+         .rowsBetween(-(MAD_WIN_DAYS - 1), 0))
+    fr = daily.withColumn("arr", F.array_sort(F.collect_list("c").over(w)))
+    med = fr.withColumn(
+        "med", F.element_at("arr", F.expr("cast((size(arr) + 1) div 2 as int)")))
+    mad = med.withColumn(
+        "devs", F.array_sort(F.transform(
+            "arr", lambda x: F.abs(x - F.col("med"))))).withColumn(
+        "mad", F.element_at("devs", F.expr("cast((size(devs) + 1) div 2 as int)")))
+    return mad.select(
+        "day", F.col("c").alias("day_cents"),
+        F.col("med").alias("med_cents"), F.col("mad").alias("mad_cents"),
+        (F.abs(F.col("c") - F.col("med")) > 3 * F.col("mad"))
+        .alias("is_anomaly"))
+
+
+ORACLE_ROLLING_MAD = f"""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate)::TIMESTAMP AS day,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS c
+  FROM orders GROUP BY 1),
+fr AS (
+  SELECT day, c,
+         list_sort(list(c) OVER (ORDER BY day ROWS BETWEEN
+           {MAD_WIN_DAYS - 1} PRECEDING AND CURRENT ROW)) AS arr
+  FROM daily),
+m AS (SELECT day, c, arr, arr[(len(arr) + 1) // 2] AS med FROM fr),
+d AS (SELECT day, c, med,
+             list_sort(list_transform(arr, x -> abs(x - med))) AS devs
+      FROM m)
+SELECT day, CAST(c AS BIGINT) AS day_cents, CAST(med AS BIGINT) AS med_cents,
+       CAST(devs[(len(devs) + 1) // 2] AS BIGINT) AS mad_cents,
+       abs(c - med) > 3 * devs[(len(devs) + 1) // 2] AS is_anomaly
+FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
 # KMV set algebra: union/intersection estimates from merged sketches
 # ---------------------------------------------------------------------------
 
@@ -3794,6 +3896,11 @@ RELATIONAL_QUERIES = [
              "no global sort"),
     QueryDef("kmv_set_ops", q_kmv_set_ops, _oracle_kmv_set_ops(),
              "A-sketch-set-algebra: KMV union/intersection, measured ppm"),
+    QueryDef("rolling_mad_anomaly", q_rolling_mad_anomaly,
+             ORACLE_ROLLING_MAD,
+             "A-robust-rolling: trailing median/MAD anomaly flags"),
+    QueryDef("udtf_polymorphic", q_udtf_polymorphic, ORACLE_UDTF_POLYMORPHIC,
+             "S2.8-udtf-analyze: dynamic schema from constant args"),
     QueryDef("weekday_seasonality", q_weekday_seasonality,
              ORACLE_WEEKDAY_SEASONALITY,
              "A-seasonal: weekday decomposition, exact integers"),

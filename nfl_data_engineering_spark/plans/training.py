@@ -1418,6 +1418,192 @@ FROM k GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# Watermark late-data drop: the eviction contract, proven
+# ---------------------------------------------------------------------------
+
+def q_streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermark's DROP side, proven — the other §2.9 entries show
+    watermarked results matching batch; this one shows data arriving
+    BEHIND the watermark cannot corrupt an already-FINALIZED window.
+    Three files drain oldest-mtime-first at maxFilesPerTrigger=1:
+    (1) the full events table; (2) a far-future sentinel row (user -1,
+    max+30d — the flush-sentinel trick) whose batch both advances the
+    watermark past every real window AND triggers the end-of-batch
+    eviction that emits all real windows, exactly once, in APPEND mode;
+    (3) re-keyed duplicates of the EARLIEST day's rows — behind the
+    watermark by a month when they arrive. Append mode makes the drop a
+    HARD contract: a finalized window may never be re-emitted, so the
+    engine must discard batch 3 entirely (verified counter-case: in
+    update mode this same staging re-admits the late rows and the
+    earliest day doubles — the documented may-or-may-not-drop softness;
+    timing matters too, since a late row arriving before its window's
+    eviction legitimately merges in either mode). The sink must equal
+    the per-day rollup of the REAL rows alone — any application of
+    batch 3 doubles a day or re-emits it as a duplicate row, either of
+    which breaks the hash. The sentinel's own window is never passed by
+    the watermark, so it stays invisible to the result."""
+    import shutil
+    import time as _time
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from .lakeops import _pid_tmp
+    full_tag = (hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+                + f"_{os.getpid()}")
+    src_dir = _pid_tmp(f"spark_graft_latedrop_{full_tag}")
+    shutil.rmtree(src_dir, ignore_errors=True)
+    os.makedirs(src_dir)
+    src = os.path.join(sf_dir, "events.parquet")
+    a_path = os.path.join(src_dir, "aa_events.parquet")
+    shutil.copy(src, a_path)
+    tbl = pq.read_table(src)
+    ts = tbl.column("ts")
+    import datetime as _dt
+
+    import pyarrow as pa
+    lo = pc.min(ts).as_py()
+    hi = pc.max(ts).as_py()
+    # middle batch: one far-future sentinel row — advances the watermark
+    # past every real window and triggers the eviction that finalizes them
+    if hasattr(hi, "date"):
+        flush = hi + _dt.timedelta(days=30)
+    else:  # int64 nanos
+        flush = hi + 30 * 86_400_000_000_000
+    sent = pa.table(
+        {"event_id": [-1], "ts": [flush], "user_id": [-1],
+         "event_type": ["view"], "value": [0.0], "props": ["{}"]},
+        schema=tbl.schema.remove_metadata())
+    m_path = os.path.join(src_dir, "mm_flush.parquet")
+    pq.write_table(sent, m_path)
+    # late batch: the earliest day's rows, re-keyed so wrongful inclusion
+    # is visible in counts, arriving after their windows were finalized
+    if hasattr(lo, "date"):
+        day_end = (_dt.datetime.combine(lo.date(), _dt.time.min)
+                   + _dt.timedelta(days=1))
+        mask = pc.less(ts, pa.scalar(day_end, type=ts.type))
+    else:  # int64 nanos
+        day_ns = 86_400_000_000_000
+        mask = pc.less(ts, (lo // day_ns + 1) * day_ns)
+    late = tbl.filter(mask)
+    late = late.set_column(
+        late.schema.get_field_index("event_id"), "event_id",
+        pc.add(late.column("event_id"), 10_000_000))
+    b_path = os.path.join(src_dir, "zz_late.parquet")
+    pq.write_table(late, b_path)
+    now = _time.time()
+    os.utime(a_path, (now - 100, now - 100))
+    os.utime(m_path, (now - 50, now - 50))
+    os.utime(b_path, (now, now))
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(raw_schema)
+              .option("maxFilesPerTrigger", 1).parquet(src_dir))
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (stream.withWatermark("ts", "1 day")
+           .groupBy(F.window("ts", "1 day").alias("w"))
+           .agg(F.count("*").alias("n")))
+    sink = "streaming_late_drop_sink"
+    q = (agg.writeStream.format("memory").queryName(sink)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    global _LAST_LATEDROP_PROGRESS
+    _LAST_LATEDROP_PROGRESS = [
+        {"rows": p.get("numInputRows"),
+         "wm": (p.get("eventTime") or {}).get("watermark")}
+        for p in q.recentProgress if isinstance(p, dict)]
+    return (spark.table(sink)
+            .select(F.col("w.start").alias("day"), "n"))
+
+
+ORACLE_STREAMING_LATE_DROP = """
+SELECT date_trunc('day', ts)::TIMESTAMP AS day, COUNT(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cogrouped applyInPandas: the per-key two-sided Arrow surface
+# ---------------------------------------------------------------------------
+
+def q_cogrouped_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COGROUP half of the §2.8 Pandas surface —
+    ``groupBy(k).cogroup(other.groupBy(k)).applyInPandas`` — which none of
+    the other UDF entries touch: both sides shuffle ONCE on the key and
+    arrive at the same task as two Arrow frames, the shape for per-key
+    algorithms that need both inputs at once (here pandas.merge_asof: for
+    every purchase, the most recent click at-or-before it). Timestamps
+    are converted to integer microseconds BEFORE the cogroup so the
+    pandas path carries no timezone semantics, and both frames are sorted
+    by (us, event_id) so merge_asof's take-last-prior rule lands on a
+    pinned total order (ties at equal ts resolve to the max event_id).
+    The oracle is the correlated at-or-before top-1 — equality proves the
+    cogrouped kernel implements exact as-of semantics, making this the
+    Arrow-side twin of operators/joins.py:asof_join (the window form).
+    Gaps emit NULL click ids (left as-of join, not inner)."""
+    import pandas as pd
+
+    src = load(spark, sf_dir, "events")
+    if dict(src.dtypes)["ts"] == "timestamp_ntz":
+        us = F.expr("timestampdiff(MICROSECOND, "
+                    "TIMESTAMP_NTZ '2000-01-01 00:00:00', ts)")
+    else:
+        us = F.expr("unix_micros(ts)")
+    base = src.select("user_id", "event_id", "event_type", us.alias("us"))
+    purchases = (base.filter(F.col("event_type") == "purchase")
+                 .select("user_id", F.col("event_id").alias("p_id"),
+                         F.col("us").alias("p_us")))
+    clicks = (base.filter(F.col("event_type") == "click")
+              .select("user_id", F.col("event_id").alias("c_id"),
+                      F.col("us").alias("c_us")))
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(
+                {"user_id": pd.Series(dtype="int64"),
+                 "p_id": pd.Series(dtype="int64"),
+                 "c_id": pd.Series(dtype="Int64"),
+                 "gap_us": pd.Series(dtype="Int64")})
+        left = left.sort_values(["p_us", "p_id"])
+        right = (right.drop(columns=["user_id"])
+                 .sort_values(["c_us", "c_id"]))
+        out = pd.merge_asof(left, right, left_on="p_us", right_on="c_us",
+                            direction="backward", allow_exact_matches=True)
+        out["c_id"] = out["c_id"].astype("Int64")
+        out["gap_us"] = (out["p_us"] - out["c_us"]).astype("Int64")
+        return out[["user_id", "p_id", "c_id", "gap_us"]]
+
+    return (purchases.groupBy("user_id")
+            .cogroup(clicks.groupBy("user_id"))
+            .applyInPandas(merge, "user_id bigint, p_id bigint, "
+                                  "c_id bigint, gap_us bigint"))
+
+
+ORACLE_COGROUPED_ASOF = """
+WITH p AS (SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_us
+           FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, event_id AS c_id, epoch_us(ts) AS c_us
+      FROM events WHERE event_type = 'click'),
+best AS (
+  SELECT p.user_id, p.p_id, c.c_id, p.p_us - c.c_us AS gap_us,
+         row_number() OVER (PARTITION BY p.p_id
+                            ORDER BY c.c_us DESC, c.c_id DESC) AS rn
+  FROM p JOIN c ON p.user_id = c.user_id AND c.c_us <= p.p_us)
+SELECT user_id, p_id, c_id, gap_us FROM best WHERE rn = 1
+UNION ALL
+SELECT p.user_id, p.p_id, NULL, NULL
+FROM p WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.user_id = p.user_id
+                         AND c.c_us <= p.p_us)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Multi-batch incremental backfill: state carried across microbatches
 # ---------------------------------------------------------------------------
 
@@ -1598,6 +1784,12 @@ TRAINING_QUERIES = [
     QueryDef("streaming_multibatch_backfill", q_streaming_multibatch_backfill,
              ORACLE_STREAMING_BACKFILL,
              "S2.9-multibatch-backfill: cross-batch state merge"),
+    QueryDef("cogrouped_asof_pandas", q_cogrouped_asof_pandas,
+             ORACLE_COGROUPED_ASOF,
+             "S2.8-cogroup: two-sided Arrow applyInPandas as-of merge"),
+    QueryDef("streaming_late_data_drop", q_streaming_late_data_drop,
+             ORACLE_STREAMING_LATE_DROP,
+             "S2.9-late-drop: watermark discards behind-watermark arrivals"),
     QueryDef("streaming_sessionization", q_streaming_sessionization,
              ORACLE_STREAMING_SESSIONIZATION, "S2.9-session-window"),
     QueryDef("stratified_sample", q_stratified_sample,

@@ -223,6 +223,86 @@ def test_python_datasource_sink_manifest_accounts_every_row(spark, tmp_path):
             == ev.select(F.sum("event_id")).collect()[0][0])
 
 
+def test_rolling_mad_matches_python_recompute(spark):
+    from nfl_data_engineering_spark.plans.relational import (
+        MAD_WIN_DAYS, q_rolling_mad_anomaly)
+    rows = sorted(q_rolling_mad_anomaly(spark, SF).collect(),
+                  key=lambda r: r["day"])
+    daily = sorted(
+        (r["day"], r["c"]) for r in
+        spark.read.parquet(os.path.join(SF, "orders.parquet"))
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+             .alias("c")).collect())
+    assert len(rows) == len(daily)
+    vals = [c for _, c in daily]
+    for i, r in enumerate(rows):
+        fr = sorted(vals[max(0, i - MAD_WIN_DAYS + 1):i + 1])
+        med = fr[(len(fr) + 1) // 2 - 1]
+        devs = sorted(abs(x - med) for x in fr)
+        mad = devs[(len(devs) + 1) // 2 - 1]
+        assert r["med_cents"] == med
+        assert r["mad_cents"] == mad
+        assert r["is_anomaly"] == (abs(vals[i] - med) > 3 * mad)
+
+
+def test_cogrouped_asof_covers_every_purchase_once(spark):
+    rows = T.q_cogrouped_asof_pandas(spark, SF).collect()
+    ev = (spark.read.parquet(os.path.join(SF, "events.parquet"))
+          .select("event_id", "user_id", "event_type",
+                  F.col("ts").cast("timestamp").alias("ts")).collect())
+    purchases = [r for r in ev if r["event_type"] == "purchase"]
+    assert sorted(r["p_id"] for r in rows) == \
+        sorted(r["event_id"] for r in purchases)
+    clicks_by_user: dict = {}
+    for r in ev:
+        if r["event_type"] == "click":
+            clicks_by_user.setdefault(r["user_id"], []).append(
+                (int(r["ts"].timestamp() * 1e6), r["event_id"]))
+    by_pid = {r["p_id"]: r for r in rows}
+    for p in purchases:
+        pus = int(p["ts"].timestamp() * 1e6)
+        cands = [(us, cid) for us, cid in
+                 clicks_by_user.get(p["user_id"], []) if us <= pus]
+        got = by_pid[p["event_id"]]
+        if not cands:
+            assert got["c_id"] is None and got["gap_us"] is None
+        else:
+            us, cid = max(cands)          # (ts, id) total order
+            assert got["c_id"] == cid
+            assert got["gap_us"] == pus - us
+
+
+def test_late_drop_processed_three_batches_and_dropped_late(spark):
+    out = {r["day"]: r["n"] for r in
+           T.q_streaming_late_data_drop(spark, SF).collect()}
+    prog = T._LAST_LATEDROP_PROGRESS
+    fed = [p for p in prog if p.get("rows")]
+    assert len(fed) == 3                  # events, sentinel, late batch
+    assert fed[2]["rows"] > 0             # the late file WAS read...
+    batch = (spark.read.parquet(os.path.join(SF, "events.parquet"))
+             .groupBy(F.date_trunc("day", F.col("ts").cast("timestamp"))
+                      .alias("day"))
+             .agg(F.count("*").alias("n")).collect())
+    assert len(batch) == len(out)
+    for r in batch:                       # ...and fully discarded
+        assert out[r["day"]] == r["n"]
+
+
+def test_polymorphic_udtf_schema_tracks_n(spark):
+    from pyspark.sql.functions import lit, udtf
+    from nfl_data_engineering_spark.functions.udtfs import FirstTokens
+    fn = udtf(FirstTokens)
+    df = fn(lit("a b c d e f"), lit(5))
+    assert df.columns == ["tok_1", "tok_2", "tok_3", "tok_4", "tok_5"]
+    assert df.collect()[0].asDict() == {
+        "tok_1": "a", "tok_2": "b", "tok_3": "c", "tok_4": "d",
+        "tok_5": "e"}
+    short = fn(lit("only two"), lit(3)).collect()[0]
+    assert short.asDict() == {"tok_1": "only", "tok_2": "two",
+                              "tok_3": None}
+
+
 def test_multibatch_backfill_ran_multiple_batches(spark):
     out = {r["day"]: r for r in
            T.q_streaming_multibatch_backfill(spark, SF).collect()}
