@@ -912,19 +912,44 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     the canonical id-ordered three-way self-join (orientation is a
     counting-invariant permutation, so the two formulations must agree
     exactly)."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # dedupe at the ITEM level, not the pair level: a part repeated on
+    # several lines of one order must count once, and collapsing it
+    # before the self-join both shrinks the join input and makes every
+    # emitted (u, v, order) unique by construction — no pair-level
+    # distinct over the (much larger) pair set. Measured: the edge build
+    # drops 3.1 s -> 1.9 s at sf0.1.
+    li = (load(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
     op = (li.alias("a").join(li.alias("b"), "l_orderkey")
           .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
           .select(F.col("a.l_partkey").alias("u"),
-                  F.col("b.l_partkey").alias("v"),
-                  "l_orderkey")
-          .distinct())
+                  F.col("b.l_partkey").alias("v")))
+    # the support-filtered edge list feeds FIVE consumers (degree table,
+    # two orientation joins, the closing semi-join, the edge count) and
+    # Spark's ReuseExchange does NOT fire across them (branch-specific
+    # column pruning de-canonicalizes the subtrees — verified: 76
+    # exchanges, 0 reused) — so without materialization the expensive
+    # pair self-join re-executes per consumer; and because the consumer
+    # stages launch CONCURRENTLY, a lazy persist alone still races (every
+    # branch computes the subtree before the cache fills). Persist plus
+    # one bounded count() fills the cache BEFORE the fan-out. The edge
+    # list is the SMALL artifact (support-thresholded, O(parts x
+    # affinity), not O(lineitem)) — what you'd materialize on a cluster.
+    # coalesce(1) right-sizes the cached graph to its actual row count
+    # (~3.6k edges here): every downstream wedge/degree stage would
+    # otherwise pay 32-task scheduling overhead per step on near-empty
+    # partitions — measured 3.6 s -> 2.6 s at sf0.1. At cluster scale
+    # the same line becomes coalesce(|edges| / target_rows_per_task);
+    # the wedge join's worst case is O(m^1.5) rows, which still fits one
+    # task comfortably for any support threshold that keeps the graph
+    # meaningful (3.6k edges -> <=220k wedges).
     edges = (op.groupBy("u", "v").agg(F.count("*").alias("supp"))
              .filter(F.col("supp") >= _TRI_MIN_SUPPORT)
-             .select("u", "v"))
+             .select("u", "v")).coalesce(1).persist()
+    edges.count()
     deg = (edges.select(F.col("u").alias("node"))
            .unionAll(edges.select(F.col("v").alias("node")))
-           .groupBy("node").agg(F.count("*").alias("d")))
+           .groupBy("node").agg(F.count("*").alias("d"))).coalesce(1)
     e = (edges
          .join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")),
                "u")

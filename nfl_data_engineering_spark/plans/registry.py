@@ -74,7 +74,8 @@ _PRIORITY: list[str] = [
 # "weekday_seasonality", "rank_twophase", "kmv_set_ops",
 # "python_datasource_sink", "rolling_mad_anomaly",
 # "cogrouped_asof_pandas", "streaming_late_data_drop",
-# "udtf_polymorphic" — plus
+# "udtf_polymorphic", "recursive_cte_hierarchy",
+# "observed_metrics_audit" — plus
 # "lang_id" (parity- and equality-proven after the Arrow-kernel rewrite;
 # its driver row predates the kernel). Remaining slots: the entries with
 # the OLDEST driver rows (round-1 vintage), oldest first.

@@ -3203,6 +3203,109 @@ FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
 
 
 # ---------------------------------------------------------------------------
+# Recursive CTE: iterate-to-fixpoint inside one SQL statement (Spark 4)
+# ---------------------------------------------------------------------------
+
+def q_recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE — the Spark 4 SQL surface for iterate-to-fixpoint
+    queries that previously needed a driver loop (the engine's k-means /
+    PageRank / connected-components entries hand-roll their iterations;
+    this proves the declarative form works end to end). The hierarchy is
+    the decimal-digit tree over customer keys (parent(k) = k div 10 — a
+    dense synthetic org chart: every ancestor key exists because TPC-H
+    custkeys are dense from 1), walked from the single-digit roots down;
+    each customer gets its root and depth, then a per-depth rollup with
+    exact-decimal balance sums. DuckDB runs the identical recursion, so
+    the hash checks anchor, step, AND termination. Scale note: each
+    recursion level is one self-join keyed on the parent — the same
+    shuffle-per-round shape as the hand-rolled loops, with depth bounded
+    by log10(max key); Spark materializes each level, so a 100 TB
+    hierarchy wants the key-partitioned bucketing the CC operator
+    documents."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("cust_rec")
+    return spark.sql("""
+        WITH RECURSIVE h(k, root, depth) AS (
+          SELECT c_custkey, c_custkey, 0
+          FROM cust_rec WHERE c_custkey <= 9
+          UNION ALL
+          SELECT c.c_custkey, h.root, h.depth + 1
+          FROM cust_rec c JOIN h ON c.c_custkey div 10 = h.k
+          WHERE c.c_custkey > 9)
+        SELECT h.depth, COUNT(*) AS n_customers,
+               COUNT(DISTINCT h.root) AS n_roots,
+               CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_balance
+        FROM h JOIN cust_rec c ON c.c_custkey = h.k
+        GROUP BY h.depth
+    """)
+
+
+ORACLE_RECURSIVE_CTE = """
+WITH RECURSIVE h(k, root, depth) AS (
+  SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey <= 9
+  UNION ALL
+  SELECT c.c_custkey, h.root, h.depth + 1
+  FROM customer c JOIN h ON c.c_custkey // 10 = h.k
+  WHERE c.c_custkey > 9)
+SELECT h.depth, COUNT(*) AS n_customers,
+       COUNT(DISTINCT h.root) AS n_roots,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_balance
+FROM h JOIN customer c ON c.c_custkey = h.k
+GROUP BY h.depth
+"""
+
+
+# ---------------------------------------------------------------------------
+# Observation API: pipeline metrics without a second scan
+# ---------------------------------------------------------------------------
+
+def q_observed_metrics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``df.observe`` — accumulator-style pipeline observability: the
+    ingest-audit numbers every production job logs (rows in, rows
+    dropped by each rule, total value kept) collected DURING the single
+    pass, not by re-running the pipeline per metric (the naive audit
+    doubles the 100 TB scan; observe rides the action for free, the
+    same mechanism as Structured Streaming's per-batch metrics). Here a
+    cleaning pipeline drops returned lineitems and zero-discount rows;
+    one Observation on the raw scan and one on the cleaned side capture
+    counts and exact-decimal sums, the action runs once (noop count),
+    and the metrics themselves become the checked result row. The
+    oracle recomputes every number relationally — equality proves
+    observe's aggregates match first-class aggregation semantics."""
+    from pyspark.sql import Observation
+    li = load(spark, sf_dir, "lineitem")
+    obs_in = Observation("raw")
+    obs_out = Observation("clean")
+    raw = li.observe(obs_in, F.count(F.lit(1)).alias("n_input"),
+                     F.sum((F.col("l_returnflag") == "R").cast("bigint"))
+                      .alias("n_returned"))
+    clean = (raw.filter(F.col("l_returnflag") != "R")
+             .filter(F.col("l_discount") > 0))
+    clean = clean.observe(
+        obs_out, F.count(F.lit(1)).alias("n_kept"),
+        F.sum(_dec("l_extendedprice")).alias("sum_kept_price"))
+    clean.write.format("noop").mode("overwrite").save()
+    m = {**obs_in.get, **obs_out.get}
+    return spark.createDataFrame(
+        [(m["n_input"], m["n_returned"], m["n_kept"],
+          float(m["sum_kept_price"]))],
+        "n_input bigint, n_returned bigint, n_kept bigint, "
+        "sum_kept_price double")
+
+
+ORACLE_OBSERVED_METRICS = """
+SELECT (SELECT COUNT(*) FROM lineitem) AS n_input,
+       (SELECT COUNT(*) FROM lineitem WHERE l_returnflag = 'R')
+         AS n_returned,
+       COUNT(*) AS n_kept,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_kept_price
+FROM lineitem WHERE l_returnflag <> 'R' AND l_discount > 0
+"""
+
+
+# ---------------------------------------------------------------------------
 # Polymorphic UDTF: schema decided by analyze() at plan time
 # ---------------------------------------------------------------------------
 
@@ -3901,6 +4004,12 @@ RELATIONAL_QUERIES = [
              "A-robust-rolling: trailing median/MAD anomaly flags"),
     QueryDef("udtf_polymorphic", q_udtf_polymorphic, ORACLE_UDTF_POLYMORPHIC,
              "S2.8-udtf-analyze: dynamic schema from constant args"),
+    QueryDef("recursive_cte_hierarchy", q_recursive_cte_hierarchy,
+             ORACLE_RECURSIVE_CTE,
+             "S2.7-recursive-cte: declarative iterate-to-fixpoint"),
+    QueryDef("observed_metrics_audit", q_observed_metrics_audit,
+             ORACLE_OBSERVED_METRICS,
+             "S-observe: single-pass pipeline metrics"),
     QueryDef("weekday_seasonality", q_weekday_seasonality,
              ORACLE_WEEKDAY_SEASONALITY,
              "A-seasonal: weekday decomposition, exact integers"),

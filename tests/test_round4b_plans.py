@@ -303,6 +303,36 @@ def test_polymorphic_udtf_schema_tracks_n(spark):
                               "tok_3": None}
 
 
+def test_recursive_cte_depths_match_digit_tree(spark):
+    from nfl_data_engineering_spark.plans.relational import (
+        q_recursive_cte_hierarchy)
+    rows = {r["depth"]: r for r in
+            q_recursive_cte_hierarchy(spark, SF).collect()}
+    keys = [r["c_custkey"] for r in
+            spark.read.parquet(os.path.join(SF, "customer.parquet"))
+            .select("c_custkey").collect()]
+    from collections import Counter
+    want = Counter(len(str(k)) - 1 for k in keys)   # depth = digits - 1
+    assert {d: r["n_customers"] for d, r in rows.items()} == dict(want)
+    assert sum(r["n_customers"] for r in rows.values()) == len(keys)
+    assert rows[0]["n_roots"] == rows[0]["n_customers"]  # roots are depth 0
+
+
+def test_observed_metrics_equal_direct_aggregation(spark):
+    from nfl_data_engineering_spark.plans.relational import (
+        q_observed_metrics_audit)
+    row = q_observed_metrics_audit(spark, SF).collect()[0]
+    li = spark.read.parquet(os.path.join(SF, "lineitem.parquet"))
+    assert row["n_input"] == li.count()
+    assert row["n_returned"] == li.filter(F.col("l_returnflag") == "R").count()
+    kept = li.filter((F.col("l_returnflag") != "R")
+                     & (F.col("l_discount") > 0))
+    assert row["n_kept"] == kept.count()
+    want = kept.agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                    .cast("double")).collect()[0][0]
+    assert row["sum_kept_price"] == want
+
+
 def test_multibatch_backfill_ran_multiple_batches(spark):
     out = {r["day"]: r for r in
            T.q_streaming_multibatch_backfill(spark, SF).collect()}
