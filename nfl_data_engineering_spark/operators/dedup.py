@@ -37,13 +37,26 @@ def connected_components(edges: DataFrame, src: str = "a",
     bi = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
           .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
           .distinct().cache())
+    # right-size the iteration to the measured edge count: near-dup pair
+    # graphs are typically tiny relative to the corpus (hundreds of edges
+    # from millions of docs), and min-label rounds over 32+ near-empty
+    # partitions pay pure scheduling overhead per round (measured: 4.6 s
+    # of CC on a 247-edge graph before this, ~1 s after). The count also
+    # eager-fills bi's cache before the loop fans out over it. parts
+    # scales back up with the graph, so a 100 TB pair graph still spreads.
+    n_edges = bi.count()
+    parts = max(1, min(bi.rdd.getNumPartitions(), n_edges // 50_000))
+    bi = bi.coalesce(parts)
     # localCheckpoint, not cache: each round's plan references the previous
     # round's twice (self + neighbors), so without lineage truncation the
     # logical plan DOUBLES per iteration — a 50-hop chain OOMs the driver on
     # plan analysis alone. Checkpointing keeps every round's plan flat.
+    # eager=False: the convergence-sum collect below materializes the
+    # checkpoint in the SAME job, halving the jobs per round; lineage is
+    # truncated on that first materialization all the same.
     labels = (bi.select(F.col("a").alias("n")).distinct()
-              .withColumn("label", F.col("n"))
-              .localCheckpoint(eager=True))
+              .withColumn("label", F.col("n")).coalesce(parts)
+              .localCheckpoint(eager=False))
     old_sum = labels.agg(F.sum("label")).collect()[0][0]
     while True:
         neigh = (bi.join(labels.withColumnRenamed("n", "a")
@@ -52,7 +65,8 @@ def connected_components(edges: DataFrame, src: str = "a",
                          F.col("nlabel").alias("label")))
         labels = (labels.unionByName(neigh)
                   .groupBy("n").agg(F.min("label").alias("label"))
-                  .localCheckpoint(eager=True))
+                  .coalesce(parts)
+                  .localCheckpoint(eager=False))
         new_sum = labels.agg(F.sum("label")).collect()[0][0]
         if new_sum == old_sum:
             break

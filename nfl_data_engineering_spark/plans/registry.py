@@ -75,7 +75,9 @@ _PRIORITY: list[str] = [
 # "python_datasource_sink", "rolling_mad_anomaly",
 # "cogrouped_asof_pandas", "streaming_late_data_drop",
 # "udtf_polymorphic", "recursive_cte_hierarchy",
-# "observed_metrics_audit" — plus
+# "observed_metrics_audit", "streaming_full_outer_join",
+# "streaming_checkpoint_restart", "vocab_coverage_curve",
+# "length_bucketing_waste" — plus
 # "lang_id" (parity- and equality-proven after the Arrow-kernel rewrite;
 # its driver row predates the kernel). Remaining slots: the entries with
 # the OLDEST driver rows (round-1 vintage), oldest first.

@@ -77,10 +77,15 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected-components query."""
     docs = load(spark, sf_dir, "documents")
     sh = explode_shingle_hashes(docs, "doc_id", "text", n=3).cache()
+    sh.count()
     # cache: bands feeds both sides of the candidate self-join (sh is
-    # already cached; this additionally avoids re-running the 64-draw fold)
+    # already cached; this additionally avoids re-running the 64-draw fold).
+    # The count() after each cache is load-bearing: the downstream branches
+    # launch CONCURRENTLY inside one job, and a lazy cache races — every
+    # branch recomputes the subtree before any of them fills the cache.
     bands = minhash_bands_fast(sh, "doc_id", "sh60", NUM_HASHES, NUM_BANDS,
                                hashed=True).cache()
+    bands.count()
     b1 = bands.select(F.col("doc_id").alias("d1"), "band", "band_key")
     b2 = bands.select(F.col("doc_id").alias("d2"), "band", "band_key")
     cand = (b1.join(b2, ["band", "band_key"])
@@ -231,6 +236,7 @@ def _star_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     docs = load(spark, sf_dir, "documents")
     sh = explode_shingle_hashes(docs, "doc_id", "text", n=3).cache()
+    sh.count()   # eager: the four sh consumers race a lazy cache
     bands = minhash_bands_fast(sh, "doc_id", "sh60", NUM_HASHES, NUM_BANDS,
                                hashed=True)
     wmin = Window.partitionBy("band", "band_key")
@@ -592,6 +598,7 @@ def q_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix-filter algebra lossless, not merely self-consistent."""
     docs = load(spark, sf_dir, "documents")
     sh = explode_shingle_hashes(docs, "doc_id", "text", n=3).cache()
+    sh.count()   # eager: five sh consumers race a lazy cache (1.4x)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     dfreq = sh.groupBy("sh60").agg(F.count("*").alias("df"))
     ranked = (sh.join(dfreq, "sh60")
@@ -685,6 +692,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     toked = explode_tokens(docs, "doc_id", "text")
     sims = simhash(toked, "doc_id", "token", bits=SIMHASH_BITS).cache()
+    sims.count()   # eager: both chunk-join sides race a lazy cache
     chunk_width = SIMHASH_BITS // SIMHASH_CHUNKS
     mask = (1 << chunk_width) - 1
     chunks = sims.select(

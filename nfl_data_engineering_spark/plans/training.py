@@ -348,6 +348,120 @@ WHERE p.event_type = 'purchase'
 """
 
 
+def q_streaming_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 stream-stream FULL OUTER interval join — the last join mode
+    (inner and leftOuter have their own entries): unmatched rows from
+    BOTH sides must surface, i.e. purchases with no preceding click AND
+    clicks that never led to a purchase within the hour. The right side's
+    outer rows are the subtle half: a click is provably unmatched only
+    when the watermark passes the END of its forward join window
+    (click_ts + lookback — some future purchase could still claim it),
+    so the flush sentinel on both branches is what lets a finite drain
+    emit them. The engine folds the right key into the left before
+    dropping it (streaming/ingest.py:interval_join_streams) — without
+    that coalesce every unmatched click would come out keyless. Oracle:
+    the plain batch FULL JOIN under the identical interval condition."""
+    from ..streaming.ingest import interval_join_streams
+    stream, _ = _flush_staged_stream(spark, sf_dir, "fojstream")
+    purchases = (stream.filter(F.col("event_type") == "purchase")
+                 .select("user_id", "ts", "event_id"))
+    clicks = (stream.filter(F.col("event_type") == "click")
+              .select("user_id", "ts", "event_id"))
+    joined = interval_join_streams(purchases, clicks, key="user_id",
+                                   ts_col="ts", lookback="1 hour",
+                                   watermark="1 day", how="fullOuter")
+    sink = "streaming_full_outer_join_sink"
+    q = (joined.writeStream.format("memory").queryName(sink)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(sink).filter(F.col("user_id") >= 0)
+            .select("user_id", F.col("ts").alias("purchase_ts"),
+                    F.col("event_id").alias("purchase_event_id"),
+                    F.col("ts_r").alias("click_ts"),
+                    F.col("event_id_r").alias("click_event_id")))
+
+
+ORACLE_STREAMING_FULL_OUTER_JOIN = """
+SELECT COALESCE(p.user_id, c.user_id) AS user_id,
+       p.ts AS purchase_ts, p.event_id AS purchase_event_id,
+       c.ts AS click_ts, c.event_id AS click_event_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+"""
+
+
+def q_streaming_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once across a QUERY RESTART — the checkpoint contract the
+    other §2.9 entries never exercise because they drain once: run 1
+    consumes the first half of the archive into a parquet sink under a
+    checkpoint; then the second half lands in the source and a BRAND NEW
+    query object (same checkpoint, same sink) resumes. The offset log
+    must skip everything run 1 committed and the file-sink commit log
+    must make its output visible exactly once — replaying half 1 doubles
+    early days, losing it drops them, and a dirty sink listing would
+    double-read; any of those breaks the hash against the batch rollup
+    of the full table. This is the crash/redeploy story: the second
+    query IS a restart in every way that matters (fresh plan, fresh
+    query id, recovered state)."""
+    import shutil
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from .lakeops import _pid_tmp
+    full_tag = (hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+                + f"_{os.getpid()}")
+    src_dir = _pid_tmp(f"spark_graft_ckrestart_src_{full_tag}")
+    sink_dir = _pid_tmp(f"spark_graft_ckrestart_sink_{full_tag}")
+    ckpt_dir = _pid_tmp(f"spark_graft_ckrestart_ckpt_{full_tag}")
+    for d in (src_dir, sink_dir, ckpt_dir):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(src_dir)
+    src = os.path.join(sf_dir, "events.parquet")
+    tbl = pq.read_table(src)
+    tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[("ts", "ascending")]))
+    half = tbl.num_rows // 2
+    pq.write_table(tbl.slice(0, half),
+                   os.path.join(src_dir, "chunk_00.parquet"))
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(src).schema
+
+    def drain() -> None:
+        stream = spark.readStream.schema(raw_schema).parquet(src_dir)
+        if dict(stream.dtypes).get("ts") == "bigint":
+            stream = stream.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        q = (stream.select("event_id", "ts", "event_type", "value")
+             .writeStream.format("parquet")
+             .option("path", sink_dir)
+             .option("checkpointLocation", ckpt_dir)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    drain()                                   # run 1: first half only
+    pq.write_table(tbl.slice(half, tbl.num_rows - half),
+                   os.path.join(src_dir, "chunk_01.parquet"))
+    drain()                                   # run 2: restart, second half
+    back = spark.read.parquet(sink_dir)
+    return (back.groupBy(F.date_trunc("day", "ts").alias("day"))
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                  .alias("sum_value")))
+
+
+ORACLE_STREAMING_CKPT_RESTART = """
+SELECT date_trunc('day', ts)::TIMESTAMP AS day, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
 def q_streaming_append_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 APPEND-mode windowed aggregation — the third output-mode
     semantics next to complete (q_streaming_daily_rollup) and update
@@ -738,6 +852,97 @@ SELECT token, COUNT(*) AS doc_freq
 FROM per_doc GROUP BY token
 ORDER BY doc_freq DESC, token
 LIMIT {VOCAB_TOPK}
+"""
+
+
+COVERAGE_KS = (100, 1000, 10000)
+
+
+def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — the tokenizer-design question 'how much
+    of the corpus do the top-k word types cover?' (the Zipf mass curve
+    that decides vocab size before training a tokenizer). One token-keyed
+    occurrence count (map-side combined, shuffle = |vocab|), then ranking
+    and cumulative mass over the BOUNDED vocab table ((count desc, token)
+    total order — the global window rides |vocab| rows, never |tokens|),
+    and one output row per probe k with coverage in integer ppm
+    (truncating division both engines). k beyond the vocab clamps to the
+    full vocab (coverage exactly 1e6) instead of dropping the row."""
+    docs = load(spark, sf_dir, "documents")
+    tc = (docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+          .groupBy("token").agg(F.count("*").alias("cnt")))
+    w = Window.orderBy(F.col("cnt").desc(), "token")
+    wg = Window.partitionBy()
+    ranked = tc.select(
+        F.row_number().over(w).alias("rn"),
+        F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding,
+                                        Window.currentRow)).alias("cum"),
+        F.sum("cnt").over(wg).alias("total"),
+        F.count("*").over(wg).alias("vocab_size"))
+    parts = [
+        ranked.filter(F.col("rn") == F.least(F.lit(k), F.col("vocab_size")))
+        .select(F.lit(k).alias("k"), "vocab_size",
+                F.expr("cum * 1000000 div total").alias("coverage_ppm"))
+        for k in COVERAGE_KS]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _oracle_vocab_coverage() -> str:
+    ks = ", ".join(f"({k})" for k in COVERAGE_KS)
+    return f"""
+WITH tok AS (SELECT unnest({SQL_TOKENS}) AS token FROM documents),
+tc AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY cnt DESC, token) AS rn,
+         SUM(cnt) OVER (ORDER BY cnt DESC, token
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(cnt) OVER () AS total,
+         COUNT(*) OVER () AS vocab_size
+  FROM tc)
+SELECT k, CAST(vocab_size AS BIGINT) AS vocab_size,
+       CAST(cum * 1000000 // total AS BIGINT) AS coverage_ppm
+FROM ranked JOIN (VALUES {ks}) AS t(k)
+  ON rn = LEAST(k, vocab_size)
+"""
+
+
+LEN_BUCKET_W = 64
+
+
+def q_length_bucketing_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching audit — the padding-efficiency report
+    behind sequence bucketing: batching documents of similar token length
+    together pads each one only to its BUCKET's max, and this entry
+    measures the residual waste per bucket in integer ppm
+    ((max*n - sum) / (max*n) — the fraction of batch slots spent on pad
+    tokens if the whole bucket were one batch). Token counts are
+    row-local; one shuffle to the bounded bucket table. The unbucketed
+    baseline (pad everything to the global max) is derivable from the
+    same rows and asserted vastly worse in the invariant test."""
+    docs = load(spark, sf_dir, "documents")
+    n_tok = F.size(tokens(F.col("text")))
+    per = docs.select(n_tok.alias("n_tok")).withColumn(
+        "bucket", F.expr(f"n_tok div {LEN_BUCKET_W}"))
+    return (per.groupBy("bucket")
+            .agg(F.count("*").alias("n_docs"),
+                 F.max("n_tok").alias("max_tok"),
+                 F.sum("n_tok").alias("sum_tok"))
+            .select("bucket", "n_docs", "max_tok",
+                    F.col("sum_tok").cast("bigint").alias("sum_tok"),
+                    F.expr("(max_tok * n_docs - sum_tok) * 1000000 "
+                           "div (max_tok * n_docs)").alias("waste_ppm")))
+
+
+ORACLE_LENGTH_BUCKETING = f"""
+WITH per AS (SELECT len({SQL_TOKENS}) AS n_tok FROM documents)
+SELECT n_tok // {LEN_BUCKET_W} AS bucket, COUNT(*) AS n_docs,
+       MAX(n_tok) AS max_tok, CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+       CAST((MAX(n_tok) * COUNT(*) - SUM(n_tok)) * 1000000
+            // (MAX(n_tok) * COUNT(*)) AS BIGINT) AS waste_ppm
+FROM per GROUP BY 1
 """
 
 
@@ -1790,6 +1995,18 @@ TRAINING_QUERIES = [
     QueryDef("streaming_late_data_drop", q_streaming_late_data_drop,
              ORACLE_STREAMING_LATE_DROP,
              "S2.9-late-drop: watermark discards behind-watermark arrivals"),
+    QueryDef("streaming_full_outer_join", q_streaming_full_outer_join,
+             ORACLE_STREAMING_FULL_OUTER_JOIN,
+             "S2.9-stream-full-outer-join,J3"),
+    QueryDef("streaming_checkpoint_restart", q_streaming_checkpoint_restart,
+             ORACLE_STREAMING_CKPT_RESTART,
+             "S2.9-checkpoint-restart: exactly-once across query restart"),
+    QueryDef("vocab_coverage_curve", q_vocab_coverage_curve,
+             _oracle_vocab_coverage(),
+             "LLM-vocab-coverage: Zipf mass curve at probe ks"),
+    QueryDef("length_bucketing_waste", q_length_bucketing_waste,
+             ORACLE_LENGTH_BUCKETING,
+             "LLM-length-bucketing: padding-waste audit per bucket"),
     QueryDef("streaming_sessionization", q_streaming_sessionization,
              ORACLE_STREAMING_SESSIONIZATION, "S2.9-session-window"),
     QueryDef("stratified_sample", q_stratified_sample,

@@ -242,7 +242,13 @@ def interval_join_streams(left: DataFrame, right: DataFrame,
     cond = ((F.col(key) == F.col(f"{key}_r"))
             & (F.col(f"{ts_col}_r") >= F.col(ts_col) - F.expr(f"INTERVAL {lookback}"))
             & (F.col(f"{ts_col}_r") < F.col(ts_col)))
-    return l.join(r, cond, how).drop(f"{key}_r")
+    joined = l.join(r, cond, how)
+    if how in ("fullOuter", "full_outer", "full", "outer"):
+        # unmatched RIGHT rows carry a NULL left key — fold the right key
+        # in before dropping it, or those rows lose their identity
+        joined = joined.withColumn(
+            key, F.coalesce(F.col(key), F.col(f"{key}_r")))
+    return joined.drop(f"{key}_r")
 
 
 def windowed_counts_stream(stream: DataFrame, window: str = "1 hour",

@@ -333,6 +333,71 @@ def test_observed_metrics_equal_direct_aggregation(spark):
     assert row["sum_kept_price"] == want
 
 
+def test_full_outer_stream_join_superset_of_left_outer(spark):
+    fo = T.q_streaming_full_outer_join(spark, SF).collect()
+    # left-outer rows (every purchase present) are a subset; the extras
+    # are exactly the never-matched clicks, null-padded on the left
+    ev = (spark.read.parquet(os.path.join(SF, "events.parquet"))
+          .select("event_id", "user_id", "event_type",
+                  F.col("ts").cast("timestamp").alias("ts")).collect())
+    purchases = {r["event_id"] for r in ev if r["event_type"] == "purchase"}
+    clicks = [r for r in ev if r["event_type"] == "click"]
+    got_p = {r["purchase_event_id"] for r in fo
+             if r["purchase_event_id"] is not None}
+    assert got_p == purchases
+    matched_clicks = {r["click_event_id"] for r in fo
+                      if r["purchase_event_id"] is not None
+                      and r["click_event_id"] is not None}
+    unmatched_rows = [r for r in fo if r["purchase_event_id"] is None]
+    assert {r["click_event_id"] for r in unmatched_rows} == \
+        {c["event_id"] for c in clicks} - matched_clicks
+    for r in unmatched_rows:                  # null-padded left side
+        assert r["purchase_ts"] is None and r["user_id"] is not None
+
+
+def test_checkpoint_restart_neither_replays_nor_drops(spark):
+    out = {r["day"]: r["n"] for r in
+           T.q_streaming_checkpoint_restart(spark, SF).collect()}
+    batch = (spark.read.parquet(os.path.join(SF, "events.parquet"))
+             .groupBy(F.date_trunc("day", F.col("ts").cast("timestamp"))
+                      .alias("day"))
+             .agg(F.count("*").alias("n")).collect())
+    assert len(batch) == len(out)
+    for r in batch:
+        assert out[r["day"]] == r["n"]
+
+
+def test_vocab_coverage_is_monotone_and_clamped(spark):
+    rows = {r["k"]: r for r in T.q_vocab_coverage_curve(spark, SF).collect()}
+    assert set(rows) == set(T.COVERAGE_KS)
+    covs = [rows[k]["coverage_ppm"] for k in sorted(rows)]
+    assert covs == sorted(covs)               # more vocab, more coverage
+    assert all(0 < c <= 1_000_000 for c in covs)
+    vs = rows[min(rows)]["vocab_size"]
+    for k, r in rows.items():
+        if k >= vs:                           # clamped probes cover all
+            assert r["coverage_ppm"] == 1_000_000
+
+
+def test_length_bucketing_beats_global_padding(spark):
+    rows = T.q_length_bucketing_waste(spark, SF).collect()
+    n_docs = spark.read.parquet(
+        os.path.join(SF, "documents.parquet")).count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        # bucket max lives inside the bucket's width band
+        assert r["bucket"] * T.LEN_BUCKET_W <= r["max_tok"] \
+            < (r["bucket"] + 1) * T.LEN_BUCKET_W
+        assert 0 <= r["waste_ppm"] < 1_000_000
+    # bucketed padding strictly beats padding everything to global max
+    gmax = max(r["max_tok"] for r in rows)
+    total_tok = sum(r["sum_tok"] for r in rows)
+    global_waste = (gmax * n_docs - total_tok) * 1_000_000 // (gmax * n_docs)
+    bucketed = sum(r["max_tok"] * r["n_docs"] for r in rows)
+    bucketed_waste = (bucketed - total_tok) * 1_000_000 // bucketed
+    assert bucketed_waste < global_waste
+
+
 def test_multibatch_backfill_ran_multiple_batches(spark):
     out = {r["day"]: r for r in
            T.q_streaming_multibatch_backfill(spark, SF).collect()}
