@@ -77,7 +77,8 @@ _PRIORITY: list[str] = [
 # "udtf_polymorphic", "recursive_cte_hierarchy",
 # "observed_metrics_audit", "streaming_full_outer_join",
 # "streaming_checkpoint_restart", "vocab_coverage_curve",
-# "length_bucketing_waste" — plus
+# "length_bucketing_waste", "cusum_changepoint", "fd_violation_profile",
+# "market_share" — plus
 # "lang_id" (parity- and equality-proven after the Arrow-kernel rewrite;
 # its driver row predates the kernel). Remaining slots: the entries with
 # the OLDEST driver rows (round-1 vintage), oldest first.

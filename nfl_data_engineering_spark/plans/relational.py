@@ -3855,6 +3855,201 @@ FROM ann JOIN (VALUES (50), (90)) AS t(q)
 """
 
 
+# ---------------------------------------------------------------------------
+# Change-point detection, FD discovery, deep star-schema share
+# ---------------------------------------------------------------------------
+
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection over the daily order-revenue series —
+    the monitoring primitive behind 'when did this metric shift'. The
+    classic statistic cusum_i = sum_{j<=i}(x_j - mean) needs the global
+    mean, which would force either two passes or float division; instead
+    the whole computation is scaled by n (the day count): with T = total
+    cents and prefix_i the running sum, S_i = n*prefix_i - i*T is exactly
+    n*cusum_i — pure int64 arithmetic, no division, no float drift, and
+    argmax|S_i| is the same day as argmax|cusum_i|. Dataflow: ONE shuffle
+    collapses orders to the daily grain (map-side combine); every window
+    after that runs over the BOUNDED daily table (|days| ~ 2.4k rows
+    regardless of order volume — same bounded-grain argument as
+    rolling_mad_anomaly/weekday_seasonality), so the global orderBy
+    window never sees row-proportional data. Emits the top-5 candidate
+    change-points by |S_i| (tiebreak: day asc), with the day's index and
+    the scaled statistic for downstream thresholding."""
+    o = load(spark, sf_dir, "orders").select(
+        F.date_trunc("day", "o_orderdate").alias("day"),
+        cents("o_totalprice").alias("c"))
+    daily = o.groupBy("day").agg(F.sum("c").alias("day_cents"))
+    wd = Window.orderBy("day").rowsBetween(Window.unboundedPreceding,
+                                           Window.currentRow)
+    wg = Window.partitionBy()
+    cur = (daily
+           .withColumn("prefix", F.sum("day_cents").over(wd))
+           .withColumn("i", F.row_number().over(Window.orderBy("day")))
+           .withColumn("n", F.count("*").over(wg))
+           .withColumn("total", F.sum("day_cents").over(wg))
+           .withColumn("s_scaled",
+                       F.col("n") * F.col("prefix")
+                       - F.col("i") * F.col("total")))
+    return (cur.select("day", "i", "day_cents", "s_scaled",
+                       F.abs("s_scaled").alias("abs_s"))
+            .orderBy(F.desc("abs_s"), "day").limit(5))
+
+
+ORACLE_CUSUM_CHANGEPOINT = """
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate)::TIMESTAMP AS day,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS day_cents
+  FROM orders GROUP BY 1),
+cur AS (
+  SELECT day, day_cents,
+         SUM(day_cents) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+           PRECEDING AND CURRENT ROW) AS prefix,
+         row_number() OVER (ORDER BY day) AS i,
+         COUNT(*) OVER () AS n,
+         SUM(day_cents) OVER () AS total
+  FROM daily)
+SELECT day, CAST(i AS INTEGER) AS i, CAST(day_cents AS BIGINT) AS day_cents,
+       CAST(n * prefix - i * total AS BIGINT) AS s_scaled,
+       CAST(abs(n * prefix - i * total) AS BIGINT) AS abs_s
+FROM cur
+ORDER BY abs_s DESC, day ASC
+LIMIT 5
+"""
+
+
+_FD_CANDIDATES = [
+    # (fd label, table, lhs col, rhs col)
+    ("customer: c_custkey -> c_nationkey", "customer",
+     "c_custkey", "c_nationkey"),
+    ("customer: c_nationkey -> c_mktsegment", "customer",
+     "c_nationkey", "c_mktsegment"),
+    ("customer: c_mktsegment -> c_nationkey", "customer",
+     "c_mktsegment", "c_nationkey"),
+    ("orders: o_custkey -> o_orderpriority", "orders",
+     "o_custkey", "o_orderpriority"),
+]
+
+
+def q_fd_violation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery audit — the data-profiling op
+    behind key inference and normalization checks ('is A a key for B?').
+    For each candidate FD A -> B: the number of A-groups, the number of
+    VIOLATING groups (|distinct B| > 1 within the group), the worst
+    group's distinct-B count, and a holds flag. Each FD is one
+    two-level aggregation: groupBy(A) x count_distinct(B) — partial
+    aggregation combines map-side, the shuffle carries (A, B) pairs
+    pre-deduped per partition — then a second bounded aggregate over the
+    |A|-row group table. The per-FD results (1 row each) union into the
+    profile. At 100 TB each FD is an independent single-shuffle job over
+    the SAME scan; a multi-FD optimization (one pass emitting (fd, A, B)
+    via explode, then one grouped count) trades scan count for shuffle
+    volume and is the right swap when the table is scan-bound — the
+    shape here keeps per-FD shuffles minimal, which wins when A is
+    low-cardinality. All-integer output (rule 7)."""
+    profiles = []
+    for label, table, lhs, rhs in _FD_CANDIDATES:
+        t = load(spark, sf_dir, table).select(
+            F.col(lhs).cast("string").alias("lhs"),
+            F.col(rhs).cast("string").alias("rhs"))
+        grp = (t.groupBy("lhs")
+               .agg(F.countDistinct("rhs").alias("n_rhs")))
+        profiles.append(grp.agg(
+            F.lit(label).alias("fd"),
+            F.count("*").alias("n_groups"),
+            F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0))
+             .alias("n_violating"),
+            F.max("n_rhs").alias("max_rhs_per_group"),
+            (F.max("n_rhs") == 1).cast("int").alias("holds")))
+    out = profiles[0]
+    for p in profiles[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _oracle_fd_profile() -> str:
+    parts = []
+    for label, table, lhs, rhs in _FD_CANDIDATES:
+        parts.append(f"""
+SELECT '{label}' AS fd, COUNT(*) AS n_groups,
+       CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating,
+       MAX(n_rhs) AS max_rhs_per_group,
+       CAST(CASE WHEN MAX(n_rhs) = 1 THEN 1 ELSE 0 END AS INTEGER) AS holds
+FROM (SELECT CAST({lhs} AS VARCHAR) AS lhs,
+             COUNT(DISTINCT CAST({rhs} AS VARCHAR)) AS n_rhs
+      FROM {table} GROUP BY 1)""")
+    return "\nUNION ALL\n".join(parts)
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_2's share of ASIA-region STANDARD-part
+    revenue per order year — the deepest join in the catalog (lineitem x
+    orders x customer x nation x region x supplier x nation x part = 7
+    joins). The plan is the star-schema stress test for Catalyst's join
+    planning: every dimension chain (customer->nation->region, supplier->
+    nation, part) collapses to a broadcast hash join under the 64 MB
+    threshold, so the ONLY shuffle is lineitem x orders on l_orderkey —
+    at 100 TB that is one fact-fact hash join plus broadcast dims,
+    exactly the plan a warehouse would pick. Region/part filters reach
+    their dimension scans (pushdown), pruning before any join. Share =
+    ratio of two exact decimal sums per year (bit-stable double division
+    on identical inputs, rule 1/2)."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    part = load(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    disc = _dec("l_extendedprice") * (F.lit(1).cast("decimal(8,2)")
+                                      - _dec("l_discount", "8,2"))
+    zero = F.lit(0).cast("decimal(28,4)")
+    cust_dim = (cust.join(nat, cust.c_nationkey == nat.n_nationkey)
+                .join(reg, F.col("n_regionkey") == reg.r_regionkey)
+                .select("c_custkey"))
+    supp_dim = (supp.join(nat.select(F.col("n_nationkey").alias("sn_key"),
+                                     F.col("n_name").alias("supp_nation")),
+                          supp.s_nationkey == F.col("sn_key"))
+                .select("s_suppkey", "supp_nation"))
+    j = (li.join(part, li.l_partkey == part.p_partkey)
+         .join(orders, li.l_orderkey == orders.o_orderkey)
+         .join(cust_dim, orders.o_custkey == cust_dim.c_custkey)
+         .join(supp_dim, li.l_suppkey == supp_dim.s_suppkey)
+         .select(F.year("o_orderdate").alias("o_year"),
+                 F.col("supp_nation"), disc.alias("disc")))
+    agg = j.groupBy("o_year").agg(
+        F.sum(F.when(F.col("supp_nation") == "NATION_2", F.col("disc"))
+              .otherwise(zero)).cast("double").alias("nation_revenue"),
+        F.sum("disc").cast("double").alias("total_revenue"))
+    return (agg.select("o_year", "nation_revenue", "total_revenue",
+                       (F.col("nation_revenue") / F.col("total_revenue"))
+                       .alias("mkt_share"))
+            .orderBy("o_year"))
+
+
+ORACLE_MARKET_SHARE = """
+WITH agg AS (
+  SELECT year(o_orderdate) AS o_year,
+    CAST(SUM(CASE WHEN sn.n_name = 'NATION_2'
+             THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2)))
+             ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE) AS nation_revenue,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  GROUP BY 1)
+SELECT CAST(o_year AS INTEGER) AS o_year, nation_revenue, total_revenue,
+       nation_revenue / total_revenue AS mkt_share
+FROM agg
+ORDER BY o_year
+"""
+
+
 RELATIONAL_QUERIES = [
     QueryDef("pricing_summary", q_pricing_summary, ORACLE_PRICING, "T11,A5,X-avg,S4", bench=True),
     QueryDef("shipping_priority", q_shipping_priority, ORACLE_SHIPPING, "J2,O1,A5", bench=True),
@@ -4013,4 +4208,13 @@ RELATIONAL_QUERIES = [
     QueryDef("weekday_seasonality", q_weekday_seasonality,
              ORACLE_WEEKDAY_SEASONALITY,
              "A-seasonal: weekday decomposition, exact integers"),
+    QueryDef("cusum_changepoint", q_cusum_changepoint,
+             ORACLE_CUSUM_CHANGEPOINT,
+             "A-changepoint: n-scaled integer CUSUM over bounded daily grain"),
+    QueryDef("fd_violation_profile", q_fd_violation_profile,
+             _oracle_fd_profile(),
+             "A-profile: functional-dependency discovery, integer audit"),
+    QueryDef("market_share", q_market_share, ORACLE_MARKET_SHARE,
+             "J-star-7way: broadcast dim chains, one fact-fact shuffle",
+             bench=True),
 ]

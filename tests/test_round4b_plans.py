@@ -409,3 +409,60 @@ def test_multibatch_backfill_ran_multiple_batches(spark):
     assert len(batch) == len(out)
     for r in batch:
         assert out[r["day"]]["n"] == r["n"]
+
+
+def test_cusum_changepoint_matches_recomputation(spark):
+    from nfl_data_engineering_spark.plans.relational import (
+        q_cusum_changepoint)
+    rows = q_cusum_changepoint(spark, SF).collect()
+    assert len(rows) == 5
+    # independent recomputation of the n-scaled CUSUM from raw orders
+    daily = {}
+    for r in (spark.read.parquet(os.path.join(SF, "orders.parquet"))
+              .select(F.date_trunc("day", "o_orderdate").alias("day"),
+                      F.round(F.col("o_totalprice") * 100).cast("bigint")
+                      .alias("c")).collect()):
+        daily[r["day"]] = daily.get(r["day"], 0) + r["c"]
+    days = sorted(daily)
+    n, total = len(days), sum(daily.values())
+    prefix, truth = 0, []
+    for i, d in enumerate(days, start=1):
+        prefix += daily[d]
+        truth.append((d, i, daily[d], n * prefix - i * total))
+    # S_n is identically zero by construction (n*total - n*total)
+    assert truth[-1][3] == 0
+    want = sorted(truth, key=lambda t: (-abs(t[3]), t[0]))[:5]
+    got = [(r["day"], r["i"], r["day_cents"], r["s_scaled"]) for r in rows]
+    assert got == want
+
+
+def test_fd_profile_flags_are_consistent(spark):
+    from nfl_data_engineering_spark.plans.relational import (
+        _FD_CANDIDATES, q_fd_violation_profile)
+    rows = {r["fd"]: r for r in q_fd_violation_profile(spark, SF).collect()}
+    assert len(rows) == len(_FD_CANDIDATES)
+    for r in rows.values():
+        assert (r["holds"] == 1) == (r["n_violating"] == 0)
+        assert (r["holds"] == 1) == (r["max_rhs_per_group"] == 1)
+        assert 0 <= r["n_violating"] <= r["n_groups"]
+    # a key column determines everything: custkey -> nationkey must hold
+    assert rows["customer: c_custkey -> c_nationkey"]["holds"] == 1
+    # and its group count is the distinct key count
+    ncust = (spark.read.parquet(os.path.join(SF, "customer.parquet"))
+             .select("c_custkey").distinct().count())
+    assert rows["customer: c_custkey -> c_nationkey"]["n_groups"] == ncust
+
+
+def test_market_share_plan_is_broadcast_star(spark):
+    """The scale claim: all six dimension joins broadcast; the ONLY
+    shuffle join in the plan is the lineitem x orders fact-fact key."""
+    from nfl_data_engineering_spark.plans.relational import q_market_share
+    df = q_market_share(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 6
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 1
+    rows = df.collect()
+    assert rows == sorted(rows, key=lambda r: r["o_year"])
+    for r in rows:
+        assert 0.0 <= r["mkt_share"] <= 1.0
+        assert r["nation_revenue"] <= r["total_revenue"]
