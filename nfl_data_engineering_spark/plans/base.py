@@ -45,6 +45,25 @@ class QueryDef:
     bench: bool = False         # include in bench.py headline set
 
 
+def finalize(result: DataFrame, *caches: DataFrame) -> DataFrame:
+    """Release an entry's fan-out caches without losing their benefit:
+    materialize `result` executor-side (eager localCheckpoint — the
+    cached intermediates are read exactly once more, no driver
+    round-trip), then unpersist the caches. Without this, a session
+    running the full 229-entry catalog accumulates storage-memory
+    entries for the life of the SparkSession — Spark's cache registry
+    pins persisted plans until an explicit unpersist (ADVICE r4).
+    Checkpoint blocks, by contrast, are ContextCleaner-managed: freed
+    when the returned DataFrame is garbage-collected. The trade is
+    materializing the (small, post-filter) RESULT to release the
+    (large, pre-aggregation) intermediates — the same move as writing
+    a stage's output and dropping its scratch tables on a cluster."""
+    out = result.localCheckpoint(eager=True)
+    for c in caches:
+        c.unpersist()
+    return out
+
+
 def dec(c, p="18,2"):
     """Exact-decimal cast for money/metric aggregation (determinism rule 1).
     Shared here so every plan module rounds through the SAME precision."""

@@ -27,7 +27,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..io import write_bucketed
-from .base import QueryDef, cents, dec as _dec, load
+from .base import QueryDef, cents, dec as _dec, finalize, load
 
 
 # ---------------------------------------------------------------------------
@@ -972,9 +972,13 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select(F.col("x").alias("src"), F.col("y").alias("dst")))
     tri = wedges.join(oriented.select("src", "dst"),
                       ["src", "dst"], "left_semi")
-    return (deg.agg(F.count("*").alias("n_nodes"))
-            .crossJoin(edges.agg(F.count("*").alias("n_edges")))
-            .crossJoin(tri.agg(F.count("*").alias("n_triangles"))))
+    # finalize: materialize the 1-row summary, then release the edge
+    # cache — without it the persisted graph outlives the entry for the
+    # whole session (ADVICE r4)
+    return finalize(
+        deg.agg(F.count("*").alias("n_nodes"))
+        .crossJoin(edges.agg(F.count("*").alias("n_edges")))
+        .crossJoin(tri.agg(F.count("*").alias("n_triangles"))), edges)
 
 
 ORACLE_TRIANGLE_COUNT = f"""

@@ -2930,9 +2930,9 @@ def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     the (rev, custkey) tiebreak pinning a total order. All sums are exact
     decimals (order-free), so the one global double expression at the end
     is deterministic. The ranking is a global sort — fine for a scalar
-    audit over |customers| rows (already aggregated); at 100 TB replace
-    the exact rank with quantile-binned Lorenz segments, same formula per
-    bin."""
+    audit over |customers| rows (already aggregated); the 100 TB form is
+    q_revenue_gini_binned below (two-phase rank over quantile bins —
+    CHECKED against this entry's exact oracle, same hash)."""
     orders = load(spark, sf_dir, "orders")
     rev = orders.groupBy("o_custkey").agg(
         F.sum(_dec("o_totalprice")).alias("rev"))
@@ -2965,6 +2965,58 @@ SELECT n AS n_customers,
              - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini
 FROM tot
 """
+
+
+GINI_BINS = 64
+
+
+def q_revenue_gini_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of q_revenue_gini — the SAME Gini value computed
+    with no data-proportional global window. Two-phase rank over
+    quantile bins (the q_rank_twophase pattern): (1) approxQuantile cut
+    points over the per-customer revenue (bounded driver read:
+    GINI_BINS-1 doubles; ANY monotone cuts are correct — bin placement
+    never changes a row's global rank, quantile cuts merely balance the
+    bins); (2) row-local searchsorted bin = #cuts strictly below rev, so
+    revenue ties always share a bin and the (rev, o_custkey) tiebreak
+    stays entirely within one bin; (3) per-bin counts -> starting
+    offsets via a window over the ~GINI_BINS-row bin table; (4)
+    broadcast the offsets back and rank WITHIN each bin
+    (Window.partitionBy(bin) — parallel across bins, no partition ever
+    holds the whole table); global i = offset + within-bin row_number.
+    The aggregates (exact decimal s, exact si) and the closing G formula
+    are identical to the plain entry's, and the oracle IS the plain
+    entry's exact-rank SQL — hash equality proves the binned
+    decomposition computes the identical permutation, not an
+    approximation."""
+    orders = load(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(_dec("o_totalprice")).alias("rev"))
+    rev = rev.withColumn("revd", F.col("rev").cast("double"))
+    probs = [i / GINI_BINS for i in range(1, GINI_BINS)]
+    cuts = sorted(set(rev.stat.approxQuantile("revd", probs, 0.01)))
+    cuts_arr = F.array(*[F.lit(float(c)) for c in cuts])
+    binned = rev.withColumn(
+        "b", F.size(F.filter(cuts_arr, lambda c: c < F.col("revd"))))
+    counts = binned.groupBy("b").agg(F.count("*").alias("cnt"))
+    woff = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "b", F.coalesce(F.sum("cnt").over(woff), F.lit(0)).alias("off"))
+    win = Window.partitionBy("b").orderBy("rev", "o_custkey")
+    ranked = (binned.join(F.broadcast(offsets), "b")
+              .withColumn("i", F.col("off") + F.row_number().over(win)))
+    tot = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("rev").alias("s"),
+        F.sum(F.col("i") * F.col("rev")).alias("si"))
+    n = F.col("n").cast("double")
+    gini = (F.lit(2.0) * F.col("si").cast("double")
+            / (n * F.col("s").cast("double"))
+            - (n + F.lit(1.0)) / n)
+    return tot.select(
+        F.col("n").alias("n_customers"),
+        F.round(F.col("s").cast("double"), 2).alias("total_revenue"),
+        F.round(gini, 6).alias("gini"))
 
 
 INCR_CUTOFF = "1999-01-01"
@@ -3557,10 +3609,16 @@ def q_rank_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
               .withColumn("rank", F.col("off") + F.row_number().over(win)))
     key = F.concat(F.col("l_orderkey").cast("string"), F.lit("_"),
                    F.col("l_linenumber").cast("string"))
+    # the checksums accumulate in decimal(38,0): sum(rank) = n(n+1)/2
+    # passes int64 at n ~ 4.3e9 rows and Spark's non-ANSI int64 sum
+    # would wrap silently; the final cast back to bigint is the checked
+    # OUTPUT's documented ceiling, the accumulator itself is exact
     return ranked.agg(
         F.count("*").alias("n_rows"),
-        F.sum("rank").alias("sum_rank"),
-        F.sum(F.col("rank") * (h60(key) % 1000)).alias("rank_checksum"))
+        F.sum(F.col("rank").cast("decimal(38,0)"))
+         .cast("bigint").alias("sum_rank"),
+        F.sum((F.col("rank") * (h60(key) % 1000)).cast("decimal(38,0)"))
+         .cast("bigint").alias("rank_checksum"))
 
 
 def _oracle_rank_twophase() -> str:
@@ -3866,7 +3924,8 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean, which would force either two passes or float division; instead
     the whole computation is scaled by n (the day count): with T = total
     cents and prefix_i the running sum, S_i = n*prefix_i - i*T is exactly
-    n*cusum_i — pure int64 arithmetic, no division, no float drift, and
+    n*cusum_i — exact integer arithmetic (decimal(38,0) products; see
+    inline note), no division, no float drift, and
     argmax|S_i| is the same day as argmax|cusum_i|. Dataflow: ONE shuffle
     collapses orders to the daily grain (map-side combine); every window
     after that runs over the BOUNDED daily table (|days| ~ 2.4k rows
@@ -3887,12 +3946,21 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
            .withColumn("i", F.row_number().over(Window.orderBy("day")))
            .withColumn("n", F.count("*").over(wg))
            .withColumn("total", F.sum("day_cents").over(wg))
-           .withColumn("s_scaled",
-                       F.col("n") * F.col("prefix")
-                       - F.col("i") * F.col("total")))
-    return (cur.select("day", "i", "day_cents", "s_scaled",
-                       F.abs("s_scaled").alias("abs_s"))
-            .orderBy(F.desc("abs_s"), "day").limit(5))
+           # the products form in decimal(38,0): n*prefix reaches
+           # ~2.4e3 * total-cents and passes int64 once total revenue
+           # passes ~$4e13 — Spark's non-ANSI int64 product would wrap
+           # silently and corrupt the argmax (ADVICE r4). The argmax
+           # ordering runs on the exact decimal; the emitted bigint is
+           # the output's documented ceiling.
+           .withColumn("s_dec",
+                       F.col("n").cast("decimal(38,0)") * F.col("prefix")
+                       - F.col("i").cast("decimal(38,0)") * F.col("total")))
+    return (cur.select("day", "i", "day_cents",
+                       F.col("s_dec").cast("bigint").alias("s_scaled"),
+                       F.abs("s_dec").alias("abs_dec"))
+            .orderBy(F.desc("abs_dec"), "day").limit(5)
+            .select("day", "i", "day_cents", "s_scaled",
+                    F.col("abs_dec").cast("bigint").alias("abs_s")))
 
 
 ORACLE_CUSUM_CHANGEPOINT = """
@@ -4169,6 +4237,8 @@ RELATIONAL_QUERIES = [
              ORACLE_EVENT_TRANSITIONS, "X-lag,A-seq"),
     QueryDef("revenue_gini", q_revenue_gini, ORACLE_REVENUE_GINI,
              "A-concentration,X-window"),
+    QueryDef("revenue_gini_binned", q_revenue_gini_binned,
+             ORACLE_REVENUE_GINI, "A-concentration,X-rank-twophase"),
     QueryDef("incremental_agg_merge", q_incremental_agg_merge,
              ORACLE_INCREMENTAL_AGG, "A-incremental-mv,U1"),
     QueryDef("variant_extract", q_variant_extract, ORACLE_VARIANT_EXTRACT,

@@ -23,7 +23,7 @@ from ..functions.hashing import (MERSENNE_P, h60, h60_py,
 from ..functions.text import (LANG_MARKERS, STOPWORDS, WORD_RE, doc_fingerprint,
                               explode_shingle_hashes, explode_tokens, lang_id,
                               regex_token_count, shingles, tokens)
-from .base import QueryDef, load
+from .base import QueryDef, finalize, load
 
 # DuckDB twins of functions/text.py tokens() and functions/hashing.py h60().
 SQL_TOKENS = "list_filter(regexp_split_to_array(lower({col}), '\\s+'), t -> t != '')"
@@ -71,12 +71,19 @@ NUM_BANDS = 16
 JACCARD_THRESHOLD = 0.8
 
 
-def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _minhash_pairs(spark: SparkSession, sf_dir: str,
+                   caches: list[DataFrame] | None = None) -> DataFrame:
     """MinHash-LSH verified near-dup pairs: (d1, d2, jaccard) with
     jaccard >= JACCARD_THRESHOLD. Shared by the pairs query and the
-    connected-components query."""
+    connected-components query. The two eager caches it fills are
+    appended to `caches` so the calling entry can release them (via
+    base.finalize or an unpersist after components converge) — without
+    that, a full-catalog session pins them for its lifetime (ADVICE
+    r4)."""
     docs = load(spark, sf_dir, "documents")
     sh = explode_shingle_hashes(docs, "doc_id", "text", n=3).cache()
+    if caches is not None:
+        caches.append(sh)
     sh.count()
     # cache: bands feeds both sides of the candidate self-join (sh is
     # already cached; this additionally avoids re-running the 64-draw fold).
@@ -85,6 +92,8 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # branch recomputes the subtree before any of them fills the cache.
     bands = minhash_bands_fast(sh, "doc_id", "sh60", NUM_HASHES, NUM_BANDS,
                                hashed=True).cache()
+    if caches is not None:
+        caches.append(bands)
     bands.count()
     b1 = bands.select(F.col("doc_id").alias("d1"), "band", "band_key")
     b2 = bands.select(F.col("doc_id").alias("d2"), "band", "band_key")
@@ -117,8 +126,11 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of shingle strings (same result on both engines — the oracle
     hashes identically), and within-doc shingle dedup happens row-locally
     via array_distinct — no dropDuplicates shuffle."""
-    return (_minhash_pairs(spark, sf_dir)
-            .select("d1", "d2", F.round("jaccard", 6).alias("jaccard")))
+    caches: list[DataFrame] = []
+    pairs = _minhash_pairs(spark, sf_dir, caches)
+    return finalize(
+        pairs.select("d1", "d2", F.round("jaccard", 6).alias("jaccard")),
+        *caches)
 
 
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -134,8 +146,13 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: DuckDB recursive CTE computing min reachable id — same
     fixpoint, declaratively."""
     from ..operators.dedup import connected_components
-    pairs = _minhash_pairs(spark, sf_dir).select("d1", "d2")
+    caches: list[DataFrame] = []
+    pairs = _minhash_pairs(spark, sf_dir, caches).select("d1", "d2")
     labels = connected_components(pairs, "d1", "d2")
+    # labels is localCheckpoint-materialized inside connected_components,
+    # so the helper caches are out of the result's lineage — release now
+    for c in caches:
+        c.unpersist()
     return (labels.groupBy(F.col("label").alias("component"))
             .agg(F.count("*").alias("n_docs"),
                  F.max("n").alias("max_doc_id")))
@@ -152,8 +169,11 @@ def q_dedup_survivor_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     small against the corpus — so the finishing join broadcasts."""
     from ..operators.dedup import connected_components
     docs = load(spark, sf_dir, "documents").select("doc_id")
-    pairs = _minhash_pairs(spark, sf_dir).select("d1", "d2")
+    caches: list[DataFrame] = []
+    pairs = _minhash_pairs(spark, sf_dir, caches).select("d1", "d2")
     labels = connected_components(pairs, "d1", "d2")
+    for c in caches:     # labels checkpointed -> caches out of lineage
+        c.unpersist()
     canon = F.coalesce(F.col("label"), F.col("doc_id"))
     return (docs.join(labels.withColumnRenamed("n", "doc_id"),
                       "doc_id", "left")
@@ -229,13 +249,18 @@ FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id
 """
 
 
-def _star_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _star_verified_pairs(spark: SparkSession, sf_dir: str,
+                         caches: list[DataFrame] | None = None) -> DataFrame:
     """Bucket -> star edges (member -> bucket minimum, O(members) per
     bucket) -> exact-jaccard verification against the representative.
-    Shared by the star survivor table and the cross-shard audit."""
+    Shared by the star survivor table and the cross-shard audit; the
+    eager shingle cache is appended to `caches` for the caller to
+    release (ADVICE r4)."""
     from pyspark.sql import Window
     docs = load(spark, sf_dir, "documents")
     sh = explode_shingle_hashes(docs, "doc_id", "text", n=3).cache()
+    if caches is not None:
+        caches.append(sh)
     sh.count()   # eager: the four sh consumers race a lazy cache
     bands = minhash_bands_fast(sh, "doc_id", "sh60", NUM_HASHES, NUM_BANDS,
                                hashed=True)
@@ -281,8 +306,11 @@ def q_dedup_star_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     same way as A1/A2, at corpus scale."""
     from ..operators.dedup import connected_components
     docs = load(spark, sf_dir, "documents")
-    verified = _star_verified_pairs(spark, sf_dir)
+    caches: list[DataFrame] = []
+    verified = _star_verified_pairs(spark, sf_dir, caches)
     labels = connected_components(verified, "d1", "d2")
+    for c in caches:     # labels checkpointed -> caches out of lineage
+        c.unpersist()
     canon = F.coalesce(F.col("label"), F.col("doc_id"))
     return (docs.select("doc_id")
             .join(labels.withColumnRenamed("n", "doc_id"), "doc_id", "left")
@@ -345,8 +373,11 @@ def q_cross_shard_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import connected_components
     from .training import N_SHARDS
     docs = load(spark, sf_dir, "documents")
-    labels = connected_components(_star_verified_pairs(spark, sf_dir),
-                                  "d1", "d2")
+    caches: list[DataFrame] = []
+    labels = connected_components(
+        _star_verified_pairs(spark, sf_dir, caches), "d1", "d2")
+    for c in caches:     # labels checkpointed -> caches out of lineage
+        c.unpersist()
     members = (labels.withColumnRenamed("n", "doc_id")
                .join(docs.select(
                    "doc_id",
@@ -437,11 +468,12 @@ def q_incremental_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     status = (F.when(F.col("exact_ref").isNotNull(), F.lit("exact_dup"))
               .when(F.col("near_ref").isNotNull(), F.lit("near_dup"))
               .otherwise(F.lit("new")))
-    return (inc.join(ex_min, "h", "left")
-            .join(near.withColumnRenamed("di", "doc_id"), "doc_id", "left")
-            .select("doc_id", status.alias("status"),
-                    F.coalesce("exact_ref", "near_ref", F.lit(-1))
-                    .alias("ref_doc_id")))
+    return finalize(
+        inc.join(ex_min, "h", "left")
+        .join(near.withColumnRenamed("di", "doc_id"), "doc_id", "left")
+        .select("doc_id", status.alias("status"),
+                F.coalesce("exact_ref", "near_ref", F.lit(-1))
+                .alias("ref_doc_id")), sh)
 
 
 ORACLE_INCREMENTAL_DEDUP = f"""
@@ -509,11 +541,12 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
              .groupBy("d1", "d2").agg(F.count("*").alias("i")))
     jac = (F.col("i").cast("double")
            / (F.col("sz1") + F.col("sz2") - F.col("i")).cast("double"))
-    return (inter
-            .join(sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1")), "d1")
-            .join(sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2")), "d2")
-            .filter(jac >= 0.7)
-            .select("d1", "d2", F.round(jac, 6).alias("jaccard")))
+    return finalize(
+        inter
+        .join(sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1")), "d1")
+        .join(sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2")), "d2")
+        .filter(jac >= 0.7)
+        .select("d1", "d2", F.round(jac, 6).alias("jaccard")), sh)
 
 
 ORACLE_NGRAM_JACCARD = f"""
@@ -569,12 +602,15 @@ def q_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 F.col("sz").alias("sz2")), "d2")
              .filter(jac >= JACCARD_THRESHOLD)
              .agg(F.count("*").alias("n_exact")))
-    lsh = _minhash_pairs(spark, sf_dir).agg(F.count("*").alias("n_lsh"))
-    return (exact.crossJoin(lsh)
-            .select("n_exact", "n_lsh",
-                    F.expr("CASE WHEN n_exact > 0 "
-                           "THEN n_lsh * 1000000 div n_exact END")
-                    .alias("recall_ppm")))
+    caches: list[DataFrame] = [sh]
+    lsh = _minhash_pairs(spark, sf_dir, caches).agg(
+        F.count("*").alias("n_lsh"))
+    return finalize(
+        exact.crossJoin(lsh)
+        .select("n_exact", "n_lsh",
+                F.expr("CASE WHEN n_exact > 0 "
+                       "THEN n_lsh * 1000000 div n_exact END")
+                .alias("recall_ppm")), *caches)
 
 
 def q_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -621,13 +657,14 @@ def q_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              .groupBy("d1", "d2").agg(F.count("*").alias("i")))
     jac = (F.col("i").cast("double")
            / (F.col("sz1") + F.col("sz2") - F.col("i")).cast("double"))
-    return (inter
-            .join(sizes.select(F.col("doc_id").alias("d1"),
-                               F.col("sz").alias("sz1")), "d1")
-            .join(sizes.select(F.col("doc_id").alias("d2"),
-                               F.col("sz").alias("sz2")), "d2")
-            .filter(jac >= JACCARD_THRESHOLD)
-            .select("d1", "d2", F.round(jac, 6).alias("jaccard")))
+    return finalize(
+        inter
+        .join(sizes.select(F.col("doc_id").alias("d1"),
+                           F.col("sz").alias("sz1")), "d1")
+        .join(sizes.select(F.col("doc_id").alias("d2"),
+                           F.col("sz").alias("sz2")), "d2")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("d1", "d2", F.round(jac, 6).alias("jaccard")), sh)
 
 
 ORACLE_PREFIX_FILTER_JOIN = f"""
@@ -708,10 +745,11 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     c2 = chunks.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("h2"),
                        "chunk", "ckey")
     ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
-    return (c1.join(c2, ["chunk", "ckey"])
-            .filter(F.col("d1") < F.col("d2"))
-            .select("d1", "d2", ham.alias("hamming")).distinct()
-            .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING))
+    return finalize(
+        c1.join(c2, ["chunk", "ckey"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", ham.alias("hamming")).distinct()
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING), sims)
 
 
 ORACLE_SIMHASH = f"""
@@ -1202,10 +1240,10 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.countDistinct("train_doc_id").alias("n_train_docs")))
     out = base.join(hits, "eval_doc_id", "left").fillna(
         0, ["n_contaminated", "n_train_docs"])
-    return out.select(
+    return finalize(out.select(
         "eval_doc_id", "n_shingles", "n_contaminated", "n_train_docs",
         (F.col("n_contaminated").cast("double") / F.col("n_shingles"))
-        .alias("contamination_ratio"))
+        .alias("contamination_ratio")), sh)
 
 
 def _contam_shingles_sql(n: int) -> str:
@@ -1279,9 +1317,10 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
              .orderBy(F.col("exact_n").desc(), "term").limit(CMS_TOPK))
     cand = (exact.select("term", "exact_n", ks)
             .withColumn("bucket", bucket))
-    return (cand.join(F.broadcast(counters), ["d", "bucket"])
-            .groupBy("term", "exact_n")
-            .agg(F.min("c").alias("cms_est")))
+    return finalize(
+        cand.join(F.broadcast(counters), ["d", "bucket"])
+        .groupBy("term", "exact_n")
+        .agg(F.min("c").alias("cms_est")), term_counts)
 
 
 def _oracle_heavy_hitters_cms() -> str:
@@ -1363,12 +1402,13 @@ def q_bloom_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.sum("bloom_hit").alias("n_bloom_candidates")))
     exact = (ev.join(tr, "sh60", "left_semi")
              .groupBy("eval_doc_id").agg(F.count("*").alias("n_exact")))
-    return (per_doc.join(exact, "eval_doc_id", "left")
-            .fillna(0, ["n_exact"])
-            .select("eval_doc_id", "n_shingles", "n_bloom_candidates",
-                    F.col("n_exact").alias("n_exact_matches"),
-                    (F.col("n_bloom_candidates") - F.col("n_exact"))
-                    .alias("n_false_positives")))
+    return finalize(
+        per_doc.join(exact, "eval_doc_id", "left")
+        .fillna(0, ["n_exact"])
+        .select("eval_doc_id", "n_shingles", "n_bloom_candidates",
+                F.col("n_exact").alias("n_exact_matches"),
+                (F.col("n_bloom_candidates") - F.col("n_exact"))
+                .alias("n_false_positives")), sh, ev, tr)
 
 
 def _oracle_bloom_prefilter() -> str:
@@ -1453,13 +1493,14 @@ def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = (segs.groupBy("doc_id")
             .agg(F.count("*").alias("n_segments"),
                  F.sum("seg_tokens").alias("n_tokens")))
-    return (base.join(removed, "doc_id", "left")
-            .fillna(0, ["n_removed", "tokens_removed"])
-            .select("doc_id", "n_segments",
-                    F.col("n_tokens").cast("bigint").alias("n_tokens"),
-                    "n_removed",
-                    F.col("tokens_removed").cast("bigint")
-                     .alias("tokens_removed")))
+    return finalize(
+        base.join(removed, "doc_id", "left")
+        .fillna(0, ["n_removed", "tokens_removed"])
+        .select("doc_id", "n_segments",
+                F.col("n_tokens").cast("bigint").alias("n_tokens"),
+                "n_removed",
+                F.col("tokens_removed").cast("bigint")
+                 .alias("tokens_removed")), segs)
 
 
 def _segment_dedup_oracle() -> str:
@@ -1576,7 +1617,7 @@ TEXT_QUERIES = [
     QueryDef("dedup_star_survivors", q_dedup_star_survivors,
              ORACLE_STAR_SURVIVORS, "LLM-dedup-star-scale", bench=True),
     QueryDef("incremental_corpus_dedup", q_incremental_corpus_dedup,
-             ORACLE_INCREMENTAL_DEDUP, "LLM-dedup-incremental"),
+             ORACLE_INCREMENTAL_DEDUP, "LLM-dedup-incremental", bench=True),
     QueryDef("cross_shard_dedup_audit", q_cross_shard_dedup_audit,
              _oracle_cross_shard_audit(), "LLM-dedup-shard-audit"),
     QueryDef("ngram_jaccard_pairs", q_ngram_jaccard_pairs, ORACLE_NGRAM_JACCARD, "LLM-dedup-jaccard"),

@@ -1901,7 +1901,9 @@ def q_priority_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     Duffield-Lund-Thorup priority-sampling scheme, made deterministic):
     each document draws priority = u / w where u is its h60 content hash
     (uniform, reproducible — no rand(), so the sample survives retries,
-    repartitioning, and engine swaps) and w = n_chars is its weight; the
+    repartitioning, and engine swaps) and w = greatest(n_chars, 1) is its
+    weight (floored so a zero-length doc gets a finite priority instead
+    of a NULL whose sort position differs between engines); the
     k smallest priorities form the sample, giving inclusion probability
     ~ proportional to weight. Division is INTEGER (u div w) with a
     (priority, doc_id) total-order tiebreak, so both engines select the
@@ -1917,7 +1919,11 @@ def q_priority_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "n_chars")
     pri = (docs.withColumn(
         "u", h60(F.concat(F.lit("ps_"), F.col("doc_id").cast("string"))))
-        .withColumn("pri", F.expr("u div n_chars")))
+        # greatest(n_chars, 1): a zero-length doc would make the integer
+        # division NULL, and Spark sorts NULLs first in ASC while DuckDB
+        # defaults NULLS LAST — the guard pins identical selection on
+        # both engines (ADVICE r4)
+        .withColumn("pri", F.expr("u div greatest(n_chars, 1)")))
     sel = pri.orderBy("pri", "doc_id").limit(PRIORITY_SAMPLE_K)
     tot = docs.groupBy("source").agg(
         F.count("*").alias("n_docs"), F.sum("n_chars").alias("w"))
@@ -1939,7 +1945,7 @@ def _oracle_priority_sample() -> str:
     h = h60_sql("'ps_' || CAST(doc_id AS VARCHAR)")
     return f"""
 WITH d AS (SELECT doc_id, source, n_chars,
-                  {h} // n_chars AS pri FROM documents),
+                  {h} // GREATEST(n_chars, 1) AS pri FROM documents),
 sel AS (SELECT source FROM d ORDER BY pri, doc_id
         LIMIT {PRIORITY_SAMPLE_K}),
 tot AS (SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS w

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.hashing import h60_py
 from ..functions.similarity import brute_force_topk, cosine, dot
-from .base import QueryDef, load
+from .base import QueryDef, finalize, load
 
 TOPK = 5
 N_QUERIES = 10          # vec_id < 10 are the query vectors
@@ -88,9 +88,10 @@ def _ivf_probe_topk(spark: SparkSession, sf_dir: str, nprobe: int,
     scored = pairs.select(
         *out_cols, cosine(F.col("embedding"), F.col("q_vec")).alias("score"))
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("vec_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= TOPK)
-            .select(*out_cols, "rank", F.round("score", 6).alias("score")))
+    return finalize(
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select(*out_cols, "rank", F.round("score", 6).alias("score")), emb)
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -278,8 +279,11 @@ def q_cosine_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     zip_with/aggregate form, because an unrolled 64-term sum exceeds the
     codegen method-size limit and drops the stage to interpreted eval
     (measured 4x slower)."""
-    verified = _srp_verified_pairs(spark, sf_dir)
-    return verified.select("v1", "v2", F.round("score", 6).alias("cosine"))
+    caches: list[DataFrame] = []
+    verified = _srp_verified_pairs(spark, sf_dir, caches)
+    return finalize(
+        verified.select("v1", "v2", F.round("score", 6).alias("cosine")),
+        *caches)
 
 
 def _srp_bands(emb: DataFrame, bits: int) -> DataFrame:
@@ -321,10 +325,12 @@ def _srp_bands(emb: DataFrame, bits: int) -> DataFrame:
             .select("vec_id", F.posexplode("ks").alias("band", "band_key")))
 
 
-def _srp_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _srp_verified_pairs(spark: SparkSession, sf_dir: str,
+                        caches: list[DataFrame] | None = None) -> DataFrame:
     """SRP-LSH candidate generation + exact-cosine verification; returns
     (v1, v2, score) for score >= SRP_THRESHOLD. Shared by the pair query
-    and the survivor-selection (components) query."""
+    and the survivor-selection (components) query. Cached frames are
+    appended to `caches` for the caller to release (ADVICE r4)."""
     emb = load(spark, sf_dir, "embeddings")
     # corpus-adaptive band width (srp_bits): the count is a bounded scalar
     # probe; bits is then a PLAN-TIME constant baked into the sketch UDF —
@@ -333,6 +339,8 @@ def _srp_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache: bands feeds both sides of the candidate self-join — uncached,
     # the hyperplane sketch recomputes per side
     bands = _srp_bands(emb, bits).cache()
+    if caches is not None:
+        caches.append(bands)
     b1 = bands.select(F.col("vec_id").alias("v1"), "band", "band_key")
     b2 = bands.select(F.col("vec_id").alias("v2"), "band", "band_key")
     cand = (b1.join(b2, ["band", "band_key"])
@@ -341,6 +349,8 @@ def _srp_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.similarity import dot as _dot, l2norm
     enorm = emb.select("vec_id", "embedding",
                        l2norm(F.col("embedding")).alias("nrm")).cache()
+    if caches is not None:
+        caches.append(enorm)
     e1 = enorm.select(F.col("vec_id").alias("v1"),
                       F.col("embedding").alias("e1"), F.col("nrm").alias("n1"))
     e2 = enorm.select(F.col("vec_id").alias("v2"),
@@ -373,8 +383,11 @@ def q_embedding_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     convergence sum). Oracle: DuckDB recursive CTE over the identical
     pair graph."""
     from ..operators.dedup import connected_components
-    pairs = _srp_verified_pairs(spark, sf_dir).select("v1", "v2")
+    caches: list[DataFrame] = []
+    pairs = _srp_verified_pairs(spark, sf_dir, caches).select("v1", "v2")
     labels = connected_components(pairs, "v1", "v2")
+    for c in caches:     # labels checkpointed -> caches out of lineage
+        c.unpersist()
     return (labels.groupBy(F.col("label").alias("component"))
             .agg(F.count("*").alias("n_vecs"),
                  F.max("n").alias("max_vec_id")))
@@ -487,13 +500,14 @@ def q_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("vt")
             .agg(F.count("*").alias("nh"), F.min("vr").alias("ref")))
     tests = emb.filter(F.col("vec_id") % 5 == 0).select("vec_id")
-    return (tests.join(hits.withColumnRenamed("vt", "vec_id"),
-                       "vec_id", "left")
-            .select("vec_id",
-                    F.coalesce("nh", F.lit(0)).alias("n_train_hits"),
-                    F.coalesce("ref", F.lit(-1)).alias("ref_vec_id"),
-                    F.col("nh").isNotNull().cast("int")
-                    .alias("is_contaminated")))
+    return finalize(
+        tests.join(hits.withColumnRenamed("vt", "vec_id"),
+                   "vec_id", "left")
+        .select("vec_id",
+                F.coalesce("nh", F.lit(0)).alias("n_train_hits"),
+                F.coalesce("ref", F.lit(-1)).alias("ref_vec_id"),
+                F.col("nh").isNotNull().cast("int")
+                .alias("is_contaminated")), bands)
 
 
 def _oracle_semantic_contamination() -> str:
@@ -548,13 +562,15 @@ def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(score.alias("score"))
              .filter(F.col("score") >= SRP_THRESHOLD)
              .agg(F.count("*").alias("n_exact")))
-    lsh = (_srp_verified_pairs(spark, sf_dir)
+    caches: list[DataFrame] = []
+    lsh = (_srp_verified_pairs(spark, sf_dir, caches)
            .agg(F.count("*").alias("n_lsh")))
-    return (exact.crossJoin(lsh)
-            .select("n_exact", "n_lsh",
-                    F.expr("CASE WHEN n_exact > 0 "
-                           "THEN n_lsh * 1000000 div n_exact END")
-                    .alias("recall_ppm")))
+    return finalize(
+        exact.crossJoin(lsh)
+        .select("n_exact", "n_lsh",
+                F.expr("CASE WHEN n_exact > 0 "
+                       "THEN n_lsh * 1000000 div n_exact END")
+                .alias("recall_ppm")), *caches)
 
 
 ORACLE_LSH_RECALL = f"""
@@ -723,10 +739,11 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.sum(F.round(F.col("part") * 1e9).cast("bigint"))
                    .alias("s")))
     w = Window.partitionBy("q_id").orderBy(F.col("s").desc(), F.col("vec_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= TOPK)
-            .select("q_id", "vec_id", "rank",
-                    F.round(F.col("s") / 1e9, 6).alias("approx_dot")))
+    return finalize(
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("q_id", "vec_id", "rank",
+                F.round(F.col("s") / 1e9, 6).alias("approx_dot")), emb)
 
 
 _SQL_PQ_CTES = f"""u AS (
@@ -945,10 +962,11 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(KMEANS_REFITS):
         cents = _kmeans_recenter(_kmeans_assign(emb, cents))
     final = _kmeans_assign(emb, cents)
-    return (final.groupBy(F.col("cl").alias("cluster"))
-            .agg(F.count("*").alias("n_members"),
-                 F.round(F.sum(F.round(F.col("cs") * 1e9).cast("bigint"))
-                         / 1e9 / F.count("*"), 6).alias("avg_cos")))
+    return finalize(
+        final.groupBy(F.col("cl").alias("cluster"))
+        .agg(F.count("*").alias("n_members"),
+             F.round(F.sum(F.round(F.col("cs") * 1e9).cast("bigint"))
+                     / 1e9 / F.count("*"), 6).alias("avg_cos")), emb)
 
 
 def _oracle_kmeans() -> str:
@@ -1122,7 +1140,7 @@ VECTOR_QUERIES = [
              "LLM-lsh-recall-audit"),
     QueryDef("semantic_contamination", q_semantic_contamination,
              _oracle_semantic_contamination(),
-             "LLM-decontamination-semantic"),
+             "LLM-decontamination-semantic", bench=True),
     QueryDef("ann_pq_topk", q_ann_pq_topk, ORACLE_ANN_PQ,
              "LLM-sim-pq", bench=True),
     QueryDef("pq_recall_audit", q_pq_recall_audit, ORACLE_PQ_RECALL,

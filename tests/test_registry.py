@@ -75,6 +75,13 @@ _BENCH_SET = {
     # the degree-oriented triangle count — two new algorithm families
     # whose scaling should be tracked from their first round
     "prefix_filter_join", "triangle_count",
+    # round-4 late addition pinned in round 5 (VERDICT r4 item 1): the
+    # plan-asserted Q8-style star join
+    "market_share",
+    # round-5 additions (VERDICT r4 item 4): the two steady-state 100 TB
+    # shapes of the dedup/decontamination families — regressions here are
+    # the costliest to discover late
+    "incremental_corpus_dedup", "semantic_contamination",
 }
 
 
