@@ -57,7 +57,14 @@ def finalize(result: DataFrame, *caches: DataFrame) -> DataFrame:
     when the returned DataFrame is garbage-collected. The trade is
     materializing the (small, post-filter) RESULT to release the
     (large, pre-aggregation) intermediates — the same move as writing
-    a stage's output and dropping its scratch tables on a cluster."""
+    a stage's output and dropping its scratch tables on a cluster.
+
+    SPARK_GRAFT_NO_FINALIZE=1 returns the raw plan instead (caches
+    retained): tools/audit_plans.py sets it so the plan audit still
+    sees the entry's real join/exchange structure rather than a
+    checkpoint scan."""
+    if os.environ.get("SPARK_GRAFT_NO_FINALIZE"):
+        return result
     out = result.localCheckpoint(eager=True)
     for c in caches:
         c.unpersist()

@@ -163,28 +163,84 @@ def fetch_hourly_forecast(locations: DataFrame, start: str,
 
 
 def forecast_frame(locations: DataFrame, observations: DataFrame,
-                   start: str, forecast_days: int = 14) -> DataFrame:
+                   start: str, forecast_days: int = 14,
+                   temperature_unit: str = "celsius",
+                   wind_speed_unit: str = "kmh",
+                   precipitation_unit: str = "mm") -> DataFrame:
     """Spine-aligned forecast frame: every (loc, hour) in the forecast
-    window exactly once, API gaps as NULL metrics."""
+    window exactly once, API gaps as NULL metrics. Unit kwargs convert
+    at the edge (native Open-Meteo units by default; pass the reference
+    defaults or use ``get_weather_forecast`` for its exact contract)."""
     s, e = forecast_window(start, forecast_days)
-    return hourly_frame(locations, observations, s, e)
+    return hourly_frame(locations, observations, s, e,
+                        temperature_unit=temperature_unit,
+                        wind_speed_unit=wind_speed_unit,
+                        precipitation_unit=precipitation_unit)
 
 
 def hourly_frame(locations: DataFrame, observations: DataFrame,
-                 start: str, end: str) -> DataFrame:
+                 start: str, end: str,
+                 temperature_unit: str = "celsius",
+                 wind_speed_unit: str = "kmh",
+                 precipitation_unit: str = "mm") -> DataFrame:
     """Align observations to the complete per-location hourly spine.
 
     Equivalent of the reference's ``pd.date_range(..., inclusive='left')``
     index build (weather_client.py:132-137): every (loc_id, hour) in
     [start, end) is present exactly once; hours the API skipped carry NULL
     metrics (feed to interpolate_linear/locf downstream); ``ts_local`` is
-    the venue-localized timestamp (T13)."""
+    the venue-localized timestamp (T13). Unit kwargs run convert_units on
+    the way out — one call yields the frame in the requested units
+    (defaults stay the connector's NATIVE units so stored tables remain
+    canonical; ``get_historical_weather`` carries the reference's
+    fahrenheit/mph/inch defaults)."""
     spine = (locations.select(
         "loc_id", "tz",
         F.explode(F.sequence(
             F.to_timestamp(F.lit(start)),
             F.to_timestamp(F.lit(end)) - F.expr("INTERVAL 1 HOUR"),
             F.expr("INTERVAL 1 HOUR"))).alias("ts_utc")))
-    return (spine.join(observations, ["loc_id", "ts_utc"], "left")
-            .withColumn("ts_local", F.from_utc_timestamp("ts_utc", F.col("tz")))
-            .drop("tz"))
+    out = (spine.join(observations, ["loc_id", "ts_utc"], "left")
+           .withColumn("ts_local", F.from_utc_timestamp("ts_utc", F.col("tz")))
+           .drop("tz"))
+    return convert_units(out, temperature_unit=temperature_unit,
+                         wind_speed_unit=wind_speed_unit,
+                         precipitation_unit=precipitation_unit)
+
+
+def get_historical_weather(locations: DataFrame, start: str, end: str,
+                           fetcher: Fetcher | None = None,
+                           retries: int = RETRIES,
+                           temperature_unit: str = "fahrenheit",
+                           wind_speed_unit: str = "mph",
+                           precipitation_unit: str = "inch") -> DataFrame:
+    """The reference's one-call contract (weather_client.py:28-56):
+    fetch hourly history for every location, align to the [start, end)
+    spine, localize, and return metric columns in the REFERENCE DEFAULT
+    units (fahrenheit / mph / inch — weather_client.py:45-47) unless
+    overridden. Fan-out, retry x5, spine, tz, and conversion are the
+    documented pieces composed; nothing here adds semantics."""
+    obs = fetch_hourly_observations(locations, start, end,
+                                    fetcher=fetcher, retries=retries)
+    return hourly_frame(locations, obs, start, end,
+                        temperature_unit=temperature_unit,
+                        wind_speed_unit=wind_speed_unit,
+                        precipitation_unit=precipitation_unit)
+
+
+def get_weather_forecast(locations: DataFrame, start: str,
+                         forecast_days: int = 14,
+                         fetcher: Fetcher | None = None,
+                         retries: int = RETRIES,
+                         temperature_unit: str = "fahrenheit",
+                         wind_speed_unit: str = "mph",
+                         precipitation_unit: str = "inch") -> DataFrame:
+    """Forecast twin of ``get_historical_weather`` — the reference's
+    get_weather_forecast contract (weather_client.py:153-236): window
+    from ``forecast_days``, reference default units."""
+    obs = fetch_hourly_forecast(locations, start, forecast_days,
+                                fetcher=fetcher, retries=retries)
+    return forecast_frame(locations, obs, start, forecast_days,
+                          temperature_unit=temperature_unit,
+                          wind_speed_unit=wind_speed_unit,
+                          precipitation_unit=precipitation_unit)

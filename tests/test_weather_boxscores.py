@@ -19,7 +19,8 @@ from nfl_data_engineering_spark.sources.box_scores import (  # noqa: E402
     SCHEDULE_COLUMNS, season_schedules, write_schedule_csv)
 from nfl_data_engineering_spark.sources.weather import (  # noqa: E402
     convert_units, fetch_hourly_forecast, fetch_hourly_observations,
-    forecast_frame, forecast_window, hourly_frame)
+    forecast_frame, forecast_window, get_historical_weather,
+    get_weather_forecast, hourly_frame)
 
 START, END = "2025-01-01 00:00:00", "2025-01-02 00:00:00"
 
@@ -124,6 +125,45 @@ def test_convert_units_values_and_validation(spark):
         convert_units(obs, wind_speed_unit="knots")
     with pytest.raises(ValueError, match="precipitation_unit"):
         convert_units(obs, precipitation_unit="cm")
+
+
+def test_get_historical_weather_reference_default_units(spark):
+    """The reference one-call contract (weather_client.py:28-56): default
+    output is fahrenheit/mph/inch WITHOUT composing convert_units, and the
+    frame is spine-complete + localized — get_historical_weather's exact
+    signature semantics."""
+    locs = _mk_locations(spark)
+    frame = get_historical_weather(locs, START, END,
+                                   fetcher=_mk_fake_weather())
+    assert set(frame.columns) == {"loc_id", "ts_utc", "ts_local",
+                                  "temperature_2m", "windspeed_10m",
+                                  "precipitation"}
+    rows = frame.collect()
+    assert len(rows) == 2 * 24            # spine survives the conversion
+    r = {(x["loc_id"], x["ts_utc"].hour): x for x in rows}
+    # fake temp is lat + hour in celsius -> reference default fahrenheit
+    assert r[("den", 0)]["temperature_2m"] == pytest.approx(39.7 * 9 / 5 + 32)
+    assert r[("den", 0)]["windspeed_10m"] == pytest.approx(10.0 / 1.609344)
+    assert r[("den", 5)]["temperature_2m"] is None    # gaps stay NULL
+    # native-unit override is still one call
+    native = get_historical_weather(locs, START, END,
+                                    fetcher=_mk_fake_weather(),
+                                    temperature_unit="celsius",
+                                    wind_speed_unit="kmh",
+                                    precipitation_unit="mm")
+    n = {(x["loc_id"], x["ts_utc"].hour): x for x in native.collect()}
+    assert n[("den", 0)]["temperature_2m"] == pytest.approx(39.7)
+
+
+def test_get_weather_forecast_reference_default_units(spark):
+    locs = _mk_locations(spark).limit(1)
+    frame = get_weather_forecast(locs, START, forecast_days=1,
+                                 fetcher=_mk_fake_weather())
+    rows = frame.collect()
+    assert len(rows) == 24
+    got = {r["ts_utc"].hour: r for r in rows}
+    assert got[0]["temperature_2m"] == pytest.approx(39.7 * 9 / 5 + 32)
+    assert got[0]["windspeed_10m"] == pytest.approx(10.0 / 1.609344)
 
 
 def test_forecast_window_shape_and_gap_nulls(spark):

@@ -61,6 +61,9 @@ def summarize(plan: str) -> dict:
 
 
 def main() -> None:
+    # audit the REAL plan, not the post-finalize checkpoint scan
+    # (plans/base.py:finalize) — caches leak in this one-off process, fine
+    os.environ["SPARK_GRAFT_NO_FINALIZE"] = "1"
     from nfl_data_engineering_spark.plans.registry import CATALOG
     from nfl_data_engineering_spark.session import get_spark
 
