@@ -16,6 +16,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from nfl_data_engineering_spark.plans.base import release_deferred  # noqa: E402
 from nfl_data_engineering_spark.plans.registry import bench_queries  # noqa: E402
 from nfl_data_engineering_spark.session import get_spark  # noqa: E402
 
@@ -58,6 +59,7 @@ def main() -> None:
         # collect garbage so neither stale storage memory nor GC debt is
         # billed to this query (measured ~2x inflation on the LSH queries
         # without the gc alone)
+        release_deferred()   # pair-table entries park caches for the runner
         spark.catalog.clearCache()
         spark._jvm.System.gc()
         r1, r2 = _run(q, spark, sf_dir), _run(q, spark, sf_dir)

@@ -45,12 +45,28 @@ class QueryDef:
     bench: bool = False         # include in bench.py headline set
 
 
-def finalize(result: DataFrame, *caches: DataFrame) -> DataFrame:
+# Caches whose release is deferred past the entry's result consumption
+# (pair_table=True below). Catalog runners (bench.py, the endurance test)
+# call release_deferred() between entries; a runner that never calls it
+# degrades to the pre-round-5 behavior (caches live until session end).
+_DEFERRED: list[DataFrame] = []
+
+
+def _no_finalize() -> bool:
+    """Opt-out flag, truthy ONLY for explicit on-values — '0'/'false'/''
+    keep finalization ON (ADVICE r5: any-non-empty was backwards for a
+    user exporting SPARK_GRAFT_NO_FINALIZE=0)."""
+    return os.environ.get("SPARK_GRAFT_NO_FINALIZE", "").lower() in (
+        "1", "true", "yes")
+
+
+def finalize(result: DataFrame, *caches: DataFrame,
+             pair_table: bool = False) -> DataFrame:
     """Release an entry's fan-out caches without losing their benefit:
     materialize `result` executor-side (eager localCheckpoint — the
     cached intermediates are read exactly once more, no driver
     round-trip), then unpersist the caches. Without this, a session
-    running the full 229-entry catalog accumulates storage-memory
+    running the full 230-entry catalog accumulates storage-memory
     entries for the life of the SparkSession — Spark's cache registry
     pins persisted plans until an explicit unpersist (ADVICE r4).
     Checkpoint blocks, by contrast, are ContextCleaner-managed: freed
@@ -59,16 +75,47 @@ def finalize(result: DataFrame, *caches: DataFrame) -> DataFrame:
     (large, pre-aggregation) intermediates — the same move as writing
     a stage's output and dropping its scratch tables on a cluster.
 
-    SPARK_GRAFT_NO_FINALIZE=1 returns the raw plan instead (caches
-    retained): tools/audit_plans.py sets it so the plan audit still
-    sees the entry's real join/exchange structure rather than a
-    checkpoint scan."""
-    if os.environ.get("SPARK_GRAFT_NO_FINALIZE"):
+    Two trade-offs a cluster deployment must know (ADVICE r5):
+
+    * localCheckpoint stores NON-REPLICATED executor-local blocks with
+      lineage truncated — an executor loss makes the returned frame
+      unrecoverable (cache() could recompute; checkpoint cannot). Fine
+      in local mode and for driver-collected results; a long-lived
+      cluster pipeline should use reliable checkpoint or write-out.
+    * finalization makes the QueryDef.spark() call EAGERLY execute the
+      query at plan-construction time. Plan-only consumers (explain
+      dumps, schema checks, tools/audit_plans.py) must set
+      SPARK_GRAFT_NO_FINALIZE=1 to get the raw lazy plan back (caches
+      then retained — acceptable in one-off processes).
+
+    ``pair_table=True`` marks entries whose RESULT is the largest frame
+    in the plan (pair-enumeration outputs: ~10^8 legitimate rows at the
+    100x replica for the minhash baseline — SCALE.md). Eagerly
+    checkpointing that to executor storage to free two SMALLER caches
+    would invert the "small result, large intermediates" trade, so
+    instead the raw plan is returned and its caches are parked on the
+    deferred list: they stay hot through the result's consumption (the
+    pair plan reads them) and are released by the runner's next
+    release_deferred() call."""
+    if _no_finalize():
+        return result
+    if pair_table:
+        _DEFERRED.extend(caches)
         return result
     out = result.localCheckpoint(eager=True)
     for c in caches:
         c.unpersist()
     return out
+
+
+def release_deferred() -> int:
+    """Unpersist caches parked by finalize(pair_table=True); returns how
+    many were released. Idempotent; call between catalog entries."""
+    n = len(_DEFERRED)
+    for c in _DEFERRED:
+        c.unpersist()
+    _DEFERRED.clear()
+    return n
 
 
 def dec(c, p="18,2"):

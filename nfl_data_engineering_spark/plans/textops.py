@@ -72,19 +72,26 @@ JACCARD_THRESHOLD = 0.8
 
 
 def _minhash_pairs(spark: SparkSession, sf_dir: str,
-                   caches: list[DataFrame] | None = None) -> DataFrame:
+                   caches: list[DataFrame] | None = None,
+                   sh: DataFrame | None = None) -> DataFrame:
     """MinHash-LSH verified near-dup pairs: (d1, d2, jaccard) with
     jaccard >= JACCARD_THRESHOLD. Shared by the pairs query and the
-    connected-components query. The two eager caches it fills are
-    appended to `caches` so the calling entry can release them (via
-    base.finalize or an unpersist after components converge) — without
-    that, a full-catalog session pins them for its lifetime (ADVICE
-    r4)."""
-    docs = load(spark, sf_dir, "documents")
-    sh = explode_shingle_hashes(docs, "doc_id", "text", n=3).cache()
-    if caches is not None:
-        caches.append(sh)
-    sh.count()
+    connected-components query. The eager caches it fills are appended
+    to `caches` so the calling entry can release them (via base.finalize
+    or an unpersist after components converge) — without that, a
+    full-catalog session pins them for its lifetime (ADVICE r4).
+
+    A caller that already holds the cached shingle frame passes it via
+    ``sh`` (cached + counted, tracked in its OWN caches list) so each
+    plan is cached and released exactly once — re-caching the identical
+    logical plan here would be a CacheManager no-op whose unpersist
+    fires twice (ADVICE r5)."""
+    if sh is None:
+        docs = load(spark, sf_dir, "documents")
+        sh = explode_shingle_hashes(docs, "doc_id", "text", n=3).cache()
+        if caches is not None:
+            caches.append(sh)
+        sh.count()
     # cache: bands feeds both sides of the candidate self-join (sh is
     # already cached; this additionally avoids re-running the 64-draw fold).
     # The count() after each cache is load-bearing: the downstream branches
@@ -128,9 +135,12 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     via array_distinct — no dropDuplicates shuffle."""
     caches: list[DataFrame] = []
     pairs = _minhash_pairs(spark, sf_dir, caches)
+    # pair_table: the verified-pair RESULT is the largest frame here
+    # (~10^8 rows at the 100x replica) — checkpointing it to free two
+    # smaller caches would invert the trade; defer the release instead
     return finalize(
         pairs.select("d1", "d2", F.round("jaccard", 6).alias("jaccard")),
-        *caches)
+        *caches, pair_table=True)
 
 
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -546,7 +556,8 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1")), "d1")
         .join(sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2")), "d2")
         .filter(jac >= 0.7)
-        .select("d1", "d2", F.round(jac, 6).alias("jaccard")), sh)
+        .select("d1", "d2", F.round(jac, 6).alias("jaccard")), sh,
+        pair_table=True)
 
 
 ORACLE_NGRAM_JACCARD = f"""
@@ -585,6 +596,7 @@ def q_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample first at 100 TB (recall estimates compose)."""
     docs = load(spark, sf_dir, "documents")
     sh = explode_shingle_hashes(docs, "doc_id", "text", n=3).cache()
+    sh.count()   # eager: exact + lsh branches race a lazy cache
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     rare = (sh.groupBy("sh60").agg(F.count("*").alias("df"))
             .filter(F.col("df") <= NGRAM_DF_CAP).select("sh60"))
@@ -603,7 +615,9 @@ def q_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
              .filter(jac >= JACCARD_THRESHOLD)
              .agg(F.count("*").alias("n_exact")))
     caches: list[DataFrame] = [sh]
-    lsh = _minhash_pairs(spark, sf_dir, caches).agg(
+    # hand the cached shingle frame down so _minhash_pairs doesn't
+    # re-cache the identical plan (one cache, one release — ADVICE r5)
+    lsh = _minhash_pairs(spark, sf_dir, caches, sh=sh).agg(
         F.count("*").alias("n_lsh"))
     return finalize(
         exact.crossJoin(lsh)
@@ -664,7 +678,8 @@ def q_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sizes.select(F.col("doc_id").alias("d2"),
                            F.col("sz").alias("sz2")), "d2")
         .filter(jac >= JACCARD_THRESHOLD)
-        .select("d1", "d2", F.round(jac, 6).alias("jaccard")), sh)
+        .select("d1", "d2", F.round(jac, 6).alias("jaccard")), sh,
+        pair_table=True)
 
 
 ORACLE_PREFIX_FILTER_JOIN = f"""

@@ -113,6 +113,8 @@ def main():
         # several vector entries cache corpora the returned frame still
         # needs, so they can't unpersist themselves; clear between queries
         # so a full-catalog run doesn't accumulate stale storage memory
+        from nfl_data_engineering_spark.plans.base import release_deferred
+        release_deferred()
         spark.catalog.clearCache()
         t0 = time.time()
         try:
