@@ -34,9 +34,15 @@ def connected_components(edges: DataFrame, src: str = "a",
     shallow (diameter a few hops), so this is a handful of shuffles — the
     survivor-selection step of a dedup pipeline at any scale.
     """
-    bi = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-          .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-          .distinct().cache())
+    # bi_cached keeps its own name: unpersist must target the EXACT plan
+    # that was cached — after `bi = bi.coalesce(parts)` the name points at
+    # a coalesce wrapping the cached Deduplicate, and unpersisting THAT is
+    # a CacheManager miss, leaking the entry for the session's lifetime
+    # (found by tests/test_endurance.py's full-catalog sweep, round 6)
+    bi_cached = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+                 .union(edges.select(F.col(dst).alias("a"),
+                                     F.col(src).alias("b")))
+                 .distinct().cache())
     # right-size the iteration to the measured edge count: near-dup pair
     # graphs are typically tiny relative to the corpus (hundreds of edges
     # from millions of docs), and min-label rounds over 32+ near-empty
@@ -44,9 +50,10 @@ def connected_components(edges: DataFrame, src: str = "a",
     # of CC on a 247-edge graph before this, ~1 s after). The count also
     # eager-fills bi's cache before the loop fans out over it. parts
     # scales back up with the graph, so a 100 TB pair graph still spreads.
-    n_edges = bi.count()
-    parts = max(1, min(bi.rdd.getNumPartitions(), n_edges // 50_000))
-    bi = bi.coalesce(parts)
+    n_edges = bi_cached.count()
+    parts = max(1, min(bi_cached.rdd.getNumPartitions(),
+                       n_edges // 50_000))
+    bi = bi_cached.coalesce(parts)
     # localCheckpoint, not cache: each round's plan references the previous
     # round's twice (self + neighbors), so without lineage truncation the
     # logical plan DOUBLES per iteration — a 50-hop chain OOMs the driver on
@@ -71,7 +78,7 @@ def connected_components(edges: DataFrame, src: str = "a",
         if new_sum == old_sum:
             break
         old_sum = new_sum
-    bi.unpersist()
+    bi_cached.unpersist()
     return labels
 
 

@@ -60,6 +60,36 @@ def summarize(plan: str) -> dict:
     }
 
 
+def audit(spark, sf_dir: str, qs) -> tuple[list[dict], list[str]]:
+    """Execute each query and summarize its FINAL AQE plan. Returns
+    (rows, failed) where rows carry the markdown-table fields and failed
+    lists queries planning an un-allowlisted cartesian / nested-loop
+    join. Caller must set SPARK_GRAFT_NO_FINALIZE=1 BEFORE building the
+    queries so the audit sees the real join/exchange structure rather
+    than a post-finalize checkpoint scan (plans/base.py:finalize)."""
+    rows, failed = [], []
+    for q in qs:
+        try:
+            df = q.spark(spark, sf_dir)
+            # collect() (not a separate write, which clones the execution)
+            # so THIS QueryExecution's AQE plan finalizes before reading it
+            df.collect()
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            # finalized AQE string contains Final AND Initial plan sections;
+            # audit only the final one
+            plan = plan.split("== Initial Plan ==")[0]
+        except Exception as e:  # streaming entries have no batch plan
+            rows.append({"name": q.name, "error": type(e).__name__})
+            continue
+        s = summarize(plan)
+        s["name"] = q.name
+        s["flagged"] = s["bad"] and q.name not in ALLOW_NESTED_LOOP
+        if s["flagged"]:
+            failed.append(q.name)
+        rows.append(s)
+    return rows, failed
+
+
 def main() -> None:
     # audit the REAL plan, not the post-finalize checkpoint scan
     # (plans/base.py:finalize) — caches leak in this one-off process, fine
@@ -74,27 +104,15 @@ def main() -> None:
 
     spark = get_spark("plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
-    failed = []
+    rows, failed = audit(spark, sf_dir, qs)
     print(f"| query | joins | exchanges | parquet pushdown | codegen stages |")
     print(f"|---|---|---|---|---|")
-    for q in qs:
-        try:
-            df = q.spark(spark, sf_dir)
-            # collect() (not a separate write, which clones the execution)
-            # so THIS QueryExecution's AQE plan finalizes before reading it
-            df.collect()
-            plan = df._jdf.queryExecution().executedPlan().toString()
-            # finalized AQE string contains Final AND Initial plan sections;
-            # audit only the final one
-            plan = plan.split("== Initial Plan ==")[0]
-        except Exception as e:  # streaming entries have no batch plan
-            print(f"| {q.name} | (no batch plan: {type(e).__name__}) | | | |")
+    for s in rows:
+        if "error" in s:
+            print(f"| {s['name']} | (no batch plan: {s['error']}) | | | |")
             continue
-        s = summarize(plan)
-        flag = " ⚠" if s["bad"] and q.name not in ALLOW_NESTED_LOOP else ""
-        if flag:
-            failed.append(q.name)
-        print(f"| {q.name}{flag} | {s['joins']} | {s['exchanges']} "
+        flag = " ⚠" if s["flagged"] else ""
+        print(f"| {s['name']}{flag} | {s['joins']} | {s['exchanges']} "
               f"| {s['pushed']} | {s['codegen']} |")
     spark.stop()
     if failed:
