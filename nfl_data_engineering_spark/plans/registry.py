@@ -10,57 +10,51 @@ from .base import QueryDef
 from .connectors import CONNECTOR_QUERIES
 from .lakeops import LAKEOPS_QUERIES
 from .relational import RELATIONAL_QUERIES
+from .similarity_api import API_QUERIES
 from .textops import TEXT_QUERIES
 from .training import TRAINING_QUERIES
 from .vector import VECTOR_QUERIES
 
 _ALL: list[QueryDef] = [*RELATIONAL_QUERIES, *TEXT_QUERIES,
                         *VECTOR_QUERIES, *TRAINING_QUERIES,
-                        *CONNECTOR_QUERIES, *LAKEOPS_QUERIES]
+                        *CONNECTOR_QUERIES, *LAKEOPS_QUERIES,
+                        *API_QUERIES]
 
 # Verification-priority order. The external correctness gate checks a
 # prefix window of the catalog (50 entries/round), so rotation aims each
 # round's window at the entries with the most verification value.
 #
-# Round 5 window (50) — enacting the rotation staged in round 4:
-# (a) the 39 entries added late in round 4 with no driver row yet
-#     (all 39 were independently parity-green in the round-4 review's
-#     driver-sim run; a driver row closes cumulative coverage to
-#     229/229);
-# (b) "lang_id" — parity- and equality-proven after the Arrow-kernel
-#     rewrite; its existing driver row predates the kernel;
-# (c) entries added in round 5 (the checked Lorenz-binned Gini twin,
-#     VERDICT r4 item 3, and successors);
-# (d) remaining slots: re-verifies with the OLDEST driver rows
-#     (round-1 vintage), oldest first.
+# Round 6 window (50) — enacting the rotation staged in the r5 verdict
+# (item 6: rotate by age now that all 230 entries have rows), amended
+# with this round's code churn:
+# (a) entries ADDED or CHANGED in round 6, so their driver rows
+#     post-date the code they certify: the similarity-join front door
+#     (new), the binned-Gini kernel swap, every entry through the
+#     connected-components unpersist fix and the pair_table finalize
+#     path, and the recall audit's de-doubled cache;
+# (b) the 37 entries whose newest driver row is still round-1 vintage
+#     (rotated out of the r5 window), catalog order;
+# (c) remaining slots: oldest round-2 rows, catalog order.
 # Names absent from this list keep catalog order after it.
 _PRIORITY: list[str] = [
-    # --- (a) round-4 late additions, never driver-checked ---
-    "bpe_encode", "triangle_count", "snapshot_diff",
-    "streaming_left_outer_join", "minhash_recall_audit",
-    "hll_partition_merge", "skyline_frontier", "prefix_filter_join",
-    "table_sync_audit", "ohlc_daily", "join_size_estimate",
-    "trailing_unique_hll", "record_linkage", "nearest_event_join",
-    "streaming_append_rollup", "exact_quantiles_twopass",
-    "histogram_quantile_merge", "file_stats_manifest",
-    "interval_overlap_join", "priority_sample_weighted",
-    "streaming_multibatch_backfill", "capped_sessions",
-    "weekday_seasonality", "rank_twophase", "kmv_set_ops",
-    "python_datasource_sink", "rolling_mad_anomaly",
-    "cogrouped_asof_pandas", "streaming_late_data_drop",
-    "udtf_polymorphic", "recursive_cte_hierarchy",
-    "observed_metrics_audit", "streaming_full_outer_join",
-    "streaming_checkpoint_restart", "vocab_coverage_curve",
-    "length_bucketing_waste", "cusum_changepoint", "fd_violation_profile",
-    "market_share",
-    # --- (b) re-verify post-Arrow-kernel rewrite ---
-    "lang_id",
-    # --- (c) new in round 5 ---
-    "revenue_gini_binned",
-    # --- (d) oldest driver rows (round-1 window head), oldest first ---
-    "pricing_summary", "shipping_priority", "region_volume",
-    "best_snapshot", "dedup_full_row", "dedup_keep_latest",
-    "distinct_event_types", "expected_minus_found", "table_counts",
+    # --- (a) new or code-changed in round 6 ---
+    "similarity_join_api", "revenue_gini_binned", "dedup_minhash_lsh",
+    "dedup_components", "dedup_survivor_table", "dedup_star_survivors",
+    "cross_shard_dedup_audit", "embedding_dedup_components",
+    "minhash_recall_audit", "ngram_jaccard_pairs", "prefix_filter_join",
+    # --- (b) round-1-vintage driver rows, oldest coverage ---
+    "exp_weighted_value", "trailing_avg", "matchup_differential",
+    "asof_join", "multi_key_sort", "union_by_name", "filter_pushdown",
+    "pct_parse", "clean_sentinels", "coerce_types", "priority_extract",
+    "tz_hour_histogram", "hourly_zero_fill", "hourly_interpolate",
+    "weekly_rollup", "pivot_wide", "explode_array", "value_percentiles",
+    "distinct_kmv", "user_sessions", "rollup_revenue", "daily_delta",
+    "cube_sales", "status_intersect", "spend_quartiles", "semi_join",
+    "anti_join", "grouping_sets", "except_all", "acctbal_pctrank",
+    "qty_price_corr", "clicks_before_purchase", "sliding_windows",
+    "unpivot_metrics", "locf_fill", "lateral_topk", "scd2_intervals",
+    # --- (c) oldest round-2 rows ---
+    "record_split", "json_extract",
 ]
 
 assert not set(_PRIORITY) - {q.name for q in _ALL}, \

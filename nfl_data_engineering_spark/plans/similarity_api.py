@@ -1,0 +1,244 @@
+"""One front door for similarity joins — the library contract over the
+three family implementations this engine ships:
+
+* text + approximate  -> MinHash-LSH (probabilistic recall, S-curve
+  tunable via band config; q_dedup_minhash_lsh's machinery)
+* text + exact        -> prefix-filter / AllPairs (lossless by the
+  prefix-filter theorem; q_prefix_filter_join's machinery)
+* vector              -> signed-random-projection LSH + exact-cosine
+  verification (q_cosine_neardup_lsh's machinery)
+
+``similarity_join(df, id_col, col, threshold, ...)`` dispatches by the
+COLUMN TYPE (string -> jaccard families, array<numeric> -> cosine) the
+way pyspark.ml's approxSimilarityJoin dispatches on its model — but as
+one function with a threshold + metric contract, so a pipeline can swap
+families without rewriting call sites. The q_similarity_join_api catalog
+entry runs all three dispatches and hash-checks the union against the
+families' INDEPENDENT oracle specs (the uncapped quadratic self-join for
+prefix, the band-replay CTEs for minhash/SRP) — proving the front door
+routes to the real algorithms, not to three re-labeled copies.
+
+The kernels here are the generic (any DataFrame / any column /
+any threshold) forms of the pipelines proven in textops.py / vector.py;
+thresholds are exact-rational where they enter integer arithmetic (the
+prefix-length formula) and plain float where both engines compare floats
+(the jaccard / cosine verification gates).
+
+Reference parity: generalizes the dedup contract of
+odds_data_collector.py:40-44 to a corpus-scale similarity-join API.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import types as T
+
+from ..functions.hashing import minhash_bands_fast
+from ..functions.text import explode_shingle_hashes
+from .base import QueryDef, finalize, load
+from .textops import (JACCARD_THRESHOLD, NUM_BANDS, NUM_HASHES,
+                      ORACLE_MINHASH_LSH, ORACLE_PREFIX_FILTER_JOIN)
+from .vector import ORACLE_COSINE_LSH, SRP_THRESHOLD, _srp_bands, srp_bits
+
+
+def _verify_jaccard(sh: DataFrame, cand: DataFrame,
+                    threshold: float) -> DataFrame:
+    """Exact set-jaccard verification of (id1, id2) candidates against the
+    hashed-shingle frame; returns (id1, id2, score) passing the gate."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    s1 = sh.select(F.col("doc_id").alias("id1"), "sh60")
+    s2 = sh.select(F.col("doc_id").alias("id2"), "sh60")
+    inter = (cand.join(s1, "id1").join(s2, ["id2", "sh60"])
+             .groupBy("id1", "id2").agg(F.count("*").alias("i")))
+    jac = (F.col("i").cast("double")
+           / (F.col("sz1") + F.col("sz2") - F.col("i")).cast("double"))
+    return (inter
+            .join(sizes.select(F.col("doc_id").alias("id1"),
+                               F.col("sz").alias("sz1")), "id1")
+            .join(sizes.select(F.col("doc_id").alias("id2"),
+                               F.col("sz").alias("sz2")), "id2")
+            .filter(jac >= F.lit(float(threshold)))
+            .select("id1", "id2", jac.alias("score")))
+
+
+def _text_minhash_join(sh: DataFrame, threshold: float,
+                       caches: list[DataFrame]) -> DataFrame:
+    """MinHash band bucketing -> candidate equi-join -> exact verify
+    (the q_dedup_minhash_lsh pipeline, generic over threshold)."""
+    bands = minhash_bands_fast(sh, "doc_id", "sh60", NUM_HASHES, NUM_BANDS,
+                               hashed=True).cache()
+    caches.append(bands)
+    bands.count()   # eager: both candidate sides race a lazy cache
+    b1 = bands.select(F.col("doc_id").alias("id1"), "band", "band_key")
+    b2 = bands.select(F.col("doc_id").alias("id2"), "band", "band_key")
+    cand = (b1.join(b2, ["band", "band_key"])
+            .filter(F.col("id1") < F.col("id2"))
+            .select("id1", "id2").distinct())
+    return _verify_jaccard(sh, cand, threshold)
+
+
+def _text_prefix_join(sh: DataFrame, threshold: float) -> DataFrame:
+    """Prefix-filter exact set-similarity join (the q_prefix_filter_join
+    pipeline, generic over threshold). The prefix-length and length-filter
+    arithmetic runs on the EXACT rational p/q form of the threshold —
+    float ceil(0.8*sz) rounds the wrong way on exact multiples (binary
+    0.8*5 = 4.0000000000000002 -> ceil 5), which would shorten prefixes
+    and silently lose pairs."""
+    frac = Fraction(threshold).limit_denominator(1_000_000)
+    p, q = frac.numerator, frac.denominator
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    dfreq = sh.groupBy("sh60").agg(F.count("*").alias("df"))
+    ranked = (sh.join(dfreq, "sh60")
+              .withColumn("rn", F.row_number().over(
+                  Window.partitionBy("doc_id").orderBy("df", "sh60"))))
+    pre = (ranked.join(sizes, "doc_id")
+           .filter(F.col("rn")
+                   <= F.expr(f"sz - (({p} * sz + {q - 1}) div {q}) + 1"))
+           .select("doc_id", "sh60", "sz"))
+    p1 = pre.select(F.col("doc_id").alias("id1"), "sh60",
+                    F.col("sz").alias("sz1"))
+    p2 = pre.select(F.col("doc_id").alias("id2"), "sh60",
+                    F.col("sz").alias("sz2"))
+    cand = (p1.join(p2, "sh60").filter(F.col("id1") < F.col("id2"))
+            .filter(F.least("sz1", "sz2") * q >= F.greatest("sz1", "sz2") * p)
+            .select("id1", "id2").distinct())
+    return _verify_jaccard(sh, cand, threshold)
+
+
+def _vector_srp_join(df: DataFrame, id_col: str, col: str, threshold: float,
+                     caches: list[DataFrame]) -> DataFrame:
+    """SRP-LSH candidates -> exact-cosine verify (the q_cosine_neardup_lsh
+    pipeline, generic over input frame and threshold)."""
+    from ..functions.similarity import dot as _dot, l2norm
+    std = df.select(F.col(id_col).alias("vec_id"),
+                    F.col(col).alias("embedding"))
+    bits = srp_bits(std.count())
+    bands = _srp_bands(std, bits).cache()
+    caches.append(bands)
+    b1 = bands.select(F.col("vec_id").alias("id1"), "band", "band_key")
+    b2 = bands.select(F.col("vec_id").alias("id2"), "band", "band_key")
+    cand = (b1.join(b2, ["band", "band_key"])
+            .filter(F.col("id1") < F.col("id2"))
+            .select("id1", "id2").distinct())
+    enorm = std.select("vec_id", "embedding",
+                       l2norm(F.col("embedding")).alias("nrm")).cache()
+    caches.append(enorm)
+    e1 = enorm.select(F.col("vec_id").alias("id1"),
+                      F.col("embedding").alias("e1"), F.col("nrm").alias("n1"))
+    e2 = enorm.select(F.col("vec_id").alias("id2"),
+                      F.col("embedding").alias("e2"), F.col("nrm").alias("n2"))
+    score = F.try_divide(_dot(F.col("e1"), F.col("e2")),
+                         F.col("n1") * F.col("n2"))
+    return (cand.join(e1, "id1").join(e2, "id2")
+            .select("id1", "id2", score.alias("score"))
+            .filter(F.col("score") >= F.lit(float(threshold))))
+
+
+def similarity_join(df: DataFrame, id_col: str, col: str, threshold: float,
+                    metric: str = "auto", exact: bool = False,
+                    caches: list[DataFrame] | None = None,
+                    shingles: DataFrame | None = None) -> DataFrame:
+    """Self-similarity join: all (id1, id2, score) pairs with id1 < id2
+    and similarity >= ``threshold`` over ``df[col]``.
+
+    * ``metric='auto'`` resolves by column type: string -> 'jaccard'
+      (3-gram shingle sets), array<float/double> -> 'cosine'.
+    * jaccard + ``exact=False`` -> MinHash-LSH (probabilistic recall —
+      tune NUM_HASHES/NUM_BANDS for the S-curve; validate a config with
+      q_minhash_recall_audit). jaccard + ``exact=True`` -> prefix-filter
+      join (lossless, join-bounded). cosine -> SRP-LSH (recall audited by
+      q_lsh_recall_audit). Every path is candidates-by-equi-join + exact
+      verification: linear scans at 100 TB, never all-pairs.
+    * ``caches`` collects the frames each kernel pins (shingles, band
+      sketches, norm tables) for the caller to release — route them
+      through plans.base.finalize / release_deferred, NOT a leak.
+    * ``shingles``: a precomputed cached frame from
+      ``explode_shingle_hashes(df, id_col, col)`` (aliased doc_id/sh60),
+      so a caller running several text dispatches over one corpus
+      shingles it once — passing it twice would otherwise re-cache an
+      identical plan (a CacheManager no-op whose unpersist fires twice).
+    """
+    dt = df.schema[col].dataType
+    if metric == "auto":
+        if isinstance(dt, T.StringType):
+            metric = "jaccard"
+        elif (isinstance(dt, T.ArrayType)
+              and isinstance(dt.elementType,
+                             (T.FloatType, T.DoubleType))):
+            metric = "cosine"
+        else:
+            raise ValueError(
+                f"no similarity metric for column type {dt.simpleString()}; "
+                f"pass metric= explicitly")
+    if caches is None:
+        caches = []
+    if metric == "jaccard":
+        if not isinstance(dt, T.StringType):
+            raise ValueError("metric='jaccard' needs a string column")
+        sh = shingles
+        if sh is None:
+            sh = explode_shingle_hashes(
+                df.select(F.col(id_col).alias("doc_id"),
+                          F.col(col).alias("text")),
+                "doc_id", "text", n=3).cache()
+            caches.append(sh)
+            sh.count()
+        if exact:
+            return _text_prefix_join(sh, threshold)
+        return _text_minhash_join(sh, threshold, caches)
+    if metric == "cosine":
+        return _vector_srp_join(df, id_col, col, threshold, caches)
+    raise ValueError(f"unknown metric {metric!r} "
+                     "(expected 'jaccard' or 'cosine')")
+
+
+def q_similarity_join_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract test for the similarity-join front door: run all three
+    dispatches (minhash, prefix, SRP — by column type / exact flag) at
+    the families' standard thresholds and union the tagged results. The
+    oracle is the UNION ALL of the three families' INDEPENDENT oracle
+    specs, so a hash match proves the dispatcher reaches each real
+    algorithm end-to-end."""
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    caches: list[DataFrame] = []
+    sh = explode_shingle_hashes(docs, "doc_id", "text", n=3).cache()
+    caches.append(sh)
+    sh.count()   # eager: minhash + prefix dispatches race a lazy cache
+    mh = similarity_join(docs, "doc_id", "text", JACCARD_THRESHOLD,
+                         caches=caches, shingles=sh)
+    pf = similarity_join(docs, "doc_id", "text", JACCARD_THRESHOLD,
+                         exact=True, caches=caches, shingles=sh)
+    sp = similarity_join(emb, "vec_id", "embedding", SRP_THRESHOLD,
+                         caches=caches)
+
+    def tag(dfp: DataFrame, family: str) -> DataFrame:
+        return dfp.select(F.lit(family).alias("family"), "id1", "id2",
+                          F.round("score", 6).alias("score"))
+
+    out = (tag(mh, "jaccard_minhash")
+           .unionByName(tag(pf, "jaccard_prefix"))
+           .unionByName(tag(sp, "cosine_srp")))
+    return finalize(out, *caches, pair_table=True)
+
+
+def _wrap(oracle: str, family: str, c1: str, c2: str, sc: str) -> str:
+    return (f"SELECT '{family}' AS family, {c1} AS id1, {c2} AS id2, "
+            f"{sc} AS score FROM ({oracle})")
+
+
+ORACLE_SIMILARITY_JOIN_API = (
+    _wrap(ORACLE_MINHASH_LSH, "jaccard_minhash", "d1", "d2", "jaccard")
+    + "\nUNION ALL\n"
+    + _wrap(ORACLE_PREFIX_FILTER_JOIN, "jaccard_prefix", "d1", "d2",
+            "jaccard")
+    + "\nUNION ALL\n"
+    + _wrap(ORACLE_COSINE_LSH, "cosine_srp", "v1", "v2", "cosine"))
+
+
+API_QUERIES = [
+    QueryDef("similarity_join_api", q_similarity_join_api,
+             ORACLE_SIMILARITY_JOIN_API, "LLM-dedup-api"),
+]

@@ -8,13 +8,15 @@ from nfl_data_engineering_spark.plans.lakeops import LAKEOPS_QUERIES
 from nfl_data_engineering_spark.plans.registry import (CATALOG, _PRIORITY,
                                                        oracle_sql, queries)
 from nfl_data_engineering_spark.plans.relational import RELATIONAL_QUERIES
+from nfl_data_engineering_spark.plans.similarity_api import API_QUERIES
 from nfl_data_engineering_spark.plans.textops import TEXT_QUERIES
 from nfl_data_engineering_spark.plans.training import TRAINING_QUERIES
 from nfl_data_engineering_spark.plans.vector import VECTOR_QUERIES
 
 _MODULE_NAMES = {q.name for qs in (RELATIONAL_QUERIES, TEXT_QUERIES,
                                    VECTOR_QUERIES, TRAINING_QUERIES,
-                                   CONNECTOR_QUERIES, LAKEOPS_QUERIES)
+                                   CONNECTOR_QUERIES, LAKEOPS_QUERIES,
+                                   API_QUERIES)
                  for q in qs}
 
 

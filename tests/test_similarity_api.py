@@ -1,0 +1,62 @@
+"""similarity_join front-door contract (plans/similarity_api.py): type
+dispatch, fail-fast on undispatchable input, and family equivalence —
+each route must reproduce the standalone family entry it claims to."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nfl_data_engineering_spark.plans.base import load, release_deferred
+from nfl_data_engineering_spark.plans.similarity_api import similarity_join
+from nfl_data_engineering_spark.plans.textops import JACCARD_THRESHOLD
+from nfl_data_engineering_spark.plans.vector import SRP_THRESHOLD
+
+
+def test_dispatch_errors(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="no similarity metric"):
+        similarity_join(docs, "doc_id", "doc_id", 0.8)   # bigint column
+    with pytest.raises(ValueError, match="needs a string column"):
+        similarity_join(emb, "vec_id", "embedding", 0.8, metric="jaccard")
+    with pytest.raises(ValueError, match="unknown metric"):
+        similarity_join(docs, "doc_id", "text", 0.8, metric="levenshtein")
+
+
+def _pairs(df):
+    return {(r["id1"], r["id2"]) for r in df.select("id1", "id2").collect()}
+
+
+def test_families_match_standalone_entries(spark, sf_dir):
+    """auto-dispatch (string -> minhash, exact -> prefix, array ->
+    SRP-cosine) must yield the same pair sets as the standalone catalog
+    entries at the same thresholds."""
+    from nfl_data_engineering_spark.plans.registry import _BY_NAME
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    caches = []
+    mh = _pairs(similarity_join(docs, "doc_id", "text", JACCARD_THRESHOLD,
+                                caches=caches))
+    pf = _pairs(similarity_join(docs, "doc_id", "text", JACCARD_THRESHOLD,
+                                exact=True, caches=caches))
+    sp = _pairs(similarity_join(emb, "vec_id", "embedding", SRP_THRESHOLD,
+                                caches=caches))
+    for c in caches:
+        c.unpersist()
+    release_deferred()
+
+    ref_mh = {(r["d1"], r["d2"]) for r in
+              _BY_NAME["dedup_minhash_lsh"].spark(spark, sf_dir).collect()}
+    ref_pf = {(r["d1"], r["d2"]) for r in
+              _BY_NAME["prefix_filter_join"].spark(spark, sf_dir).collect()}
+    ref_sp = {(r["v1"], r["v2"]) for r in
+              _BY_NAME["cosine_neardup_lsh"].spark(spark, sf_dir).collect()}
+    release_deferred()
+    assert mh == ref_mh
+    assert pf == ref_pf
+    assert sp == ref_sp
+    # prefix filter is lossless; minhash is probabilistic — on this corpus
+    # the near-dup clusters are exact enough that both find the same set
+    assert pf, "expected at least one near-dup pair in testdata"
