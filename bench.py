@@ -72,13 +72,20 @@ def main() -> None:
         print(f"# {q.name}: {dt:.2f}s (delta {abs(r1 - r2):.2f}s)",
               file=sys.stderr)
 
+    # run-to-run deltas go to STDERR: they are jitter diagnostics, and
+    # keeping them out of the stdout JSON matters — the external driver
+    # records only a bounded TAIL of stdout, and r4/r5's delta-inflated
+    # line overflowed that window, cutting off the leading fields and
+    # breaking the driver's parse ("parsed": null in BENCH_r05.json).
+    print(f"# run_delta: {json.dumps(deltas)}", file=sys.stderr)
+    # field order is deliberate: queries first, headline total LAST, so a
+    # tail-truncated capture still ends with the machine-readable total
     print(json.dumps({
         "metric": "headline_queries_total_wall",
-        "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
-        "run_delta": deltas,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "value": round(total, 3),
     }))
     spark.stop()
 

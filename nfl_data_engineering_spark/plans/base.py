@@ -66,7 +66,7 @@ def finalize(result: DataFrame, *caches: DataFrame,
     materialize `result` executor-side (eager localCheckpoint — the
     cached intermediates are read exactly once more, no driver
     round-trip), then unpersist the caches. Without this, a session
-    running the full 230-entry catalog accumulates storage-memory
+    running the full query catalog accumulates storage-memory
     entries for the life of the SparkSession — Spark's cache registry
     pins persisted plans until an explicit unpersist (ADVICE r4).
     Checkpoint blocks, by contrast, are ContextCleaner-managed: freed
