@@ -51,6 +51,23 @@ def test_connected_components_chain_cycle_pair(spark):
                    20: 20, 21: 20}
 
 
+def test_connected_components_distributed_path(spark, monkeypatch):
+    # force the distributed min-label loop (cap=0 disables the driver
+    # union-find fast path) and require bit-identical labels on the same
+    # chain/cycle/pair graph — the two code paths must agree exactly
+    from nfl_data_engineering_spark.operators import dedup as D
+    monkeypatch.setattr(D, "_CC_DRIVER_EDGE_CAP", 0)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),
+         (10, 11), (11, 12), (12, 10),
+         (20, 21)], "a long, b long")
+    out = {r["n"]: r["label"]
+           for r in D.connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20}
+
+
 def test_clean_string_sentinels(spark):
     # the 7 problematic-value classes from test_s3_data_type_handling.py
     df = spark.createDataFrame(
