@@ -454,8 +454,13 @@ def q_incremental_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.min("doc_id").alias("exact_ref")))
     inc = docs.filter(is_inc).select("doc_id", F.md5("text").alias("h"))
     sh = explode_shingle_hashes(docs, "doc_id", "text", n=3).cache()
+    sh.count()   # eager: bands + sizes + both verify sides race a lazy cache
+    # cache bands: the incoming and existing sides below each consume it,
+    # and without the cache each side re-runs the 64-draw minhash fold
+    # over the full shingle table (measured ~0.7s of the entry at sf0.1)
     bands = minhash_bands_fast(sh, "doc_id", "sh60", NUM_HASHES, NUM_BANDS,
-                               hashed=True)
+                               hashed=True).cache()
+    bands.count()
     bi = (bands.filter(F.col("doc_id") % 4 == 0)
           .select(F.col("doc_id").alias("di"), "band", "band_key"))
     be = (bands.filter(F.col("doc_id") % 4 != 0)
@@ -483,7 +488,7 @@ def q_incremental_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(near.withColumnRenamed("di", "doc_id"), "doc_id", "left")
         .select("doc_id", status.alias("status"),
                 F.coalesce("exact_ref", "near_ref", F.lit(-1))
-                .alias("ref_doc_id")), sh)
+                .alias("ref_doc_id")), sh, bands)
 
 
 ORACLE_INCREMENTAL_DEDUP = f"""
