@@ -427,6 +427,78 @@ FROM per
 """
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/valid/test split — the leakage-safe version of
+    q_train_test_split. A hash split keyed on doc_id can put two near-
+    duplicates of the SAME page on opposite sides of the train/eval
+    boundary, silently inflating eval scores; the standard fix (what the
+    dedup stage of an LLM data pipeline feeds the split stage) is to key
+    the split on the near-dup CLUSTER so whole clusters co-assign. This
+    entry reuses the star-edge + connected-components machinery
+    (q_dedup_star_survivors) for the clusters, assigns every doc the
+    80/10/10 bucket of its CANONICAL id (h60-stable: reruns and appends
+    never migrate a doc), and reports per split: doc count, docs in
+    multi-doc clusters, and how many docs a naive doc_id-keyed split
+    would have placed in a DIFFERENT split than their cluster (the
+    quantified leakage the cluster keying prevents). Leakage-freedom is
+    structural — one bucket per canonical id — so the audit column
+    measures the counterfactual, not a residual.
+
+    Scale shape: everything rides the already-measured star path
+    (SCALE.md round-6: 24.5 s at the 100x replica) plus two row-local
+    projections and one |splits|-row rollup; the split assignment itself
+    adds no shuffle beyond the survivor join."""
+    from ..operators.dedup import connected_components
+    docs = load(spark, sf_dir, "documents")
+    caches: list[DataFrame] = []
+    labels = connected_components(
+        _star_verified_pairs(spark, sf_dir, caches), "d1", "d2")
+    for c in caches:     # labels checkpointed -> caches out of lineage
+        c.unpersist()
+    canon = F.coalesce(F.col("label"), F.col("doc_id"))
+
+    def bucket(c):
+        return h60(F.concat(F.lit("split_"), c.cast("string"))) % 10
+
+    def split_of(b):
+        return (F.when(b <= 7, F.lit("train"))
+                .when(b == 8, F.lit("valid"))
+                .otherwise(F.lit("test")))
+
+    assigned = (docs.select("doc_id")
+                .join(labels.withColumnRenamed("n", "doc_id"),
+                      "doc_id", "left")
+                .select("doc_id",
+                        F.col("label").isNotNull().cast("int")
+                        .alias("clustered"),
+                        split_of(bucket(canon)).alias("split"),
+                        (bucket(canon) != bucket(F.col("doc_id")))
+                        .cast("int").alias("moved")))
+    return (assigned.groupBy("split")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("clustered").cast("bigint").alias("n_clustered_docs"),
+                 F.sum("moved").cast("bigint").alias("n_rescued_docs")))
+
+
+ORACLE_LEAKAGE_SAFE_SPLIT = f"""
+WITH RECURSIVE {_SQL_STAR_COMP_CTES},
+assigned AS (
+  SELECT d.doc_id,
+         CASE WHEN comp.doc_id IS NOT NULL THEN 1 ELSE 0 END AS clustered,
+         {SQL_H60.format(e="'split_' || COALESCE(comp.component, d.doc_id)::VARCHAR")} % 10
+           AS cb,
+         {SQL_H60.format(e="'split_' || d.doc_id::VARCHAR")} % 10 AS nb
+  FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id)
+SELECT CASE WHEN cb <= 7 THEN 'train'
+            WHEN cb = 8 THEN 'valid' ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(clustered) AS BIGINT) AS n_clustered_docs,
+       CAST(SUM(CASE WHEN cb <> nb THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_rescued_docs
+FROM assigned GROUP BY 1
+"""
+
+
 def q_incremental_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest dedup — the steady-state shape of a 100 TB
     corpus pipeline, where batches arrive against an ALREADY-deduped
@@ -1636,6 +1708,8 @@ TEXT_QUERIES = [
              ORACLE_SURVIVOR_TABLE, "LLM-dedup-survivors"),
     QueryDef("dedup_star_survivors", q_dedup_star_survivors,
              ORACLE_STAR_SURVIVORS, "LLM-dedup-star-scale", bench=True),
+    QueryDef("leakage_safe_split", q_leakage_safe_split,
+             ORACLE_LEAKAGE_SAFE_SPLIT, "LLM-split-leakage-safe"),
     QueryDef("incremental_corpus_dedup", q_incremental_corpus_dedup,
              ORACLE_INCREMENTAL_DEDUP, "LLM-dedup-incremental", bench=True),
     QueryDef("cross_shard_dedup_audit", q_cross_shard_dedup_audit,
