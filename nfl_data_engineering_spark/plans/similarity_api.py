@@ -1,10 +1,13 @@
 """One front door for similarity joins — the library contract over the
-three family implementations this engine ships:
+four family implementations this engine ships:
 
 * text + approximate  -> MinHash-LSH (probabilistic recall, S-curve
   tunable via band config; q_dedup_minhash_lsh's machinery)
 * text + exact        -> prefix-filter / AllPairs (lossless by the
   prefix-filter theorem; q_prefix_filter_join's machinery)
+* text + hamming      -> SimHash pigeonhole chunk join (exact recall at
+  the distance bound; q_dedup_simhash's machinery, generic over the
+  bound via t+1-way signature chunking)
 * vector              -> signed-random-projection LSH + exact-cosine
   verification (q_cosine_neardup_lsh's machinery)
 
@@ -35,11 +38,12 @@ from fractions import Fraction
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql import types as T
 
-from ..functions.hashing import minhash_bands_fast
-from ..functions.text import explode_shingle_hashes
+from ..functions.hashing import minhash_bands_fast, simhash
+from ..functions.text import explode_shingle_hashes, explode_tokens
 from .base import QueryDef, finalize, load
 from .textops import (JACCARD_THRESHOLD, NUM_BANDS, NUM_HASHES,
-                      ORACLE_MINHASH_LSH, ORACLE_PREFIX_FILTER_JOIN)
+                      ORACLE_MINHASH_LSH, ORACLE_PREFIX_FILTER_JOIN,
+                      ORACLE_SIMHASH, SIMHASH_BITS, SIMHASH_MAX_HAMMING)
 from .vector import ORACLE_COSINE_LSH, SRP_THRESHOLD, _srp_bands, srp_bits
 
 
@@ -107,6 +111,44 @@ def _text_prefix_join(sh: DataFrame, threshold: float) -> DataFrame:
     return _verify_jaccard(sh, cand, threshold)
 
 
+def _text_simhash_join(std: DataFrame, max_hamming: int,
+                       caches: list[DataFrame]) -> DataFrame:
+    """SimHash pigeonhole chunk join (the q_dedup_simhash pipeline,
+    generic over the distance bound): the 60-bit signature is split into
+    ``max_hamming + 1`` chunks — hamming <= t guarantees at least one
+    chunk equal — candidates equi-join per chunk and verify with
+    bit_count(xor). The last chunk absorbs the width remainder; any
+    partition into t+1 non-empty pieces keeps the pigeonhole guarantee."""
+    toked = explode_tokens(std, "doc_id", "text")
+    sims = simhash(toked, "doc_id", "token", bits=SIMHASH_BITS).cache()
+    caches.append(sims)
+    sims.count()   # eager: both chunk-join sides race a lazy cache
+    chunks = int(max_hamming) + 1
+    base = SIMHASH_BITS // chunks
+    specs = []
+    for j in range(chunks):
+        start = j * base
+        width = SIMHASH_BITS - start if j == chunks - 1 else base
+        specs.append((j, start, (1 << width) - 1))
+    chunked = sims.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("chunk"),
+                     F.shiftright(F.col("simhash"), s)
+                      .bitwiseAND(F.lit(m)).alias("ckey"))
+            for j, s, m in specs])).alias("c")
+    ).select("doc_id", "simhash", "c.chunk", "c.ckey")
+    c1 = chunked.select(F.col("doc_id").alias("id1"),
+                        F.col("simhash").alias("h1"), "chunk", "ckey")
+    c2 = chunked.select(F.col("doc_id").alias("id2"),
+                        F.col("simhash").alias("h2"), "chunk", "ckey")
+    ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    return (c1.join(c2, ["chunk", "ckey"])
+            .filter(F.col("id1") < F.col("id2"))
+            .select("id1", "id2", ham.alias("score")).distinct()
+            .filter(F.col("score") <= F.lit(int(max_hamming))))
+
+
 def _vector_srp_join(df: DataFrame, id_col: str, col: str, threshold: float,
                      caches: list[DataFrame]) -> DataFrame:
     """SRP-LSH candidates -> exact-cosine verify (the q_cosine_neardup_lsh
@@ -149,8 +191,13 @@ def similarity_join(df: DataFrame, id_col: str, col: str, threshold: float,
       tune NUM_HASHES/NUM_BANDS for the S-curve; validate a config with
       q_minhash_recall_audit). jaccard + ``exact=True`` -> prefix-filter
       join (lossless, join-bounded). cosine -> SRP-LSH (recall audited by
-      q_lsh_recall_audit). Every path is candidates-by-equi-join + exact
-      verification: linear scans at 100 TB, never all-pairs.
+      q_lsh_recall_audit). ``metric='hamming'`` -> SimHash pigeonhole
+      chunk join over a string column; for this family ``threshold`` is
+      the MAXIMUM DISTANCE (pyspark.ml approxSimilarityJoin's distance
+      convention) and ``score`` is the hamming distance — exact recall
+      by the pigeonhole theorem at any bound. Every path is
+      candidates-by-equi-join + exact verification: linear scans at
+      100 TB, never all-pairs.
     * ``caches`` collects the frames each kernel pins (shingles, band
       sketches, norm tables) for the caller to release — route them
       through plans.base.finalize / release_deferred, NOT a leak.
@@ -188,19 +235,30 @@ def similarity_join(df: DataFrame, id_col: str, col: str, threshold: float,
         if exact:
             return _text_prefix_join(sh, threshold)
         return _text_minhash_join(sh, threshold, caches)
+    if metric == "hamming":
+        if not isinstance(dt, T.StringType):
+            raise ValueError("metric='hamming' needs a string column")
+        t = int(threshold)
+        if not 0 <= t < SIMHASH_BITS:
+            raise ValueError(
+                f"hamming threshold must be in [0, {SIMHASH_BITS}), "
+                f"got {threshold!r}")
+        std = df.select(F.col(id_col).alias("doc_id"),
+                        F.col(col).alias("text"))
+        return _text_simhash_join(std, t, caches)
     if metric == "cosine":
         return _vector_srp_join(df, id_col, col, threshold, caches)
     raise ValueError(f"unknown metric {metric!r} "
-                     "(expected 'jaccard' or 'cosine')")
+                     "(expected 'jaccard', 'hamming' or 'cosine')")
 
 
 def q_similarity_join_api(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Contract test for the similarity-join front door: run all three
-    dispatches (minhash, prefix, SRP — by column type / exact flag) at
-    the families' standard thresholds and union the tagged results. The
-    oracle is the UNION ALL of the three families' INDEPENDENT oracle
-    specs, so a hash match proves the dispatcher reaches each real
-    algorithm end-to-end."""
+    """Contract test for the similarity-join front door: run all four
+    dispatches (minhash, prefix, simhash-hamming, SRP — by column type /
+    exact flag / metric) at the families' standard thresholds and union
+    the tagged results. The oracle is the UNION ALL of the four
+    families' INDEPENDENT oracle specs, so a hash match proves the
+    dispatcher reaches each real algorithm end-to-end."""
     docs = load(spark, sf_dir, "documents")
     emb = load(spark, sf_dir, "embeddings")
     caches: list[DataFrame] = []
@@ -211,15 +269,21 @@ def q_similarity_join_api(spark: SparkSession, sf_dir: str) -> DataFrame:
                          caches=caches, shingles=sh)
     pf = similarity_join(docs, "doc_id", "text", JACCARD_THRESHOLD,
                          exact=True, caches=caches, shingles=sh)
+    hm = similarity_join(docs, "doc_id", "text", SIMHASH_MAX_HAMMING,
+                         metric="hamming", caches=caches)
     sp = similarity_join(emb, "vec_id", "embedding", SRP_THRESHOLD,
                          caches=caches)
 
     def tag(dfp: DataFrame, family: str) -> DataFrame:
+        # hamming scores are exact-int distances; the double cast makes
+        # the union (and the oracle's ::DOUBLE twin) type-stable
         return dfp.select(F.lit(family).alias("family"), "id1", "id2",
-                          F.round("score", 6).alias("score"))
+                          F.round(F.col("score").cast("double"), 6)
+                           .alias("score"))
 
     out = (tag(mh, "jaccard_minhash")
            .unionByName(tag(pf, "jaccard_prefix"))
+           .unionByName(tag(hm, "hamming_simhash"))
            .unionByName(tag(sp, "cosine_srp")))
     return finalize(out, *caches, pair_table=True)
 
@@ -234,6 +298,9 @@ ORACLE_SIMILARITY_JOIN_API = (
     + "\nUNION ALL\n"
     + _wrap(ORACLE_PREFIX_FILTER_JOIN, "jaccard_prefix", "d1", "d2",
             "jaccard")
+    + "\nUNION ALL\n"
+    + _wrap(ORACLE_SIMHASH, "hamming_simhash", "d1", "d2",
+            "hamming::DOUBLE")
     + "\nUNION ALL\n"
     + _wrap(ORACLE_COSINE_LSH, "cosine_srp", "v1", "v2", "cosine"))
 

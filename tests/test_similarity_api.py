@@ -9,7 +9,8 @@ from pyspark.sql import functions as F
 
 from nfl_data_engineering_spark.plans.base import load, release_deferred
 from nfl_data_engineering_spark.plans.similarity_api import similarity_join
-from nfl_data_engineering_spark.plans.textops import JACCARD_THRESHOLD
+from nfl_data_engineering_spark.plans.textops import (JACCARD_THRESHOLD,
+                                                      SIMHASH_MAX_HAMMING)
 from nfl_data_engineering_spark.plans.vector import SRP_THRESHOLD
 
 
@@ -22,6 +23,10 @@ def test_dispatch_errors(spark, sf_dir):
         similarity_join(emb, "vec_id", "embedding", 0.8, metric="jaccard")
     with pytest.raises(ValueError, match="unknown metric"):
         similarity_join(docs, "doc_id", "text", 0.8, metric="levenshtein")
+    with pytest.raises(ValueError, match="needs a string column"):
+        similarity_join(emb, "vec_id", "embedding", 3, metric="hamming")
+    with pytest.raises(ValueError, match="hamming threshold"):
+        similarity_join(docs, "doc_id", "text", 60, metric="hamming")
 
 
 def _pairs(df):
@@ -41,6 +46,8 @@ def test_families_match_standalone_entries(spark, sf_dir):
                                 caches=caches))
     pf = _pairs(similarity_join(docs, "doc_id", "text", JACCARD_THRESHOLD,
                                 exact=True, caches=caches))
+    hm = _pairs(similarity_join(docs, "doc_id", "text", SIMHASH_MAX_HAMMING,
+                                metric="hamming", caches=caches))
     sp = _pairs(similarity_join(emb, "vec_id", "embedding", SRP_THRESHOLD,
                                 caches=caches))
     for c in caches:
@@ -51,11 +58,14 @@ def test_families_match_standalone_entries(spark, sf_dir):
               _BY_NAME["dedup_minhash_lsh"].spark(spark, sf_dir).collect()}
     ref_pf = {(r["d1"], r["d2"]) for r in
               _BY_NAME["prefix_filter_join"].spark(spark, sf_dir).collect()}
+    ref_hm = {(r["d1"], r["d2"]) for r in
+              _BY_NAME["dedup_simhash"].spark(spark, sf_dir).collect()}
     ref_sp = {(r["v1"], r["v2"]) for r in
               _BY_NAME["cosine_neardup_lsh"].spark(spark, sf_dir).collect()}
     release_deferred()
     assert mh == ref_mh
     assert pf == ref_pf
+    assert hm == ref_hm
     assert sp == ref_sp
     # prefix filter is lossless; minhash is probabilistic — on this corpus
     # the near-dup clusters are exact enough that both find the same set
