@@ -15,7 +15,7 @@ from ..operators.joins import asof_join, matchup_join
 from ..operators.records import split_record
 from ..operators.timeseries import zero_filled_counts
 from ..operators.windows import exp_weighted_mean, topk_per_group, trailing_mean
-from .base import QueryDef, cents, dec as _dec, load
+from .base import QueryDef, cents, dec as _dec, finalize, load
 
 
 # ---------------------------------------------------------------------------
@@ -3504,7 +3504,12 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select(h60(F.col("user_id").cast("string")).alias("h"))
                 .distinct())
 
-    hv, hc = hashes("view"), hashes("click")
+    # cache both hash sets: each feeds its own sketch, the union sketch,
+    # the exact-audit counts and the intersection join (4+ consumers) —
+    # uncached, every consumer would rescan events and re-shuffle the
+    # distinct; released through finalize once the report materializes
+    hv, hc = hashes("view").cache(), hashes("click").cache()
+    hv.count(), hc.count()   # eager: consumers race a lazy cache
     est_expr = F.when(
         F.col("got") < KMV_K, F.col("got").cast("bigint")).otherwise(
         F.expr(f"cast((cast({KMV_K - 1} as decimal(38,0)) * "
@@ -3538,11 +3543,12 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
                            .agg(F.count("*").alias("exact"))
                            .select(F.lit("intersection").alias("set_name"),
                                    "exact")))
-    return (ests.join(exacts, "set_name")
-            .select("set_name", "est", F.col("exact").cast("bigint")
-                    .alias("exact_distinct"),
-                    F.expr("(est - exact) * 1000000 div exact")
-                     .alias("err_ppm")))
+    return finalize(
+        ests.join(exacts, "set_name")
+        .select("set_name", "est", F.col("exact").cast("bigint")
+                .alias("exact_distinct"),
+                F.expr("(est - exact) * 1000000 div exact")
+                 .alias("err_ppm")), hv, hc)
 
 
 def _oracle_kmv_set_ops() -> str:
