@@ -38,7 +38,7 @@ _ALL: list[QueryDef] = [*RELATIONAL_QUERIES, *TEXT_QUERIES,
 # Names absent from this list keep catalog order after it.
 _PRIORITY: list[str] = [
     # --- (a) new or code-changed in round 6 ---
-    "leakage_safe_split", "kmv_set_ops",
+    "leakage_safe_split", "kmv_set_ops", "trimmed_mean_binned",
     "similarity_join_api", "revenue_gini_binned", "dedup_minhash_lsh",
     "dedup_components", "dedup_survivor_table", "dedup_star_survivors",
     "cross_shard_dedup_audit", "embedding_dedup_components",

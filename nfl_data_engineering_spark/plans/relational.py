@@ -2108,9 +2108,11 @@ def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound differs in the last ulp between engines it still lies strictly
     between two adjacent 2-decimal data values, so the band membership —
     and therefore the result — is identical. Scale note: exact percentile
-    buffers whole groups; at 100 TB swap the bounds stage to
-    approx_percentile (same plan shape, mergeable sketch) — the trim then
-    carries the sketch's rank-error bound."""
+    buffers whole groups; q_trimmed_mean_binned is the checked 100 TB
+    twin — the SAME exact result from two-pass bucket-narrowed selection
+    (bounded driver reads, no whole-group buffer), hash-matched against
+    this entry's oracle. approx_percentile remains the one-pass sketch
+    option where rank error is acceptable."""
     li = load(spark, sf_dir, "lineitem")
     # both quantiles from ONE percentile buffer (array form) — measured
     # 1.85x faster than two separate percentile aggregates at sf0.1
@@ -2139,6 +2141,107 @@ FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
 WHERE l_extendedprice BETWEEN lo AND hi
 GROUP BY l.l_returnflag
 """
+
+
+TRIM_BUCKET_W = 100_000       # $1,000 buckets in cents (q_exact_quantiles')
+
+
+def q_trimmed_mean_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_trimmed_mean's 100 TB-EXACT twin (the revenue_gini_binned move,
+    applied to order statistics): same [p5, p95]-band mean, same oracle,
+    but the interpolated percentile bounds come from the two-pass
+    distributed selection of q_exact_quantiles_twopass run PER GROUP —
+    no `percentile()` buffer holding a whole group in one aggregator.
+
+    Pass 1 histograms integer cents into $1,000 buckets per group
+    (map-side combine; driver reads |groups| x ~100 bounded rows). The
+    driver converts each percentile to Spark's rank convention
+    (pos = p*(n-1), lower = floor+1, upper = lower+1, frac = pos-floor)
+    and locates the bucket + residual rank of each needed order
+    statistic. Pass 2 counts per distinct value inside targeted buckets
+    only and a per-(group, bucket) cumulative window finds each exact
+    value; the driver interpolates lo/hi with the same
+    `lower + (upper - lower) * frac` double arithmetic Spark's
+    percentile() uses, so the bound is bit-identical whenever frac = 0
+    and lies strictly between adjacent 2-decimal data values otherwise —
+    either way band membership (and so the result) matches the plain
+    entry exactly. Final pass: broadcast the |groups|-row bound table,
+    decimal-exact mean of surviving rows (shared with q_trimmed_mean).
+
+    Driver reads are bounded (histogram ~|groups| x value_range/width,
+    bound values <= |groups| x 4); every data-proportional stage is a
+    map-side-combined aggregate or a row-local filter."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice",
+        cents("l_extendedprice").alias("c"))
+    li = li.withColumn("b", F.expr(f"c div {TRIM_BUCKET_W}"))
+
+    # pass 1: bounded per-group bucket histogram -> driver
+    hist: dict[str, list] = {}
+    for r in (li.groupBy("l_returnflag", "b")
+              .agg(F.count("*").alias("cnt")).collect()):
+        hist.setdefault(r["l_returnflag"], []).append((r["b"], r["cnt"]))
+    targets = []        # (flag, which, rank, bucket, residual)
+    franks: dict[str, dict] = {}   # flag -> which -> (rank_lo, rank_up, frac)
+    for flag, buckets in hist.items():
+        buckets.sort()
+        n = sum(cnt for _, cnt in buckets)
+        franks[flag] = {}
+        for which, p in (("lo", 0.05), ("hi", 0.95)):
+            pos = p * (n - 1)
+            k_lo = int(pos) + 1                    # 1-based lower rank
+            frac = pos - int(pos)
+            k_up = k_lo + 1 if frac > 0 else k_lo
+            k_up = min(k_up, n)
+            franks[flag][which] = (k_lo, k_up, frac)
+            for k in {k_lo, k_up}:
+                cum = 0
+                for b, cnt in buckets:
+                    if cum + cnt >= k:
+                        targets.append((flag, which, k, b, k - cum))
+                        break
+                    cum += cnt
+    tdf = spark.createDataFrame(
+        targets, "l_returnflag string, which string, k bigint, "
+                 "b bigint, rk bigint")
+
+    # pass 2: exact order statistics inside targeted buckets only
+    tb = {(t[0], t[3]) for t in targets}
+    in_target = F.lit(False)
+    for f, b in sorted(tb):      # <= |groups| x 4 terms — a codegen OR chain
+        in_target = in_target | ((F.col("l_returnflag") == f)
+                                 & (F.col("b") == b))
+    vc = (li.filter(in_target)
+          .groupBy("l_returnflag", "b", "c")
+          .agg(F.count("*").alias("cnt")))
+    wb = (Window.partitionBy("l_returnflag", "b").orderBy("c")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    vcc = vc.withColumn("cum", F.sum("cnt").over(wb))
+    kv = {(r["l_returnflag"], r["which"], r["k"]): r["c"]
+          for r in (vcc.join(tdf, ["l_returnflag", "b"])
+                    .filter((F.col("cum") >= F.col("rk")) &
+                            (F.col("cum") - F.col("cnt") < F.col("rk")))
+                    .select("l_returnflag", "which", "k", "c").collect())}
+
+    # driver: Spark percentile()'s interpolation, on the data doubles
+    brows = []
+    for flag, d in franks.items():
+        bounds = {}
+        for which, (k_lo, k_up, frac) in d.items():
+            v_lo = kv[(flag, which, k_lo)] / 100.0
+            v_up = kv[(flag, which, k_up)] / 100.0
+            bounds[which] = v_lo + (v_up - v_lo) * frac
+        brows.append((flag, bounds["lo"], bounds["hi"]))
+    bdf = spark.createDataFrame(
+        brows, "l_returnflag string, lo double, hi double")
+
+    kept = (li.join(F.broadcast(bdf), "l_returnflag")
+            .filter(F.col("l_extendedprice")
+                    .between(F.col("lo"), F.col("hi"))))
+    return (kept.groupBy("l_returnflag")
+            .agg(F.count("*").alias("n_kept"),
+                 (F.sum(_dec("l_extendedprice")).cast("double") / F.count("*"))
+                 .alias("trimmed_avg_price")))
 
 
 DRIFT_SPLIT_TS = "2024-01-16"
@@ -4219,6 +4322,8 @@ RELATIONAL_QUERIES = [
              ORACLE_PROMO_REVENUE_SHARE, "A-cond-agg", bench=True),
     QueryDef("trimmed_mean", q_trimmed_mean, ORACLE_TRIMMED_MEAN,
              "A-trimmed-mean,A-quantile", bench=True),
+    QueryDef("trimmed_mean_binned", q_trimmed_mean_binned,
+             ORACLE_TRIMMED_MEAN, "A-trimmed-mean,A-quantile-scale-twin"),
     QueryDef("winsorized_stats", q_winsorized_stats, ORACLE_WINSORIZED,
              "A-winsorize,A-order-statistic"),
     QueryDef("asof_tolerance", q_asof_tolerance, ORACLE_ASOF_TOLERANCE,
