@@ -39,6 +39,7 @@ _ALL: list[QueryDef] = [*RELATIONAL_QUERIES, *TEXT_QUERIES,
 _PRIORITY: list[str] = [
     # --- (a) new or code-changed in round 6 ---
     "leakage_safe_split", "kmv_set_ops", "trimmed_mean_binned",
+    "incremental_corpus_dedup",
     "similarity_join_api", "revenue_gini_binned", "dedup_minhash_lsh",
     "dedup_components", "dedup_survivor_table", "dedup_star_survivors",
     "cross_shard_dedup_audit", "embedding_dedup_components",
@@ -53,9 +54,12 @@ _PRIORITY: list[str] = [
     "cube_sales", "status_intersect", "spend_quartiles", "semi_join",
     "anti_join", "grouping_sets", "except_all", "acctbal_pctrank",
     "qty_price_corr", "clicks_before_purchase", "sliding_windows",
-    "unpivot_metrics", "locf_fill", "lateral_topk", "scd2_intervals",
     # --- (c) oldest round-2 rows ---
     "record_split", "json_extract",
+    # (trimmed to exactly 50 for the driver's per-round window; the four
+    # dropped round-1 re-verifies — unpivot_metrics, locf_fill,
+    # lateral_topk, scd2_intervals — are green since r1/r3 and rotate
+    # into round 7)
 ]
 
 assert not set(_PRIORITY) - {q.name for q in _ALL}, \
