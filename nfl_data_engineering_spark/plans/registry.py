@@ -39,7 +39,7 @@ _ALL: list[QueryDef] = [*RELATIONAL_QUERIES, *TEXT_QUERIES,
 _PRIORITY: list[str] = [
     # --- (a) new or code-changed in round 6 ---
     "leakage_safe_split", "kmv_set_ops", "trimmed_mean_binned",
-    "incremental_corpus_dedup",
+    "incremental_corpus_dedup", "exact_substring_spans",
     "similarity_join_api", "revenue_gini_binned", "dedup_minhash_lsh",
     "dedup_components", "dedup_survivor_table", "dedup_star_survivors",
     "cross_shard_dedup_audit", "embedding_dedup_components",
@@ -53,13 +53,13 @@ _PRIORITY: list[str] = [
     "distinct_kmv", "user_sessions", "rollup_revenue", "daily_delta",
     "cube_sales", "status_intersect", "spend_quartiles", "semi_join",
     "anti_join", "grouping_sets", "except_all", "acctbal_pctrank",
-    "qty_price_corr", "clicks_before_purchase", "sliding_windows",
+    "qty_price_corr", "clicks_before_purchase",
     # --- (c) oldest round-2 rows ---
     "record_split", "json_extract",
-    # (trimmed to exactly 50 for the driver's per-round window; the four
+    # (trimmed to exactly 50 for the driver's per-round window; the five
     # dropped round-1 re-verifies — unpivot_metrics, locf_fill,
-    # lateral_topk, scd2_intervals — are green since r1/r3 and rotate
-    # into round 7)
+    # lateral_topk, scd2_intervals, sliding_windows — are green since
+    # r1/r3 and rotate into round 7)
 ]
 
 assert not set(_PRIORITY) - {q.name for q in _ALL}, \

@@ -1630,6 +1630,114 @@ FROM base LEFT JOIN removed ON base.doc_id = removed.doc_id
 ORACLE_SEGMENT_DEDUP = _segment_dedup_oracle()
 
 
+SPAN_TOKENS = 8     # window width; production substring dedup uses ~50
+                    # BPE tokens — 8 fits this corpus's short synthetic
+                    # docs while keeping the plan shape identical
+
+
+def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT substring-level duplication audit — the span-removal
+    contract of suffix-array substring dedup (the pass that strips
+    repeated boilerplate RANGES from otherwise-unique documents, which
+    doc-level dedup keeps and segment dedup only catches when segment
+    boundaries align). Every overlapping SPAN_TOKENS-token window is
+    hashed; a window whose exact content occurs more than once in the
+    corpus (any doc, including its own) is a duplicated window; per doc,
+    duplicated window positions merge into maximal spans
+    (gaps-and-islands: positions p, q chain while q - p <= K) and the
+    report gives span count, covered tokens and integer-ppm coverage.
+
+    Scale shape: window explode is row-local (positions 1..len-K+1,
+    stride 1 — |tokens| rows, the token_counts profile); the repeat
+    table is ONE window-hash groupBy (map-side combined, state =
+    |distinct windows| like the shingle df tables); the island merge
+    windows only over DUPLICATED positions per doc. The position frame
+    is cached across its two consumers (repeat table + semi join) and
+    released via finalize — at 100 TB persist it to a scratch table
+    instead, same plan either way."""
+    docs = load(spark, sf_dir, "documents")
+    k = SPAN_TOKENS
+    t = docs.select("doc_id", tokens(F.col("text")).alias("tk"))
+    base = t.select("doc_id", F.size("tk").cast("bigint").alias("n_tokens"))
+    # pre-filter to len >= k: sequence(1, n) with n < 1 would DESCEND
+    # (the same Spark trap documented at q_segment_dedup)
+    wins = (t.filter(F.size("tk") >= k)
+            .select("doc_id", "tk",
+                    F.explode(F.sequence(F.lit(1), F.size("tk") - k + 1))
+                     .alias("pos"))
+            .select("doc_id", "pos",
+                    h60(F.concat_ws(" ", F.slice(F.col("tk"), F.col("pos"),
+                                                 k))).alias("w60"))
+            .cache())
+    wins.count()   # eager: repeat table + semi join race a lazy cache
+    dup = (wins.groupBy("w60").agg(F.count("*").alias("cnt"))
+           .filter(F.col("cnt") > 1).select("w60"))
+    dp = wins.join(dup, "w60", "left_semi")
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(F.lag("pos").over(wd).isNull()
+                 | (F.col("pos") - F.lag("pos").over(wd) > k),
+                 1).otherwise(0)
+    isl = (dp.withColumn("brk", brk)
+           .withColumn("island", F.sum("brk").over(
+               wd.rowsBetween(Window.unboundedPreceding,
+                              Window.currentRow))))
+    per_isl = (isl.groupBy("doc_id", "island")
+               .agg((F.max("pos") - F.min("pos") + k).alias("cov")))
+    per_doc = (per_isl.groupBy("doc_id")
+               .agg(F.count("*").alias("n_dup_spans"),
+                    F.sum("cov").cast("bigint").alias("dup_tokens")))
+    out = (base.join(per_doc, "doc_id", "left")
+           .select("doc_id", "n_tokens",
+                   F.coalesce("n_dup_spans", F.lit(0)).cast("bigint")
+                    .alias("n_dup_spans"),
+                   F.coalesce("dup_tokens", F.lit(0)).cast("bigint")
+                    .alias("dup_tokens"))
+           .withColumn("dup_ppm", F.expr(
+               "dup_tokens * 1000000 div greatest(n_tokens, 1)")))
+    return finalize(out, wins)
+
+
+def _substring_spans_oracle() -> str:
+    toks = SQL_TOKENS.format(col="text")
+    k = SPAN_TOKENS
+    wh = SQL_H60.format(e=f"array_to_string(tk[pos:pos+{k - 1}], ' ')")
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
+w AS (
+  SELECT doc_id, tk,
+         unnest(generate_series(1, GREATEST(len(tk) - {k} + 1, 0))) AS pos
+  FROM t),
+wh AS (SELECT doc_id, pos, {wh} AS w60 FROM w),
+dup AS (SELECT w60 FROM wh GROUP BY w60 HAVING COUNT(*) > 1),
+dp AS (SELECT doc_id, pos FROM wh WHERE w60 IN (SELECT w60 FROM dup)),
+brk AS (
+  SELECT doc_id, pos,
+         CASE WHEN LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                OR pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   > {k}
+              THEN 1 ELSE 0 END AS brk
+  FROM dp),
+isl AS (SELECT doc_id, pos,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM brk),
+per_isl AS (SELECT doc_id, island, MAX(pos) - MIN(pos) + {k} AS cov
+            FROM isl GROUP BY 1, 2),
+per_doc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+                   CAST(SUM(cov) AS BIGINT) AS dup_tokens
+            FROM per_isl GROUP BY 1),
+base AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM t)
+SELECT base.doc_id, n_tokens,
+       COALESCE(n_dup_spans, 0) AS n_dup_spans,
+       COALESCE(dup_tokens, 0) AS dup_tokens,
+       COALESCE(dup_tokens, 0) * 1000000 // GREATEST(n_tokens, 1)
+         AS dup_ppm
+FROM base LEFT JOIN per_doc ON base.doc_id = per_doc.doc_id
+"""
+
+
+ORACLE_SUBSTRING_SPANS = _substring_spans_oracle()
+
+
 def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking: split every document into fixed-width
     character chunks (the pre-tokenizer pass that feeds an LLM context
@@ -1734,6 +1842,8 @@ TEXT_QUERIES = [
     QueryDef("contamination_check", q_contamination_check, ORACLE_CONTAMINATION, "LLM-decontamination", bench=True),
     QueryDef("domain_topk", q_domain_topk, ORACLE_DOMAIN_TOPK, "LLM-text-domains"),
     QueryDef("doc_chunking", q_doc_chunking, ORACLE_DOC_CHUNKING, "LLM-chunking"),
+    QueryDef("exact_substring_spans", q_exact_substring_spans,
+             ORACLE_SUBSTRING_SPANS, "LLM-dedup-substring-spans"),
     QueryDef("segment_dedup", q_segment_dedup, ORACLE_SEGMENT_DEDUP,
              "LLM-dedup-segment", bench=True),
     QueryDef("inverted_index", q_inverted_index, ORACLE_INVERTED_INDEX, "LLM-inverted-index"),
