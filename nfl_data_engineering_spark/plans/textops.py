@@ -272,6 +272,13 @@ def _star_verified_pairs(spark: SparkSession, sf_dir: str,
     if caches is not None:
         caches.append(sh)
     sh.count()   # eager: the four sh consumers race a lazy cache
+    # bands has exactly ONE consumer here (the bucket-min window), so it
+    # is deliberately NOT cached. The groupBy-min + member-join
+    # alternative was A/B'd in round 6 (3-run min at sf0.1): window form
+    # 3.93s vs groupBy form 4.18s end-to-end — the extra bands cache
+    # fill + join overhead eats the per-stage window-sort savings, and
+    # at 100 TB both forms sort |docs x bands| rows on (band, band_key)
+    # (window sort vs SMJ sort), so there is no scale argument either.
     bands = minhash_bands_fast(sh, "doc_id", "sh60", NUM_HASHES, NUM_BANDS,
                                hashed=True)
     wmin = Window.partitionBy("band", "band_key")
