@@ -101,7 +101,7 @@ def connected_components(edges: DataFrame, src: str = "a",
                                F.col(src).alias("label")).schema)
         return edges.sparkSession.createDataFrame(out, schema)
     parts = max(1, min(bi_cached.rdd.getNumPartitions(),
-                       n_edges // 50_000))
+                       n_edges // _CC_DRIVER_EDGE_CAP))
     bi = bi_cached.coalesce(parts)
     # localCheckpoint, not cache: each round's plan references the previous
     # round's twice (self + neighbors), so without lineage truncation the

@@ -60,6 +60,17 @@ def _no_finalize() -> bool:
         "1", "true", "yes")
 
 
+def _reliable_checkpoint() -> bool:
+    """Cluster-mode switch (VERDICT r6 item 7): swap finalize()'s eager
+    localCheckpoint — non-replicated executor-local blocks, unrecoverable
+    on executor loss — for a RELIABLE checkpoint written under the
+    context's checkpoint dir (HDFS/S3 on a real cluster). The caller must
+    have run spark.sparkContext.setCheckpointDir(...) first; Spark raises
+    if not. Same explicit-true parsing as the opt-out flag."""
+    return os.environ.get("SPARK_GRAFT_RELIABLE_CHECKPOINT", "").lower() in (
+        "1", "true", "yes")
+
+
 def finalize(result: DataFrame, *caches: DataFrame,
              pair_table: bool = False) -> DataFrame:
     """Release an entry's fan-out caches without losing their benefit:
@@ -81,7 +92,9 @@ def finalize(result: DataFrame, *caches: DataFrame,
       lineage truncated — an executor loss makes the returned frame
       unrecoverable (cache() could recompute; checkpoint cannot). Fine
       in local mode and for driver-collected results; a long-lived
-      cluster pipeline should use reliable checkpoint or write-out.
+      cluster pipeline sets SPARK_GRAFT_RELIABLE_CHECKPOINT=1 (plus
+      sparkContext.setCheckpointDir to a durable path) to swap in a
+      reliable checkpoint — tested in tests/test_finalize.py.
     * finalization makes the QueryDef.spark() call EAGERLY execute the
       query at plan-construction time. Plan-only consumers (explain
       dumps, schema checks, tools/audit_plans.py) must set
@@ -102,7 +115,10 @@ def finalize(result: DataFrame, *caches: DataFrame,
     if pair_table:
         _DEFERRED.extend(caches)
         return result
-    out = result.localCheckpoint(eager=True)
+    if _reliable_checkpoint():
+        out = result.checkpoint(eager=True)
+    else:
+        out = result.localCheckpoint(eager=True)
     for c in caches:
         c.unpersist()
     return out

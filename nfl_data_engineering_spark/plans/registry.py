@@ -24,42 +24,42 @@ _ALL: list[QueryDef] = [*RELATIONAL_QUERIES, *TEXT_QUERIES,
 # prefix window of the catalog (50 entries/round), so rotation aims each
 # round's window at the entries with the most verification value.
 #
-# Round 6 window (50) — enacting the rotation staged in the r5 verdict
-# (item 6: rotate by age now that all 230 entries have rows), amended
-# with this round's code churn:
-# (a) entries ADDED or CHANGED in round 6, so their driver rows
-#     post-date the code they certify: the similarity-join front door
-#     (new), the binned-Gini kernel swap, every entry through the
-#     connected-components unpersist fix and the pair_table finalize
-#     path, and the recall audit's de-doubled cache;
-# (b) the 37 entries whose newest driver row is still round-1 vintage
-#     (rotated out of the r5 window), catalog order;
-# (c) remaining slots: oldest round-2 rows, catalog order.
+# Round 7 window (50) — the staleness rotation the r6 verdict staged
+# (item 2: the 42 entries whose newest driver row is still r1/r2
+# vintage; several share machinery refactored in r4-r6 — SRP bands,
+# simhash chunking now also feeding similarity_api.py):
+# (a) entries ADDED or semantically CHANGED in round 7: the
+#     leakage_safe_split rescued-docs fix (ADVICE r6 medium — the metric
+#     now compares resulting SPLITS, not raw buckets), the new
+#     second-threshold recall audit for the derived band config, and the
+#     front door whose minhash/simhash/prefix kernels changed;
+# (b) the 5 round-1-vintage then 37 round-2-vintage entries, name order;
+# (c) remaining slots: oldest round-3 rows touching this round's themes
+#     (the big_order_customers bench-drift check, the local-scale
+#     trimmed_mean baseline, multimodal, as-of tolerance, BPE).
 # Names absent from this list keep catalog order after it.
 _PRIORITY: list[str] = [
-    # --- (a) new or code-changed in round 6 ---
-    "leakage_safe_split", "kmv_set_ops", "trimmed_mean_binned",
-    "incremental_corpus_dedup", "exact_substring_spans",
-    "similarity_join_api", "revenue_gini_binned", "dedup_minhash_lsh",
-    "dedup_components", "dedup_survivor_table", "dedup_star_survivors",
-    "cross_shard_dedup_audit", "embedding_dedup_components",
-    "minhash_recall_audit", "ngram_jaccard_pairs", "prefix_filter_join",
-    # --- (b) round-1-vintage driver rows, oldest coverage ---
-    "exp_weighted_value", "trailing_avg", "matchup_differential",
-    "asof_join", "multi_key_sort", "union_by_name", "filter_pushdown",
-    "pct_parse", "clean_sentinels", "coerce_types", "priority_extract",
-    "tz_hour_histogram", "hourly_zero_fill", "hourly_interpolate",
-    "weekly_rollup", "pivot_wide", "explode_array", "value_percentiles",
-    "distinct_kmv", "user_sessions", "rollup_revenue", "daily_delta",
-    "cube_sales", "status_intersect", "spend_quartiles", "semi_join",
-    "anti_join", "grouping_sets", "except_all", "acctbal_pctrank",
-    "qty_price_corr", "clicks_before_purchase",
-    # --- (c) oldest round-2 rows ---
-    "record_split", "json_extract",
-    # (trimmed to exactly 50 for the driver's per-round window; the five
-    # dropped round-1 re-verifies — unpivot_metrics, locf_fill,
-    # lateral_topk, scd2_intervals, sliding_windows — are green since
-    # r1/r3 and rotate into round 7)
+    # --- (a) new or code-changed in round 7 ---
+    "leakage_safe_split", "minhash_recall_t05", "similarity_join_api",
+    # --- (b) round-1 then round-2 vintage driver rows ---
+    "lateral_topk", "locf_fill", "scd2_intervals", "sliding_windows",
+    "unpivot_metrics",
+    "ann_ivf_multiprobe", "ann_ivf_topk", "contamination_check",
+    "cosine_neardup_lsh", "cosine_neardup_pairs", "csv_roundtrip",
+    "dedup_exact_text", "dedup_simhash", "distinct_hll",
+    "doc_fingerprint", "doc_length_histogram", "drift_tvd",
+    "embedding_topk", "fuzzy_editdist", "json_roundtrip",
+    "lsh_recall_audit", "median_value_udaf", "multimodal_stats",
+    "normalized_dedup", "norms_pandas_udf", "odds_flatten",
+    "odds_python_source", "orc_roundtrip", "pii_redact",
+    "record_expand_udtf", "repetition_score", "scraper_longform",
+    "streaming_daily_rollup", "streaming_interval_join",
+    "streaming_sessionization", "text_quality", "token_counts",
+    "topk_salted", "trailing_7d_sum", "user_event_sequences",
+    "winsorized_stats", "xlsx_roundtrip",
+    # --- (c) oldest round-3 rows ---
+    "big_order_customers", "asof_tolerance", "trimmed_mean",
+    "bpe_merge_train", "multimodal_decode",
 ]
 
 assert not set(_PRIORITY) - {q.name for q in _ALL}, \

@@ -5,9 +5,14 @@ import sys
 
 import pytest
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-from nfl_data_engineering_spark.session import get_spark  # noqa: E402
+try:
+    from nfl_data_engineering_spark.session import get_spark
+except ImportError:
+    # not pip-installed (pip install -e .) and pytest invoked without the
+    # repo root on sys.path (the bare `pytest` binary does not add cwd)
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from nfl_data_engineering_spark.session import get_spark
 
 SF_SMOKE = "/root/testdata/sf0.001"
 

@@ -18,15 +18,21 @@ is scale-independent (it's registry bookkeeping, not data volume)."""
 from __future__ import annotations
 
 import gc
-import os
-import sys
 import time
+import warnings
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _n_persistent(spark) -> int:
-    return spark.sparkContext._jsc.getPersistentRDDs().size()
+def _persistent_rdds(spark) -> dict[int, str]:
+    """id -> 'Name MapPartitionsRDD[42] at localCheckpoint at <callsite>'
+    for every RDD in the context's persistent registry. The callsite is
+    what lets a failure name its creator (VERDICT r6 item 1)."""
+    out: dict[int, str] = {}
+    it = spark.sparkContext._jsc.getPersistentRDDs().entrySet().iterator()
+    while it.hasNext():
+        e = it.next()
+        out[int(e.getKey())] = str(e.getValue().rdd().toString())
+    return out
 
 
 def _run_catalog(spark, sf_dir) -> list[str]:
@@ -54,6 +60,18 @@ def test_full_catalog_single_session_releases_all_storage(
     monkeypatch.delenv("SPARK_GRAFT_NO_FINALIZE", raising=False)
     spark.catalog.clearCache()   # start clean regardless of test order
 
+    # Blocks registered BEFORE the catalog runs belong to sibling tests
+    # sharing the session fixture, not to the engine under test: the
+    # assertion below owns only ids created DURING the catalog run, so
+    # suite order can't fail this test for another test's hygiene
+    # (VERDICT r6: in-suite red / in-isolation green was exactly that).
+    # Siblings still get named — a non-empty baseline is warned loudly.
+    baseline = _persistent_rdds(spark)
+    if baseline:
+        warnings.warn(
+            "persisted RDDs pinned by earlier tests at endurance start: "
+            + "; ".join(f"id={i}: {s}" for i, s in baseline.items()))
+
     failures = _run_catalog(spark, sf_dir)
     assert not failures, failures
 
@@ -72,12 +90,18 @@ def test_full_catalog_single_session_releases_all_storage(
     # pace — on a machine also running another Spark JVM (observed: a
     # parallel pytest invocation) 90s flaked while the same tree passed
     # in isolation. The assertion is about DRAINING, not speed.
+    def catalog_survivors() -> dict[int, str]:
+        return {i: s for i, s in _persistent_rdds(spark).items()
+                if i not in baseline}
+
     deadline = time.time() + 240
-    while _n_persistent(spark) and time.time() < deadline:
+    while catalog_survivors() and time.time() < deadline:
         gc.collect()             # drops py4j wrappers -> JVM refs detach
         spark._jvm.System.gc()
         spark._jvm.System.runFinalization()
         time.sleep(1)
-    assert _n_persistent(spark) == 0, (
-        f"{_n_persistent(spark)} persisted RDDs still registered 90s after "
-        f"the catalog finished — checkpoint blocks are not being released")
+    left = catalog_survivors()
+    assert not left, (
+        f"{len(left)} catalog-created persisted RDDs still registered 240s "
+        f"after the catalog finished — checkpoint blocks are not being "
+        f"released: " + "; ".join(f"id={i}: {s}" for i, s in left.items()))

@@ -4,13 +4,10 @@ independent recomputation of the statistics."""
 
 from __future__ import annotations
 
-import os
-import sys
 
 import pandas as pd
 import pyspark.sql.functions as F
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from nfl_data_engineering_spark.plans.base import load  # noqa: E402
 from nfl_data_engineering_spark.plans.lakeops import (  # noqa: E402

@@ -17,21 +17,34 @@ from nfl_data_engineering_spark.operators.dedup import connected_components
 
 
 def test_no_cluster_spans_splits(spark, sf_dir):
+    """No verified near-dup PAIR straddles a split boundary. Per-doc
+    splits are derived exactly the way the entry derives them (canon =
+    coalesce(label, doc_id), h60 bucket -> split), then checked against
+    the raw EDGES rather than the component labels — grouping by label
+    and asserting one split per label would be true by construction
+    (split is a pure function of label; ADVICE r6). The edge form fails
+    if component labeling ever gives two linked docs different labels."""
     caches = []
-    labels = connected_components(
-        _star_verified_pairs(spark, sf_dir, caches), "d1", "d2")
-    for c in caches:
-        c.unpersist()
-    bucket = (h60(F.concat(F.lit("split_"), F.col("label").cast("string")))
-              % 10)
+    edges = _star_verified_pairs(spark, sf_dir, caches)
+    labels = connected_components(edges, "d1", "d2")
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    canon = F.coalesce(F.col("label"), F.col("doc_id"))
+    bucket = h60(F.concat(F.lit("split_"), canon.cast("string"))) % 10
     split = (F.when(bucket <= 7, F.lit("train"))
              .when(bucket == 8, F.lit("valid"))
              .otherwise(F.lit("test")))
-    spans = (labels.select("label", split.alias("split"))
-             .groupBy("label")
-             .agg(F.countDistinct("split").alias("k"))
-             .filter(F.col("k") > 1).count())
-    assert spans == 0
+    per_doc = (docs.join(labels.withColumnRenamed("n", "doc_id"),
+                         "doc_id", "left")
+               .select("doc_id", split.alias("split")))
+    straddlers = (edges
+                  .join(per_doc.select(F.col("doc_id").alias("d1"),
+                                       F.col("split").alias("s1")), "d1")
+                  .join(per_doc.select(F.col("doc_id").alias("d2"),
+                                       F.col("split").alias("s2")), "d2")
+                  .filter(F.col("s1") != F.col("s2")).count())
+    for c in caches:
+        c.unpersist()
+    assert straddlers == 0
 
 
 def test_rollup_conserves_docs_and_audits_rescues(spark, sf_dir):

@@ -5,9 +5,7 @@ from __future__ import annotations
 
 import datetime as dt
 import os
-import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from nfl_data_engineering_spark.plans.relational import (  # noqa: E402
     q_event_cooccurrence, q_late_shipment_audit)

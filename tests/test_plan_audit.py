@@ -7,10 +7,7 @@ item 1 / r4 item 7)."""
 
 from __future__ import annotations
 
-import os
-import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tools.audit_plans import audit  # noqa: E402
 

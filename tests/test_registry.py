@@ -84,6 +84,10 @@ _BENCH_SET = {
     # shapes of the dedup/decontamination families — regressions here are
     # the costliest to discover late
     "incremental_corpus_dedup", "semantic_contamination",
+    # round-7 additions (VERDICT r6 item 9): the round-6 deliverables that
+    # represent steady-state 100 TB shapes — the similarity-join front
+    # door (all four families in one entry) and the cluster-keyed split
+    "similarity_join_api", "leakage_safe_split",
 }
 
 

@@ -5,11 +5,9 @@ mixing, winsorized stats, salted top-k, embedding components."""
 from __future__ import annotations
 
 import os
-import sys
 
 import pyspark.sql.functions as F
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from nfl_data_engineering_spark.plans.relational import (  # noqa: E402
     q_lateral_topk, q_topk_salted, q_winsorized_stats)

@@ -5,11 +5,9 @@ hash-sampled quantiles, z-order pruning roundtrip."""
 from __future__ import annotations
 
 import os
-import sys
 
 import pyspark.sql.functions as F
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from nfl_data_engineering_spark.plans.connectors import (  # noqa: E402
     q_zorder_pruning)

@@ -4,11 +4,9 @@ parity gate): incremental-ingest dedup and the PQ recall audit."""
 from __future__ import annotations
 
 import os
-import sys
 
 import pyspark.sql.functions as F
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from nfl_data_engineering_spark.plans.textops import (  # noqa: E402
     q_incremental_corpus_dedup)

@@ -6,11 +6,9 @@ multi-batch streaming backfill."""
 from __future__ import annotations
 
 import os
-import sys
 
 import pyspark.sql.functions as F
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from nfl_data_engineering_spark.plans import training as T  # noqa: E402
 from nfl_data_engineering_spark.plans.connectors import (  # noqa: E402

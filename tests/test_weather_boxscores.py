@@ -9,11 +9,9 @@ from __future__ import annotations
 
 import datetime as dt
 import os
-import sys
 
 import pytest
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from nfl_data_engineering_spark.sources.box_scores import (  # noqa: E402
     SCHEDULE_COLUMNS, season_schedules, write_schedule_csv)

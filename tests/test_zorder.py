@@ -4,9 +4,7 @@ from __future__ import annotations
 
 import glob
 import os
-import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from nfl_data_engineering_spark.io import (write_zordered,  # noqa: E402
                                            zorder_keyed)

@@ -14,7 +14,11 @@ import os
 import re
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+try:
+    import nfl_data_engineering_spark  # noqa: F401 — installed?
+except ImportError:  # not pip-installed: tools/ is sys.path[0], not the repo
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # all-pairs baselines intentionally cross-join at test scale; their scale
 # path is the LSH/IVF twin in the same module
