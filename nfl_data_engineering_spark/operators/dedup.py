@@ -100,8 +100,11 @@ def connected_components(edges: DataFrame, src: str = "a",
         schema = (edges.select(F.col(src).alias("n"),
                                F.col(src).alias("label")).schema)
         return edges.sparkSession.createDataFrame(out, schema)
+    # max(cap, 1): tests force this path by monkeypatching the cap to 0,
+    # and the coalesce right-sizing must degrade to per-edge partitions,
+    # not divide by zero
     parts = max(1, min(bi_cached.rdd.getNumPartitions(),
-                       n_edges // _CC_DRIVER_EDGE_CAP))
+                       n_edges // max(_CC_DRIVER_EDGE_CAP, 1)))
     bi = bi_cached.coalesce(parts)
     # localCheckpoint, not cache: each round's plan references the previous
     # round's twice (self + neighbors), so without lineage truncation the

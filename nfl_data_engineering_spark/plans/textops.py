@@ -1771,6 +1771,130 @@ FROM base LEFT JOIN per_doc ON base.doc_id = per_doc.doc_id
 ORACLE_SUBSTRING_SPANS = _substring_spans_oracle()
 
 
+def q_substring_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring dedup REWRITE — the production pass downstream of the
+    q_exact_substring_spans audit: emit every document with its
+    duplicated spans REMOVED (token-level surgery), plus kept/removed
+    counts and an md5 of the cleaned text so the result stays narrow and
+    the reconstruction is hash-checked byte-for-byte across engines.
+    Matches the released ExactSubstr implementation's policy (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better"):
+    EVERY occurrence of a duplicated window is dropped, including the
+    first — keeping one canonical occurrence needs occurrence-level
+    arbitration the paper's tooling also skips. Cleaned text is the kept
+    tokens joined by single spaces (the token-level contract; original
+    whitespace is not preserved).
+
+    Scale shape: the span machinery is q_exact_substring_spans'
+    (row-local stride-1 window explode, ONE map-side-combined hash
+    groupBy for the repeat table, islands windowed over duplicated
+    positions only — 21.9 s at the 100x replica, SCALE.md). The rewrite
+    adds one posexplode of the token arrays (|tokens| rows, row-local)
+    anti-joined to the per-doc span table on (doc_id equi + pos range) —
+    spans per doc are few, so the range residual rides the doc_id hash
+    join — and one per-doc sorted reassembly (collect_list + array_sort,
+    state = the doc's own tokens, the same bound as holding the doc)."""
+    docs = load(spark, sf_dir, "documents")
+    k = SPAN_TOKENS
+    t = docs.select("doc_id", tokens(F.col("text")).alias("tk"))
+    base = t.select("doc_id", F.size("tk").cast("bigint").alias("n_tokens"))
+    wins = (t.filter(F.size("tk") >= k)
+            .select("doc_id", "tk",
+                    F.explode(F.sequence(F.lit(1), F.size("tk") - k + 1))
+                     .alias("pos"))
+            .select("doc_id", "pos",
+                    h60(F.concat_ws(" ", F.slice(F.col("tk"), F.col("pos"),
+                                                 k))).alias("w60"))
+            .cache())
+    wins.count()   # eager: repeat table + semi join race a lazy cache
+    dup = (wins.groupBy("w60").agg(F.count("*").alias("cnt"))
+           .filter(F.col("cnt") > 1).select("w60"))
+    dp = wins.join(dup, "w60", "left_semi")
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(F.lag("pos").over(wd).isNull()
+                 | (F.col("pos") - F.lag("pos").over(wd) > k),
+                 1).otherwise(0)
+    isl = (dp.withColumn("brk", brk)
+           .withColumn("island", F.sum("brk").over(
+               wd.rowsBetween(Window.unboundedPreceding,
+                              Window.currentRow))))
+    spans = (isl.groupBy("doc_id", "island")
+             .agg(F.min("pos").alias("s"),
+                  (F.max("pos") + k - 1).alias("e"))
+             .select(F.col("doc_id").alias("sdoc"), "s", "e"))
+    toks = t.select("doc_id",
+                    F.posexplode("tk").alias("pos0", "tok")) \
+            .select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    kept = toks.join(
+        spans,
+        (F.col("doc_id") == F.col("sdoc"))
+        & F.col("pos").between(F.col("s"), F.col("e")),
+        "left_anti")
+    ka = (kept.groupBy("doc_id")
+          .agg(F.count("*").alias("kept_tokens"),
+               F.concat_ws(" ", F.transform(
+                   F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                   lambda x: x["tok"])).alias("cleaned")))
+    out = (base.join(ka, "doc_id", "left")
+           .select("doc_id", "n_tokens",
+                   F.coalesce("kept_tokens", F.lit(0)).cast("bigint")
+                    .alias("kept_tokens"),
+                   (F.col("n_tokens")
+                    - F.coalesce("kept_tokens", F.lit(0))).cast("bigint")
+                    .alias("removed_tokens"),
+                   F.md5(F.coalesce("cleaned", F.lit("")))
+                    .alias("cleaned_hash")))
+    return finalize(out, wins)
+
+
+def _substring_rewrite_oracle() -> str:
+    toks = SQL_TOKENS.format(col="text")
+    k = SPAN_TOKENS
+    wh = SQL_H60.format(e=f"array_to_string(tk[pos:pos+{k - 1}], ' ')")
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
+w AS (
+  SELECT doc_id, tk,
+         unnest(generate_series(1, GREATEST(len(tk) - {k} + 1, 0))) AS pos
+  FROM t),
+wh AS (SELECT doc_id, pos, {wh} AS w60 FROM w),
+dup AS (SELECT w60 FROM wh GROUP BY w60 HAVING COUNT(*) > 1),
+dp AS (SELECT doc_id, pos FROM wh WHERE w60 IN (SELECT w60 FROM dup)),
+brk AS (
+  SELECT doc_id, pos,
+         CASE WHEN LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                OR pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   > {k}
+              THEN 1 ELSE 0 END AS brk
+  FROM dp),
+isl AS (SELECT doc_id, pos,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM brk),
+spans AS (SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + {k - 1} AS e
+          FROM isl GROUP BY 1, 2),
+posns AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS pos
+          FROM t),
+kept AS (
+  SELECT p.doc_id, p.pos, p.tk[p.pos] AS tok
+  FROM posns p
+  WHERE NOT EXISTS (SELECT 1 FROM spans s
+                    WHERE s.doc_id = p.doc_id AND p.pos BETWEEN s.s AND s.e)),
+ka AS (SELECT doc_id, COUNT(*) AS kept_tokens,
+              string_agg(tok, ' ' ORDER BY pos) AS cleaned
+       FROM kept GROUP BY 1),
+base AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM t)
+SELECT base.doc_id, n_tokens,
+       CAST(COALESCE(kept_tokens, 0) AS BIGINT) AS kept_tokens,
+       CAST(n_tokens - COALESCE(kept_tokens, 0) AS BIGINT)
+         AS removed_tokens,
+       md5(COALESCE(cleaned, '')) AS cleaned_hash
+FROM base LEFT JOIN ka ON base.doc_id = ka.doc_id
+"""
+
+
+ORACLE_SUBSTRING_REWRITE = _substring_rewrite_oracle()
+
+
 def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking: split every document into fixed-width
     character chunks (the pre-tokenizer pass that feeds an LLM context
@@ -1878,6 +2002,8 @@ TEXT_QUERIES = [
     QueryDef("doc_chunking", q_doc_chunking, ORACLE_DOC_CHUNKING, "LLM-chunking"),
     QueryDef("exact_substring_spans", q_exact_substring_spans,
              ORACLE_SUBSTRING_SPANS, "LLM-dedup-substring-spans"),
+    QueryDef("substring_dedup_rewrite", q_substring_dedup_rewrite,
+             ORACLE_SUBSTRING_REWRITE, "LLM-dedup-substring-rewrite"),
     QueryDef("segment_dedup", q_segment_dedup, ORACLE_SEGMENT_DEDUP,
              "LLM-dedup-segment", bench=True),
     QueryDef("inverted_index", q_inverted_index, ORACLE_INVERTED_INDEX, "LLM-inverted-index"),
