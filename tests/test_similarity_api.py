@@ -8,8 +8,10 @@ import pytest
 from pyspark.sql import functions as F
 
 from nfl_data_engineering_spark.plans.base import load, release_deferred
-from nfl_data_engineering_spark.plans.similarity_api import similarity_join
+from nfl_data_engineering_spark.plans.similarity_api import (
+    RECALL_FLOOR, minhash_band_config, similarity_join)
 from nfl_data_engineering_spark.plans.textops import (JACCARD_THRESHOLD,
+                                                      NUM_BANDS, NUM_HASHES,
                                                       SIMHASH_MAX_HAMMING)
 from nfl_data_engineering_spark.plans.vector import SRP_THRESHOLD
 
@@ -27,6 +29,36 @@ def test_dispatch_errors(spark, sf_dir):
         similarity_join(emb, "vec_id", "embedding", 3, metric="hamming")
     with pytest.raises(ValueError, match="hamming threshold"):
         similarity_join(docs, "doc_id", "text", 60, metric="hamming")
+    # exact=True has no meaning outside the jaccard/prefix family —
+    # silently ignoring it would fake a lossless guarantee (ADVICE r6)
+    with pytest.raises(ValueError, match="exact=True"):
+        similarity_join(docs, "doc_id", "text", 3, metric="hamming",
+                        exact=True)
+    with pytest.raises(ValueError, match="exact=True"):
+        similarity_join(emb, "vec_id", "embedding", 0.8, exact=True)
+
+
+def test_band_config_derivation():
+    """The threshold->band derivation (VERDICT r6 item 3): the proven
+    configs at the two measured thresholds, the S-curve floor honored by
+    every returned config, precision monotonicity (higher threshold ->
+    never more bands), and the r=1 fallback when even 64 bands cannot
+    reach the floor."""
+    assert minhash_band_config(JACCARD_THRESHOLD) == (NUM_HASHES, NUM_BANDS)
+    assert minhash_band_config(0.5) == (64, 32)
+    prev_bands = None
+    for t in (0.05, 0.2, 0.35, 0.5, 0.65, 0.8, 0.9, 0.95):
+        n, b = minhash_band_config(t)
+        assert n == NUM_HASHES and NUM_HASHES % b == 0
+        r = n // b
+        recall_at_t = 1.0 - (1.0 - t ** r) ** b
+        # floor holds except in the explicit r=1 fallback regime
+        assert recall_at_t >= RECALL_FLOOR or b == NUM_HASHES, (t, b)
+        if prev_bands is not None:
+            assert b <= prev_bands, "bands must not grow with threshold"
+        prev_bands = b
+    # very low threshold: no config clears the floor; max-recall fallback
+    assert minhash_band_config(0.01) == (NUM_HASHES, NUM_HASHES)
 
 
 def _pairs(df):
