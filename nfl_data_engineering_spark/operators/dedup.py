@@ -113,10 +113,25 @@ def connected_components(edges: DataFrame, src: str = "a",
     # eager=False: the convergence-sum collect below materializes the
     # checkpoint in the SAME job, halving the jobs per round; lineage is
     # truncated on that first materialization all the same.
+    # Storage discipline: round N's checkpoint reads only round N-1's, so
+    # once N materializes (the convergence collect), N-1's blocks are
+    # dead — released EXPLICITLY via registry diff + unpersist rather
+    # than left to the ContextCleaner's GC pace (the py4j-detach race of
+    # VERDICT r6 item 1). The FINAL labels checkpoint stays persisted —
+    # the caller's derived plans read it — with its ids exposed on
+    # labels._ckpt_ids for callers that have materialized every
+    # dependent (see storage.py's tracking contract for why it must not
+    # be weakref-swept).
+    from ..storage import registry_rdd_ids, unpersist_rdd_ids
+    spark = edges.sparkSession
+    seen = registry_rdd_ids(spark)
+    prev_ids: set[int] = set()
     labels = (bi.select(F.col("a").alias("n")).distinct()
               .withColumn("label", F.col("n")).coalesce(parts)
               .localCheckpoint(eager=False))
     old_sum = labels.agg(F.sum("label")).collect()[0][0]
+    now = registry_rdd_ids(spark)
+    prev_ids, seen = now - seen, now
     while True:
         neigh = (bi.join(labels.withColumnRenamed("n", "a")
                          .withColumnRenamed("label", "nlabel"), "a")
@@ -127,10 +142,14 @@ def connected_components(edges: DataFrame, src: str = "a",
                   .coalesce(parts)
                   .localCheckpoint(eager=False))
         new_sum = labels.agg(F.sum("label")).collect()[0][0]
+        now = registry_rdd_ids(spark)
+        unpersist_rdd_ids(spark, prev_ids)   # round N-1: dead once N exists
+        prev_ids, seen = now - seen, now
         if new_sum == old_sum:
             break
         old_sum = new_sum
     bi_cached.unpersist()
+    labels._ckpt_ids = prev_ids
     return labels
 
 

@@ -35,6 +35,9 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..storage import (registry_rdd_ids, sweep_dead_checkpoints,
+                       track_checkpoint)
+
 
 @dataclass(frozen=True)
 class QueryDef:
@@ -116,22 +119,38 @@ def finalize(result: DataFrame, *caches: DataFrame,
         _DEFERRED.extend(caches)
         return result
     if _reliable_checkpoint():
+        # reliable checkpoints live as FILES under the checkpoint dir,
+        # not as persistent-registry blocks — nothing to track
         out = result.checkpoint(eager=True)
     else:
+        # record the checkpoint's registry ids so release is EXPLICIT
+        # (release_deferred's sweep) once the wrapper dies — the
+        # ContextCleaner/py4j-detach chain is GC-paced and can lose a
+        # detach, pinning one block forever (VERDICT r6 item 1's flake).
+        # The result of an eager localCheckpoint is self-contained (its
+        # plan scans its own checkpoint), satisfying storage.py's
+        # tracking contract. The diff may also catch cache blocks this
+        # job materialized; those unpersist below, making their ids
+        # stale in the tracked set — unpersist_rdd_ids skips absent ids.
+        before = registry_rdd_ids(result.sparkSession)
         out = result.localCheckpoint(eager=True)
+        track_checkpoint(out, registry_rdd_ids(result.sparkSession) - before)
     for c in caches:
         c.unpersist()
     return out
 
 
 def release_deferred() -> int:
-    """Unpersist caches parked by finalize(pair_table=True); returns how
-    many were released. Idempotent; call between catalog entries."""
+    """Unpersist caches parked by finalize(pair_table=True) AND
+    explicitly release finalize-checkpoint blocks whose Python wrapper
+    has died (storage.sweep_dead_checkpoints — deterministic, no GC in
+    the path); returns how many storage entries were released.
+    Idempotent; call between catalog entries."""
     n = len(_DEFERRED)
     for c in _DEFERRED:
         c.unpersist()
     _DEFERRED.clear()
-    return n
+    return n + sweep_dead_checkpoints()
 
 
 def dec(c, p="18,2"):

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.hashing import h60
 from ..functions.text import tokens
-from .base import QueryDef, load
+from .base import QueryDef, finalize, load
 
 SQL_H60 = "(('0x' || substr(md5({e}), 1, 15))::BIGINT)"
 # the one DuckDB-side twin of functions.text.tokens(); every oracle that
@@ -586,8 +586,21 @@ def _bpe_loop(tok: DataFrame, steps: int):
     ``steps`` merge rounds plus the per-round (step, left, right,
     n_merged) log. Both the trainer (which reports the log) and the
     encoder (which reports the rewritten corpus) run THIS loop, so the
-    two catalog entries check the same dataflow from two angles."""
+    two catalog entries check the same dataflow from two angles.
+
+    Storage discipline: step N's eager checkpoint reads step N-1's, so
+    once N materializes, N-1's blocks are dead — released EXPLICITLY
+    here (registry diff + unpersist_rdd_ids) instead of waiting on the
+    ContextCleaner's GC pace (the py4j-detach race of VERDICT r6 item 1;
+    a BPE_STEPS-deep loop otherwise piles up one pinned checkpoint per
+    round until GC). The FINAL table's ids ride back on
+    ``tok._ckpt_ids``: the trainer drops the table and releases them at
+    once; the encoder releases them after its finalize materializes."""
+    from ..storage import registry_rdd_ids, unpersist_rdd_ids
+    spark = tok.sparkSession
     out_rows = []
+    prev_ids: set[int] = set()
+    seen = registry_rdd_ids(spark)
     for step in range(1, steps + 1):
         wdoc = Window.partitionBy("doc_id").orderBy("pos")
         cur = tok.withColumn("nxt", F.lead("t").over(wdoc))
@@ -623,6 +636,11 @@ def _bpe_loop(tok: DataFrame, steps: int):
                               F.concat_ws("_", F.lit(a), F.lit(b)))
                         .otherwise(F.col("t")).alias("t"))
                .localCheckpoint(eager=True))
+        now = registry_rdd_ids(spark)
+        unpersist_rdd_ids(spark, prev_ids)   # step N-1: dead once N exists
+        prev_ids = now - seen
+        seen = now
+    tok._ckpt_ids = prev_ids                 # final table: caller releases
     return tok, out_rows
 
 
@@ -648,7 +666,11 @@ def q_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = (load(spark, sf_dir, "documents")
            .select("doc_id", F.posexplode(tokens(F.col("text")))
                    .alias("pos", "t")))
-    _, out_rows = _bpe_loop(tok, BPE_STEPS)
+    final_tok, out_rows = _bpe_loop(tok, BPE_STEPS)
+    # the trainer reports only the merge log — the final token table's
+    # checkpoint is dead on arrival; release it explicitly
+    from ..storage import unpersist_rdd_ids
+    unpersist_rdd_ids(spark, getattr(final_tok, "_ckpt_ids", set()))
     return spark.createDataFrame(
         out_rows, "step int, left_tok string, right_tok string, n_merged bigint")
 
@@ -675,10 +697,17 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_base_tokens"))
     n_after = encoded.groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"))
-    return (n_before.join(n_after, "doc_id")
-            .select("doc_id", "n_base_tokens", "n_tokens",
-                    F.expr("n_tokens * 1000000 div n_base_tokens")
-                     .alias("compression_ppm")))
+    out = (n_before.join(n_after, "doc_id")
+           .select("doc_id", "n_base_tokens", "n_tokens",
+                   F.expr("n_tokens * 1000000 div n_base_tokens")
+                    .alias("compression_ppm")))
+    # finalize materializes the rollup, after which the encoded table's
+    # final checkpoint has no live reader — release it explicitly rather
+    # than waiting on the ContextCleaner (VERDICT r6 item 1's GC race)
+    res = finalize(out)
+    from ..storage import unpersist_rdd_ids
+    unpersist_rdd_ids(spark, getattr(encoded, "_ckpt_ids", set()))
+    return res
 
 
 def _bpe_oracle() -> str:

@@ -1,0 +1,89 @@
+"""Deterministic storage-release plumbing for engine-created checkpoint
+blocks.
+
+Spark releases a localCheckpoint's blocks when the ContextCleaner
+notices the JVM-side RDD object became garbage — which, from Python,
+additionally requires py4j to deliver the wrapper's detach message. That
+chain is GC-paced and has a real race: a single lost/late detach pins
+one RDD in the persistent registry indefinitely (observed as the
+endurance test's 1-in-N flake, VERDICT r6 item 1 — one surviving
+`MapPartitionsRDD at localCheckpoint at <unknown>:0` after 240 s of GC
+polling, CacheManager empty).
+
+This module removes the GC from the release path for every checkpoint
+the ENGINE creates: the creator records the checkpoint's persistent RDD
+ids (a registry diff around the eager materialization), and
+`sweep_dead_checkpoints()` — called by `plans.base.release_deferred()`,
+i.e. by every catalog runner between entries — explicitly unpersists the
+ids whose Python wrapper has died. Explicit unpersist needs no JVM
+garbage collection and no py4j detach.
+
+SAFETY CONTRACT: only frames that are SELF-CONTAINED may be tracked —
+the eager-checkpoint results of `finalize()` (their plan is a scan of
+their own checkpoint). A checkpointed frame that downstream LAZY plans
+still reference (e.g. connected_components' final labels frame, which
+entries derive from and drop) must NOT be weakref-tracked: its wrapper
+dying does not mean its blocks are unused. Those stay ContextCleaner-
+managed; their creators expose the ids on the frame (`_ckpt_ids`) so a
+caller that has materialized every dependent can release explicitly.
+"""
+
+from __future__ import annotations
+
+import weakref
+
+from pyspark.sql import DataFrame
+
+# (weakref to the self-contained frame, its persistent RDD ids, session)
+_TRACKED: list[tuple[weakref.ref, frozenset, object]] = []
+
+
+def registry_rdd_ids(spark) -> set[int]:
+    """Ids currently in the context's persistent-RDD registry."""
+    it = spark.sparkContext._jsc.getPersistentRDDs().keySet().iterator()
+    out: set[int] = set()
+    while it.hasNext():
+        out.add(int(it.next()))
+    return out
+
+
+def unpersist_rdd_ids(spark, ids) -> int:
+    """Explicitly unpersist the given registry ids (non-blocking), via
+    the public JavaRDD.unpersist on the registry's own wrappers. Ids no
+    longer registered are skipped — double-release is a no-op."""
+    if not ids:
+        return 0
+    n = 0
+    it = spark.sparkContext._jsc.getPersistentRDDs().entrySet().iterator()
+    while it.hasNext():
+        e = it.next()
+        if int(e.getKey()) in ids:
+            e.getValue().unpersist(False)
+            n += 1
+    return n
+
+
+def track_checkpoint(df: DataFrame, ids) -> None:
+    """Register a SELF-CONTAINED checkpointed frame for deterministic
+    release once its Python wrapper dies (see module contract)."""
+    if ids:
+        _TRACKED.append((weakref.ref(df), frozenset(ids), df.sparkSession))
+
+
+def sweep_dead_checkpoints() -> int:
+    """Unpersist every tracked checkpoint whose wrapper has died;
+    returns how many registry entries were released. Survivors stay
+    tracked. Safe across stopped sessions (a dead JVM simply has no
+    blocks left to release)."""
+    released = 0
+    alive: list[tuple[weakref.ref, frozenset, object]] = []
+    for ref, ids, spark in _TRACKED:
+        if ref() is None:
+            try:
+                released += unpersist_rdd_ids(spark, ids)
+            except Exception:   # session stopped: blocks died with it
+                pass
+        else:
+            alive.append((ref, ids, spark))
+    _TRACKED[:] = alive
+    return released

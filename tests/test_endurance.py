@@ -35,14 +35,19 @@ def _persistent_rdds(spark) -> dict[int, str]:
     return out
 
 
-def _run_catalog(spark, sf_dir) -> list[str]:
+def _run_catalog(spark, sf_dir) -> tuple[list[str], dict[int, str]]:
     """Own stack frame: every per-entry local (DataFrames, py4j wrappers)
     dies when this returns, so the drain poll below measures the
-    ContextCleaner, not lingering test-frame references."""
+    ContextCleaner, not lingering test-frame references. Returns the
+    failures plus a per-id attribution map (id -> creating entry) so a
+    surviving block names its creator, not just a py4j '<unknown>:0'
+    callsite (VERDICT r6 item 1)."""
     from nfl_data_engineering_spark.plans.base import release_deferred
     from nfl_data_engineering_spark.plans.registry import CATALOG
 
-    failures = []
+    failures: list[str] = []
+    created_by: dict[int, str] = {}
+    prev_ids = set(_persistent_rdds(spark))
     for q in CATALOG:
         try:
             df = q.spark(spark, sf_dir)
@@ -50,8 +55,12 @@ def _run_catalog(spark, sf_dir) -> list[str]:
             del df
         except Exception as e:   # noqa: BLE001 — collect all, report once
             failures.append(f"{q.name}: {type(e).__name__}: {str(e)[:120]}")
-        release_deferred()       # pair-table entries park caches for us
-    return failures
+        release_deferred()       # caches parked for us + checkpoint sweep
+        cur = set(_persistent_rdds(spark))
+        for i in cur - prev_ids:
+            created_by[i] = q.name
+        prev_ids = cur
+    return failures, created_by
 
 
 def test_full_catalog_single_session_releases_all_storage(
@@ -72,7 +81,7 @@ def test_full_catalog_single_session_releases_all_storage(
             "persisted RDDs pinned by earlier tests at endurance start: "
             + "; ".join(f"id={i}: {s}" for i, s in baseline.items()))
 
-    failures = _run_catalog(spark, sf_dir)
+    failures, created_by = _run_catalog(spark, sf_dir)
     assert not failures, failures
 
     # 1) no DataFrame cache may outlive its entry
@@ -104,4 +113,6 @@ def test_full_catalog_single_session_releases_all_storage(
     assert not left, (
         f"{len(left)} catalog-created persisted RDDs still registered 240s "
         f"after the catalog finished — checkpoint blocks are not being "
-        f"released: " + "; ".join(f"id={i}: {s}" for i, s in left.items()))
+        f"released: " + "; ".join(
+            f"id={i} (created by {created_by.get(i, 'unattributed')}): {s}"
+            for i, s in left.items()))

@@ -37,6 +37,32 @@ def test_finalize_reliable_checkpoint_mode(spark, tmp_path, monkeypatch):
         "finalize(reliable) failed to unpersist the cache it was handed"
 
 
+def test_finalize_checkpoint_release_is_deterministic(spark, monkeypatch):
+    """Once a finalized frame's wrapper dies, release_deferred() must
+    remove its checkpoint blocks from the persistent registry
+    IMMEDIATELY — no gc.collect(), no JVM System.gc(), no poll. This is
+    the deterministic-release contract (storage.py) that replaces the
+    ContextCleaner/py4j-detach chain whose lost-detach race pinned one
+    block per ~3 full-suite runs (VERDICT r6 item 1)."""
+    from nfl_data_engineering_spark.plans.base import release_deferred
+    from nfl_data_engineering_spark.storage import registry_rdd_ids
+
+    monkeypatch.delenv("SPARK_GRAFT_NO_FINALIZE", raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_RELIABLE_CHECKPOINT", raising=False)
+    release_deferred()                       # drain other tests' leftovers
+    before = registry_rdd_ids(spark)
+    out = finalize(_frame(spark).groupBy("k").agg(F.count("*").alias("n")))
+    created = registry_rdd_ids(spark) - before
+    assert created, "eager localCheckpoint must register a persistent RDD"
+    assert release_deferred() == 0, \
+        "sweep must NOT touch a checkpoint whose wrapper is alive"
+    assert created <= registry_rdd_ids(spark)
+    del out                                  # refcount death — no gc needed
+    assert release_deferred() >= len(created)
+    assert not (registry_rdd_ids(spark) & created), \
+        "checkpoint blocks must leave the registry at the sweep, not at GC"
+
+
 def test_finalize_default_mode_unchanged(spark, monkeypatch):
     monkeypatch.delenv("SPARK_GRAFT_NO_FINALIZE", raising=False)
     monkeypatch.delenv("SPARK_GRAFT_RELIABLE_CHECKPOINT", raising=False)
