@@ -38,9 +38,11 @@ ALLOW_NESTED_LOOP = {"cosine_neardup_pairs", "embedding_topk", "ann_ivf_topk",
                      "ab_test_report", "spend_quartiles_cutoffs",
                      "rfm_segmentation_cutoffs", "pq_recall_audit",
                      # triangle_count crosses three 1-row count aggregates
-                     # into the summary row; minhash_recall_audit crosses
+                     # into the summary row; the two minhash recall audits
+                     # (0.8-constant and 0.5-derived band configs) cross
                      # two 1-row counts (exact vs lsh) for the ppm ratio
                      "triangle_count", "minhash_recall_audit",
+                     "minhash_recall_t05",
                      # 1-row exact-vs-estimate cross for the ppm ratio
                      "join_size_estimate"}
 
