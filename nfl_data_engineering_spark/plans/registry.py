@@ -41,7 +41,7 @@ _ALL: list[QueryDef] = [*RELATIONAL_QUERIES, *TEXT_QUERIES,
 _PRIORITY: list[str] = [
     # --- (a) new or code-changed in round 7 ---
     "leakage_safe_split", "minhash_recall_t05", "similarity_join_api",
-    "substring_dedup_rewrite",
+    "substring_dedup_rewrite", "semantic_dedup",
     # --- (b) round-1 then round-2 vintage driver rows ---
     "lateral_topk", "locf_fill", "scd2_intervals", "sliding_windows",
     "unpivot_metrics",
@@ -58,9 +58,8 @@ _PRIORITY: list[str] = [
     "streaming_sessionization", "text_quality", "token_counts",
     "topk_salted", "trailing_7d_sum", "user_event_sequences",
     "winsorized_stats", "xlsx_roundtrip",
-    # --- (c) oldest round-3 rows (4 slots after the round-7 additions) ---
-    "big_order_customers", "asof_tolerance", "trimmed_mean",
-    "multimodal_decode",
+    # --- (c) oldest round-3 rows (3 slots after the round-7 additions) ---
+    "big_order_customers", "trimmed_mean", "multimodal_decode",
 ]
 
 assert not set(_PRIORITY) - {q.name for q in _ALL}, \

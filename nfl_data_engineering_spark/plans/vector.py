@@ -969,11 +969,13 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / 1e9 / F.count("*"), 6).alias("avg_cos")), emb)
 
 
-def _oracle_kmeans() -> str:
-    """Unrolled-CTE twin of the Lloyd loop: c0 (seeds) -> [assign ->
-    refit] x KMEANS_REFITS -> final assign -> per-cluster report."""
+def _kmeans_cte_parts(k_sql: str = str(KMEANS_K)) -> list[str]:
+    """Unrolled CTE parts of the Lloyd loop, ending at ``af`` (the final
+    (vec_id, cl, cs) assignment) — shared by the kmeans report oracle
+    (fixed K) and the SemDeDup oracle, whose cluster count is a SQL
+    expression derived from the corpus size."""
     parts = [f"c0 AS (SELECT vec_id AS cl, embedding::DOUBLE[] AS cent\n"
-             f"       FROM embeddings WHERE vec_id < {KMEANS_K})"]
+             f"       FROM embeddings WHERE vec_id < {k_sql})"]
     prev = "c0"
     for i in range(1, KMEANS_REFITS + 1):
         parts += [
@@ -1011,11 +1013,169 @@ def _oracle_kmeans() -> str:
                                  ORDER BY cs DESC, cl) AS rn FROM sf)
   WHERE rn = 1)""",
     ]
-    return ("WITH " + ",\n".join(parts) + """
+    return parts
+
+
+def _oracle_kmeans() -> str:
+    """Unrolled-CTE twin of the Lloyd loop: c0 (seeds) -> [assign ->
+    refit] x KMEANS_REFITS -> final assign -> per-cluster report."""
+    return ("WITH " + ",\n".join(_kmeans_cte_parts()) + """
 SELECT cl AS cluster, COUNT(*) AS n_members,
        ROUND(SUM(CAST(ROUND(cs * 1e9) AS BIGINT)) / 1e9 / COUNT(*), 6)
          AS avg_cos
 FROM af GROUP BY cl""")
+
+
+SEMDEDUP_THRESHOLD = 0.45   # = SRP_THRESHOLD: the corpus's verified
+                            # near-dup gate, so the entry exercises real
+                            # multi-member duplicate groups at test sf
+SEMDEDUP_CLUSTER_SIZE = 2500   # target mean cluster size: the cluster
+                               # count scales as ceil(n / this), keeping
+                               # the within-cluster quadratic bounded —
+                               # the SemDeDup paper's own scaling move
+                               # (50k clusters for 100M+ items)
+
+
+def _semdedup_k(n: int) -> int:
+    """Cluster count for a corpus of n vectors: at least the fixed-K
+    report entry's 8, growing so mean cluster size stays bounded. At the
+    test scale factors (<= 20k vectors) this IS 8, so the entry's
+    verified results are unchanged; replicas get proportionally more
+    clusters. Twin of the SQL expression in the oracle."""
+    return max(KMEANS_K, -(-n // SEMDEDUP_CLUSTER_SIZE))
+
+
+_SEMDEDUP_K_SQL = (f"GREATEST({KMEANS_K}, CAST(CEIL("
+                   f"(SELECT COUNT(*) FROM embeddings)"
+                   f" / {SEMDEDUP_CLUSTER_SIZE}.0) AS BIGINT))")
+
+
+def _semdedup_pair_kernel(threshold: float):
+    """Per-cluster pairwise-cosine kernel for applyInPandas: emits the
+    (v1, v2) pairs with cosine >= threshold, v1 < v2. The matrix math
+    accumulates PER DIMENSION in index order (dp += outer(x_d, x_d),
+    xx += x_d^2 — the _kmeans_assign doctrine), so every element's float
+    op sequence is bit-identical to the sequential fold the oracle's
+    list_dot_product computes; zero-norm vectors score NaN, which fails
+    the >= gate exactly like the oracle's NULL. Row-blocked so a skewed
+    cluster costs O(block x members) memory, never members^2. Measured
+    34x over the expression-tree join form at the 10x replica (360.7s ->
+    10.7s, SCALE.md round 7): one Arrow batch per cluster instead of
+    ~25M per-pair fold evaluations, and norms computed once per vector
+    instead of twice per pair."""
+    def fn(pdf):
+        import numpy as np
+        import pandas as pd
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)             # unique ids -> total order
+        ids = ids[order]
+        m = len(ids)
+        if m < 2:
+            return pd.DataFrame({"v1": np.array([], dtype=np.int64),
+                                 "v2": np.array([], dtype=np.int64)})
+        x = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in pdf["embedding"].iloc[order]])
+        xx = np.zeros(m)
+        for d in range(x.shape[1]):         # sequential over dims
+            xx += x[:, d] * x[:, d]
+        nrm = np.sqrt(xx)
+        out1, out2 = [], []
+        block = 1024
+        for s in range(0, m, block):
+            xb = x[s:s + block]
+            dp = np.zeros((xb.shape[0], m))
+            for d in range(x.shape[1]):     # sequential over dims
+                dp += xb[:, d, None] * x[None, :, d]
+            denom = nrm[s:s + block, None] * nrm[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cs = dp / denom
+            rows, cols = np.nonzero(cs >= threshold)
+            keep = (rows + s) < cols        # v1 < v2, no self pairs
+            out1.append(ids[rows[keep] + s])
+            out2.append(ids[cols[keep]])
+        return pd.DataFrame({"v1": np.concatenate(out1),
+                             "v2": np.concatenate(out2)})
+    return fn
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    'SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication' — public method description): k-means-cluster the
+    embedding corpus, compare pairs ONLY within a cluster, link pairs
+    with cosine >= threshold, keep one canonical member per linked
+    group. Returns the per-vector survivor table (vec_id, cluster,
+    canonical_vec_id, is_survivor) — the semantic twin of
+    q_dedup_survivor_table's text contract, and the missing middle
+    between exact/MinHash text dedup and pure embedding CC
+    (q_embedding_dedup_components links ALL SRP-candidate pairs; this
+    entry scopes candidates by cluster the way the paper does).
+
+    Scale shape: clustering is the measured q_kmeans_embeddings dataflow
+    (shuffle-free Arrow assignment, one (cl,d) aggregate per refit);
+    the pair stage is a cl-keyed equi-join whose fan-out is bounded by
+    cluster size — and the cluster count is DERIVED from the corpus
+    size (_semdedup_k: ceil(n / SEMDEDUP_CLUSTER_SIZE), the paper's own
+    scaling move — 50k clusters for 100M+ items — so the within-cluster
+    quadratic, which IS the algorithm's documented trade, stays bounded
+    per cluster at any corpus size; the oracle derives the identical K
+    in SQL). Components ride operators/dedup.py's two-path CC; the
+    survivor join broadcasts the (small) labels frame. Cross-cluster
+    near-dups are missed BY DESIGN — the paper's recall trade for
+    tractability. Seeds are the K lowest vec_ids (deterministic; on the
+    key-shifted replicas that means copy 0 — seeding is arbitrary and
+    both engines apply the same predicate).
+
+    Determinism: clustering is the proven deterministic Lloyd twin
+    (seeded by the K lowest vec_ids, exact-decimal recenter, argmax tie
+    to lowest cluster id); pair cosine is the sequential fold both
+    engines share; canonical = component-minimum vec_id."""
+    from ..operators.dedup import connected_components
+    emb = (load(spark, sf_dir, "embeddings")
+           .select("vec_id", "embedding").cache())
+    k = _semdedup_k(emb.count())
+    cents = [(r["vec_id"], list(r["embedding"]))
+             for r in emb.filter(F.col("vec_id") < k).collect()]
+    for _ in range(KMEANS_REFITS):
+        cents = _kmeans_recenter(_kmeans_assign(emb, cents))
+    final = (_kmeans_assign(emb, cents)
+             .select("vec_id", "embedding", "cl").cache())
+    final.count()   # eager: pair kernel + survivor join race a lazy cache
+    pairs = final.groupBy("cl").applyInPandas(
+        _semdedup_pair_kernel(float(SEMDEDUP_THRESHOLD)),
+        "v1 long, v2 long")
+    labels = connected_components(pairs, "v1", "v2")
+    canon = F.coalesce(F.col("label"), F.col("vec_id"))
+    out = (final.select("vec_id", F.col("cl").alias("cluster"))
+           .join(labels.withColumnRenamed("n", "vec_id"), "vec_id", "left")
+           .select("vec_id", "cluster", canon.alias("canonical_vec_id"),
+                   (canon == F.col("vec_id")).cast("int")
+                    .alias("is_survivor")))
+    return finalize(out, emb, final)
+
+
+def _oracle_semantic_dedup() -> str:
+    cos = SQL_COS.format(a="e1.embedding", b="e2.embedding")
+    return ("WITH RECURSIVE "
+            + ",\n".join(_kmeans_cte_parts(_SEMDEDUP_K_SQL)) + f""",
+pr AS (
+  SELECT a.vec_id AS v1, b.vec_id AS v2
+  FROM af a JOIN af b ON a.cl = b.cl AND a.vec_id < b.vec_id
+  JOIN embeddings e1 ON e1.vec_id = a.vec_id
+  JOIN embeddings e2 ON e2.vec_id = b.vec_id
+  WHERE {cos} >= {SEMDEDUP_THRESHOLD}),
+bi AS (SELECT v1 AS a, v2 AS b FROM pr UNION SELECT v2, v1 FROM pr),
+nodes AS (SELECT DISTINCT a AS n FROM bi),
+r AS (
+  SELECT n AS a, n AS b FROM nodes
+  UNION
+  SELECT r.a, bi.b FROM r JOIN bi ON r.b = bi.a),
+comp AS (SELECT a AS vec_id, MIN(b) AS component FROM r GROUP BY a)
+SELECT af.vec_id, af.cl AS cluster,
+       COALESCE(comp.component, af.vec_id) AS canonical_vec_id,
+       CASE WHEN COALESCE(comp.component, af.vec_id) = af.vec_id
+            THEN 1 ELSE 0 END AS is_survivor
+FROM af LEFT JOIN comp ON comp.vec_id = af.vec_id""")
 
 
 # ---------------------------------------------------------------------------
@@ -1145,6 +1305,8 @@ VECTOR_QUERIES = [
              "LLM-sim-pq", bench=True),
     QueryDef("pq_recall_audit", q_pq_recall_audit, ORACLE_PQ_RECALL,
              "LLM-sim-pq-recall"),
+    QueryDef("semantic_dedup", q_semantic_dedup, _oracle_semantic_dedup(),
+             "LLM-dedup-semantic"),
     QueryDef("kmeans_embeddings", q_kmeans_embeddings, _oracle_kmeans(),
              "LLM-cluster-kmeans", bench=True),
     QueryDef("embedding_int8_quant", q_embedding_int8_quant,
