@@ -140,6 +140,24 @@ def finalize(result: DataFrame, *caches: DataFrame,
     return out
 
 
+def finalize_cc(result: DataFrame, labels: DataFrame,
+                *caches: DataFrame) -> DataFrame:
+    """finalize() for entries built on connected_components: after the
+    eager checkpoint materializes every dependent of the labels frame,
+    the final min-label checkpoint (labels._ckpt_ids — only set when the
+    distributed path ran; the driver fast path persists nothing) has no
+    live reader and is released EXPLICITLY, completing the
+    deterministic-release story for the CC family. Skipped under
+    SPARK_GRAFT_NO_FINALIZE: the returned plan is then still lazy and
+    reads that checkpoint."""
+    from ..storage import unpersist_rdd_ids
+    out = finalize(result, *caches)
+    if not _no_finalize():
+        unpersist_rdd_ids(labels.sparkSession,
+                          getattr(labels, "_ckpt_ids", set()))
+    return out
+
+
 def release_deferred() -> int:
     """Unpersist caches parked by finalize(pair_table=True) AND
     explicitly release finalize-checkpoint blocks whose Python wrapper

@@ -23,7 +23,7 @@ from ..functions.hashing import (MERSENNE_P, h60, h60_py,
 from ..functions.text import (LANG_MARKERS, STOPWORDS, WORD_RE, doc_fingerprint,
                               explode_shingle_hashes, explode_tokens, lang_id,
                               regex_token_count, shingles, tokens)
-from .base import QueryDef, finalize, load
+from .base import QueryDef, finalize, finalize_cc, load
 
 # DuckDB twins of functions/text.py tokens() and functions/hashing.py h60().
 SQL_TOKENS = "list_filter(regexp_split_to_array(lower({col}), '\\s+'), t -> t != '')"
@@ -163,9 +163,10 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so the helper caches are out of the result's lineage — release now
     for c in caches:
         c.unpersist()
-    return (labels.groupBy(F.col("label").alias("component"))
-            .agg(F.count("*").alias("n_docs"),
-                 F.max("n").alias("max_doc_id")))
+    out = (labels.groupBy(F.col("label").alias("component"))
+           .agg(F.count("*").alias("n_docs"),
+                F.max("n").alias("max_doc_id")))
+    return finalize_cc(out, labels)
 
 
 def q_dedup_survivor_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -185,11 +186,12 @@ def q_dedup_survivor_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in caches:     # labels checkpointed -> caches out of lineage
         c.unpersist()
     canon = F.coalesce(F.col("label"), F.col("doc_id"))
-    return (docs.join(labels.withColumnRenamed("n", "doc_id"),
-                      "doc_id", "left")
-            .select("doc_id", canon.alias("canonical_doc_id"),
-                    (canon == F.col("doc_id")).cast("int")
-                    .alias("is_survivor")))
+    out = (docs.join(labels.withColumnRenamed("n", "doc_id"),
+                     "doc_id", "left")
+           .select("doc_id", canon.alias("canonical_doc_id"),
+                   (canon == F.col("doc_id")).cast("int")
+                   .alias("is_survivor")))
+    return finalize_cc(out, labels)
 
 
 def sql_minhash_band_ctes(num_hashes: int, num_bands: int) -> str:
@@ -343,11 +345,12 @@ def q_dedup_star_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in caches:     # labels checkpointed -> caches out of lineage
         c.unpersist()
     canon = F.coalesce(F.col("label"), F.col("doc_id"))
-    return (docs.select("doc_id")
-            .join(labels.withColumnRenamed("n", "doc_id"), "doc_id", "left")
-            .select("doc_id", canon.alias("canonical_doc_id"),
-                    (canon == F.col("doc_id")).cast("int")
-                    .alias("is_survivor")))
+    out = (docs.select("doc_id")
+           .join(labels.withColumnRenamed("n", "doc_id"), "doc_id", "left")
+           .select("doc_id", canon.alias("canonical_doc_id"),
+                   (canon == F.col("doc_id")).cast("int")
+                   .alias("is_survivor")))
+    return finalize_cc(out, labels)
 
 
 _SQL_STAR_COMP_CTES = f"""{_SQL_MINHASH_BAND_CTES},
@@ -417,13 +420,14 @@ def q_cross_shard_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = (members.groupBy("label")
            .agg(F.count("*").alias("n_docs"),
                 F.countDistinct("shard").alias("n_shards")))
-    return per.agg(
+    out = per.agg(
         F.count("*").alias("n_clusters"),
         F.sum((F.col("n_shards") > 1).cast("int")).cast("bigint")
          .alias("n_split_clusters"),
         F.expr("CASE WHEN count(*) > 0 THEN "
                "sum(CAST(n_shards > 1 AS INT)) * 1000000 div count(*) END")
          .alias("split_ppm"))
+    return finalize_cc(out, labels)
 
 
 def _oracle_cross_shard_audit() -> str:
@@ -501,10 +505,11 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                         (split_of(bucket(canon))
                          != split_of(bucket(F.col("doc_id"))))
                         .cast("int").alias("moved")))
-    return (assigned.groupBy("split")
-            .agg(F.count("*").alias("n_docs"),
-                 F.sum("clustered").cast("bigint").alias("n_clustered_docs"),
-                 F.sum("moved").cast("bigint").alias("n_rescued_docs")))
+    out = (assigned.groupBy("split")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum("clustered").cast("bigint").alias("n_clustered_docs"),
+                F.sum("moved").cast("bigint").alias("n_rescued_docs")))
+    return finalize_cc(out, labels)
 
 
 ORACLE_LEAKAGE_SAFE_SPLIT = f"""

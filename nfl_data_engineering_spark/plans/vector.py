@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.hashing import h60_py
 from ..functions.similarity import brute_force_topk, cosine, dot
-from .base import QueryDef, finalize, load
+from .base import QueryDef, finalize, finalize_cc, load
 
 TOPK = 5
 N_QUERIES = 10          # vec_id < 10 are the query vectors
@@ -388,9 +388,10 @@ def q_embedding_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = connected_components(pairs, "v1", "v2")
     for c in caches:     # labels checkpointed -> caches out of lineage
         c.unpersist()
-    return (labels.groupBy(F.col("label").alias("component"))
-            .agg(F.count("*").alias("n_vecs"),
-                 F.max("n").alias("max_vec_id")))
+    out = (labels.groupBy(F.col("label").alias("component"))
+           .agg(F.count("*").alias("n_vecs"),
+                F.max("n").alias("max_vec_id")))
+    return finalize_cc(out, labels)
 
 
 def _srp_band_ctes() -> str:
@@ -1151,7 +1152,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select("vec_id", "cluster", canon.alias("canonical_vec_id"),
                    (canon == F.col("vec_id")).cast("int")
                     .alias("is_survivor")))
-    return finalize(out, emb, final)
+    return finalize_cc(out, labels, emb, final)
 
 
 def _oracle_semantic_dedup() -> str:

@@ -63,6 +63,33 @@ def test_finalize_checkpoint_release_is_deterministic(spark, monkeypatch):
         "checkpoint blocks must leave the registry at the sweep, not at GC"
 
 
+def test_finalize_cc_releases_labels_checkpoint(spark, sf_dir, monkeypatch):
+    """Under the DISTRIBUTED connected-components path (driver fast path
+    disabled), a CC entry must leave at most its own finalize checkpoint
+    in the registry — every min-label round checkpoint AND the final
+    labels checkpoint are released explicitly (finalize_cc), not left to
+    the ContextCleaner."""
+    from nfl_data_engineering_spark.operators import dedup as D
+    from nfl_data_engineering_spark.plans.base import release_deferred
+    from nfl_data_engineering_spark.plans.registry import _BY_NAME
+    from nfl_data_engineering_spark.storage import registry_rdd_ids
+
+    monkeypatch.delenv("SPARK_GRAFT_NO_FINALIZE", raising=False)
+    monkeypatch.setattr(D, "_CC_DRIVER_EDGE_CAP", 0)
+    release_deferred()
+    spark.catalog.clearCache()
+    before = registry_rdd_ids(spark)
+    df = _BY_NAME["dedup_components"].spark(spark, sf_dir)
+    assert df.count() > 0
+    mid = registry_rdd_ids(spark) - before
+    assert len(mid) <= 1, (
+        f"CC entry left {len(mid)} persistent RDDs beyond its own "
+        f"finalize checkpoint: {mid}")
+    del df
+    release_deferred()
+    assert not (registry_rdd_ids(spark) - before)
+
+
 def test_finalize_default_mode_unchanged(spark, monkeypatch):
     monkeypatch.delenv("SPARK_GRAFT_NO_FINALIZE", raising=False)
     monkeypatch.delenv("SPARK_GRAFT_RELIABLE_CHECKPOINT", raising=False)
