@@ -84,7 +84,18 @@ def compare(spark_pdf, duck_pdf) -> list[str]:
 def main():
     import duckdb
 
-    from .plans.registry import oracle_sql, queries
+    # Prefer the DRIVER'S entry module when it is importable (repo-root
+    # invocation): the external harness loads __spark_entry__, so parity
+    # must smoke that exact surface — a regression confined to it (broken
+    # import, renamed function) would otherwise pass a registry-direct
+    # mirror while the real driver fails to load the catalog (round-7
+    # review finding). The packaged console script, run from outside the
+    # repo, falls back to the registry the entry module delegates to.
+    try:
+        import __spark_entry__ as se
+        queries, oracle_sql = se.queries, se.oracle_sql
+    except ImportError:
+        from .plans.registry import oracle_sql, queries
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])

@@ -142,14 +142,16 @@ def finalize(result: DataFrame, *caches: DataFrame,
 
 def finalize_cc(result: DataFrame, labels: DataFrame,
                 *caches: DataFrame) -> DataFrame:
-    """finalize() for entries built on connected_components: after the
-    eager checkpoint materializes every dependent of the labels frame,
-    the final min-label checkpoint (labels._ckpt_ids — only set when the
-    distributed path ran; the driver fast path persists nothing) has no
-    live reader and is released EXPLICITLY, completing the
-    deterministic-release story for the CC family. Skipped under
-    SPARK_GRAFT_NO_FINALIZE: the returned plan is then still lazy and
-    reads that checkpoint."""
+    """finalize() for entries built on a checkpointed helper frame that
+    exposes ``_ckpt_ids`` (connected_components' final labels, the BPE
+    loop's final token table): after the eager checkpoint materializes
+    every dependent of that frame, its checkpoint has no live reader and
+    is released EXPLICITLY, completing the deterministic-release story.
+    CC's driver fast path persists nothing, so the release is a no-op at
+    small edge counts. Skipped under SPARK_GRAFT_NO_FINALIZE: the
+    returned plan is then still lazy and reads that checkpoint —
+    unconditional release there destroys blocks a later collect needs
+    (round-7 review finding on q_bpe_encode)."""
     from ..storage import unpersist_rdd_ids
     out = finalize(result, *caches)
     if not _no_finalize():

@@ -69,13 +69,15 @@ def minhash_band_config(threshold: float,
     (q_minhash_recall_t05 measures that one). Very low thresholds where
     even r=1 misses the floor fall back to r=1, the budget's maximum
     recall."""
-    b = 1
-    while b <= num_hashes:
+    # every divisor ascending, not just powers of two: a caller passing a
+    # non-power-of-two budget (e.g. 48) must still get the fewest-bands
+    # qualifying config (b=24, r=2 at t=0.5), not the r=1 fallback
+    # (round-7 review finding)
+    for b in range(1, num_hashes + 1):
         if num_hashes % b == 0:
             r = num_hashes // b
             if 1.0 - (1.0 - threshold ** r) ** b >= RECALL_FLOOR:
                 return num_hashes, b
-        b *= 2
     return num_hashes, num_hashes
 
 
@@ -358,28 +360,13 @@ def q_minhash_recall_t05(spark: SparkSession, sf_dir: str) -> DataFrame:
     front door used to hardcode). Verified LSH pairs pass the same
     exact-jaccard gate, so recall_ppm = |lsh| * 1e6 / |exact| and must
     sit at/above the S-curve floor."""
+    from .textops import exact_jaccard_count
     docs = load(spark, sf_dir, "documents")
     caches: list[DataFrame] = []
     sh = explode_shingle_hashes(docs, "doc_id", "text", n=3).cache()
     caches.append(sh)
     sh.count()   # eager: exact + lsh branches race a lazy cache
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    rare = (sh.groupBy("sh60").agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= NGRAM_DF_CAP).select("sh60"))
-    capped = sh.join(rare, "sh60")
-    s1 = capped.select(F.col("doc_id").alias("id1"), "sh60")
-    s2 = capped.select(F.col("doc_id").alias("id2"), "sh60")
-    inter = (s1.join(s2, "sh60").filter(F.col("id1") < F.col("id2"))
-             .groupBy("id1", "id2").agg(F.count("*").alias("i")))
-    jac = (F.col("i").cast("double")
-           / (F.col("sz1") + F.col("sz2") - F.col("i")).cast("double"))
-    exact = (inter
-             .join(sizes.select(F.col("doc_id").alias("id1"),
-                                F.col("sz").alias("sz1")), "id1")
-             .join(sizes.select(F.col("doc_id").alias("id2"),
-                                F.col("sz").alias("sz2")), "id2")
-             .filter(jac >= MINHASH_T05)
-             .agg(F.count("*").alias("n_exact")))
+    exact = exact_jaccard_count(sh, MINHASH_T05)
     lsh = similarity_join(docs, "doc_id", "text", MINHASH_T05,
                           caches=caches, shingles=sh).agg(
         F.count("*").alias("n_lsh"))

@@ -695,6 +695,32 @@ WHERE i::DOUBLE / (s1.sz + s2.sz - i)::DOUBLE >= 0.7
 """
 
 
+def exact_jaccard_count(sh: DataFrame, threshold: float) -> DataFrame:
+    """1-row ``n_exact`` aggregate: the df-capped shingle self-join
+    exact-jaccard pair count at ``threshold`` — the quadratic truth
+    baseline of the MinHash recall audits. ONE implementation serves
+    every threshold (q_minhash_recall_audit at 0.8,
+    similarity_api.q_minhash_recall_t05 at 0.5 — round-7 review: two
+    drifting copies would silently measure different 'truths')."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    rare = (sh.groupBy("sh60").agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= NGRAM_DF_CAP).select("sh60"))
+    capped = sh.join(rare, "sh60")
+    s1 = capped.select(F.col("doc_id").alias("d1"), "sh60")
+    s2 = capped.select(F.col("doc_id").alias("d2"), "sh60")
+    inter = (s1.join(s2, "sh60").filter(F.col("d1") < F.col("d2"))
+             .groupBy("d1", "d2").agg(F.count("*").alias("i")))
+    jac = (F.col("i").cast("double")
+           / (F.col("sz1") + F.col("sz2") - F.col("i")).cast("double"))
+    return (inter
+            .join(sizes.select(F.col("doc_id").alias("d1"),
+                               F.col("sz").alias("sz1")), "d1")
+            .join(sizes.select(F.col("doc_id").alias("d2"),
+                               F.col("sz").alias("sz2")), "d2")
+            .filter(jac >= F.lit(float(threshold)))
+            .agg(F.count("*").alias("n_exact")))
+
+
 def q_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Honest-metrics audit for the MinHash family, completing the
     measured-recall discipline across all three similarity sketches
@@ -712,23 +738,7 @@ def q_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     sh = explode_shingle_hashes(docs, "doc_id", "text", n=3).cache()
     sh.count()   # eager: exact + lsh branches race a lazy cache
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    rare = (sh.groupBy("sh60").agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= NGRAM_DF_CAP).select("sh60"))
-    capped = sh.join(rare, "sh60")
-    s1 = capped.select(F.col("doc_id").alias("d1"), "sh60")
-    s2 = capped.select(F.col("doc_id").alias("d2"), "sh60")
-    inter = (s1.join(s2, "sh60").filter(F.col("d1") < F.col("d2"))
-             .groupBy("d1", "d2").agg(F.count("*").alias("i")))
-    jac = (F.col("i").cast("double")
-           / (F.col("sz1") + F.col("sz2") - F.col("i")).cast("double"))
-    exact = (inter
-             .join(sizes.select(F.col("doc_id").alias("d1"),
-                                F.col("sz").alias("sz1")), "d1")
-             .join(sizes.select(F.col("doc_id").alias("d2"),
-                                F.col("sz").alias("sz2")), "d2")
-             .filter(jac >= JACCARD_THRESHOLD)
-             .agg(F.count("*").alias("n_exact")))
+    exact = exact_jaccard_count(sh, JACCARD_THRESHOLD)
     caches: list[DataFrame] = [sh]
     # hand the cached shingle frame down so _minhash_pairs doesn't
     # re-cache the identical plan (one cache, one release — ADVICE r5)
@@ -1673,6 +1683,46 @@ SPAN_TOKENS = 8     # window width; production substring dedup uses ~50
                     # docs while keeping the plan shape identical
 
 
+def _dup_window_spans(t: DataFrame, k: int,
+                      caches: list[DataFrame]) -> DataFrame:
+    """Shared span derivation for the substring-dedup family: stride-1
+    k-token window hashes over the tokenized corpus ``t`` (doc_id, tk),
+    corpus-repeat filter (window content occurring more than once
+    anywhere, including its own doc), gaps-and-islands merge of the
+    duplicated positions, returning the per-island maximal spans
+    (doc_id, island, s, e) in 1-based token coordinates with
+    e = last_window_start + k - 1. The window frame is cached (appended
+    to ``caches``) because the repeat table and the semi join both read
+    it. One implementation feeds BOTH the audit (q_exact_substring_spans)
+    and the rewrite (q_substring_dedup_rewrite) so the two entries'
+    removed_tokens == dup_tokens contract cannot drift (round-7 review
+    finding)."""
+    wins = (t.filter(F.size("tk") >= k)
+            .select("doc_id", "tk",
+                    F.explode(F.sequence(F.lit(1), F.size("tk") - k + 1))
+                     .alias("pos"))
+            .select("doc_id", "pos",
+                    h60(F.concat_ws(" ", F.slice(F.col("tk"), F.col("pos"),
+                                                 k))).alias("w60"))
+            .cache())
+    caches.append(wins)
+    wins.count()   # eager: repeat table + semi join race a lazy cache
+    dup = (wins.groupBy("w60").agg(F.count("*").alias("cnt"))
+           .filter(F.col("cnt") > 1).select("w60"))
+    dp = wins.join(dup, "w60", "left_semi")
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(F.lag("pos").over(wd).isNull()
+                 | (F.col("pos") - F.lag("pos").over(wd) > k),
+                 1).otherwise(0)
+    isl = (dp.withColumn("brk", brk)
+           .withColumn("island", F.sum("brk").over(
+               wd.rowsBetween(Window.unboundedPreceding,
+                              Window.currentRow))))
+    return (isl.groupBy("doc_id", "island")
+            .agg(F.min("pos").alias("s"),
+                 (F.max("pos") + k - 1).alias("e")))
+
+
 def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT substring-level duplication audit — the span-removal
     contract of suffix-array substring dedup (the pass that strips
@@ -1695,33 +1745,18 @@ def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead, same plan either way."""
     docs = load(spark, sf_dir, "documents")
     k = SPAN_TOKENS
-    t = docs.select("doc_id", tokens(F.col("text")).alias("tk"))
+    caches: list[DataFrame] = []
+    # cache the tokenization: base + the window fill both read it
+    # (pre-filter to len >= k inside the helper: sequence(1, n) with
+    # n < 1 would DESCEND — the Spark trap documented at q_segment_dedup)
+    t = docs.select("doc_id", tokens(F.col("text")).alias("tk")).cache()
+    caches.append(t)
     base = t.select("doc_id", F.size("tk").cast("bigint").alias("n_tokens"))
-    # pre-filter to len >= k: sequence(1, n) with n < 1 would DESCEND
-    # (the same Spark trap documented at q_segment_dedup)
-    wins = (t.filter(F.size("tk") >= k)
-            .select("doc_id", "tk",
-                    F.explode(F.sequence(F.lit(1), F.size("tk") - k + 1))
-                     .alias("pos"))
-            .select("doc_id", "pos",
-                    h60(F.concat_ws(" ", F.slice(F.col("tk"), F.col("pos"),
-                                                 k))).alias("w60"))
-            .cache())
-    wins.count()   # eager: repeat table + semi join race a lazy cache
-    dup = (wins.groupBy("w60").agg(F.count("*").alias("cnt"))
-           .filter(F.col("cnt") > 1).select("w60"))
-    dp = wins.join(dup, "w60", "left_semi")
-    wd = Window.partitionBy("doc_id").orderBy("pos")
-    brk = F.when(F.lag("pos").over(wd).isNull()
-                 | (F.col("pos") - F.lag("pos").over(wd) > k),
-                 1).otherwise(0)
-    isl = (dp.withColumn("brk", brk)
-           .withColumn("island", F.sum("brk").over(
-               wd.rowsBetween(Window.unboundedPreceding,
-                              Window.currentRow))))
-    per_isl = (isl.groupBy("doc_id", "island")
-               .agg((F.max("pos") - F.min("pos") + k).alias("cov")))
-    per_doc = (per_isl.groupBy("doc_id")
+    spans = _dup_window_spans(t, k, caches)
+    # cov = e - s + 1 == max(pos) - min(pos) + k, the island's token span
+    per_doc = (spans.select("doc_id",
+                            (F.col("e") - F.col("s") + 1).alias("cov"))
+               .groupBy("doc_id")
                .agg(F.count("*").alias("n_dup_spans"),
                     F.sum("cov").cast("bigint").alias("dup_tokens")))
     out = (base.join(per_doc, "doc_id", "left")
@@ -1732,7 +1767,7 @@ def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("dup_tokens"))
            .withColumn("dup_ppm", F.expr(
                "dup_tokens * 1000000 div greatest(n_tokens, 1)")))
-    return finalize(out, wins)
+    return finalize(out, *caches)
 
 
 def _substring_spans_oracle() -> str:
@@ -1801,31 +1836,13 @@ def q_substring_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = the doc's own tokens, the same bound as holding the doc)."""
     docs = load(spark, sf_dir, "documents")
     k = SPAN_TOKENS
-    t = docs.select("doc_id", tokens(F.col("text")).alias("tk"))
+    caches: list[DataFrame] = []
+    # cache the tokenization: counts, the window fill and the posexplode
+    # all read it (3 scans of documents otherwise — round-7 review)
+    t = docs.select("doc_id", tokens(F.col("text")).alias("tk")).cache()
+    caches.append(t)
     base = t.select("doc_id", F.size("tk").cast("bigint").alias("n_tokens"))
-    wins = (t.filter(F.size("tk") >= k)
-            .select("doc_id", "tk",
-                    F.explode(F.sequence(F.lit(1), F.size("tk") - k + 1))
-                     .alias("pos"))
-            .select("doc_id", "pos",
-                    h60(F.concat_ws(" ", F.slice(F.col("tk"), F.col("pos"),
-                                                 k))).alias("w60"))
-            .cache())
-    wins.count()   # eager: repeat table + semi join race a lazy cache
-    dup = (wins.groupBy("w60").agg(F.count("*").alias("cnt"))
-           .filter(F.col("cnt") > 1).select("w60"))
-    dp = wins.join(dup, "w60", "left_semi")
-    wd = Window.partitionBy("doc_id").orderBy("pos")
-    brk = F.when(F.lag("pos").over(wd).isNull()
-                 | (F.col("pos") - F.lag("pos").over(wd) > k),
-                 1).otherwise(0)
-    isl = (dp.withColumn("brk", brk)
-           .withColumn("island", F.sum("brk").over(
-               wd.rowsBetween(Window.unboundedPreceding,
-                              Window.currentRow))))
-    spans = (isl.groupBy("doc_id", "island")
-             .agg(F.min("pos").alias("s"),
-                  (F.max("pos") + k - 1).alias("e"))
+    spans = (_dup_window_spans(t, k, caches)
              .select(F.col("doc_id").alias("sdoc"), "s", "e"))
     toks = t.select("doc_id",
                     F.posexplode("tk").alias("pos0", "tok")) \
@@ -1849,7 +1866,7 @@ def q_substring_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("removed_tokens"),
                    F.md5(F.coalesce("cleaned", F.lit("")))
                     .alias("cleaned_hash")))
-    return finalize(out, wins)
+    return finalize(out, *caches)
 
 
 def _substring_rewrite_oracle() -> str:

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.hashing import h60
 from ..functions.text import tokens
-from .base import QueryDef, finalize, load
+from .base import QueryDef, finalize, finalize_cc, load
 
 SQL_H60 = "(('0x' || substr(md5({e}), 1, 15))::BIGINT)"
 # the one DuckDB-side twin of functions.text.tokens(); every oracle that
@@ -702,12 +702,11 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.expr("n_tokens * 1000000 div n_base_tokens")
                     .alias("compression_ppm")))
     # finalize materializes the rollup, after which the encoded table's
-    # final checkpoint has no live reader — release it explicitly rather
-    # than waiting on the ContextCleaner (VERDICT r6 item 1's GC race)
-    res = finalize(out)
-    from ..storage import unpersist_rdd_ids
-    unpersist_rdd_ids(spark, getattr(encoded, "_ckpt_ids", set()))
-    return res
+    # final checkpoint has no live reader — finalize_cc releases it
+    # explicitly, and (unlike a bare unpersist) SKIPS the release under
+    # SPARK_GRAFT_NO_FINALIZE, where the returned plan is still lazy and
+    # reads that checkpoint (round-7 review finding)
+    return finalize_cc(out, encoded)
 
 
 def _bpe_oracle() -> str:

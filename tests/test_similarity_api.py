@@ -59,6 +59,10 @@ def test_band_config_derivation():
         prev_bands = b
     # very low threshold: no config clears the floor; max-recall fallback
     assert minhash_band_config(0.01) == (NUM_HASHES, NUM_HASHES)
+    # non-power-of-two budgets use every divisor: 48 hashes at t=0.5 must
+    # resolve to 24 bands of r=2 (1-(1-0.25)^24 ~ 0.999), not the r=1
+    # fallback the old powers-of-two walk fell through to
+    assert minhash_band_config(0.5, num_hashes=48) == (48, 24)
 
 
 def _pairs(df):
