@@ -39,7 +39,8 @@ from fractions import Fraction
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql import types as T
 
-from ..functions.hashing import minhash_bands_fast, simhash
+from ..functions.hashing import (RECALL_FLOOR, minhash_band_config,
+                                 minhash_bands_fast, simhash)
 from ..functions.text import explode_shingle_hashes, explode_tokens
 from .base import QueryDef, finalize, load
 from .textops import (JACCARD_THRESHOLD, NGRAM_DF_CAP, NUM_BANDS, NUM_HASHES,
@@ -48,37 +49,9 @@ from .textops import (JACCARD_THRESHOLD, NGRAM_DF_CAP, NUM_BANDS, NUM_HASHES,
                       sql_minhash_pair_ctes)
 from .vector import ORACLE_COSINE_LSH, SRP_THRESHOLD, _srp_bands, srp_bits
 
-# A band config is accepted for a threshold t only if the S-curve catch
-# probability AT t, 1-(1-t^r)^b, clears this floor; pairs above t catch
-# with strictly higher probability, so measured recall >= the floor too.
-RECALL_FLOOR = 0.99
-
-
-def minhash_band_config(threshold: float,
-                        num_hashes: int = NUM_HASHES) -> tuple[int, int]:
-    """Derive (num_hashes, num_bands) from the caller's jaccard threshold
-    (VERDICT r6 item 3 — a module-constant 0.8-tuned config silently gave
-    a threshold=0.5 caller ~64% recall). Keep the hash budget fixed and
-    pick the FEWEST bands — i.e. the LONGEST rows-per-band r = n/b, the
-    sharpest S-curve and the fewest false candidates — whose catch
-    probability at the threshold still clears RECALL_FLOOR. Recall is
-    monotone in b at fixed budget (smaller r raises t^r AND more bands
-    raise 1-(1-p)^b), so the first qualifying b in ascending order is the
-    precision-optimal choice. t=0.8 resolves to the proven 64x16 config
-    (measured ~1e6 ppm, q_minhash_recall_audit); t=0.5 resolves to 64x32
-    (q_minhash_recall_t05 measures that one). Very low thresholds where
-    even r=1 misses the floor fall back to r=1, the budget's maximum
-    recall."""
-    # every divisor ascending, not just powers of two: a caller passing a
-    # non-power-of-two budget (e.g. 48) must still get the fewest-bands
-    # qualifying config (b=24, r=2 at t=0.5), not the r=1 fallback
-    # (round-7 review finding)
-    for b in range(1, num_hashes + 1):
-        if num_hashes % b == 0:
-            r = num_hashes // b
-            if 1.0 - (1.0 - threshold ** r) ** b >= RECALL_FLOOR:
-                return num_hashes, b
-    return num_hashes, num_hashes
+# minhash_band_config / RECALL_FLOOR moved to functions.hashing (VERDICT
+# r7 item 5: the standalone dedup entries must share the derivation) and
+# are re-exported above for existing importers.
 
 
 def _verify_jaccard(sh: DataFrame, cand: DataFrame,

@@ -65,6 +65,29 @@ def test_band_config_derivation():
     assert minhash_band_config(0.5, num_hashes=48) == (48, 24)
 
 
+def test_standalone_entries_share_band_derivation():
+    """VERDICT r7 item 5: the standalone minhash entries (dedup_minhash_lsh,
+    incremental_corpus_dedup and everything else built on textops.NUM_BANDS,
+    including the SQL oracle CTEs) must route through the SAME
+    threshold->band derivation as the front door — a module constant pinned
+    at 16 would silently re-inherit 0.8-tuned recall if JACCARD_THRESHOLD
+    were ever re-tuned."""
+    from nfl_data_engineering_spark.functions import hashing
+    from nfl_data_engineering_spark.plans import textops
+    # single source of truth: the re-export is the same object
+    assert minhash_band_config is hashing.minhash_band_config
+    # textops' band count is the derivation's output at its threshold...
+    assert textops.NUM_BANDS == hashing.minhash_band_config(
+        textops.JACCARD_THRESHOLD, textops.NUM_HASHES)[1]
+    # ...which at the current 0.8 threshold is the proven 64x16 config,
+    # so every hash-checked output is unchanged by the fold
+    assert (textops.NUM_HASHES, textops.NUM_BANDS) == (64, 16)
+    # and the SQL oracle CTEs were built from the derived count (the
+    # rows-per-band fold `seed // r` with r = n/b)
+    r = textops.NUM_HASHES // textops.NUM_BANDS
+    assert f"seed // {r} AS band" in textops._SQL_MINHASH_BAND_CTES
+
+
 def _pairs(df):
     return {(r["id1"], r["id2"]) for r in df.select("id1", "id2").collect()}
 
