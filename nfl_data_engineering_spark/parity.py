@@ -94,7 +94,15 @@ def main():
     try:
         import __spark_entry__ as se
         queries, oracle_sql = se.queries, se.oracle_sql
-    except ImportError:
+    except ImportError as e:
+        # Only the entry module being ABSENT (packaged console script run
+        # outside the repo) may fall back to the registry. An ImportError
+        # raised INSIDE __spark_entry__ (broken import within it) is
+        # exactly the entry-surface regression this path exists to smoke —
+        # swallowing it would mask the failure behind a passing registry
+        # mirror (ADVICE r7).
+        if e.name != "__spark_entry__":
+            raise
         from .plans.registry import oracle_sql, queries
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"

@@ -104,6 +104,17 @@ def finalize(result: DataFrame, *caches: DataFrame,
       SPARK_GRAFT_NO_FINALIZE=1 to get the raw lazy plan back (caches
       then retained — acceptable in one-off processes).
 
+    LIFETIME CONTRACT (ADVICE r7): the returned frame's checkpoint
+    blocks are released by the next release_deferred() after its Python
+    wrapper dies. A LAZY plan derived from it still reads those blocks
+    through the truncated lineage, so "derive a child, drop the parent,
+    keep the child" is NOT supported by default — either keep the parent
+    referenced until every derived plan is materialized (what every
+    catalog runner does: the entry result is collected before the next
+    entry's release_deferred), or take ownership first via
+    storage.untrack_checkpoint(parent) and release the returned ids
+    yourself once the children are consumed.
+
     ``pair_table=True`` marks entries whose RESULT is the largest frame
     in the plan (pair-enumeration outputs: ~10^8 legitimate rows at the
     100x replica for the minhash baseline — SCALE.md). Eagerly

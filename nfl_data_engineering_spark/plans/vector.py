@@ -1046,9 +1046,12 @@ def _semdedup_k(n: int) -> int:
     return max(KMEANS_K, -(-n // SEMDEDUP_CLUSTER_SIZE))
 
 
-_SEMDEDUP_K_SQL = (f"GREATEST({KMEANS_K}, CAST(CEIL("
-                   f"(SELECT COUNT(*) FROM embeddings)"
-                   f" / {SEMDEDUP_CLUSTER_SIZE}.0) AS BIGINT))")
+# Integer ceiling-division, same arithmetic as _semdedup_k's
+# -(-n // size) — float CEIL(n / size.0) can diverge from the Python twin
+# on float-representation edges at very large n (ADVICE r7).
+_SEMDEDUP_K_SQL = (f"GREATEST({KMEANS_K}, "
+                   f"((SELECT COUNT(*) FROM embeddings)"
+                   f" + {SEMDEDUP_CLUSTER_SIZE - 1}) // {SEMDEDUP_CLUSTER_SIZE})")
 
 
 def _semdedup_pair_kernel(threshold: float):

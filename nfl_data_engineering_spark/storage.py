@@ -70,6 +70,32 @@ def track_checkpoint(df: DataFrame, ids) -> None:
         _TRACKED.append((weakref.ref(df), frozenset(ids), df.sparkSession))
 
 
+def untrack_checkpoint(df: DataFrame) -> frozenset:
+    """Transfer release ownership of a tracked checkpoint to the caller:
+    remove `df` from the sweep list and return its registry ids (empty
+    frozenset if it was not tracked).
+
+    This is the supported escape hatch for the one pattern the weakref
+    sweep cannot see (ADVICE r7): a LAZY child plan derived from a
+    finalized result outliving the parent wrapper. The parent's plan is a
+    lineage-truncated checkpoint scan, so the child still reads the
+    parent's blocks — if the parent wrapper dies while tracked, the next
+    sweep unpersists those blocks and the child fails with an
+    unrecoverable missing-block error. A caller that derives-then-drops
+    calls this first and releases the returned ids itself
+    (`unpersist_rdd_ids`) once every dependent is materialized — the same
+    move finalize_cc makes for `_ckpt_ids` frames."""
+    ids: frozenset = frozenset()
+    keep: list[tuple[weakref.ref, frozenset, object]] = []
+    for ref, tracked_ids, spark in _TRACKED:
+        if ref() is df:
+            ids |= tracked_ids
+        else:
+            keep.append((ref, tracked_ids, spark))
+    _TRACKED[:] = keep
+    return ids
+
+
 def sweep_dead_checkpoints() -> int:
     """Unpersist every tracked checkpoint whose wrapper has died;
     returns how many registry entries were released. Survivors stay

@@ -99,3 +99,35 @@ def test_finalize_default_mode_unchanged(spark, monkeypatch):
     out = finalize(result, cache)
     assert sorted(r["n"] for r in out.collect()) == [142] + [143] * 6
     assert cache.storageLevel.useMemory is False
+
+
+def test_untrack_checkpoint_transfers_release_ownership(spark, monkeypatch):
+    """The derive-then-drop escape hatch (ADVICE r7): a lazy child plan
+    derived from a finalized result outlives the parent wrapper ONLY if
+    the caller takes ownership via storage.untrack_checkpoint — the
+    sweep then leaves the blocks alone, the child stays collectable, and
+    the caller's explicit unpersist_rdd_ids completes the release."""
+    from nfl_data_engineering_spark.plans.base import release_deferred
+    from nfl_data_engineering_spark.storage import (registry_rdd_ids,
+                                                    unpersist_rdd_ids,
+                                                    untrack_checkpoint)
+
+    monkeypatch.delenv("SPARK_GRAFT_NO_FINALIZE", raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_RELIABLE_CHECKPOINT", raising=False)
+    release_deferred()
+    before = registry_rdd_ids(spark)
+    parent = finalize(_frame(spark).groupBy("k").agg(F.count("*").alias("n")))
+    created = registry_rdd_ids(spark) - before
+    assert created
+    child = parent.filter(F.col("n") > 142)          # lazy: reads the ckpt
+    ids = untrack_checkpoint(parent)
+    assert ids == frozenset(created)
+    del parent                                       # wrapper dies tracked-free
+    release_deferred()                               # sweep must NOT release
+    assert created <= registry_rdd_ids(spark), \
+        "untracked checkpoint blocks must survive the sweep"
+    assert child.count() == 6                        # child still readable
+    assert unpersist_rdd_ids(spark, ids) == len(ids)
+    assert not (registry_rdd_ids(spark) & created)
+    # untracking an unknown frame is a no-op returning empty
+    assert untrack_checkpoint(child) == frozenset()

@@ -7,7 +7,14 @@ item 1 / r4 item 7)."""
 
 from __future__ import annotations
 
+import os
+import sys
 
+# tools/ is not an installed package: on a dev box with the package
+# pip-installed, conftest's conditional insert never fires and this import
+# would error under bare pytest — insert the repo root unconditionally
+# (ADVICE r7).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tools.audit_plans import audit  # noqa: E402
 
