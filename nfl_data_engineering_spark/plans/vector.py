@@ -1037,13 +1037,36 @@ SEMDEDUP_CLUSTER_SIZE = 2500   # target mean cluster size: the cluster
                                # (50k clusters for 100M+ items)
 
 
+# Honest-limits gate on the centroid table (VERDICT r7 item 4): the
+# derived K grows linearly with the corpus, and the centroid list is
+# driver-collected then broadcast into every assignment pass. 500k
+# centroids x 64 dims x 8 B ~ 0.25 GB — inside a stock driver/executor
+# budget; K beyond that (> ~1.25e9 docs at the 2500 target) needs
+# two-level clustering (cluster the centroids, assign through the coarse
+# level first — the paper-consistent escape hatch), which this entry
+# deliberately does not fake. Same discipline as tabular.py's xlsx
+# row-count gate: fail loudly where the design stops, don't degrade
+# silently.
+SEMDEDUP_MAX_K = 500_000
+
+
 def _semdedup_k(n: int) -> int:
     """Cluster count for a corpus of n vectors: at least the fixed-K
     report entry's 8, growing so mean cluster size stays bounded. At the
     test scale factors (<= 20k vectors) this IS 8, so the entry's
     verified results are unchanged; replicas get proportionally more
-    clusters. Twin of the SQL expression in the oracle."""
-    return max(KMEANS_K, -(-n // SEMDEDUP_CLUSTER_SIZE))
+    clusters. Twin of the SQL expression in the oracle. Raises beyond
+    SEMDEDUP_MAX_K — see the gate's comment."""
+    k = max(KMEANS_K, -(-n // SEMDEDUP_CLUSTER_SIZE))
+    if k > SEMDEDUP_MAX_K:
+        raise ValueError(
+            f"semantic_dedup: derived K={k} centroids for n={n} vectors "
+            f"exceeds SEMDEDUP_MAX_K={SEMDEDUP_MAX_K} (the single-level "
+            f"k-means centroid table would no longer fit the driver/"
+            f"broadcast budget). A corpus this size needs two-level "
+            f"clustering: k-means the centroids into a coarse level and "
+            f"route assignment through it (SemDeDup's own scaling path).")
+    return k
 
 
 # Integer ceiling-division, same arithmetic as _semdedup_k's

@@ -34,3 +34,22 @@ def test_semantic_dedup_invariants(spark, sf_dir):
     # family) — a semantic dedup that drops nothing is broken
     assert out.filter(F.col("is_survivor") == 0).count() > 0
     out.unpersist()
+
+
+def test_semdedup_k_derivation_and_cap():
+    """K grows with corpus size (ceil(n/2500), floored at the report
+    entry's 8) and fails LOUDLY past the centroid-budget gate
+    (VERDICT r7 item 4) instead of silently collecting a centroid table
+    the driver/broadcast budget cannot hold."""
+    import pytest
+
+    from nfl_data_engineering_spark.plans.vector import (SEMDEDUP_MAX_K,
+                                                         _semdedup_k)
+    assert _semdedup_k(0) == 8
+    assert _semdedup_k(20_000) == 8          # test-SF scale: unchanged
+    assert _semdedup_k(2_501) == 8
+    assert _semdedup_k(25_000) == 10
+    assert _semdedup_k(100_000_000) == 40_000   # the paper's regime
+    assert _semdedup_k(2500 * SEMDEDUP_MAX_K) == SEMDEDUP_MAX_K  # boundary
+    with pytest.raises(ValueError, match="two-level clustering"):
+        _semdedup_k(2500 * SEMDEDUP_MAX_K + 1)
