@@ -24,42 +24,45 @@ _ALL: list[QueryDef] = [*RELATIONAL_QUERIES, *TEXT_QUERIES,
 # prefix window of the catalog (50 entries/round), so rotation aims each
 # round's window at the entries with the most verification value.
 #
-# Round 7 window (50) — the staleness rotation the r6 verdict staged
-# (item 2: the 42 entries whose newest driver row is still r1/r2
-# vintage; several share machinery refactored in r4-r6 — SRP bands,
-# simhash chunking now also feeding similarity_api.py):
-# (a) entries ADDED or semantically CHANGED in round 7: the
-#     leakage_safe_split rescued-docs fix (ADVICE r6 medium — the metric
-#     now compares resulting SPLITS, not raw buckets), the new
-#     second-threshold recall audit for the derived band config, and the
-#     front door whose minhash/simhash/prefix kernels changed;
-# (b) the 5 round-1-vintage then 37 round-2-vintage entries, name order;
-# (c) remaining slots: oldest round-3 rows touching this round's themes
-#     (the big_order_customers bench-drift check, the local-scale
-#     trimmed_mean baseline, multimodal, as-of tolerance, BPE).
+# Round 8 window (50) — the staleness rotation the r7 verdict staged
+# (item 1: the 46 entries whose newest driver row is still r3 vintage —
+# several ride machinery reworked in r5-r7: finalize/storage release,
+# the shared _dup_window_spans / exact_jaccard_count extractions, the
+# two-phase selection shapes):
+# (a) entries whose code or oracle CHANGED in round 8: the two
+#     standalone minhash entries now routing band config through the
+#     shared threshold derivation (functions.hashing.minhash_band_config
+#     — hash-identical output at t=0.8, but the 64x16 fold is now
+#     derived, not pinned) and semantic_dedup, whose K oracle twin moved
+#     to integer ceiling division (ADVICE r7) and whose derivation
+#     gained the centroid-budget gate;
+# (b) ALL 46 round-3-vintage entries, name order — after this round no
+#     entry's newest driver attestation is older than r4;
+# (c) remaining slot: an oldest-r4 row from the sketch/vector family
+#     this round touched.
 # Names absent from this list keep catalog order after it.
 _PRIORITY: list[str] = [
-    # --- (a) new or code-changed in round 7 ---
-    "leakage_safe_split", "minhash_recall_t05", "similarity_join_api",
-    "substring_dedup_rewrite", "semantic_dedup",
-    # --- (b) round-1 then round-2 vintage driver rows ---
-    "lateral_topk", "locf_fill", "scd2_intervals", "sliding_windows",
-    "unpivot_metrics",
-    "ann_ivf_multiprobe", "ann_ivf_topk", "contamination_check",
-    "cosine_neardup_lsh", "cosine_neardup_pairs", "csv_roundtrip",
-    "dedup_exact_text", "dedup_simhash", "distinct_hll",
-    "doc_fingerprint", "doc_length_histogram", "drift_tvd",
-    "embedding_topk", "fuzzy_editdist", "json_roundtrip",
-    "lsh_recall_audit", "median_value_udaf", "multimodal_stats",
-    "normalized_dedup", "norms_pandas_udf", "odds_flatten",
-    "odds_python_source", "orc_roundtrip", "pii_redact",
-    "record_expand_udtf", "repetition_score", "scraper_longform",
-    "streaming_daily_rollup", "streaming_interval_join",
-    "streaming_sessionization", "text_quality", "token_counts",
-    "topk_salted", "trailing_7d_sum", "user_event_sequences",
-    "winsorized_stats", "xlsx_roundtrip",
-    # --- (c) oldest round-3 rows (3 slots after the round-7 additions) ---
-    "big_order_customers", "trimmed_mean", "multimodal_decode",
+    # --- (a) code- or oracle-changed in round 8 ---
+    "dedup_minhash_lsh", "incremental_corpus_dedup", "semantic_dedup",
+    # --- (b) the full round-3-vintage tail, name order ---
+    "asof_tolerance", "behavior_set_overlap", "bigram_topk",
+    "bloom_prefilter_audit", "box_scores_schedule", "bpe_merge_train",
+    "brand_max_price", "cohort_retention", "corpus_filter",
+    "corrupt_record_audit", "doc_chunking", "domain_topk",
+    "dormant_high_balance", "event_cooccurrence",
+    "event_transition_matrix", "first_digit_profile", "forecast_revenue",
+    "full_outer_reconcile", "funnel_stages", "heavy_hitters_cms",
+    "incremental_agg_merge", "inverted_index", "key_skew_profile",
+    "kfold_assignment", "late_shipment_audit", "mad_outliers",
+    "minmax_scale", "monthly_rank_report", "promo_revenue_share",
+    "referential_integrity_audit", "rename_normalize",
+    "returned_item_customers", "revenue_gini", "segment_dedup",
+    "sequence_packing", "shard_balance", "source_mixture",
+    "stratified_sample", "temperature_mixing", "tfidf_top_terms",
+    "top_supplier", "trailing_median", "train_test_split",
+    "unigram_logprob", "vocab_topk", "zscore_groups",
+    # --- (c) oldest-r4 fill (1 slot) ---
+    "ann_pq_topk",
 ]
 
 assert not set(_PRIORITY) - {q.name for q in _ALL}, \
