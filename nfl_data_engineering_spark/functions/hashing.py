@@ -41,6 +41,14 @@ def h60_sql(expr: str) -> str:
     return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
 
 
+# The catalog-wide MinHash hash budget. Lives HERE, next to the band
+# derivation, so the budget and the banding share one source: a retune
+# propagates to textops' standalone entries AND the similarity_join
+# front door (whose calls rely on minhash_band_config's default) —
+# a hardcoded default would let the two silently diverge (round-8
+# review finding).
+NUM_HASHES = 64
+
 # A band config is accepted for a threshold t only if the S-curve catch
 # probability AT t, 1-(1-t^r)^b, clears this floor; pairs above t catch
 # with strictly higher probability, so measured recall >= the floor too.
@@ -48,7 +56,7 @@ RECALL_FLOOR = 0.99
 
 
 def minhash_band_config(threshold: float,
-                        num_hashes: int = 64) -> tuple[int, int]:
+                        num_hashes: int = NUM_HASHES) -> tuple[int, int]:
     """Derive (num_hashes, num_bands) from the caller's jaccard threshold
     (VERDICT r6 item 3 — a module-constant 0.8-tuned config silently gave
     a threshold=0.5 caller ~64% recall). Keep the hash budget fixed and

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..functions.hashing import (MERSENNE_P, h60, h60_py,
+from ..functions.hashing import (MERSENNE_P, NUM_HASHES, h60, h60_py,
                                  minhash_band_config, minhash_bands_fast,
                                  simhash)
 from ..functions.text import (LANG_MARKERS, STOPWORDS, WORD_RE, doc_fingerprint,
@@ -67,7 +67,9 @@ FROM documents GROUP BY 1
 # MinHash + LSH near-dedup (the scale path)
 # ---------------------------------------------------------------------------
 
-NUM_HASHES = 64
+# NUM_HASHES is imported from functions.hashing (single source with the
+# band derivation and the front door's default budget) and re-exported
+# here for the entries and tests that always read it from textops.
 JACCARD_THRESHOLD = 0.8
 # Band count DERIVED from the threshold via the shared S-curve rule
 # (functions.hashing.minhash_band_config) rather than pinned at 16

@@ -14,16 +14,11 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tools.make_catalog import OUT, committed_corr_files, generate  # noqa: E402
+from tools.make_catalog import OUT, check  # noqa: E402
 
 
 def test_catalog_md_in_sync_with_registry():
-    with open(OUT) as fh:
-        have = fh.read()
-    want = generate(committed_corr_files())
-    assert want == have, (
-        "CATALOG.md out of sync with plans/registry.py — regenerate via "
-        "`python tools/make_catalog.py`")
+    assert check() is None
 
 
 def test_catalog_md_covers_every_entry():
