@@ -229,6 +229,17 @@ def similarity_join(df: DataFrame, id_col: str, col: str, threshold: float,
       so a caller running several text dispatches over one corpus
       shingles it once — passing it twice would otherwise re-cache an
       identical plan (a CacheManager no-op whose unpersist fires twice).
+
+    Peak-spill note for multi-family callers (round-8 sweep finding): the
+    returned frame is lazy, so UNIONING several dispatches and executing
+    the union as one job runs every family's shuffles CONCURRENTLY —
+    peak shuffle disk is the SUM of the families. A disk-constrained
+    deployment should stage family by family: materialize each result
+    (plans.base.finalize) and release its caches before dispatching the
+    next, bounding peak spill at max(family). Measured at the 100x
+    replica: the monolithic 4-family union exceeded a 78 GB local spill
+    budget that per-family staging stayed well inside (SCALE.md round-8
+    replica sweep).
     """
     dt = df.schema[col].dataType
     if metric == "auto":
