@@ -105,7 +105,7 @@ def minhash_value(shingle_hash: Column, i: Column) -> Column:
 
 
 def minhash_signatures(shingled: DataFrame, id_col: str, shingle_col: str,
-                       num_hashes: int = 64) -> DataFrame:
+                       num_hashes: int = NUM_HASHES) -> DataFrame:
     """(id, shingle) rows -> (id, seed, minhash) rows.
 
     One explode over the seed range + one (id, seed) groupBy — a single
@@ -124,7 +124,7 @@ def minhash_signatures(shingled: DataFrame, id_col: str, shingle_col: str,
 
 
 def lsh_band_keys(signatures: DataFrame, id_col: str,
-                  num_hashes: int = 64, bands: int = 16) -> DataFrame:
+                  num_hashes: int = NUM_HASHES, bands: int = 16) -> DataFrame:
     """Fold a (id, seed, minhash) signature into (id, band, band_key) rows.
 
     band = seed // rows_per_band; band_key = md5 of the ordered minhash list.
@@ -142,7 +142,7 @@ def lsh_band_keys(signatures: DataFrame, id_col: str,
 
 
 def minhash_bands_fast(shingled: DataFrame, id_col: str, shingle_col: str,
-                       num_hashes: int = 64, bands: int = 16,
+                       num_hashes: int = NUM_HASHES, bands: int = 16,
                        hashed: bool = False) -> DataFrame:
     """(id, shingle) rows -> (id, band, band_key) rows, columnar fast path.
 
@@ -156,6 +156,11 @@ def minhash_bands_fast(shingled: DataFrame, id_col: str, shingle_col: str,
 
     ``hashed=True`` means ``shingle_col`` already holds h60 values (callers
     that also need the hash for an intersection join compute it once).
+
+    The ``bands`` default (16) is minhash_band_config's derivation at the
+    catalog's t=0.8 under the NUM_HASHES budget; these kernels take the
+    band COUNT, not a threshold, so a caller at a different threshold must
+    pass ``minhash_band_config(t)[1]`` — every catalog caller does.
     """
     a = [1 + h60_py(f"mh_a_{i}") % (MERSENNE_P - 1) for i in range(num_hashes)]
     b = [h60_py(f"mh_b_{i}") % MERSENNE_P for i in range(num_hashes)]
@@ -188,7 +193,14 @@ def simhash(tokened: DataFrame, id_col: str, token_col: str,
     exploded form shuffles 60x the token count; this shuffles the token
     count once, with map-side partial sums).
     """
-    th = tokened.select(F.col(id_col), h60(F.col(token_col)).alias("__th"))
+    # NULL tokens must be IGNORED, not voted: h60(NULL) is NULL, the bit
+    # test evaluates to NULL, and when().otherwise(-1) would count every
+    # null row as a -1 vote on all bits — two docs with identical real
+    # tokens but different null counts would sketch differently (round-8
+    # review finding). A doc whose tokens are ALL null gets no sketch row
+    # (more honest than the all-zeros sketch the bias produced).
+    th = (tokened.select(F.col(id_col), h60(F.col(token_col)).alias("__th"))
+          .filter(F.col("__th").isNotNull()))
     votes = [
         F.sum(F.when(F.shiftright(F.col("__th"), j).bitwiseAND(F.lit(1)) == 1,
                      F.lit(1)).otherwise(F.lit(-1))).alias(f"__v{j}")

@@ -36,9 +36,25 @@ def connected_components(edges: DataFrame, src: str = "a",
     Each round every node takes the min label among itself and its
     neighbors; labels decrease monotonically, so a stable label sum is the
     fixpoint, reached in O(graph diameter) rounds. One equi-join + one
-    groupBy per round; the driver reads only a scalar. Near-dup graphs are
+    groupBy per round; the driver reads only a scalar (summed in
+    DECIMAL(38,0): labels are node ids, and an int64 sum of ~1e10 ids
+    averaging ~5e9 overflows 2^63 — ANSI mode would throw mid-loop and
+    legacy mode would wrap, turning the convergence test into a mod-2^64
+    equality that can declare false convergence). Near-dup graphs are
     shallow (diameter a few hops), so this is a handful of shuffles — the
     survivor-selection step of a dedup pipeline at any scale.
+
+    CONCURRENCY CONTRACT: the distributed loop releases superseded round
+    checkpoints by diffing the context's persistent-RDD registry around
+    its own materializations (the deterministic-release design of
+    VERDICT r6 item 1). The registry is context-global, so a SECOND
+    driver thread persisting frames while this loop runs would have its
+    ids mis-attributed to a round and unpersisted. Run one
+    connected_components at a time per SparkSession — every in-repo
+    runner (parity, bench, the endurance test, the external driver) is
+    single-threaded per session. On any mid-loop failure the cache and
+    all live round checkpoints this call created are released before the
+    exception propagates.
     """
     # bi_cached keeps its own name: unpersist must target the EXACT plan
     # that was cached — after `bi = bi.coalesce(parts)` the name points at
@@ -97,8 +113,14 @@ def connected_components(edges: DataFrame, src: str = "a",
                 lo, hi = min(ra, rb), max(ra, rb)   # component minimum,
                 parent[hi] = lo     # matching the min-label fixpoint
         out = [(n, find(n)) for n in parent]
-        schema = (edges.select(F.col(src).alias("n"),
-                               F.col(src).alias("label")).schema)
+        # schema from the SYMMETRIZED frame, not edges.select(src, src):
+        # mixed src/dst types (int src, bigint dst) widen through the
+        # explode(array(struct,struct)) coercion, so collected values can
+        # exceed the src column's type — and the distributed path returns
+        # the widened type, which the fast path must match (round-8
+        # review finding).
+        schema = bi_cached.select(F.col("a").alias("n"),
+                                  F.col("a").alias("label")).schema
         return edges.sparkSession.createDataFrame(out, schema)
     # max(cap, 1): tests force this path by monkeypatching the cap to 0,
     # and the coalesce right-sizing must degrade to per-edge partitions,
@@ -124,30 +146,48 @@ def connected_components(edges: DataFrame, src: str = "a",
     # be weakref-swept).
     from ..storage import registry_rdd_ids, unpersist_rdd_ids
     spark = edges.sparkSession
-    seen = registry_rdd_ids(spark)
+    # exact convergence scalar at any scale: see docstring
+    label_sum = F.sum(F.col("label").cast("decimal(38,0)"))
+    base = registry_rdd_ids(spark)   # failure-path release baseline
+    seen = set(base)
     prev_ids: set[int] = set()
-    labels = (bi.select(F.col("a").alias("n")).distinct()
-              .withColumn("label", F.col("n")).coalesce(parts)
-              .localCheckpoint(eager=False))
-    old_sum = labels.agg(F.sum("label")).collect()[0][0]
-    now = registry_rdd_ids(spark)
-    prev_ids, seen = now - seen, now
-    while True:
-        neigh = (bi.join(labels.withColumnRenamed("n", "a")
-                         .withColumnRenamed("label", "nlabel"), "a")
-                 .select(F.col("b").alias("n"),
-                         F.col("nlabel").alias("label")))
-        labels = (labels.unionByName(neigh)
-                  .groupBy("n").agg(F.min("label").alias("label"))
-                  .coalesce(parts)
+    try:
+        labels = (bi.select(F.col("a").alias("n")).distinct()
+                  .withColumn("label", F.col("n")).coalesce(parts)
                   .localCheckpoint(eager=False))
-        new_sum = labels.agg(F.sum("label")).collect()[0][0]
+        old_sum = labels.agg(label_sum).collect()[0][0]
         now = registry_rdd_ids(spark)
-        unpersist_rdd_ids(spark, prev_ids)   # round N-1: dead once N exists
         prev_ids, seen = now - seen, now
-        if new_sum == old_sum:
-            break
-        old_sum = new_sum
+        while True:
+            neigh = (bi.join(labels.withColumnRenamed("n", "a")
+                             .withColumnRenamed("label", "nlabel"), "a")
+                     .select(F.col("b").alias("n"),
+                             F.col("nlabel").alias("label")))
+            labels = (labels.unionByName(neigh)
+                      .groupBy("n").agg(F.min("label").alias("label"))
+                      .coalesce(parts)
+                      .localCheckpoint(eager=False))
+            new_sum = labels.agg(label_sum).collect()[0][0]
+            now = registry_rdd_ids(spark)
+            unpersist_rdd_ids(spark, prev_ids)  # round N-1: dead once N exists
+            prev_ids, seen = now - seen, now
+            if new_sum == old_sum:
+                break
+            old_sum = new_sum
+    except BaseException:
+        # executor loss / OOM / cancellation mid-loop: without this, the
+        # bidirectional-edge cache and up to two live round checkpoints
+        # stay registered for the session's lifetime — the exact leak
+        # class the explicit-release machinery exists to prevent (round-8
+        # review finding). Release everything THIS call registered (diff
+        # vs the entry snapshot; safe under the single-threaded contract
+        # above) and let the failure propagate.
+        try:
+            bi_cached.unpersist()
+            unpersist_rdd_ids(spark, registry_rdd_ids(spark) - base)
+        except Exception:
+            pass   # a dead session has no blocks left to release
+        raise
     bi_cached.unpersist()
     labels._ckpt_ids = prev_ids
     return labels
@@ -165,6 +205,12 @@ def dedup_keep_latest(df: DataFrame, key_cols: list[str], ts_col: str = "timesta
     for c in (tiebreak_cols or []):
         order.append(F.col(c).desc())
     w = Window.partitionBy(*key_cols).orderBy(*order)
-    return (df.withColumn("__rn", F.row_number().over(w))
-              .filter(F.col("__rn") == 1)
-              .drop("__rn"))
+    # collision-proof scratch name: withColumn would silently REPLACE a
+    # pre-existing '__rn' column and drop would then delete the caller's
+    # data (round-8 review finding)
+    rn = "__rn"
+    while rn in df.columns:
+        rn += "_"
+    return (df.withColumn(rn, F.row_number().over(w))
+              .filter(F.col(rn) == 1)
+              .drop(rn))

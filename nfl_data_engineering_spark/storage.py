@@ -63,6 +63,18 @@ def unpersist_rdd_ids(spark, ids) -> int:
     return n
 
 
+def _session_stopped(spark) -> bool:
+    """Best-effort 'is this session dead' probe. If the probe itself
+    fails we cannot tell — report stopped, matching the old behavior of
+    dropping the entry (an unbounded retry list for a zombie session is
+    the worse failure mode)."""
+    try:
+        sc = spark.sparkContext
+        return sc._jsc is None or sc._jsc.sc().isStopped()
+    except Exception:
+        return True
+
+
 def track_checkpoint(df: DataFrame, ids) -> None:
     """Register a SELF-CONTAINED checkpointed frame for deterministic
     release once its Python wrapper dies (see module contract)."""
@@ -107,8 +119,15 @@ def sweep_dead_checkpoints() -> int:
         if ref() is None:
             try:
                 released += unpersist_rdd_ids(spark, ids)
-            except Exception:   # session stopped: blocks died with it
-                pass
+            except Exception:
+                # Only a STOPPED session means the blocks are already gone
+                # and the entry can be dropped. A transient py4j error on a
+                # LIVE session must keep the entry for the next sweep —
+                # dropping it would leak the blocks for the session's
+                # lifetime, silently defeating deterministic release
+                # (round-8 review finding).
+                if not _session_stopped(spark):
+                    alive.append((ref, ids, spark))
         else:
             alive.append((ref, ids, spark))
     _TRACKED[:] = alive

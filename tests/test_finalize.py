@@ -131,3 +131,33 @@ def test_untrack_checkpoint_transfers_release_ownership(spark, monkeypatch):
     assert not (registry_rdd_ids(spark) & created)
     # untracking an unknown frame is a no-op returning empty
     assert untrack_checkpoint(child) == frozenset()
+
+
+def test_sweep_retries_on_transient_release_error(spark, monkeypatch):
+    """A transient failure releasing a dead wrapper's blocks must keep the
+    entry tracked for the next sweep (round-8 review: dropping it on ANY
+    exception leaked the blocks for the session's lifetime); only a
+    stopped session may drop it."""
+    import nfl_data_engineering_spark.storage as storage
+    from nfl_data_engineering_spark.plans.base import release_deferred
+    from nfl_data_engineering_spark.storage import registry_rdd_ids
+
+    monkeypatch.delenv("SPARK_GRAFT_NO_FINALIZE", raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_RELIABLE_CHECKPOINT", raising=False)
+    release_deferred()
+    before = registry_rdd_ids(spark)
+    out = finalize(_frame(spark).groupBy("k").agg(F.count("*").alias("n")))
+    created = registry_rdd_ids(spark) - before
+    assert created
+    del out
+
+    orig = storage.unpersist_rdd_ids
+    monkeypatch.setattr(storage, "unpersist_rdd_ids",
+                        lambda *a: (_ for _ in ()).throw(
+                            RuntimeError("transient py4j hiccup")))
+    assert storage.sweep_dead_checkpoints() == 0
+    assert created <= registry_rdd_ids(spark), \
+        "blocks must survive a failed sweep attempt"
+    monkeypatch.setattr(storage, "unpersist_rdd_ids", orig)
+    assert storage.sweep_dead_checkpoints() >= len(created)   # retried
+    assert not (registry_rdd_ids(spark) & created)

@@ -178,3 +178,71 @@ def test_zero_filled_counts_has_gap_buckets(spark):
     assert len(out) == 4  # hours 0..3 inclusive
     assert out[dt.datetime(2024, 1, 1, 1)] == 0
     assert out[dt.datetime(2024, 1, 1, 3)] == 1
+
+
+def test_connected_components_mixed_key_types(spark):
+    """Fast-path schema must come from the SYMMETRIZED (type-coerced)
+    frame: int src + bigint dst widens through the explode coercion, and
+    collected values can exceed the src column's type (round-8 review).
+    Both paths must return the same widened schema and labels."""
+    from pyspark.sql import functions as F
+
+    from nfl_data_engineering_spark.operators import dedup as D
+    big = 3_000_000_000  # > 2^31-1: overflows IntegerType
+    edges = (spark.createDataFrame([(1, big), (2, 3)], "a: int, b: long")
+             .select(F.col("a").cast("int"), F.col("b").cast("long")))
+    out = D.connected_components(edges)
+    assert dict(out.dtypes)["label"] == "bigint"
+    labels = {r["n"]: r["label"] for r in out.collect()}
+    assert labels[big] == 1 and labels[1] == 1
+    assert labels[2] == 2 and labels[3] == 2
+
+
+def test_connected_components_failure_releases_storage(spark, monkeypatch):
+    """A mid-loop failure must not leak the bidirectional-edge cache or
+    live round checkpoints (round-8 review): force the distributed path,
+    inject a failure at the first convergence collect, and assert the
+    persistent registry returns to its pre-call state."""
+    import pytest
+
+    from nfl_data_engineering_spark.operators import dedup as D
+    from nfl_data_engineering_spark.plans.base import release_deferred
+    from nfl_data_engineering_spark.storage import registry_rdd_ids
+
+    release_deferred()
+    spark.catalog.clearCache()
+    monkeypatch.setattr(D, "_CC_DRIVER_EDGE_CAP", 0)
+    edges = spark.createDataFrame([(1, 2), (2, 3), (4, 5)], "a: long, b: long")
+    before = registry_rdd_ids(spark)
+
+    calls = {"n": 0}
+    import nfl_data_engineering_spark.storage as storage
+    orig = storage.unpersist_rdd_ids
+
+    def boom_on_first_round(spark_, ids):
+        # CC imports this from storage at call time; the failure path
+        # itself calls the same name, so only the FIRST (in-loop) call
+        # raises — the cleanup call must still work
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected mid-loop failure")
+        return orig(spark_, ids)
+
+    monkeypatch.setattr(storage, "unpersist_rdd_ids", boom_on_first_round)
+    with pytest.raises(RuntimeError, match="injected"):
+        D.connected_components(edges)
+    monkeypatch.undo()
+    leaked = registry_rdd_ids(spark) - before
+    assert not leaked, f"mid-loop failure leaked registry ids: {leaked}"
+
+
+def test_dedup_keep_latest_rn_column_collision(spark):
+    """A pre-existing '__rn' input column must survive (round-8 review:
+    the scratch row_number column used to overwrite then drop it)."""
+    df = spark.createDataFrame(
+        [("k1", 1, "keep-me"), ("k1", 2, "keep-me-too")],
+        "k: string, timestamp: long, __rn: string")
+    out = dedup_keep_latest(df, ["k"])
+    assert "__rn" in out.columns
+    row = out.collect()[0]
+    assert row["__rn"] == "keep-me-too" and row["timestamp"] == 2

@@ -134,3 +134,41 @@ def test_cosine_and_topk(spark):
     out = brute_force_topk(df, q, k=3).orderBy("rank").collect()
     assert [r["vec_id"] for r in out] == [1, 2, 3]   # by descending cosine
     assert all(r["q_id"] == 0 and r["vec_id"] != 0 for r in out)
+
+
+def test_simhash_ignores_null_tokens(spark):
+    """NULL tokens must not vote (round-8 review: h60(NULL) is NULL and
+    when().otherwise(-1) counted each null row as -1 on every bit, so
+    docs differing only in null counts sketched differently)."""
+    from nfl_data_engineering_spark.functions.hashing import simhash
+    toked = spark.createDataFrame(
+        [("d1", "alpha"), ("d1", "beta"),
+         ("d2", "alpha"), ("d2", "beta"), ("d2", None), ("d2", None)],
+        "doc_id: string, token: string")
+    out = {r["doc_id"]: r["simhash"] for r in
+           simhash(toked, "doc_id", "token").collect()}
+    assert out["d1"] == out["d2"], \
+        "identical real tokens must sketch identically regardless of nulls"
+    # all-null doc: no sketch row (not a fake all-zeros sketch)
+    allnull = spark.createDataFrame([("d3", None)],
+                                    "doc_id: string, token: string")
+    assert simhash(allnull, "doc_id", "token").count() == 0
+
+
+def test_minhash_fast_path_matches_reference_path(spark):
+    """minhash_bands_fast claims to be 'semantically identical' to
+    minhash_signatures + lsh_band_keys (the exploded reference form) —
+    prove it (round-8 review: the reference pair had zero callers and
+    nothing held the two forms together)."""
+    from nfl_data_engineering_spark.functions.hashing import (
+        lsh_band_keys, minhash_bands_fast, minhash_signatures)
+    docs = spark.createDataFrame(
+        [("d%d" % i, "tok%d tok%d tok%d tok%d" % (i, i + 1, i + 2, i % 3))
+         for i in range(8)], "doc_id: string, text: string")
+    sh = docs.selectExpr("doc_id", "explode(split(text, ' ')) AS shingle")
+    fast = {(r["doc_id"], r["band"], r["band_key"]) for r in
+            minhash_bands_fast(sh, "doc_id", "shingle", 16, 4).collect()}
+    sig = minhash_signatures(sh, "doc_id", "shingle", num_hashes=16)
+    ref = {(r["doc_id"], r["band"], r["band_key"]) for r in
+           lsh_band_keys(sig, "doc_id", num_hashes=16, bands=4).collect()}
+    assert fast == ref
