@@ -144,20 +144,17 @@ def connected_components(edges: DataFrame, src: str = "a",
     # labels._ckpt_ids for callers that have materialized every
     # dependent (see storage.py's tracking contract for why it must not
     # be weakref-swept).
-    from ..storage import registry_rdd_ids, unpersist_rdd_ids
+    from ..storage import CheckpointRotator
     spark = edges.sparkSession
     # exact convergence scalar at any scale: see docstring
     label_sum = F.sum(F.col("label").cast("decimal(38,0)"))
-    base = registry_rdd_ids(spark)   # failure-path release baseline
-    seen = set(base)
-    prev_ids: set[int] = set()
+    rot = CheckpointRotator(spark)
     try:
         labels = (bi.select(F.col("a").alias("n")).distinct()
                   .withColumn("label", F.col("n")).coalesce(parts)
                   .localCheckpoint(eager=False))
         old_sum = labels.agg(label_sum).collect()[0][0]
-        now = registry_rdd_ids(spark)
-        prev_ids, seen = now - seen, now
+        rot.rotate()
         while True:
             neigh = (bi.join(labels.withColumnRenamed("n", "a")
                              .withColumnRenamed("label", "nlabel"), "a")
@@ -168,9 +165,7 @@ def connected_components(edges: DataFrame, src: str = "a",
                       .coalesce(parts)
                       .localCheckpoint(eager=False))
             new_sum = labels.agg(label_sum).collect()[0][0]
-            now = registry_rdd_ids(spark)
-            unpersist_rdd_ids(spark, prev_ids)  # round N-1: dead once N exists
-            prev_ids, seen = now - seen, now
+            rot.rotate()   # round N-1: dead once N exists
             if new_sum == old_sum:
                 break
             old_sum = new_sum
@@ -179,17 +174,16 @@ def connected_components(edges: DataFrame, src: str = "a",
         # bidirectional-edge cache and up to two live round checkpoints
         # stay registered for the session's lifetime — the exact leak
         # class the explicit-release machinery exists to prevent (round-8
-        # review finding). Release everything THIS call registered (diff
-        # vs the entry snapshot; safe under the single-threaded contract
-        # above) and let the failure propagate.
+        # review finding). Release everything THIS call registered and
+        # let the failure propagate.
         try:
             bi_cached.unpersist()
-            unpersist_rdd_ids(spark, registry_rdd_ids(spark) - base)
         except Exception:
-            pass   # a dead session has no blocks left to release
+            pass
+        rot.release_all()
         raise
     bi_cached.unpersist()
-    labels._ckpt_ids = prev_ids
+    labels._ckpt_ids = rot.prev_ids
     return labels
 
 

@@ -589,58 +589,61 @@ def _bpe_loop(tok: DataFrame, steps: int):
     two catalog entries check the same dataflow from two angles.
 
     Storage discipline: step N's eager checkpoint reads step N-1's, so
-    once N materializes, N-1's blocks are dead — released EXPLICITLY
-    here (registry diff + unpersist_rdd_ids) instead of waiting on the
-    ContextCleaner's GC pace (the py4j-detach race of VERDICT r6 item 1;
-    a BPE_STEPS-deep loop otherwise piles up one pinned checkpoint per
-    round until GC). The FINAL table's ids ride back on
-    ``tok._ckpt_ids``: the trainer drops the table and releases them at
-    once; the encoder releases them after its finalize materializes."""
-    from ..storage import registry_rdd_ids, unpersist_rdd_ids
-    spark = tok.sparkSession
+    once N materializes, N-1's blocks are dead — released EXPLICITLY via
+    the shared storage.CheckpointRotator (the same protocol as the CC
+    min-label loop; one implementation so the two cannot drift — round-8
+    review finding) instead of waiting on the ContextCleaner's GC pace
+    (the py4j-detach race of VERDICT r6 item 1; a BPE_STEPS-deep loop
+    otherwise piles up one pinned checkpoint per round until GC). A
+    mid-loop failure releases every live step checkpoint before
+    propagating. The FINAL table's ids ride back on ``tok._ckpt_ids``:
+    the trainer drops the table and releases them at once; the encoder
+    releases them after its finalize materializes."""
+    from ..storage import CheckpointRotator
     out_rows = []
-    prev_ids: set[int] = set()
-    seen = registry_rdd_ids(spark)
-    for step in range(1, steps + 1):
-        wdoc = Window.partitionBy("doc_id").orderBy("pos")
-        cur = tok.withColumn("nxt", F.lead("t").over(wdoc))
-        top = (cur.filter(F.col("nxt").isNotNull())
-               .groupBy("t", "nxt").agg(F.count("*").alias("c"))
-               .orderBy(F.col("c").desc(), "t", "nxt").limit(1)
-               .collect())
-        if not top:
-            # no adjacent pairs anywhere (degenerate corpus): mirror the
-            # oracle's empty-CTE scalar subqueries — NULL pair, 0 merges
-            out_rows += [(s, None, None, 0)
-                         for s in range(step, steps + 1)]
-            break
-        a, b = top[0]["t"], top[0]["nxt"]
-        # islands of consecutive equal tokens; parity gates left==right
-        seg = (F.col("pos")
-               - F.row_number().over(Window.partitionBy("doc_id", "t")
-                                     .orderBy("pos")))
-        cur = cur.withColumn("seg", seg)
-        off = (F.col("pos")
-               - F.min("pos").over(Window.partitionBy("doc_id", "t", "seg")))
-        is_pair = (F.col("t") == a) & (F.col("nxt") == F.lit(b))
-        allowed = F.lit(a != b) | (off % 2 == 0)
-        cur = cur.withColumn("m", is_pair & allowed)
-        cur = cur.withColumn(
-            "consumed", F.coalesce(F.lag("m").over(wdoc), F.lit(False)))
-        n_merged = cur.filter("m").count()
-        out_rows.append((step, a, b, n_merged))
-        tok = (cur.filter(~F.col("consumed"))
-               .select("doc_id",
-                       F.row_number().over(wdoc).alias("pos"),
-                       F.when(F.col("m"),
-                              F.concat_ws("_", F.lit(a), F.lit(b)))
-                        .otherwise(F.col("t")).alias("t"))
-               .localCheckpoint(eager=True))
-        now = registry_rdd_ids(spark)
-        unpersist_rdd_ids(spark, prev_ids)   # step N-1: dead once N exists
-        prev_ids = now - seen
-        seen = now
-    tok._ckpt_ids = prev_ids                 # final table: caller releases
+    rot = CheckpointRotator(tok.sparkSession)
+    try:
+        for step in range(1, steps + 1):
+            wdoc = Window.partitionBy("doc_id").orderBy("pos")
+            cur = tok.withColumn("nxt", F.lead("t").over(wdoc))
+            top = (cur.filter(F.col("nxt").isNotNull())
+                   .groupBy("t", "nxt").agg(F.count("*").alias("c"))
+                   .orderBy(F.col("c").desc(), "t", "nxt").limit(1)
+                   .collect())
+            if not top:
+                # no adjacent pairs anywhere (degenerate corpus): mirror the
+                # oracle's empty-CTE scalar subqueries — NULL pair, 0 merges
+                out_rows += [(s, None, None, 0)
+                             for s in range(step, steps + 1)]
+                break
+            a, b = top[0]["t"], top[0]["nxt"]
+            # islands of consecutive equal tokens; parity gates left==right
+            seg = (F.col("pos")
+                   - F.row_number().over(Window.partitionBy("doc_id", "t")
+                                         .orderBy("pos")))
+            cur = cur.withColumn("seg", seg)
+            off = (F.col("pos")
+                   - F.min("pos").over(
+                       Window.partitionBy("doc_id", "t", "seg")))
+            is_pair = (F.col("t") == a) & (F.col("nxt") == F.lit(b))
+            allowed = F.lit(a != b) | (off % 2 == 0)
+            cur = cur.withColumn("m", is_pair & allowed)
+            cur = cur.withColumn(
+                "consumed", F.coalesce(F.lag("m").over(wdoc), F.lit(False)))
+            n_merged = cur.filter("m").count()
+            out_rows.append((step, a, b, n_merged))
+            tok = (cur.filter(~F.col("consumed"))
+                   .select("doc_id",
+                           F.row_number().over(wdoc).alias("pos"),
+                           F.when(F.col("m"),
+                                  F.concat_ws("_", F.lit(a), F.lit(b)))
+                            .otherwise(F.col("t")).alias("t"))
+                   .localCheckpoint(eager=True))
+            rot.rotate()                     # step N-1: dead once N exists
+    except BaseException:
+        rot.release_all()
+        raise
+    tok._ckpt_ids = rot.prev_ids             # final table: caller releases
     return tok, out_rows
 
 

