@@ -24,45 +24,36 @@ _ALL: list[QueryDef] = [*RELATIONAL_QUERIES, *TEXT_QUERIES,
 # prefix window of the catalog (50 entries/round), so rotation aims each
 # round's window at the entries with the most verification value.
 #
-# Round 8 window (50) — the staleness rotation the r7 verdict staged
-# (item 1: the 46 entries whose newest driver row is still r3 vintage —
-# several ride machinery reworked in r5-r7: finalize/storage release,
-# the shared _dup_window_spans / exact_jaccard_count extractions, the
-# two-phase selection shapes):
-# (a) entries whose code or oracle CHANGED in round 8: the two
-#     standalone minhash entries now routing band config through the
-#     shared threshold derivation (functions.hashing.minhash_band_config
-#     — hash-identical output at t=0.8, but the 64x16 fold is now
-#     derived, not pinned) and semantic_dedup, whose K oracle twin moved
-#     to integer ceiling division (ADVICE r7) and whose derivation
-#     gained the centroid-budget gate;
-# (b) ALL 46 round-3-vintage entries, name order — after this round no
-#     entry's newest driver attestation is older than r4;
-# (c) remaining slot: an oldest-r4 row from the sketch/vector family
-#     this round touched.
+# Round 9 window (50) — the staleness rotation the r8 verdict staged
+# (item 1: "no entry's newest driver attestation older than r5
+# afterward"):
+# (a) ALL 46 entries whose newest driver row is r4 vintage, name order
+#     (reproducible by folding _green over the CORRECTNESS_r0*.json
+#     files — the upsert/zorder/compaction lake ops, the streaming-r4
+#     cohort, kmeans/quantization, skew salting, weather fan-out);
+# (b) 4 fill slots from the equally-old r5 cohort, name order.
 # Names absent from this list keep catalog order after it.
 _PRIORITY: list[str] = [
-    # --- (a) code- or oracle-changed in round 8 ---
-    "dedup_minhash_lsh", "incremental_corpus_dedup", "semantic_dedup",
-    # --- (b) the full round-3-vintage tail, name order ---
-    "asof_tolerance", "behavior_set_overlap", "bigram_topk",
-    "bloom_prefilter_audit", "box_scores_schedule", "bpe_merge_train",
-    "brand_max_price", "cohort_retention", "corpus_filter",
-    "corrupt_record_audit", "doc_chunking", "domain_topk",
-    "dormant_high_balance", "event_cooccurrence",
-    "event_transition_matrix", "first_digit_profile", "forecast_revenue",
-    "full_outer_reconcile", "funnel_stages", "heavy_hitters_cms",
-    "incremental_agg_merge", "inverted_index", "key_skew_profile",
-    "kfold_assignment", "late_shipment_audit", "mad_outliers",
-    "minmax_scale", "monthly_rank_report", "promo_revenue_share",
-    "referential_integrity_audit", "rename_normalize",
-    "returned_item_customers", "revenue_gini", "segment_dedup",
-    "sequence_packing", "shard_balance", "source_mixture",
-    "stratified_sample", "temperature_mixing", "tfidf_top_terms",
-    "top_supplier", "trailing_median", "train_test_split",
-    "unigram_logprob", "vocab_topk", "zscore_groups",
-    # --- (c) oldest-r4 fill (1 slot) ---
-    "ann_pq_topk",
+    # --- (a) the full round-4-vintage tail, name order ---
+    "ab_test_report", "basket_pair_rules", "bigram_logprob",
+    "bucketed_join_colocated", "cdc_merge_apply", "column_profile",
+    "compact_multifile", "compact_roundtrip", "embedding_int8_quant",
+    "feature_hashing", "filter_funnel", "hard_negative_mining",
+    "importance_resample", "interval_incident_join", "kmeans_embeddings",
+    "ks_drift", "last_touch_attribution", "multimodal_frame_sample",
+    "multimodal_resize", "pagerank_event_graph", "pit_feature_join",
+    "pmi_collocations", "pq_recall_audit", "revenue_bridge",
+    "rfm_segmentation", "rfm_segmentation_cutoffs", "sampled_quantiles",
+    "schema_evolution_read", "semantic_contamination", "skew_join_salted",
+    "spend_quartiles_cutoffs", "sql_api_report", "streaming_cdc_apply",
+    "streaming_dedup_ingest", "streaming_enrich", "streaming_keep_latest",
+    "streaming_sliding_rollup", "streaming_upsert_sink",
+    "time_to_conversion", "trailing_unique_users", "upsert_roundtrip",
+    "variant_extract", "weather_forecast_window", "weather_unit_convert",
+    "zorder_pruning", "zorder_pruning_3col",
+    # --- (b) oldest-r5 fill (4 slots), name order ---
+    "best_snapshot", "bpe_encode", "capped_sessions",
+    "cogrouped_asof_pandas",
 ]
 
 assert not set(_PRIORITY) - {q.name for q in _ALL}, \

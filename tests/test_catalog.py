@@ -2,10 +2,12 @@
 in sync with plans/registry.py — a new/renamed/moved entry that isn't
 regenerated turns the suite red here, not at the next judge pass.
 
-The regeneration uses the correctness-file set NAMED IN the committed
-file's header, so a driver-written CORRECTNESS_r0N.json landing between
-rounds does not spuriously fail this test; structural columns (name,
-family, file:line, oracle kind, bench pin) are always derived live."""
+Per VERDICT r8 item 2 the sync check also fails when a correctness file
+exists on disk that the committed header does not name: a driver-written
+CORRECTNESS_r0N.json must be folded in (python tools/make_catalog.py)
+first thing the following round, so the index can never silently lag a
+round. Structural columns (name, family, file:line, oracle kind, bench
+pin) are always derived live."""
 
 from __future__ import annotations
 
@@ -14,11 +16,21 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tools.make_catalog import OUT, check  # noqa: E402
+from tools.make_catalog import (  # noqa: E402
+    OUT, check, committed_corr_files, disk_corr_files)
 
 
 def test_catalog_md_in_sync_with_registry():
     assert check() is None
+
+
+def test_catalog_header_includes_newest_correctness_file_on_disk():
+    """Redundant with check()'s clause (a), but pins the staleness
+    contract explicitly: the newest CORRECTNESS_r0*.json on disk must be
+    named in the committed header."""
+    on_disk = disk_corr_files()
+    assert on_disk, "no CORRECTNESS_r*.json found on disk"
+    assert on_disk[-1] in committed_corr_files()
 
 
 def test_catalog_md_covers_every_entry():
