@@ -80,7 +80,19 @@ def connected_components(edges: DataFrame, src: str = "a",
     # of CC on a 247-edge graph before this, ~1 s after). The count also
     # eager-fills bi's cache before the loop fans out over it. parts
     # scales back up with the graph, so a 100 TB pair graph still spreads.
-    n_edges = bi_cached.count()
+    # the cache-filling count and the fast-path collect sit BEFORE the
+    # loop's failure handler, so they need their own release-on-raise —
+    # otherwise an executor loss right here leaks the edge cache for the
+    # session's lifetime, the exact contract the docstring promises
+    # against (ADVICE r8)
+    try:
+        n_edges = bi_cached.count()
+    except BaseException:
+        try:
+            bi_cached.unpersist()
+        except Exception:
+            pass
+        raise
     # Small-graph fast path: below _CC_DRIVER_EDGE_CAP bidirectional
     # edges, collect and run union-find on the driver. Near-dup graphs
     # at ANY corpus scale are usually tiny relative to the corpus (247
@@ -92,8 +104,13 @@ def connected_components(edges: DataFrame, src: str = "a",
     # VERDICT r5); past the cap — the actual 100 TB regime — the
     # distributed loop below engages unchanged.
     if n_edges <= _CC_DRIVER_EDGE_CAP:
-        rows = bi_cached.collect()
-        bi_cached.unpersist()
+        try:
+            rows = bi_cached.collect()
+        finally:
+            try:
+                bi_cached.unpersist()
+            except Exception:
+                pass
         parent: dict = {}
 
         def find(x):

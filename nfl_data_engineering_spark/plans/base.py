@@ -176,11 +176,25 @@ def release_deferred() -> int:
     explicitly release finalize-checkpoint blocks whose Python wrapper
     has died (storage.sweep_dead_checkpoints — deterministic, no GC in
     the path); returns how many storage entries were released.
-    Idempotent; call between catalog entries."""
-    n = len(_DEFERRED)
+    Idempotent; call between catalog entries.
+
+    Tolerates parked frames from a since-STOPPED SparkSession (their
+    blocks died with the JVM; the min-of-N bench runs one fresh session
+    per repetition and the first release_deferred of rep 2 used to NPE on
+    rep 1's parked caches). Same retry policy as sweep_dead_checkpoints:
+    a transient failure on a LIVE session keeps the frame parked for the
+    next call rather than leaking its blocks."""
+    from ..storage import _session_stopped
+    n = 0
+    keep: list[DataFrame] = []
     for c in _DEFERRED:
-        c.unpersist()
-    _DEFERRED.clear()
+        try:
+            c.unpersist()
+            n += 1
+        except Exception:
+            if not _session_stopped(c.sparkSession):
+                keep.append(c)
+    _DEFERRED[:] = keep
     return n + sweep_dead_checkpoints()
 
 
