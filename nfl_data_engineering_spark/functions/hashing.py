@@ -49,6 +49,11 @@ def h60_sql(expr: str) -> str:
 # review finding).
 NUM_HASHES = 64
 
+# The catalog-wide default jaccard threshold (textops.JACCARD_THRESHOLD
+# aliases this). Lives next to the band derivation for the same
+# single-source reason as NUM_HASHES.
+DEFAULT_JACCARD_THRESHOLD = 0.8
+
 # A band config is accepted for a threshold t only if the S-curve catch
 # probability AT t, 1-(1-t^r)^b, clears this floor; pairs above t catch
 # with strictly higher probability, so measured recall >= the floor too.
@@ -124,14 +129,23 @@ def minhash_signatures(shingled: DataFrame, id_col: str, shingle_col: str,
 
 
 def lsh_band_keys(signatures: DataFrame, id_col: str,
-                  num_hashes: int = NUM_HASHES, bands: int = 16) -> DataFrame:
+                  num_hashes: int = NUM_HASHES,
+                  bands: int | None = None) -> DataFrame:
     """Fold a (id, seed, minhash) signature into (id, band, band_key) rows.
 
     band = seed // rows_per_band; band_key = md5 of the ordered minhash list.
     Docs sharing any band_key are LSH candidates. Join on (band, band_key)
     is an equi-join Catalyst can hash-partition — no similarity math until
     the (tiny) candidate set is known.
+
+    ``bands=None`` resolves through minhash_band_config at the catalog's
+    DEFAULT_JACCARD_THRESHOLD under the given budget — a literal default
+    decoupled from the derivation would hand a library caller 0.8-tuned
+    recall after any NUM_HASHES retune (ADVICE r8). Callers at a
+    different threshold pass ``minhash_band_config(t)[1]``.
     """
+    if bands is None:
+        bands = minhash_band_config(DEFAULT_JACCARD_THRESHOLD, num_hashes)[1]
     rows_per_band = num_hashes // bands
     return (signatures
             .withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
@@ -142,7 +156,7 @@ def lsh_band_keys(signatures: DataFrame, id_col: str,
 
 
 def minhash_bands_fast(shingled: DataFrame, id_col: str, shingle_col: str,
-                       num_hashes: int = NUM_HASHES, bands: int = 16,
+                       num_hashes: int = NUM_HASHES, bands: int | None = None,
                        hashed: bool = False) -> DataFrame:
     """(id, shingle) rows -> (id, band, band_key) rows, columnar fast path.
 
@@ -157,11 +171,14 @@ def minhash_bands_fast(shingled: DataFrame, id_col: str, shingle_col: str,
     ``hashed=True`` means ``shingle_col`` already holds h60 values (callers
     that also need the hash for an intersection join compute it once).
 
-    The ``bands`` default (16) is minhash_band_config's derivation at the
-    catalog's t=0.8 under the NUM_HASHES budget; these kernels take the
-    band COUNT, not a threshold, so a caller at a different threshold must
-    pass ``minhash_band_config(t)[1]`` — every catalog caller does.
+    ``bands=None`` resolves through minhash_band_config at the catalog's
+    DEFAULT_JACCARD_THRESHOLD under the given budget (ADVICE r8 — see
+    lsh_band_keys). These kernels take the band COUNT, not a threshold,
+    so a caller at a different threshold must pass
+    ``minhash_band_config(t)[1]`` — every catalog caller does.
     """
+    if bands is None:
+        bands = minhash_band_config(DEFAULT_JACCARD_THRESHOLD, num_hashes)[1]
     a = [1 + h60_py(f"mh_a_{i}") % (MERSENNE_P - 1) for i in range(num_hashes)]
     b = [h60_py(f"mh_b_{i}") % MERSENNE_P for i in range(num_hashes)]
     base = F.col(shingle_col) if hashed else h60(F.col(shingle_col))

@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ..functions.hashing import (MERSENNE_P, NUM_HASHES, h60, h60_py,
                                  minhash_band_config, minhash_bands_fast,
                                  simhash)
+from ..functions.hashing import \
+    DEFAULT_JACCARD_THRESHOLD as hashing_default_threshold
 from ..functions.text import (LANG_MARKERS, STOPWORDS, WORD_RE, doc_fingerprint,
                               explode_shingle_hashes, explode_tokens, lang_id,
                               regex_token_count, shingles, tokens)
@@ -70,7 +72,11 @@ FROM documents GROUP BY 1
 # NUM_HASHES is imported from functions.hashing (single source with the
 # band derivation and the front door's default budget) and re-exported
 # here for the entries and tests that always read it from textops.
-JACCARD_THRESHOLD = 0.8
+# The threshold likewise aliases hashing.DEFAULT_JACCARD_THRESHOLD
+# (ADVICE r8): the band kernels' bands=None default resolves against
+# THAT constant, so the catalog threshold and the kernel default cannot
+# drift apart.
+JACCARD_THRESHOLD = hashing_default_threshold
 # Band count DERIVED from the threshold via the shared S-curve rule
 # (functions.hashing.minhash_band_config) rather than pinned at 16
 # (VERDICT r7 item 5): 0.8 under the 64-hash budget resolves to the

@@ -246,3 +246,26 @@ def test_dedup_keep_latest_rn_column_collision(spark):
     assert "__rn" in out.columns
     row = out.collect()[0]
     assert row["__rn"] == "keep-me-too" and row["timestamp"] == 2
+
+
+def test_connected_components_label_sum_past_int64(spark, monkeypatch):
+    """Pins the DECIMAL(38,0) convergence scalar at the magnitude that
+    motivated it (VERDICT r8 item 6): three nodes with ids ~4e18 push the
+    initial label sum past 2^63 in one round, where an int64 sum wraps
+    and legacy-mode arithmetic could declare FALSE convergence. Green in
+    both the driver fast path and the distributed min-label loop."""
+    from nfl_data_engineering_spark.operators import dedup as D
+
+    a, b, c = 4_000_000_000_000_000_000, 4_100_000_000_000_000_000, \
+        4_200_000_000_000_000_000  # sum 12.3e18 > 2^63 ~ 9.22e18
+    edges = spark.createDataFrame([(b, a), (c, b)], "a: long, b: long")
+    expect = {a: a, b: a, c: a}
+
+    fast = {r["n"]: r["label"]
+            for r in D.connected_components(edges).collect()}
+    assert fast == expect
+
+    monkeypatch.setattr(D, "_CC_DRIVER_EDGE_CAP", 0)
+    dist = {r["n"]: r["label"]
+            for r in D.connected_components(edges).collect()}
+    assert dist == expect
