@@ -13,7 +13,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.hashing import h60_py
-from ..functions.similarity import brute_force_topk, cosine, dot
+from ..functions.similarity import (brute_force_topk, cosine, cosine_arrow,
+                                    dot)
 from .base import QueryDef, finalize, finalize_cc, load
 
 TOPK = 5
@@ -1037,16 +1038,18 @@ SEMDEDUP_CLUSTER_SIZE = 2500   # target mean cluster size: the cluster
                                # (50k clusters for 100M+ items)
 
 
-# Honest-limits gate on the centroid table (VERDICT r7 item 4): the
-# derived K grows linearly with the corpus, and the centroid list is
-# driver-collected then broadcast into every assignment pass. 500k
-# centroids x 64 dims x 8 B ~ 0.25 GB — inside a stock driver/executor
-# budget; K beyond that (> ~1.25e9 docs at the 2500 target) needs
-# two-level clustering (cluster the centroids, assign through the coarse
-# level first — the paper-consistent escape hatch), which this entry
-# deliberately does not fake. Same discipline as tabular.py's xlsx
-# row-count gate: fail loudly where the design stops, don't degrade
-# silently.
+# Budget gate on the DRIVER-HELD centroid table (VERDICT r7 item 4): the
+# derived K grows linearly with the corpus, and the single-level path's
+# centroid list is driver-collected then broadcast into every assignment
+# pass. 500k centroids x 64 dims x 8 B ~ 0.25 GB — inside a stock
+# driver/executor budget. Past the gate (> ~1.25e9 docs at the 2500
+# target) q_semantic_dedup now routes through TWO-LEVEL clustering
+# (VERDICT r8 item 4, SemDeDup's own scaling path): a coarse Lloyd with
+# k1 = ceil(sqrt(K)) driver-held centroids, then a fully DISTRIBUTED
+# per-cell fine Lloyd whose centroid table never touches the driver.
+# Only a corpus needing k1 itself past the gate (K > MAX_K^2 ~ 2.5e11
+# fine clusters ~ 6e17 docs) still fails loudly — a third level is not
+# built.
 SEMDEDUP_MAX_K = 500_000
 
 
@@ -1055,18 +1058,29 @@ def _semdedup_k(n: int) -> int:
     report entry's 8, growing so mean cluster size stays bounded. At the
     test scale factors (<= 20k vectors) this IS 8, so the entry's
     verified results are unchanged; replicas get proportionally more
-    clusters. Twin of the SQL expression in the oracle. Raises beyond
-    SEMDEDUP_MAX_K — see the gate's comment."""
-    k = max(KMEANS_K, -(-n // SEMDEDUP_CLUSTER_SIZE))
-    if k > SEMDEDUP_MAX_K:
+    clusters. Twin of the SQL expression in the oracle. Values past
+    SEMDEDUP_MAX_K no longer raise here: q_semantic_dedup dispatches
+    them to the two-level path (_semdedup_two_level)."""
+    return max(KMEANS_K, -(-n // SEMDEDUP_CLUSTER_SIZE))
+
+
+def _semdedup_coarse_k(k: int) -> int:
+    """Coarse cluster count for the two-level path: ceil(sqrt(k)), the
+    split that balances the driver-held coarse table (k1 centroids)
+    against the per-cell fine fan-out (~k/k1 centroids joined per
+    vector) — both grow as sqrt(k) instead of k. Raises when even the
+    coarse level would exceed the gate (a third level is not built)."""
+    import math
+    k1 = math.isqrt(k)
+    if k1 * k1 < k:
+        k1 += 1
+    if k1 > SEMDEDUP_MAX_K:
         raise ValueError(
-            f"semantic_dedup: derived K={k} centroids for n={n} vectors "
-            f"exceeds SEMDEDUP_MAX_K={SEMDEDUP_MAX_K} (the single-level "
-            f"k-means centroid table would no longer fit the driver/"
-            f"broadcast budget). A corpus this size needs two-level "
-            f"clustering: k-means the centroids into a coarse level and "
-            f"route assignment through it (SemDeDup's own scaling path).")
-    return k
+            f"semantic_dedup: two-level coarse K1={k1} for derived K={k} "
+            f"still exceeds SEMDEDUP_MAX_K={SEMDEDUP_MAX_K}; a corpus "
+            f"this size (> ~{SEMDEDUP_MAX_K}^2 fine clusters) would need "
+            f"a third clustering level, which is not built.")
+    return k1
 
 
 # Integer ceiling-division, same arithmetic as _semdedup_k's
@@ -1075,6 +1089,93 @@ def _semdedup_k(n: int) -> int:
 _SEMDEDUP_K_SQL = (f"GREATEST({KMEANS_K}, "
                    f"((SELECT COUNT(*) FROM embeddings)"
                    f" + {SEMDEDUP_CLUSTER_SIZE - 1}) // {SEMDEDUP_CLUSTER_SIZE})")
+
+
+def _fine_assign_pass(coarse: DataFrame, fcents: DataFrame) -> DataFrame:
+    """One fine-level assignment pass: route every vector ONLY to its own
+    coarse cell's fine centroids (ccl equi-join — the IVF dataflow, no
+    cross-cell work), score with the Arrow cosine kernel (hash-identical
+    to the cosine() expression and the oracle's list_dot_product — see
+    functions.similarity.cosine_arrow), and keep the best fine centroid
+    per vector with the pinned (cs DESC, fcl) tie-break — the same
+    row_number the oracle's fa CTEs compute. Row fan-out per vector is
+    the cell's fine-centroid count (~sqrt(K) at the two-level split),
+    which IS Lloyd's per-vector work; if this regime ever needs the
+    row-materialization trimmed, the next move is a cogrouped Arrow
+    kernel that argmaxes in-batch (the _kmeans_assign shape, per cell).
+    """
+    w = Window.partitionBy("vec_id").orderBy(F.col("__cs").desc(), "fcl")
+    return (coarse.join(fcents, "ccl")
+            .select("vec_id", "embedding", "ccl", "fcl",
+                    cosine_arrow()(F.col("embedding"), F.col("cent"))
+                    .alias("__cs"))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("vec_id", "embedding", "ccl", "fcl"))
+
+
+def _fine_recenter(assigned: DataFrame) -> DataFrame:
+    """_kmeans_recenter's exact-decimal per-dim mean, keyed by
+    (ccl, fcl) and kept DISTRIBUTED — the fine centroid table is the
+    thing the two-level path exists to keep off the driver."""
+    return (assigned
+            .select("ccl", "fcl", F.posexplode("embedding").alias("d", "v"))
+            .groupBy("ccl", "fcl", "d")
+            .agg(F.round(F.sum(F.col("v").cast("double").cast("decimal(18,8)"))
+                         .cast("double") / F.count("*"), 6).alias("c"))
+            .groupBy("ccl", "fcl")
+            .agg(F.array_sort(F.collect_list(F.struct("d", "c"))).alias("dc"))
+            .select("ccl", "fcl", F.col("dc.c").alias("cent")))
+
+
+def _semdedup_two_level(emb: DataFrame, k: int) -> tuple[DataFrame, DataFrame]:
+    """SemDeDup's scaling path for derived K past the driver-broadcast
+    gate (VERDICT r8 item 4): cluster the corpus COARSELY with
+    k1 = ceil(sqrt(K)) driver-held centroids (the proven q_kmeans
+    dataflow), then run an independent fine Lloyd WITHIN each coarse
+    cell, entirely distributed:
+
+    - fine seeds: each cell's ceil(members / SEMDEDUP_CLUSTER_SIZE)
+      lowest vec_ids (per-cell row_number — deterministic, and the total
+      fine-cluster count tracks the single-level derivation);
+    - assignment: ccl-keyed equi-join + Arrow cosine + (cs DESC, fcl)
+      row_number (_fine_assign_pass);
+    - recenter: exact-decimal per-dim means keyed by (ccl, fcl), never
+      collected (_fine_recenter).
+
+    Vectors never change coarse cell, so the fine problem is
+    embarrassingly parallel across cells; cross-CELL near-dups are
+    missed by the same documented design trade as cross-cluster ones in
+    the single-level path. Returns (final (vec_id, embedding, cl) with
+    cl = fine seed vec_id — the same id scheme as the single level — and
+    the coarse cache for the caller to release)."""
+    k1 = _semdedup_coarse_k(k)
+    cents = [(r["vec_id"], list(r["embedding"]))
+             for r in emb.filter(F.col("vec_id") < k1).collect()]
+    for _ in range(KMEANS_REFITS):
+        cents = _kmeans_recenter(_kmeans_assign(emb, cents))
+    coarse = (_kmeans_assign(emb, cents)
+              .select("vec_id", "embedding", F.col("cl").alias("ccl"))
+              .cache())
+    coarse.count()   # eager: the fine passes reference it repeatedly
+    size = SEMDEDUP_CLUSTER_SIZE
+    seeded = (coarse
+              .withColumn("__cnt",
+                          F.count(F.lit(1)).over(Window.partitionBy("ccl")))
+              .withColumn("__rn", F.row_number().over(
+                  Window.partitionBy("ccl").orderBy("vec_id"))))
+    # integer ceiling division via `div` — the same arithmetic as the
+    # oracle's `//` and _semdedup_k's -(-n // size) (ADVICE r7 doctrine)
+    k2 = F.greatest(F.lit(1).cast("bigint"),
+                    F.expr(f"(__cnt + {size - 1}) div {size}"))
+    fcents = (seeded.filter(F.col("__rn") <= k2)
+              .select("ccl", F.col("vec_id").alias("fcl"),
+                      F.col("embedding").alias("cent")))
+    for _ in range(KMEANS_REFITS):
+        fcents = _fine_recenter(_fine_assign_pass(coarse, fcents))
+    final = (_fine_assign_pass(coarse, fcents)
+             .select("vec_id", "embedding", F.col("fcl").alias("cl")))
+    return final, coarse
 
 
 def _semdedup_pair_kernel(threshold: float):
@@ -1146,7 +1247,9 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaling move — 50k clusters for 100M+ items — so the within-cluster
     quadratic, which IS the algorithm's documented trade, stays bounded
     per cluster at any corpus size; the oracle derives the identical K
-    in SQL). Components ride operators/dedup.py's two-path CC; the
+    in SQL). Derived K past SEMDEDUP_MAX_K dispatches to the two-level
+    path (_semdedup_two_level) instead of the single-level driver-held
+    centroid table. Components ride operators/dedup.py's two-path CC; the
     survivor join broadcasts the (small) labels frame. Cross-cluster
     near-dups are missed BY DESIGN — the paper's recall trade for
     tractability. Seeds are the K lowest vec_ids (deterministic; on the
@@ -1161,13 +1264,23 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = (load(spark, sf_dir, "embeddings")
            .select("vec_id", "embedding").cache())
     k = _semdedup_k(emb.count())
-    cents = [(r["vec_id"], list(r["embedding"]))
-             for r in emb.filter(F.col("vec_id") < k).collect()]
-    for _ in range(KMEANS_REFITS):
-        cents = _kmeans_recenter(_kmeans_assign(emb, cents))
-    final = (_kmeans_assign(emb, cents)
-             .select("vec_id", "embedding", "cl").cache())
+    caches = [emb]
+    if k <= SEMDEDUP_MAX_K:
+        cents = [(r["vec_id"], list(r["embedding"]))
+                 for r in emb.filter(F.col("vec_id") < k).collect()]
+        for _ in range(KMEANS_REFITS):
+            cents = _kmeans_recenter(_kmeans_assign(emb, cents))
+        final = (_kmeans_assign(emb, cents)
+                 .select("vec_id", "embedding", "cl").cache())
+    else:
+        # centroid table past the driver/broadcast budget: two-level
+        # clustering (coarse driver-held, fine distributed) — the gate
+        # comment's escape hatch, now real (VERDICT r8 item 4)
+        fine, coarse = _semdedup_two_level(emb, k)
+        caches.append(coarse)
+        final = fine.cache()
     final.count()   # eager: pair kernel + survivor join race a lazy cache
+    caches.append(final)
     pairs = final.groupBy("cl").applyInPandas(
         _semdedup_pair_kernel(float(SEMDEDUP_THRESHOLD)),
         "v1 long, v2 long")
@@ -1178,19 +1291,23 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select("vec_id", "cluster", canon.alias("canonical_vec_id"),
                    (canon == F.col("vec_id")).cast("int")
                     .alias("is_survivor")))
-    return finalize_cc(out, labels, emb, final)
+    return finalize_cc(out, labels, *caches)
 
 
-def _oracle_semantic_dedup() -> str:
+def _semdedup_tail(assign_rel: str, threshold: float) -> str:
+    """Shared CC + survivor-table tail over an assignment relation with
+    columns (vec_id, cl): within-cluster threshold pairs -> recursive
+    reachability -> min-label components -> one row per vector. Used by
+    both the single-level oracle (rel ``af``) and the two-level twin
+    (rel ``faf``)."""
     cos = SQL_COS.format(a="e1.embedding", b="e2.embedding")
-    return ("WITH RECURSIVE "
-            + ",\n".join(_kmeans_cte_parts(_SEMDEDUP_K_SQL)) + f""",
-pr AS (
+    return f"""pr AS (
   SELECT a.vec_id AS v1, b.vec_id AS v2
-  FROM af a JOIN af b ON a.cl = b.cl AND a.vec_id < b.vec_id
+  FROM {assign_rel} a JOIN {assign_rel} b
+       ON a.cl = b.cl AND a.vec_id < b.vec_id
   JOIN embeddings e1 ON e1.vec_id = a.vec_id
   JOIN embeddings e2 ON e2.vec_id = b.vec_id
-  WHERE {cos} >= {SEMDEDUP_THRESHOLD}),
+  WHERE {cos} >= {threshold}),
 bi AS (SELECT v1 AS a, v2 AS b FROM pr UNION SELECT v2, v1 FROM pr),
 nodes AS (SELECT DISTINCT a AS n FROM bi),
 r AS (
@@ -1198,11 +1315,79 @@ r AS (
   UNION
   SELECT r.a, bi.b FROM r JOIN bi ON r.b = bi.a),
 comp AS (SELECT a AS vec_id, MIN(b) AS component FROM r GROUP BY a)
-SELECT af.vec_id, af.cl AS cluster,
-       COALESCE(comp.component, af.vec_id) AS canonical_vec_id,
-       CASE WHEN COALESCE(comp.component, af.vec_id) = af.vec_id
+SELECT t.vec_id, t.cl AS cluster,
+       COALESCE(comp.component, t.vec_id) AS canonical_vec_id,
+       CASE WHEN COALESCE(comp.component, t.vec_id) = t.vec_id
             THEN 1 ELSE 0 END AS is_survivor
-FROM af LEFT JOIN comp ON comp.vec_id = af.vec_id""")
+FROM {assign_rel} t LEFT JOIN comp ON comp.vec_id = t.vec_id"""
+
+
+def _oracle_semantic_dedup() -> str:
+    return ("WITH RECURSIVE "
+            + ",\n".join(_kmeans_cte_parts(_SEMDEDUP_K_SQL)) + ",\n"
+            + _semdedup_tail("af", SEMDEDUP_THRESHOLD))
+
+
+def _semdedup_two_level_oracle(k1: int, cluster_size: int,
+                               threshold: float) -> str:
+    """DuckDB twin of the TWO-LEVEL path — the oracle discipline extended
+    one level up (VERDICT r8 item 4): the coarse Lloyd reuses
+    _kmeans_cte_parts at K1, then the fine level unrolls per-cell seeds
+    (row_number <= per-cell ceiling count), KMEANS_REFITS
+    assign-then-recenter rounds keyed by (ccl, fcl), a final assignment,
+    and the shared CC/survivor tail. Exercised by the forced-low-cap
+    unit test (tests/test_semantic_dedup.py); the production entry's
+    driver oracle stays single-level because every test-SF corpus
+    derives K <= SEMDEDUP_MAX_K."""
+    cos = SQL_COS.format(a="m.embedding", b="c.cent")
+    parts = _kmeans_cte_parts(str(k1))
+    parts.append("""cc AS (
+  SELECT af.vec_id, e.embedding, af.cl AS ccl
+  FROM af JOIN embeddings e ON e.vec_id = af.vec_id)""")
+    parts.append(f"""fs0 AS (
+  SELECT vec_id, embedding, ccl,
+         row_number() OVER (PARTITION BY ccl ORDER BY vec_id) AS rn,
+         GREATEST(1, (COUNT(*) OVER (PARTITION BY ccl)
+                      + {cluster_size - 1}) // {cluster_size}) AS k2
+  FROM cc)""")
+    parts.append("""fc0 AS (
+  SELECT ccl, vec_id AS fcl, embedding::DOUBLE[] AS cent
+  FROM fs0 WHERE rn <= k2)""")
+    prev = "fc0"
+    for i in range(1, KMEANS_REFITS + 1):
+        parts += [
+            f"""fa{i} AS (
+  SELECT vec_id, embedding, ccl, fcl FROM (
+    SELECT m.vec_id, m.embedding, m.ccl, c.fcl,
+           row_number() OVER (PARTITION BY m.vec_id ORDER BY
+             {cos} DESC, c.fcl) AS rn
+    FROM cc m JOIN {prev} c ON c.ccl = m.ccl)
+  WHERE rn = 1)""",
+            f"""fu{i} AS (
+  SELECT ccl, fcl, unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) AS d
+  FROM fa{i})""",
+            f"""fm{i} AS (
+  SELECT ccl, fcl, d,
+         ROUND(CAST(SUM(CAST(v::DOUBLE AS DECIMAL(18,8))) AS DOUBLE)
+               / COUNT(*), 6) AS c
+  FROM fu{i} GROUP BY ccl, fcl, d)""",
+            f"""fc{i} AS (
+  SELECT ccl, fcl,
+         list_transform(list_sort(list(struct_pack(d := d, c := c))),
+                        x -> x.c) AS cent
+  FROM fm{i} GROUP BY ccl, fcl)""",
+        ]
+        prev = f"fc{i}"
+    parts.append(f"""faf AS (
+  SELECT vec_id, fcl AS cl FROM (
+    SELECT m.vec_id, c.fcl,
+           row_number() OVER (PARTITION BY m.vec_id ORDER BY
+             {cos} DESC, c.fcl) AS rn
+    FROM cc m JOIN {prev} c ON c.ccl = m.ccl)
+  WHERE rn = 1)""")
+    return ("WITH RECURSIVE " + ",\n".join(parts) + ",\n"
+            + _semdedup_tail("faf", threshold))
 
 
 # ---------------------------------------------------------------------------

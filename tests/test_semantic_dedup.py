@@ -38,18 +38,59 @@ def test_semantic_dedup_invariants(spark, sf_dir):
 
 def test_semdedup_k_derivation_and_cap():
     """K grows with corpus size (ceil(n/2500), floored at the report
-    entry's 8) and fails LOUDLY past the centroid-budget gate
-    (VERDICT r7 item 4) instead of silently collecting a centroid table
-    the driver/broadcast budget cannot hold."""
+    entry's 8). Past the centroid-budget gate the derivation no longer
+    raises — q_semantic_dedup dispatches to the two-level path
+    (VERDICT r8 item 4) — but the COARSE level still fails loudly where
+    even sqrt(K) exceeds the gate (a third level is not built)."""
     import pytest
 
-    from nfl_data_engineering_spark.plans.vector import (SEMDEDUP_MAX_K,
-                                                         _semdedup_k)
+    from nfl_data_engineering_spark.plans.vector import (
+        SEMDEDUP_MAX_K, _semdedup_coarse_k, _semdedup_k)
     assert _semdedup_k(0) == 8
     assert _semdedup_k(20_000) == 8          # test-SF scale: unchanged
     assert _semdedup_k(2_501) == 8
     assert _semdedup_k(25_000) == 10
     assert _semdedup_k(100_000_000) == 40_000   # the paper's regime
     assert _semdedup_k(2500 * SEMDEDUP_MAX_K) == SEMDEDUP_MAX_K  # boundary
-    with pytest.raises(ValueError, match="two-level clustering"):
-        _semdedup_k(2500 * SEMDEDUP_MAX_K + 1)
+    # past the gate: derivation returns, the coarse split stays tiny
+    k_big = _semdedup_k(2500 * SEMDEDUP_MAX_K + 1)
+    assert k_big == SEMDEDUP_MAX_K + 1
+    assert _semdedup_coarse_k(k_big) == 708      # ceil(sqrt(500001))
+    assert _semdedup_coarse_k(9) == 3
+    assert _semdedup_coarse_k(10) == 4           # ceil, not floor
+    with pytest.raises(ValueError, match="third clustering level"):
+        _semdedup_coarse_k(SEMDEDUP_MAX_K ** 2 + 1)
+
+
+def test_semantic_dedup_two_level_matches_oracle(spark, sf_dir, monkeypatch):
+    """Force the two-level path at test scale (VERDICT r8 item 4): cap
+    the gate at 4 and shrink the target cluster size so the 500-vector
+    corpus derives K=10 > 4 -> coarse K1=4, ~3 fine clusters per cell.
+    The Spark result must hash-match the two-level oracle twin — the
+    same unrolled-CTE discipline as the production single-level oracle,
+    extended one level up — under the driver-style dtype-strict
+    comparison."""
+    import duckdb
+
+    from nfl_data_engineering_spark.parity import compare
+    from nfl_data_engineering_spark.plans import vector as V
+
+    monkeypatch.setattr(V, "SEMDEDUP_MAX_K", 4)
+    monkeypatch.setattr(V, "SEMDEDUP_CLUSTER_SIZE", 50)
+    out = V.q_semantic_dedup(spark, sf_dir)
+    spark_pdf = out.toPandas()
+
+    n = spark_pdf.shape[0]
+    k = V._semdedup_k(n)
+    assert k > 4, "test corpus must exceed the forced gate"
+    k1 = V._semdedup_coarse_k(k)
+    assert k1 == 4
+    # the fine level must actually refine: more clusters than coarse cells
+    assert spark_pdf["cluster"].nunique() > k1
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                f"'{sf_dir}/embeddings.parquet'")
+    duck_pdf = con.execute(
+        V._semdedup_two_level_oracle(k1, 50, V.SEMDEDUP_THRESHOLD)).df()
+    assert compare(spark_pdf, duck_pdf) == []
