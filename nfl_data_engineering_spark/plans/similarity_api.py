@@ -234,12 +234,12 @@ def similarity_join(df: DataFrame, id_col: str, col: str, threshold: float,
     returned frame is lazy, so UNIONING several dispatches and executing
     the union as one job runs every family's shuffles CONCURRENTLY —
     peak shuffle disk is the SUM of the families. A disk-constrained
-    deployment should stage family by family: materialize each result
-    (plans.base.finalize) and release its caches before dispatching the
-    next, bounding peak spill at max(family). Measured at the 100x
-    replica: the monolithic 4-family union exceeded a 78 GB local spill
-    budget that per-family staging stayed well inside (SCALE.md round-8
-    replica sweep).
+    deployment should stage family by family, bounding peak spill at
+    max(family): that is :func:`similarity_join_staged` (each result
+    materialized via plans.base.finalize and its caches released before
+    the next dispatch). Measured at the 100x replica: the monolithic
+    4-family union exceeded a 78 GB local spill budget that per-family
+    staging stayed well inside (SCALE.md round-8 replica sweep).
     """
     dt = df.schema[col].dataType
     if metric == "auto":
@@ -291,6 +291,60 @@ def similarity_join(df: DataFrame, id_col: str, col: str, threshold: float,
         return _vector_srp_join(df, id_col, col, threshold, caches)
     raise ValueError(f"unknown metric {metric!r} "
                      "(expected 'jaccard', 'hamming' or 'cosine')")
+
+
+def similarity_join_staged(specs: list[dict]) -> DataFrame:
+    """Family-SEQUENTIAL multi-family similarity join (VERDICT r8 item 5
+    — the code form of the peak-spill remedy similarity_join's docstring
+    prescribes in prose): dispatch each family through
+    :func:`similarity_join`, MATERIALIZE its result (plans.base.finalize:
+    eager checkpoint) and release its caches before the next family
+    dispatches, then return the union of the checkpointed parts.
+
+    Because each family's shuffles complete before the next family
+    starts, peak shuffle-spill disk is **max(family)** instead of the
+    **sum(families)** a monolithic lazy union pays when one job runs
+    every family's shuffles concurrently (measured: the monolithic
+    4-family union exceeded a 78 GB local spill budget at the 100x
+    replica that per-family staging stayed well inside — SCALE.md
+    round-8 sweep; the trade is that each text family re-shingles its
+    corpus, one extra linear scan per family, instead of sharing one
+    pinned shingle cache across concurrently-running families).
+
+    ``specs``: one dict per family, keys ``family`` (output tag),
+    ``df``, ``id_col``, ``col``, ``threshold``, and optionally
+    ``metric`` / ``exact`` (similarity_join's contract). Output schema
+    is q_similarity_join_api's union: (family, id1, id2,
+    score double rounded 6).
+
+    Lifetime: the returned union holds references to its checkpointed
+    parts (``_staged_parts``), so the parts' blocks survive exactly as
+    long as the union's Python wrapper does — the storage sweep releases
+    them at the first release_deferred() after the caller drops the
+    result. Deriving a lazy child and dropping the union is the same
+    documented derive-then-drop hazard as any finalized frame
+    (storage.untrack_checkpoint is the escape hatch)."""
+    if not specs:
+        raise ValueError("similarity_join_staged: empty spec list")
+    parts: list[DataFrame] = []
+    for spec in specs:
+        caches: list[DataFrame] = []
+        res = similarity_join(
+            spec["df"], spec["id_col"], spec["col"], spec["threshold"],
+            metric=spec.get("metric", "auto"),
+            exact=bool(spec.get("exact", False)), caches=caches)
+        tagged = res.select(
+            F.lit(spec["family"]).alias("family"), "id1", "id2",
+            F.round(F.col("score").cast("double"), 6).alias("score"))
+        # finalize WITHOUT pair_table: the eager checkpoint is the
+        # staging barrier — this family's shuffles run to completion and
+        # its caches release before the next dispatch is even built
+        parts.append(finalize(tagged, *caches))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out._staged_parts = parts   # pin part wrappers to the union's lifetime
+    return out
 
 
 def q_similarity_join_api(spark: SparkSession, sf_dir: str) -> DataFrame:

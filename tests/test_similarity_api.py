@@ -129,3 +129,38 @@ def test_families_match_standalone_entries(spark, sf_dir):
     # prefix filter is lossless; minhash is probabilistic — on this corpus
     # the near-dup clusters are exact enough that both find the same set
     assert pf, "expected at least one near-dup pair in testdata"
+
+
+def test_staged_equals_monolithic_union(spark, sf_dir):
+    """similarity_join_staged (VERDICT r8 item 5) must produce exactly
+    the monolithic q_similarity_join_api union — same four families,
+    same tagged rows — while materializing family by family. The staged
+    result must also survive a release_deferred() sweep while its
+    wrapper is referenced (the checkpointed parts are pinned to the
+    union's lifetime)."""
+    from nfl_data_engineering_spark.plans.registry import _BY_NAME
+    from nfl_data_engineering_spark.plans.similarity_api import (
+        similarity_join_staged)
+    from nfl_data_engineering_spark.plans.vector import SRP_THRESHOLD
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    staged = similarity_join_staged([
+        {"family": "jaccard_minhash", "df": docs, "id_col": "doc_id",
+         "col": "text", "threshold": JACCARD_THRESHOLD},
+        {"family": "jaccard_prefix", "df": docs, "id_col": "doc_id",
+         "col": "text", "threshold": JACCARD_THRESHOLD, "exact": True},
+        {"family": "hamming_simhash", "df": docs, "id_col": "doc_id",
+         "col": "text", "threshold": SIMHASH_MAX_HAMMING,
+         "metric": "hamming"},
+        {"family": "cosine_srp", "df": emb, "id_col": "vec_id",
+         "col": "embedding", "threshold": SRP_THRESHOLD},
+    ])
+    release_deferred()   # parts are alive (referenced) -> must survive
+    got = {tuple(r) for r in staged.collect()}
+    want = {tuple(r) for r in
+            _BY_NAME["similarity_join_api"].spark(spark, sf_dir).collect()}
+    release_deferred()
+    assert got == want
+    assert {r[0] for r in got} == {"jaccard_minhash", "jaccard_prefix",
+                                   "hamming_simhash", "cosine_srp"}
