@@ -39,3 +39,17 @@ def test_catalog_md_covers_every_entry():
         body = fh.read()
     for q in CATALOG:
         assert f"| {q.name} |" in body, f"{q.name} missing from CATALOG.md"
+
+
+def test_make_catalog_diagnoses_bad_correctness_files():
+    """ADVICE r8: a malformed or header-named-but-missing correctness
+    file must produce a clear SystemExit naming the offender, not a raw
+    AttributeError/FileNotFoundError."""
+    import pytest
+
+    from tools.make_catalog import newest_green_rounds
+
+    with pytest.raises(SystemExit, match="does not match"):
+        newest_green_rounds(["CORRECTNESS_bogus.json"])
+    with pytest.raises(SystemExit, match="missing on disk"):
+        newest_green_rounds(["CORRECTNESS_r99.json"])
