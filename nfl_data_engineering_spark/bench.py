@@ -10,11 +10,15 @@ SparkSession (previous one stopped), and the reported per-query time is
 the minimum across repetitions. Single-session totals were observed to
 swing ±15% with machine state (r7's 45.4-58.4 s spread on an unchanged
 tree; r8's near-uniform +13%), which burned three drift adjudications in
-round 8 alone — all "jitter". A fresh session per rep also means no rep
-inherits the previous rep's JIT code-cache pressure, GC debt, or storage
-memory. Within each rep every query is still run twice back-to-back and
-takes the min (steady-state estimator; JIT/GC jitter dominates single
-runs at this data size).
+round 8 alone — all "jitter". Scope of the isolation, stated honestly:
+stopping the context resets BlockManager storage, the CacheManager, and
+shuffle/scheduler state per rep, but local mode keeps ONE JVM for the
+whole process, so JIT/codegen caches and heap history carry across reps
+(later reps run warm — which the min-estimator wants) and the estimator
+suppresses machine-state noise by taking the min across repetitions,
+not by per-rep JVM isolation. Within each rep every query is still run
+twice back-to-back and takes the min (steady-state estimator; JIT/GC
+jitter dominates single runs at this data size).
 
 Each query is executed to completion (noop sink materializes every
 output column; count() would let Catalyst skip projections) after a
@@ -81,9 +85,23 @@ def _rep(sf_dir: str, rep: int) -> tuple[dict[str, float], dict[str, float]]:
 
 
 def _reps_requested(argv: list[str]) -> int:
-    """--min-of N (CLI) beats SPARK_GRAFT_BENCH_REPS (env) beats 2."""
-    if "--min-of" in argv:
-        return max(1, int(argv[argv.index("--min-of") + 1]))
+    """--min-of N / --min-of=N (CLI) beats SPARK_GRAFT_BENCH_REPS (env)
+    beats 2. A missing or non-integer value is a clear usage error, not
+    an IndexError/ValueError traceback (round-9 review finding)."""
+    def parse(val: str) -> int:
+        try:
+            return max(1, int(val))
+        except ValueError:
+            raise SystemExit(
+                f"bench: --min-of needs an integer, got {val!r}") from None
+
+    for i, a in enumerate(argv):
+        if a == "--min-of":
+            if i + 1 >= len(argv):
+                raise SystemExit("bench: --min-of needs an integer argument")
+            return parse(argv[i + 1])
+        if a.startswith("--min-of="):
+            return parse(a.split("=", 1)[1])
     return max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
 
 

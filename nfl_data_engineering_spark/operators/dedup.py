@@ -139,12 +139,6 @@ def connected_components(edges: DataFrame, src: str = "a",
         schema = bi_cached.select(F.col("a").alias("n"),
                                   F.col("a").alias("label")).schema
         return edges.sparkSession.createDataFrame(out, schema)
-    # max(cap, 1): tests force this path by monkeypatching the cap to 0,
-    # and the coalesce right-sizing must degrade to per-edge partitions,
-    # not divide by zero
-    parts = max(1, min(bi_cached.rdd.getNumPartitions(),
-                       n_edges // max(_CC_DRIVER_EDGE_CAP, 1)))
-    bi = bi_cached.coalesce(parts)
     # localCheckpoint, not cache: each round's plan references the previous
     # round's twice (self + neighbors), so without lineage truncation the
     # logical plan DOUBLES per iteration — a 50-hop chain OOMs the driver on
@@ -167,6 +161,15 @@ def connected_components(edges: DataFrame, src: str = "a",
     label_sum = F.sum(F.col("label").cast("decimal(38,0)"))
     rot = CheckpointRotator(spark)
     try:
+        # max(cap, 1): tests force this path by monkeypatching the cap
+        # to 0, and the coalesce right-sizing must degrade to per-edge
+        # partitions, not divide by zero. Inside the guarded region: the
+        # .rdd plan conversion can itself fail (job cancellation, py4j),
+        # and outside the try it would leak the edge cache (round-9
+        # review finding).
+        parts = max(1, min(bi_cached.rdd.getNumPartitions(),
+                           n_edges // max(_CC_DRIVER_EDGE_CAP, 1)))
+        bi = bi_cached.coalesce(parts)
         labels = (bi.select(F.col("a").alias("n")).distinct()
                   .withColumn("label", F.col("n")).coalesce(parts)
                   .localCheckpoint(eager=False))

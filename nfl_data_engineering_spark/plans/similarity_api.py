@@ -343,7 +343,14 @@ def similarity_join_staged(specs: list[dict]) -> DataFrame:
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    out._staged_parts = parts   # pin part wrappers to the union's lifetime
+    if len(parts) > 1:
+        # pin part wrappers to the union's lifetime. Single-spec calls
+        # must NOT take this branch: out IS parts[0] there, and
+        # out._staged_parts = [out] is a reference cycle only the
+        # generational GC can break — putting the checkpoint release
+        # back on GC pacing, the exact failure mode the deterministic
+        # sweep exists to avoid (round-9 review finding)
+        out._staged_parts = parts
     return out
 
 

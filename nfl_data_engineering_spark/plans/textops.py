@@ -18,11 +18,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..functions.hashing import (MERSENNE_P, NUM_HASHES, h60, h60_py,
-                                 minhash_band_config, minhash_bands_fast,
-                                 simhash)
-from ..functions.hashing import \
-    DEFAULT_JACCARD_THRESHOLD as hashing_default_threshold
+from ..functions.hashing import (
+    DEFAULT_JACCARD_THRESHOLD as hashing_default_threshold, MERSENNE_P,
+    NUM_HASHES, h60, h60_py, minhash_band_config, minhash_bands_fast,
+    simhash)
 from ..functions.text import (LANG_MARKERS, STOPWORDS, WORD_RE, doc_fingerprint,
                               explode_shingle_hashes, explode_tokens, lang_id,
                               regex_token_count, shingles, tokens)

@@ -164,3 +164,41 @@ def test_staged_equals_monolithic_union(spark, sf_dir):
     assert got == want
     assert {r[0] for r in got} == {"jaccard_minhash", "jaccard_prefix",
                                    "hamming_simhash", "cosine_srp"}
+
+
+def test_staged_single_spec_no_self_cycle(spark, sf_dir):
+    """A single-spec staged call must not pin the result to itself
+    (out._staged_parts = [out] is a GC-only-breakable cycle that would
+    put checkpoint release back on GC pacing — round-9 review)."""
+    from nfl_data_engineering_spark.plans.similarity_api import (
+        similarity_join, similarity_join_staged)
+
+    docs = load(spark, sf_dir, "documents")
+    staged = similarity_join_staged([
+        {"family": "jaccard_minhash", "df": docs, "id_col": "doc_id",
+         "col": "text", "threshold": JACCARD_THRESHOLD}])
+    assert "_staged_parts" not in staged.__dict__
+    got = {(r["id1"], r["id2"]) for r in staged.collect()}
+    caches = []
+    want = _pairs(similarity_join(docs, "doc_id", "text",
+                                  JACCARD_THRESHOLD, caches=caches))
+    for c in caches:
+        c.unpersist()
+    release_deferred()
+    assert got == want
+
+
+def test_bench_reps_arg_parsing():
+    """--min-of N / --min-of=N parse; missing or non-integer values are
+    clear usage errors, not tracebacks (round-9 review)."""
+    import pytest
+
+    from nfl_data_engineering_spark.bench import _reps_requested
+
+    assert _reps_requested(["bench.py", "--min-of", "3"]) == 3
+    assert _reps_requested(["bench.py", "--min-of=4"]) == 4
+    assert _reps_requested(["bench.py", "--min-of", "0"]) == 1  # floor
+    with pytest.raises(SystemExit, match="integer argument"):
+        _reps_requested(["bench.py", "--min-of"])
+    with pytest.raises(SystemExit, match="needs an integer"):
+        _reps_requested(["bench.py", "--min-of=two"])
