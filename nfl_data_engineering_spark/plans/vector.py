@@ -1100,10 +1100,13 @@ def _fine_assign_pass(coarse: DataFrame, fcents: DataFrame) -> DataFrame:
     per vector with the pinned (cs DESC, fcl) tie-break — the same
     row_number the oracle's fa CTEs compute. Row fan-out per vector is
     the cell's fine-centroid count (~sqrt(K) at the two-level split),
-    which IS Lloyd's per-vector work; if this regime ever needs the
-    row-materialization trimmed, the next move is a cogrouped Arrow
-    kernel that argmaxes in-batch (the _kmeans_assign shape, per cell).
-    """
+    which IS Lloyd's per-vector work. If this regime ever needs the
+    row-materialization trimmed, the right move is replacing the window
+    with a partial-aggregating max of struct(cs, -fcl) per vec_id (same
+    tie-break, map-side combinable) — NOT a per-cell cogrouped Arrow
+    kernel: applyInPandas concentrates a whole coarse cell (~2500*sqrt(K)
+    vectors) into one task's memory, which un-distributes exactly the
+    dimension this join shape keeps distributed."""
     w = Window.partitionBy("vec_id").orderBy(F.col("__cs").desc(), "fcl")
     return (coarse.join(fcents, "ccl")
             .select("vec_id", "embedding", "ccl", "fcl",
