@@ -1098,23 +1098,31 @@ def _fine_assign_pass(coarse: DataFrame, fcents: DataFrame) -> DataFrame:
     to the cosine() expression and the oracle's list_dot_product — see
     functions.similarity.cosine_arrow), and keep the best fine centroid
     per vector with the pinned (cs DESC, fcl) tie-break — the same
-    row_number the oracle's fa CTEs compute. Row fan-out per vector is
-    the cell's fine-centroid count (~sqrt(K) at the two-level split),
-    which IS Lloyd's per-vector work. If this regime ever needs the
-    row-materialization trimmed, the right move is replacing the window
-    with a partial-aggregating max of struct(cs, -fcl) per vec_id (same
-    tie-break, map-side combinable) — NOT a per-cell cogrouped Arrow
-    kernel: applyInPandas concentrates a whole coarse cell (~2500*sqrt(K)
-    vectors) into one task's memory, which un-distributes exactly the
-    dimension this join shape keeps distributed."""
-    w = Window.partitionBy("vec_id").orderBy(F.col("__cs").desc(), "fcl")
-    return (coarse.join(fcents, "ccl")
-            .select("vec_id", "embedding", "ccl", "fcl",
-                    cosine_arrow()(F.col("embedding"), F.col("cent"))
-                    .alias("__cs"))
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("vec_id", "embedding", "ccl", "fcl"))
+    ordering the oracle's fa CTEs pin with row_number (cs DESC, fcl) —
+    expressed here as a partial-aggregating max of struct(cs, -fcl, ...)
+    per vec_id: the same total order (highest cs, ties to LOWEST fcl via
+    the negated field; Spark's struct comparator and the window's
+    DESC both rank NaN above every number, matching DuckDB), but
+    map-side combinable, so one best-so-far row per (vec_id, partition)
+    shuffles instead of all ~sqrt(K) scored candidates per vector
+    sorting through a window exchange. The tie-break never reaches the
+    payload fields: fcl is unique within a cell, so -fcl already breaks
+    every cs tie. (A per-cell cogrouped Arrow kernel was considered and
+    rejected: applyInPandas concentrates a whole coarse cell
+    (~2500*sqrt(K) vectors) into one task's memory, un-distributing
+    exactly the dimension this join shape keeps distributed.) Row
+    fan-out per vector is the cell's fine-centroid count (~sqrt(K) at
+    the two-level split), which IS Lloyd's per-vector work."""
+    scored = (coarse.join(fcents, "ccl")
+              .select("vec_id", "embedding", "ccl", "fcl",
+                      cosine_arrow()(F.col("embedding"), F.col("cent"))
+                      .alias("__cs")))
+    best = F.max(F.struct(
+        F.col("__cs"), (-F.col("fcl")).alias("__nfcl"),
+        F.col("fcl"), F.col("ccl"), F.col("embedding"))).alias("b")
+    return (scored.groupBy("vec_id").agg(best)
+            .select("vec_id", F.col("b.embedding").alias("embedding"),
+                    F.col("b.ccl").alias("ccl"), F.col("b.fcl").alias("fcl")))
 
 
 def _fine_recenter(assigned: DataFrame) -> DataFrame:
