@@ -199,6 +199,91 @@ def minhash_bands_fast(shingled: DataFrame, id_col: str, shingle_col: str,
             .select(F.col(id_col), F.col("b.band"), F.col("b.band_key")))
 
 
+# One-Permutation Hashing (Li/Owen/Zhang, NIPS 2012) with rotation
+# densification (Shrivastava/Li, ICML 2014). Bin count deliberately equals
+# the k-draw budget so the band derivation (minhash_band_config) applies
+# unchanged: 64 slots at t=0.8 resolve to the same 16x4 banding.
+OPH_BINS = NUM_HASHES
+# Densified key = rotation_distance * OPH_DENS_BASE + slot_value. Slot
+# values are (h mod P) div OPH_BINS < 2^31/64 = 2^25, so 2^26 keeps the
+# distance in disjoint high bits: two docs both empty at slot j collide
+# only when they borrow the SAME value from the SAME distance.
+OPH_DENS_BASE = 1 << 26
+
+
+def oph_bands_fast(shingled: DataFrame, id_col: str, shingle_col: str,
+                   num_bins: int = OPH_BINS, bands: int | None = None,
+                   hashed: bool = False) -> DataFrame:
+    """(id, shingle) rows -> (id, band, band_key) via One-Permutation MinHash.
+
+    ONE universal draw per shingle instead of ``num_bins`` draws: the
+    draw h = sh60 mod P is split into bin = h mod num_bins (which slot it
+    competes for) and value = h div num_bins (its rank within the slot);
+    each slot keeps the MIN value. Empty slots are densified by borrowing
+    from the cyclically-nearest non-empty slot, with the rotation
+    distance encoded in high bits (see OPH_DENS_BASE) so borrowed slots
+    only match when both the source value and the distance agree —
+    Shrivastava/Li rotation densification, which restores the unbiased
+    resemblance estimate.
+
+    Why it exists next to minhash_bands_fast: at 100 TB the k-draw kernel
+    spends num_bins multiply-mod pairs per shingle; this kernel spends
+    one. Hashing dominates sketch-pass CPU at that scale, so OPH turns a
+    hash-bound dedup pass into a scan-bound one. The banding, candidate
+    equi-join, and exact-jaccard verify downstream are identical, and
+    q_oph_recall_audit measures the recall cost of the cheaper sketch
+    against the same exact-pair truth as the k-draw audit.
+
+    Plan shape: one row-local projection (no row multiplication), one
+    (id)-keyed groupBy with num_bins map-side-partial conditional MINs,
+    then row-local densification via array ops + band assembly. A doc
+    with >= 1 shingle fills every slot after densification; a doc with
+    no shingles yields no rows (same contract as the k-draw kernels).
+
+    ``bands=None`` resolves through minhash_band_config at the catalog's
+    DEFAULT_JACCARD_THRESHOLD (same single-source rule as lsh_band_keys /
+    minhash_bands_fast — ADVICE r8); callers at a different threshold
+    pass ``minhash_band_config(t, num_bins)[1]``.
+    """
+    if bands is None:
+        bands = minhash_band_config(DEFAULT_JACCARD_THRESHOLD, num_bins)[1]
+    base = F.col(shingle_col) if hashed else h60(F.col(shingle_col))
+    per = (shingled
+           .select(F.col(id_col), (base % MERSENNE_P).alias("__hm"))
+           .select(F.col(id_col),
+                   F.expr(f"__hm % {num_bins}").cast("int").alias("__bin"),
+                   F.expr(f"__hm div {num_bins}").alias("__v")))
+    slot = per.groupBy(id_col).agg(
+        *[F.min(F.when(F.col("__bin") == i, F.col("__v"))).alias(f"__s{i}")
+          for i in range(num_bins)])
+    packed = F.filter(
+        F.arrays_zip(
+            F.sequence(F.lit(0), F.lit(num_bins - 1)).alias("bin"),
+            F.array(*[F.col(f"__s{i}") for i in range(num_bins)]).alias("v")),
+        lambda x: x["v"].isNotNull())
+    def _dens(j: int) -> Column:
+        # NB: the lambda must take exactly ONE parameter — F.transform
+        # reads the arity and would feed the array INDEX into a second
+        # parameter, silently shadowing a `j=j` default (hence the factory
+        # closure instead of the usual default-arg idiom).
+        return F.array_min(F.transform(
+            F.col("__packed"),
+            lambda x: ((x["bin"] - F.lit(j) + num_bins) % num_bins)
+            .cast("bigint") * F.lit(OPH_DENS_BASE) + x["v"]))
+
+    dens = [_dens(j).alias(f"__d{j}") for j in range(num_bins)]
+    sig = (slot.select(F.col(id_col), packed.alias("__packed"))
+           .select(F.col(id_col), *dens))
+    rpb = num_bins // bands
+    band_structs = [
+        F.struct(F.lit(j).alias("band"),
+                 F.md5(F.concat_ws(",", *[F.col(f"__d{j * rpb + r}")
+                                          for r in range(rpb)])).alias("band_key"))
+        for j in range(bands)]
+    return (sig.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("b"))
+            .select(F.col(id_col), F.col("b.band"), F.col("b.band_key")))
+
+
 def simhash(tokened: DataFrame, id_col: str, token_col: str,
             bits: int = 60, out_col: str = "simhash") -> DataFrame:
     """(id, token) rows -> (id, simhash) with a ``bits``-wide SimHash.

@@ -20,8 +20,8 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.hashing import (
     DEFAULT_JACCARD_THRESHOLD as hashing_default_threshold, MERSENNE_P,
-    NUM_HASHES, h60, h60_py, minhash_band_config, minhash_bands_fast,
-    simhash)
+    NUM_HASHES, OPH_BINS, OPH_DENS_BASE, h60, h60_py, minhash_band_config,
+    minhash_bands_fast, oph_bands_fast, simhash)
 from ..functions.text import (LANG_MARKERS, STOPWORDS, WORD_RE, doc_fingerprint,
                               explode_shingle_hashes, explode_tokens, lang_id,
                               regex_token_count, shingles, tokens)
@@ -230,10 +230,12 @@ bands AS (
   FROM sig GROUP BY 1, 2)"""
 
 
-def sql_minhash_pair_ctes(num_hashes: int, num_bands: int,
-                          threshold: float) -> str:
-    return f"""{sql_minhash_band_ctes(num_hashes, num_bands)},
-cand AS (
+def _sql_pair_tail(threshold: float) -> str:
+    """CTEs from a ``bands`` relation to verified ``pairs`` — the
+    candidate self-join + exact-jaccard verify shared by every banded
+    sketch family (k-draw MinHash and OPH bands have identical
+    downstream shape)."""
+    return f"""cand AS (
   SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
   FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
   WHERE a.doc_id < b.doc_id),
@@ -248,6 +250,40 @@ pairs AS (
   JOIN sizes s1 ON s1.doc_id = d1
   JOIN sizes s2 ON s2.doc_id = d2
   WHERE i::DOUBLE / (s1.sz + s2.sz - i)::DOUBLE >= {threshold})"""
+
+
+def sql_minhash_pair_ctes(num_hashes: int, num_bands: int,
+                          threshold: float) -> str:
+    return f"""{sql_minhash_band_ctes(num_hashes, num_bands)},
+{_sql_pair_tail(threshold)}"""
+
+
+def sql_oph_band_ctes(num_bins: int, num_bands: int) -> str:
+    """DuckDB replay of oph_bands_fast (functions/hashing.py): one
+    universal draw per shingle split into (bin, value), per-slot MIN,
+    rotation densification with the distance in high bits, then the
+    same md5 band keys as the k-draw pipeline."""
+    rpb = num_bins // num_bands
+    return f"""{_sql_shingles_cte(3)},
+shh AS (SELECT DISTINCT doc_id, {SQL_H60.format(e='shingle')} AS sh60 FROM sh),
+oph AS (SELECT doc_id, (sh60 % {MERSENNE_P}) % {num_bins} AS bin,
+               (sh60 % {MERSENNE_P}) // {num_bins} AS v FROM shh),
+slot AS (SELECT doc_id, bin, MIN(v) AS v FROM oph GROUP BY 1, 2),
+slots AS (
+  SELECT s.doc_id, js.j,
+         MIN(((s.bin - js.j + {num_bins}) % {num_bins}) * {OPH_DENS_BASE} + s.v) AS dens
+  FROM slot s CROSS JOIN (SELECT unnest(generate_series(0, {num_bins - 1})) AS j) js
+  GROUP BY 1, 2),
+bands AS (
+  SELECT doc_id, j // {rpb} AS band,
+         md5(string_agg(dens, ',' ORDER BY j)) AS band_key
+  FROM slots GROUP BY 1, 2)"""
+
+
+def sql_oph_pair_ctes(num_bins: int, num_bands: int,
+                      threshold: float) -> str:
+    return f"""{sql_oph_band_ctes(num_bins, num_bands)},
+{_sql_pair_tail(threshold)}"""
 
 
 _SQL_MINHASH_BAND_CTES = sql_minhash_band_ctes(NUM_HASHES, NUM_BANDS)
@@ -862,6 +898,128 @@ FROM exact CROSS JOIN lsh
 
 
 # ---------------------------------------------------------------------------
+# One-Permutation-Hashing MinHash (the hash-budget scale path)
+# ---------------------------------------------------------------------------
+
+# Same S-curve derivation as the k-draw entries: 64 slots at t=0.8 -> 16
+# bands of 4 — the band geometry is shared, only the sketch cost differs.
+OPH_NUM_BANDS = minhash_band_config(JACCARD_THRESHOLD, OPH_BINS)[1]
+
+
+def _oph_pairs(spark: SparkSession, sf_dir: str,
+               caches: list[DataFrame] | None = None,
+               sh: DataFrame | None = None) -> DataFrame:
+    """OPH-banded verified near-dup pairs: (d1, d2, jaccard) with
+    jaccard >= JACCARD_THRESHOLD — _minhash_pairs with the sketch pass
+    swapped for the one-draw-per-shingle OPH kernel
+    (functions/hashing.py:oph_bands_fast). Cache/release contract is
+    identical: fills `caches` for the caller to finalize."""
+    if sh is None:
+        docs = load(spark, sf_dir, "documents")
+        sh = explode_shingle_hashes(docs, "doc_id", "text", n=3).cache()
+        if caches is not None:
+            caches.append(sh)
+        sh.count()
+    bands = oph_bands_fast(sh, "doc_id", "sh60", OPH_BINS, OPH_NUM_BANDS,
+                           hashed=True).cache()
+    if caches is not None:
+        caches.append(bands)
+    bands.count()
+    b1 = bands.select(F.col("doc_id").alias("d1"), "band", "band_key")
+    b2 = bands.select(F.col("doc_id").alias("d2"), "band", "band_key")
+    cand = (b1.join(b2, ["band", "band_key"])
+            .filter(F.col("d1") < F.col("d2"))
+            .select("d1", "d2").distinct())
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    s1 = sh.select(F.col("doc_id").alias("d1"), "sh60")
+    s2 = sh.select(F.col("doc_id").alias("d2"), "sh60")
+    inter = (cand.join(s1, "d1").join(s2, ["d2", "sh60"])
+             .groupBy("d1", "d2").agg(F.count("*").alias("i")))
+    jac = (F.col("i").cast("double")
+           / (F.col("sz1") + F.col("sz2") - F.col("i")).cast("double"))
+    return (inter
+            .join(sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1")), "d1")
+            .join(sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2")), "d2")
+            .filter(jac >= JACCARD_THRESHOLD)
+            .select("d1", "d2", jac.alias("jaccard")))
+
+
+def q_dedup_minhash_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dedup pairs via One-Permutation-Hashing MinHash: ONE universal
+    draw per shingle (vs 64 in dedup_minhash_lsh), rotation-densified
+    into the same 64-slot/16-band geometry, then the identical candidate
+    equi-join + exact-jaccard verify. At 100 TB the sketch pass of a
+    corpus dedup is hash-arithmetic-bound — 64 multiply-mods per shingle
+    — and OPH removes 63 of them, turning the pass scan-bound; the
+    banding, shuffle, and verify volumes are unchanged. Candidates
+    differ from the k-draw family (a different, equally-valid estimator
+    of the same resemblance), so the oracle replays THIS pipeline;
+    q_oph_recall_audit measures it against the exact-pair truth."""
+    caches: list[DataFrame] = []
+    pairs = _oph_pairs(spark, sf_dir, caches)
+    return finalize(
+        pairs.select("d1", "d2", F.round("jaccard", 6).alias("jaccard")),
+        *caches, pair_table=True)
+
+
+_SQL_OPH_PAIR_CTES = sql_oph_pair_ctes(OPH_BINS, OPH_NUM_BANDS,
+                                       JACCARD_THRESHOLD)
+
+ORACLE_MINHASH_OPH = f"""
+WITH {_SQL_OPH_PAIR_CTES}
+SELECT d1, d2, ROUND(jaccard, 6) AS jaccard FROM pairs
+"""
+
+
+def q_oph_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Honest-metrics audit for the OPH sketch: exact all-pairs jaccard
+    >= JACCARD_THRESHOLD (the same df-capped quadratic truth as
+    q_minhash_recall_audit) vs the OPH pipeline's verified pairs, as
+    counts + recall in exact integer ppm. Densified OPH is an unbiased
+    resemblance estimator but its slots are sampled without replacement
+    from ONE permutation (mildly correlated bands vs 64 independent
+    draws), so its measured recall_ppm is the number that decides
+    whether the 64x hash saving is free at a given threshold — run this
+    before switching a corpus job's sketch kernel."""
+    docs = load(spark, sf_dir, "documents")
+    sh = explode_shingle_hashes(docs, "doc_id", "text", n=3).cache()
+    sh.count()   # eager: exact + oph branches race a lazy cache
+    exact = exact_jaccard_count(sh, JACCARD_THRESHOLD)
+    caches: list[DataFrame] = [sh]
+    oph = _oph_pairs(spark, sf_dir, caches, sh=sh).agg(
+        F.count("*").alias("n_oph"))
+    return finalize(
+        exact.crossJoin(oph)
+        .select("n_exact", "n_oph",
+                F.expr("CASE WHEN n_exact > 0 "
+                       "THEN n_oph * 1000000 div n_exact END")
+                .alias("recall_ppm")), *caches)
+
+
+ORACLE_OPH_RECALL = f"""
+WITH {_SQL_OPH_PAIR_CTES},
+rare AS (SELECT sh60 FROM shh GROUP BY sh60
+         HAVING COUNT(*) <= {NGRAM_DF_CAP}),
+capped AS (SELECT shh.doc_id, shh.sh60 FROM shh JOIN rare USING (sh60)),
+einter AS (
+  SELECT x.doc_id AS d1, y.doc_id AS d2, COUNT(*) AS i
+  FROM capped x JOIN capped y ON y.sh60 = x.sh60 AND x.doc_id < y.doc_id
+  GROUP BY 1, 2),
+exact AS (
+  SELECT COUNT(*) AS n_exact
+  FROM einter
+  JOIN sizes s1 ON s1.doc_id = d1
+  JOIN sizes s2 ON s2.doc_id = d2
+  WHERE i::DOUBLE / (s1.sz + s2.sz - i)::DOUBLE >= {JACCARD_THRESHOLD}),
+oph_n AS (SELECT COUNT(*) AS n_oph FROM pairs)
+SELECT n_exact, n_oph,
+       CAST(CASE WHEN n_exact > 0 THEN n_oph * 1000000 // n_exact END
+            AS BIGINT) AS recall_ppm
+FROM exact CROSS JOIN oph_n
+"""
+
+
+# ---------------------------------------------------------------------------
 # SimHash near-dedup
 # ---------------------------------------------------------------------------
 
@@ -1073,6 +1231,64 @@ SELECT doc_id, nc AS n_chars, nt AS n_tokens,
        mwl_ppm / 1e6 AS mean_word_len,
        score_ppm / 1e6 AS quality_score
 FROM scaled
+"""
+
+
+def q_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-curriculum stage assignment: each document lands in one of
+    4 stages by quality-score quartile (stage 1 = highest-quality, fed to
+    training first; stage 4 = the tail a run upsamples last or drops),
+    reported as the stage x source mix a staged pretraining schedule is
+    configured from — n_docs, token mass, and the score bounds actually
+    observed per cell.
+
+    Scale shape (the spend_quartiles_cutoffs contract): NO global ntile —
+    cutoffs come from one percentile_approx aggregate over the integer
+    score_ppm (map-side sketch merge; accuracy adapts to the doc count so
+    the sketch stays rank-exact, same probe rule as the relational
+    cutoffs entries), broadcast back as a 1-row frame, and stage
+    assignment is a row-local comparison. Value-based bucketing: ties
+    share a stage — the contract that survives 100 TB, where
+    exactly-equal populations would need a total order."""
+    docs = load(spark, sf_dir, "documents")
+    scaled = _quality_scaled_cols(docs).select("source", "nt", "score_ppm")
+    probs = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    acc = F.lit(max(1_000_000, 10 * docs.count()))
+    cuts = scaled.agg(
+        F.percentile_approx("score_ppm", probs, acc).alias("c")
+    ).select(F.col("c")[0].alias("c25"), F.col("c")[1].alias("c50"),
+             F.col("c")[2].alias("c75"))
+    staged = scaled.crossJoin(F.broadcast(cuts)).select(
+        "source", "nt", "score_ppm",
+        (F.lit(1) + (F.col("score_ppm") <= F.col("c75")).cast("int")
+                  + (F.col("score_ppm") <= F.col("c50")).cast("int")
+                  + (F.col("score_ppm") <= F.col("c25")).cast("int"))
+        .alias("stage"))          # 1 = highest quality, like the ntile convention
+    return (staged.groupBy("stage", "source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("nt").alias("sum_tokens"),
+                 F.min("score_ppm").alias("min_score_ppm"),
+                 F.max("score_ppm").alias("max_score_ppm")))
+
+
+ORACLE_CURRICULUM_STAGES = f"""
+WITH {SQL_QUALITY_SCALED},
+cuts AS (
+  SELECT quantile_disc(score_ppm, 0.25) AS c25,
+         quantile_disc(score_ppm, 0.5)  AS c50,
+         quantile_disc(score_ppm, 0.75) AS c75
+  FROM scaled),
+staged AS (
+  SELECT source, nt, score_ppm,
+         1 + CASE WHEN score_ppm <= c75 THEN 1 ELSE 0 END
+           + CASE WHEN score_ppm <= c50 THEN 1 ELSE 0 END
+           + CASE WHEN score_ppm <= c25 THEN 1 ELSE 0 END AS stage
+  FROM scaled CROSS JOIN cuts)
+SELECT stage, source, COUNT(*) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS sum_tokens,
+       MIN(score_ppm) AS min_score_ppm,
+       MAX(score_ppm) AS max_score_ppm
+FROM staged GROUP BY 1, 2
 """
 
 
@@ -2019,12 +2235,18 @@ TEXT_QUERIES = [
     QueryDef("ngram_jaccard_pairs", q_ngram_jaccard_pairs, ORACLE_NGRAM_JACCARD, "LLM-dedup-jaccard"),
     QueryDef("minhash_recall_audit", q_minhash_recall_audit,
              ORACLE_MINHASH_RECALL, "LLM-dedup-minhash-recall"),
+    QueryDef("dedup_minhash_oph", q_dedup_minhash_oph, ORACLE_MINHASH_OPH,
+             "LLM-dedup-oph", bench=True),
+    QueryDef("oph_recall_audit", q_oph_recall_audit, ORACLE_OPH_RECALL,
+             "LLM-dedup-oph-recall"),
     QueryDef("prefix_filter_join", q_prefix_filter_join,
              ORACLE_PREFIX_FILTER_JOIN, "LLM-dedup-prefix-filter",
              bench=True),
     QueryDef("dedup_simhash", q_dedup_simhash, ORACLE_SIMHASH, "LLM-dedup-simhash", bench=True),
     QueryDef("lang_id", q_lang_id, ORACLE_LANG_ID, "LLM-text-langid"),
     QueryDef("text_quality", q_text_quality, ORACLE_TEXT_QUALITY, "LLM-text-quality"),
+    QueryDef("curriculum_stages", q_curriculum_stages,
+             ORACLE_CURRICULUM_STAGES, "LLM-curriculum"),
     QueryDef("token_counts", q_token_counts, ORACLE_TOKEN_COUNTS, "LLM-text-tokens"),
     QueryDef("doc_fingerprint", q_doc_fingerprint, ORACLE_FINGERPRINT, "LLM-text-fingerprint"),
     QueryDef("multimodal_stats", q_multimodal_stats, ORACLE_MULTIMODAL, "LLM-multimodal"),

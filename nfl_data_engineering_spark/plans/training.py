@@ -1427,6 +1427,67 @@ SELECT doc_id, n_tokens, ROUND(s / 1e9 / n_tokens, 6) AS avg_logprob FROM agg
 """
 
 
+def q_token_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution drift: KL(source || corpus) over the
+    unigram distributions, in nats — the mixture diagnostic that ranks
+    which sources pull the training distribution hardest (a spiking KL
+    flags a scrape gone off-domain; near-zero KL means the source is
+    redundant with the mix). Complements drift_tvd / ks_drift, which
+    watch NUMERIC columns — this watches the text itself.
+
+    KL(s||c) = sum_t p_t ln(p_t/q_t) with p = c_st/n_s, q = c_t/N. Every
+    term with p > 0 has q > 0 by construction (a source's token is in the
+    corpus), so no smoothing is needed and the sum is finite. Float
+    discipline (the unigram_logprob rule): each (source, token)
+    contribution is one mul/div/ln chain — bit-identical on both engines
+    — quantized to integer nano-nats BEFORE the per-source sum, so
+    partial aggregation order can't perturb the result.
+
+    Plan shape at 100 TB: two token-keyed aggregates + one token-keyed
+    equi-join of the per-source counts against the global counts (both
+    sides already reduced to vocabulary size), one broadcast of the
+    per-source totals. No window, no skew key — 'the' is one row per
+    source after the first aggregate."""
+    docs = load(spark, sf_dir, "documents")
+    terms = docs.select("source",
+                        F.explode(tokens(F.col("text"))).alias("token"))
+    st = terms.groupBy("source", "token").agg(F.count("*").alias("c"))
+    stot = terms.groupBy("source").agg(F.count("*").alias("ns"))
+    g = terms.groupBy("token").agg(F.count("*").alias("cg"))
+    total = terms.count()
+    p = F.col("c").cast("double") / F.col("ns").cast("double")
+    q = F.col("cg").cast("double") / F.lit(float(total))
+    val = (st.join(g, "token").join(F.broadcast(stot), "source")
+           .withColumn("iv", F.round(p * F.log(p / q) * 1e9).cast("bigint")))
+    return (val.groupBy("source")
+            .agg(F.max("ns").alias("n_tokens"),
+                 F.count("*").alias("vocab_size"),
+                 F.sum("iv").alias("s"))
+            .select("source", "n_tokens", "vocab_size",
+                    F.round(F.col("s") / 1e9, 6).alias("kl_nats")))
+
+
+def _oracle_token_kl() -> str:
+    toks = SQL_TOKENS
+    return f"""
+WITH terms AS (SELECT source, unnest({toks}) AS token FROM documents),
+st AS (SELECT source, token, COUNT(*) AS c FROM terms GROUP BY 1, 2),
+stot AS (SELECT source, COUNT(*) AS ns FROM terms GROUP BY 1),
+g AS (SELECT token, COUNT(*) AS cg FROM terms GROUP BY 1),
+tot AS (SELECT COUNT(*)::DOUBLE AS total FROM terms),
+val AS (
+  SELECT source,
+         CAST(round((c::DOUBLE / ns::DOUBLE)
+                    * ln((c::DOUBLE / ns::DOUBLE) / (cg::DOUBLE / total))
+                    * 1e9) AS BIGINT) AS iv,
+         ns
+  FROM st JOIN g USING (token) JOIN stot USING (source) CROSS JOIN tot)
+SELECT source, CAST(MAX(ns) AS BIGINT) AS n_tokens,
+       COUNT(*) AS vocab_size, ROUND(SUM(iv) / 1e9, 6) AS kl_nats
+FROM val GROUP BY source
+"""
+
+
 N_FOLDS = 5
 
 
@@ -2057,6 +2118,8 @@ TRAINING_QUERIES = [
     QueryDef("tfidf_top_terms", q_tfidf_top_terms, ORACLE_TFIDF,
              "LLM-tfidf", bench=True),
     QueryDef("bigram_topk", q_bigram_topk, ORACLE_BIGRAM, "LLM-ngram"),
+    QueryDef("token_kl_divergence", q_token_kl_divergence,
+             _oracle_token_kl(), "LLM-mixture-drift"),
     QueryDef("pmi_collocations", q_pmi_collocations, _oracle_pmi(),
              "LLM-collocations"),
     QueryDef("corpus_filter", q_corpus_filter, _oracle_corpus_filter(),

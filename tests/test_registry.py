@@ -88,6 +88,10 @@ _BENCH_SET = {
     # represent steady-state 100 TB shapes — the similarity-join front
     # door (all four families in one entry) and the cluster-keyed split
     "similarity_join_api", "leakage_safe_split",
+    # round-9 addition: the OPH sketch kernel (64x cheaper hashing than
+    # the k-draw MinHash pass) — pinned next to dedup_minhash_lsh so the
+    # two sketch families' costs stay comparable round-over-round
+    "dedup_minhash_oph",
 }
 
 

@@ -54,6 +54,42 @@ def test_minhash_identical_docs_share_all_bands(spark):
     assert all(r["k"] == 1 for r in keys)
 
 
+def test_oph_identical_docs_share_all_bands(spark):
+    from nfl_data_engineering_spark.functions.hashing import oph_bands_fast
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog")],
+        "doc_id int, text string")
+    sh = explode_shingles(df, "doc_id", "text", 3)
+    bands = oph_bands_fast(sh, "doc_id", "shingle", 64, 16)
+    keys = (bands.groupBy("band")
+            .agg(F.countDistinct("band_key").alias("k")).collect())
+    assert len(keys) == 16 and all(r["k"] == 1 for r in keys)
+
+
+def test_oph_densification_fills_every_band(spark):
+    """A doc with ONE shingle occupies one of 64 slots; rotation
+    densification must fill the other 63, yielding a full 16-band sketch
+    whose keys all derive from that single draw — and two docs with the
+    same lone shingle must sketch identically while a different lone
+    shingle shares nothing (the distance offset keeps borrowed slots
+    from colliding by accident)."""
+    from nfl_data_engineering_spark.functions.hashing import oph_bands_fast
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"),
+         (3, "delta epsilon zeta")],
+        "doc_id int, text string")
+    sh = explode_shingles(df, "doc_id", "text", 3)   # one 3-shingle per doc
+    rows = oph_bands_fast(sh, "doc_id", "shingle", 64, 16).collect()
+    per_doc = {}
+    for r in rows:
+        assert r["band_key"] is not None
+        per_doc.setdefault(r["doc_id"], {})[r["band"]] = r["band_key"]
+    assert all(len(b) == 16 for b in per_doc.values())
+    assert per_doc[1] == per_doc[2]
+    assert all(per_doc[1][b] != per_doc[3][b] for b in per_doc[1])
+
+
 def test_simhash_identical_docs_hamming_zero(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "x y z w q")],
