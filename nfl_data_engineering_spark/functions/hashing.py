@@ -235,10 +235,13 @@ def oph_bands_fast(shingled: DataFrame, id_col: str, shingle_col: str,
     against the same exact-pair truth as the k-draw audit.
 
     Plan shape: one row-local projection (no row multiplication), one
-    (id)-keyed groupBy with num_bins map-side-partial conditional MINs,
-    then row-local densification via array ops + band assembly. A doc
-    with >= 1 shingle fills every slot after densification; a doc with
-    no shingles yields no rows (same contract as the k-draw kernels).
+    (id, bin)-keyed MIN groupBy (a single aggregate-buffer update per
+    shingle — the k-draw kernel pays num_bins updates), one (id)-keyed
+    fold of the <= num_bins surviving slot rows into a map, then
+    row-local densification via a sparse-table sliding minimum + band
+    assembly. A doc with >= 1 shingle fills every slot after
+    densification; a doc with no shingles yields no rows (same contract
+    as the k-draw kernels).
 
     ``bands=None`` resolves through minhash_band_config at the catalog's
     DEFAULT_JACCARD_THRESHOLD (same single-source rule as lsh_band_keys /
@@ -253,27 +256,63 @@ def oph_bands_fast(shingled: DataFrame, id_col: str, shingle_col: str,
            .select(F.col(id_col),
                    F.expr(f"__hm % {num_bins}").cast("int").alias("__bin"),
                    F.expr(f"__hm div {num_bins}").alias("__v")))
-    slot = per.groupBy(id_col).agg(
-        *[F.min(F.when(F.col("__bin") == i, F.col("__v"))).alias(f"__s{i}")
-          for i in range(num_bins)])
-    packed = F.filter(
-        F.arrays_zip(
-            F.sequence(F.lit(0), F.lit(num_bins - 1)).alias("bin"),
-            F.array(*[F.col(f"__s{i}") for i in range(num_bins)]).alias("v")),
-        lambda x: x["v"].isNotNull())
-    def _dens(j: int) -> Column:
-        # NB: the lambda must take exactly ONE parameter — F.transform
-        # reads the arity and would feed the array INDEX into a second
-        # parameter, silently shadowing a `j=j` default (hence the factory
-        # closure instead of the usual default-arg idiom).
-        return F.array_min(F.transform(
-            F.col("__packed"),
-            lambda x: ((x["bin"] - F.lit(j) + num_bins) % num_bins)
-            .cast("bigint") * F.lit(OPH_DENS_BASE) + x["v"]))
+    # Slot minima keyed on (id, bin): ONE aggregate-buffer update per
+    # shingle — this is where OPH's saving lives. The k-draw kernel (and
+    # an earlier conditional-agg form of this one) pays num_bins buffer
+    # updates per shingle; at the 100x replica that form measured SLOWER
+    # than k-draw (1.75 s vs 1.19 s), while this shape reaches parity on
+    # the short-doc test corpus (~53 shingles/doc, 1.21 s) and pulls ahead
+    # as shingles/doc grows — per-shingle work is 1 update vs 64, and the
+    # second shuffle (<= num_bins tiny rows per doc) is volume-bounded by
+    # the band output itself. (id, bin) also has 64x the key cardinality
+    # of (id): better parallelism, no new skew.
+    slot_rows = per.groupBy(id_col, "__bin").agg(F.min("__v").alias("__v"))
+    slot = slot_rows.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("__bin", "__v")))
+        .alias("__m"))
+    # Densification as a sparse-table sliding minimum, O(K log K) row-local
+    # work instead of the naive O(K^2) all-rotations scan (the naive form
+    # measured 2x SLOWER than the whole k-draw kernel at the 100x replica
+    # on ~53-shingle docs — it spent more on array ops per doc than it
+    # saved on draws per shingle):
+    #   dens[j] = min_{d in [0,K)} d*BASE + slot[(j+d) mod K]
+    #           = ( min_{i in [j, j+K)} g[i] ) - j*BASE
+    # over the doubled offset-encoded array g[i] = i*BASE + slot[i mod K],
+    # i in [0, 2K). The K-wide window minima come from log2(K) doubling
+    # levels b_{2w}[i] = least(b_w[i], b_w[i+w]) — F.least skips the NULLs
+    # of empty slots, exactly the semantics the all-rotations min had.
+    # Each level is materialized as its own projection so the expression
+    # tree stays linear (inlining would double the subtree per level);
+    # everything is per-row, no extra shuffle. NB: transform lambdas take
+    # exactly ONE parameter — a second parameter would silently receive
+    # the array INDEX (hence s=step capture, never a spare default).
+    if num_bins & (num_bins - 1):
+        raise ValueError(f"num_bins must be a power of two, got {num_bins}")
+    arr = F.transform(F.sequence(F.lit(0), F.lit(num_bins - 1)),
+                      lambda i: F.try_element_at(F.col("__m"), i))
+    g = F.transform(
+        F.sequence(F.lit(0), F.lit(2 * num_bins - 1)),
+        lambda i: i.cast("bigint") * F.lit(OPH_DENS_BASE)
+        + F.element_at(F.col("__arr"), (i % num_bins) + 1))
+    lvl = (slot.select(F.col(id_col), arr.alias("__arr"))
+           .select(F.col(id_col), g.alias("__b")))
 
-    dens = [_dens(j).alias(f"__d{j}") for j in range(num_bins)]
-    sig = (slot.select(F.col(id_col), packed.alias("__packed"))
-           .select(F.col(id_col), *dens))
+    def _level(step: int, new_len: int) -> Column:
+        # single-parameter lambda via factory closure (see NB above)
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(new_len - 1)),
+            lambda i: F.least(F.element_at(F.col("__b"), i + 1),
+                              F.element_at(F.col("__b"), i + 1 + step)))
+
+    width, cur_len = 1, 2 * num_bins
+    while width < num_bins:
+        new_len = cur_len - width
+        lvl = lvl.select(F.col(id_col), _level(width, new_len).alias("__b"))
+        width, cur_len = width * 2, new_len
+    dens = [(F.element_at(F.col("__b"), j + 1)
+             - F.lit(j).cast("bigint") * F.lit(OPH_DENS_BASE)).alias(f"__d{j}")
+            for j in range(num_bins)]
+    sig = lvl.select(F.col(id_col), *dens)
     rpb = num_bins // bands
     band_structs = [
         F.struct(F.lit(j).alias("band"),
