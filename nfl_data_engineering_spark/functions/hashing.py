@@ -226,13 +226,16 @@ def oph_bands_fast(shingled: DataFrame, id_col: str, shingle_col: str,
     Shrivastava/Li rotation densification, which restores the unbiased
     resemblance estimate.
 
-    Why it exists next to minhash_bands_fast: at 100 TB the k-draw kernel
-    spends num_bins multiply-mod pairs per shingle; this kernel spends
-    one. Hashing dominates sketch-pass CPU at that scale, so OPH turns a
-    hash-bound dedup pass into a scan-bound one. The banding, candidate
-    equi-join, and exact-jaccard verify downstream are identical, and
-    q_oph_recall_audit measures the recall cost of the cheaper sketch
-    against the same exact-pair truth as the k-draw audit.
+    Why it exists next to minhash_bands_fast: the k-draw kernel spends
+    num_bins draw+aggregate-update pairs per shingle; this kernel spends
+    one. Measured honestly at the 100x replica (SCALE.md round 9): on
+    that SHORT-doc corpus (~53 shingles/doc) the saving is exactly offset
+    by the extra slot shuffle — sketch-pass parity, 1.11 s vs 1.12 s —
+    and the advantage grows with shingles/doc, since per-shingle work is
+    1 update vs 64 while the slot shuffle stays <= 64 tiny rows per doc.
+    The banding, candidate equi-join, and exact-jaccard verify downstream
+    are identical, and q_oph_recall_audit measures the recall cost of the
+    cheaper sketch against the same exact-pair truth as the k-draw audit.
 
     Plan shape: one row-local projection (no row multiplication), one
     (id, bin)-keyed MIN groupBy (a single aggregate-buffer update per

@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql import types as T
 
 from ..functions.hashing import (RECALL_FLOOR, minhash_band_config,
-                                 minhash_bands_fast, simhash)
+                                 minhash_bands_fast, oph_bands_fast, simhash)
 from ..functions.text import explode_shingle_hashes, explode_tokens
 from .base import QueryDef, finalize, load
 from .textops import (JACCARD_THRESHOLD, NGRAM_DF_CAP, NUM_BANDS, NUM_HASHES,
@@ -82,6 +82,27 @@ def _text_minhash_join(sh: DataFrame, threshold: float,
     n_hashes, n_bands = minhash_band_config(threshold)
     bands = minhash_bands_fast(sh, "doc_id", "sh60", n_hashes, n_bands,
                                hashed=True).cache()
+    caches.append(bands)
+    bands.count()   # eager: both candidate sides race a lazy cache
+    b1 = bands.select(F.col("doc_id").alias("id1"), "band", "band_key")
+    b2 = bands.select(F.col("doc_id").alias("id2"), "band", "band_key")
+    cand = (b1.join(b2, ["band", "band_key"])
+            .filter(F.col("id1") < F.col("id2"))
+            .select("id1", "id2").distinct())
+    return _verify_jaccard(sh, cand, threshold)
+
+
+def _text_oph_join(sh: DataFrame, threshold: float,
+                   caches: list[DataFrame]) -> DataFrame:
+    """One-Permutation-Hashing variant of the approximate jaccard path
+    (q_dedup_minhash_oph's machinery, generic over threshold): one
+    universal draw per shingle instead of 64, same threshold-derived
+    banding and the identical candidate/verify tail. Same S-curve recall
+    law as the k-draw family under the shared band derivation; measured
+    1e6 ppm at t=0.8 by q_oph_recall_audit."""
+    n_bins, n_bands = minhash_band_config(threshold)
+    bands = oph_bands_fast(sh, "doc_id", "sh60", n_bins, n_bands,
+                           hashed=True).cache()
     caches.append(bands)
     bands.count()   # eager: both candidate sides race a lazy cache
     b1 = bands.select(F.col("doc_id").alias("id1"), "band", "band_key")
@@ -201,7 +222,8 @@ def _vector_srp_join(df: DataFrame, id_col: str, col: str, threshold: float,
 def similarity_join(df: DataFrame, id_col: str, col: str, threshold: float,
                     metric: str = "auto", exact: bool = False,
                     caches: list[DataFrame] | None = None,
-                    shingles: DataFrame | None = None) -> DataFrame:
+                    shingles: DataFrame | None = None,
+                    sketch: str = "kdraw") -> DataFrame:
     """Self-similarity join: all (id1, id2, score) pairs with id1 < id2
     and similarity >= ``threshold`` over ``df[col]``.
 
@@ -213,7 +235,14 @@ def similarity_join(df: DataFrame, id_col: str, col: str, threshold: float,
       caller's t, not at a module constant; measured at t=0.8 by
       q_minhash_recall_audit and t=0.5 by q_minhash_recall_t05).
       jaccard + ``exact=True`` -> prefix-filter
-      join (lossless, join-bounded). cosine -> SRP-LSH (recall audited by
+      join (lossless, join-bounded). ``sketch='oph'`` swaps the
+      approximate-jaccard kernel for One-Permutation-Hashing MinHash
+      (one draw per shingle instead of 64 — per-shingle sketch CPU 64x
+      lower, measured at parity on the short-doc test corpus and winning
+      as shingles/doc grows; recall audited by q_oph_recall_audit) —
+      only meaningful on that path, so any other dispatch rejects a
+      non-default value rather than silently ignoring it.
+      cosine -> SRP-LSH (recall audited by
       q_lsh_recall_audit). ``metric='hamming'`` -> SimHash pigeonhole
       chunk join over a string column; for this family ``threshold`` is
       the MAXIMUM DISTANCE (pyspark.ml approxSimilarityJoin's distance
@@ -255,6 +284,16 @@ def similarity_join(df: DataFrame, id_col: str, col: str, threshold: float,
                 f"pass metric= explicitly")
     if caches is None:
         caches = []
+    if sketch not in ("kdraw", "oph"):
+        raise ValueError(f"unknown sketch {sketch!r} "
+                         "(expected 'kdraw' or 'oph')")
+    if sketch != "kdraw" and (exact or metric != "jaccard"):
+        # the sketch knob only selects the approximate-jaccard kernel;
+        # silently ignoring it elsewhere would let a caller believe the
+        # cheaper sketch ran (the exact-flag rule, ADVICE r6)
+        raise ValueError(
+            f"sketch={sketch!r} only applies to metric='jaccard' with "
+            f"exact=False; got metric={metric!r}, exact={exact!r}")
     if metric == "jaccard":
         if not isinstance(dt, T.StringType):
             raise ValueError("metric='jaccard' needs a string column")
@@ -268,6 +307,8 @@ def similarity_join(df: DataFrame, id_col: str, col: str, threshold: float,
             sh.count()
         if exact:
             return _text_prefix_join(sh, threshold)
+        if sketch == "oph":
+            return _text_oph_join(sh, threshold, caches)
         return _text_minhash_join(sh, threshold, caches)
     if exact and metric != "jaccard":
         # the simhash chunk join is already exact AT THE BOUND and the
@@ -313,7 +354,7 @@ def similarity_join_staged(specs: list[dict]) -> DataFrame:
 
     ``specs``: one dict per family, keys ``family`` (output tag),
     ``df``, ``id_col``, ``col``, ``threshold``, and optionally
-    ``metric`` / ``exact`` (similarity_join's contract). Output schema
+    ``metric`` / ``exact`` / ``sketch`` (similarity_join's contract). Output schema
     is q_similarity_join_api's union: (family, id1, id2,
     score double rounded 6).
 
@@ -332,7 +373,8 @@ def similarity_join_staged(specs: list[dict]) -> DataFrame:
         res = similarity_join(
             spec["df"], spec["id_col"], spec["col"], spec["threshold"],
             metric=spec.get("metric", "auto"),
-            exact=bool(spec.get("exact", False)), caches=caches)
+            exact=bool(spec.get("exact", False)), caches=caches,
+            sketch=spec.get("sketch", "kdraw"))
         tagged = res.select(
             F.lit(spec["family"]).alias("family"), "id1", "id2",
             F.round(F.col("score").cast("double"), 6).alias("score"))

@@ -948,13 +948,15 @@ def q_dedup_minhash_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dedup pairs via One-Permutation-Hashing MinHash: ONE universal
     draw per shingle (vs 64 in dedup_minhash_lsh), rotation-densified
     into the same 64-slot/16-band geometry, then the identical candidate
-    equi-join + exact-jaccard verify. At 100 TB the sketch pass of a
-    corpus dedup is hash-arithmetic-bound — 64 multiply-mods per shingle
-    — and OPH removes 63 of them, turning the pass scan-bound; the
-    banding, shuffle, and verify volumes are unchanged. Candidates
-    differ from the k-draw family (a different, equally-valid estimator
-    of the same resemblance), so the oracle replays THIS pipeline;
-    q_oph_recall_audit measures it against the exact-pair truth."""
+    equi-join + exact-jaccard verify. Per-shingle sketch work drops from
+    64 draw+aggregate updates to 1; measured at the 100x replica the
+    saving is offset by the extra slot shuffle on that short-doc corpus
+    (sketch-pass parity, SCALE.md round 9) and grows into a real win as
+    shingles/doc rises — the long-document regime a web corpus lives in.
+    Candidates differ from the k-draw family (a different, equally-valid
+    estimator of the same resemblance), so the oracle replays THIS
+    pipeline; q_oph_recall_audit measures it against the exact-pair
+    truth."""
     caches: list[DataFrame] = []
     pairs = _oph_pairs(spark, sf_dir, caches)
     return finalize(

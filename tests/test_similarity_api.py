@@ -131,6 +131,39 @@ def test_families_match_standalone_entries(spark, sf_dir):
     assert pf, "expected at least one near-dup pair in testdata"
 
 
+def test_oph_sketch_route(spark, sf_dir):
+    """sketch='oph' must reproduce the standalone dedup_minhash_oph
+    entry's verified pair set, and the knob must fail fast on every
+    dispatch it does not select (the exact-flag rule: silently ignoring
+    it would let a caller believe the cheaper sketch ran)."""
+    from nfl_data_engineering_spark.plans.registry import _BY_NAME
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    caches = []
+    oph = _pairs(similarity_join(docs, "doc_id", "text", JACCARD_THRESHOLD,
+                                 caches=caches, sketch="oph"))
+    for c in caches:
+        c.unpersist()
+    release_deferred()
+    ref = {(r["d1"], r["d2"]) for r in
+           _BY_NAME["dedup_minhash_oph"].spark(spark, sf_dir).collect()}
+    release_deferred()
+    assert oph == ref and oph
+
+    with pytest.raises(ValueError, match="unknown sketch"):
+        similarity_join(docs, "doc_id", "text", 0.8, sketch="hnsw")
+    with pytest.raises(ValueError, match="sketch='oph' only applies"):
+        similarity_join(docs, "doc_id", "text", 0.8, exact=True,
+                        sketch="oph")
+    with pytest.raises(ValueError, match="sketch='oph' only applies"):
+        similarity_join(docs, "doc_id", "text", 3, metric="hamming",
+                        sketch="oph")
+    with pytest.raises(ValueError, match="sketch='oph' only applies"):
+        similarity_join(emb, "vec_id", "embedding", SRP_THRESHOLD,
+                        sketch="oph")
+
+
 def test_staged_equals_monolithic_union(spark, sf_dir):
     """similarity_join_staged (VERDICT r8 item 5) must produce exactly
     the monolithic q_similarity_join_api union — same four families,
