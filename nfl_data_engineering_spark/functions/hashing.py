@@ -228,14 +228,26 @@ def oph_bands_fast(shingled: DataFrame, id_col: str, shingle_col: str,
 
     Why it exists next to minhash_bands_fast: the k-draw kernel spends
     num_bins draw+aggregate-update pairs per shingle; this kernel spends
-    one. Measured honestly at the 100x replica (SCALE.md round 9): on
-    that SHORT-doc corpus (~53 shingles/doc) the saving is exactly offset
-    by the extra slot shuffle — sketch-pass parity, 1.11 s vs 1.12 s —
-    and the advantage grows with shingles/doc, since per-shingle work is
-    1 update vs 64 while the slot shuffle stays <= 64 tiny rows per doc.
-    The banding, candidate equi-join, and exact-jaccard verify downstream
-    are identical, and q_oph_recall_audit measures the recall cost of the
-    cheaper sketch against the same exact-pair truth as the k-draw audit.
+    one. Measured honestly at the 100x replica with full band
+    materialization — noop writes, because a bare .count() silently
+    PRUNES the band columns and with them most of either kernel's work
+    (SCALE.md round 9): on that SHORT-doc corpus (~53 shingles/doc) the
+    per-doc assembly + extra slot shuffle still outweigh the saved
+    draws (4.35 s vs 2.81 s); the balance tips to OPH as shingles/doc
+    grows, since per-shingle work is 1 update vs 64 while the per-doc
+    side stays fixed. Densified slots of LOW-FILL sketches correlate
+    across bands: +14% candidate pair-slots and an 858-vs-393 max bucket
+    at the short-doc replica, which the locally-quadratic
+    candidate/verify stages turn into a 2x entry-level gap (646.8 s vs
+    323.7 s for a near-identical deliverable — OPH even catches 137 more
+    true pairs). In the long-doc regime (~2,120 shingles/doc, slots
+    full) the correlation vanishes (pair_slots within 1%) and the
+    sketch pass is 5.6x FASTER than k-draw (0.47 s vs 2.62 s on the same
+    26.5M shingles). Guideline: OPH for long-document corpora, k-draw
+    for short fragments. The banding, candidate equi-join, and
+    exact-jaccard verify downstream are identical, and
+    q_oph_recall_audit measures the recall cost of the cheaper sketch
+    against the same exact-pair truth as the k-draw audit.
 
     Plan shape: one row-local projection (no row multiplication), one
     (id, bin)-keyed MIN groupBy (a single aggregate-buffer update per
@@ -261,68 +273,68 @@ def oph_bands_fast(shingled: DataFrame, id_col: str, shingle_col: str,
                    F.expr(f"__hm div {num_bins}").alias("__v")))
     # Slot minima keyed on (id, bin): ONE aggregate-buffer update per
     # shingle — this is where OPH's saving lives. The k-draw kernel (and
-    # an earlier conditional-agg form of this one) pays num_bins buffer
-    # updates per shingle; at the 100x replica that form measured SLOWER
-    # than k-draw (1.75 s vs 1.19 s), while this shape reaches parity on
-    # the short-doc test corpus (~53 shingles/doc, 1.21 s) and pulls ahead
-    # as shingles/doc grows — per-shingle work is 1 update vs 64, and the
-    # second shuffle (<= num_bins tiny rows per doc) is volume-bounded by
-    # the band output itself. (id, bin) also has 64x the key cardinality
-    # of (id): better parallelism, no new skew.
+    # a rejected conditional-agg form of this one) pays num_bins buffer
+    # updates per shingle. The second shuffle (<= num_bins tiny rows per
+    # doc) is volume-bounded by the band output itself, and (id, bin)
+    # has 64x the key cardinality of (id): better parallelism, no new
+    # skew. Measured trade at the 100x replica under full
+    # materialization: see the docstring.
     slot_rows = per.groupBy(id_col, "__bin").agg(F.min("__v").alias("__v"))
     slot = slot_rows.groupBy(id_col).agg(
         F.map_from_entries(F.collect_list(F.struct("__bin", "__v")))
         .alias("__m"))
-    # Densification as a sparse-table sliding minimum, O(K log K) row-local
-    # work instead of the naive O(K^2) all-rotations scan (the naive form
-    # measured 2x SLOWER than the whole k-draw kernel at the 100x replica
-    # on ~53-shingle docs — it spent more on array ops per doc than it
-    # saved on draws per shingle):
+    # Densification + band assembly as ONE Catalyst expression:
     #   dens[j] = min_{d in [0,K)} d*BASE + slot[(j+d) mod K]
     #           = ( min_{i in [j, j+K)} g[i] ) - j*BASE
     # over the doubled offset-encoded array g[i] = i*BASE + slot[i mod K],
-    # i in [0, 2K). The K-wide window minima come from log2(K) doubling
-    # levels b_{2w}[i] = least(b_w[i], b_w[i+w]) — F.least skips the NULLs
-    # of empty slots, exactly the semantics the all-rotations min had.
-    # Each level is materialized as its own projection so the expression
-    # tree stays linear (inlining would double the subtree per level);
-    # everything is per-row, no extra shuffle. NB: transform lambdas take
-    # exactly ONE parameter — a second parameter would silently receive
-    # the array INDEX (hence s=step capture, never a spare default).
+    # i in [0, 2K); the K-wide window minima come from log2(K) doubling
+    # levels b_{2w}[i] = least(b_w[i], b_w[i+w]) (F.least skips the NULLs
+    # of empty slots) folded with F.aggregate, and the band md5s are built
+    # in the aggregate's FINISH lambda, where the accumulator is a bound
+    # value — referenced freely without re-evaluation.
+    #
+    # That single-expression shape is load-bearing, not style. TWO
+    # rejected shapes, both measured (SCALE.md round 9): the naive O(K^2)
+    # all-rotations scan, and — the subtle one — the doubling levels (or
+    # the dens array) materialized as NAMED PROJECTION COLUMNS: the
+    # optimizer collapses adjacent Projects and re-inlines the producing
+    # expression into EVERY downstream reference, even references inside
+    # lambda bodies, re-expanding the work exponentially (57.1 s to
+    # materialize 5k docs' bands for the chained-projection form and
+    # 73 s for 500k docs with a named dens array, vs 0.42 s at 5k docs
+    # for this form — and a bare .count() hides all of it by pruning the
+    # band columns, so materialize with a noop write when benchmarking).
     if num_bins & (num_bins - 1):
         raise ValueError(f"num_bins must be a power of two, got {num_bins}")
-    arr = F.transform(F.sequence(F.lit(0), F.lit(num_bins - 1)),
-                      lambda i: F.try_element_at(F.col("__m"), i))
     g = F.transform(
         F.sequence(F.lit(0), F.lit(2 * num_bins - 1)),
         lambda i: i.cast("bigint") * F.lit(OPH_DENS_BASE)
-        + F.element_at(F.col("__arr"), (i % num_bins) + 1))
-    lvl = (slot.select(F.col(id_col), arr.alias("__arr"))
-           .select(F.col(id_col), g.alias("__b")))
-
-    def _level(step: int, new_len: int) -> Column:
-        # single-parameter lambda via factory closure (see NB above)
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(new_len - 1)),
-            lambda i: F.least(F.element_at(F.col("__b"), i + 1),
-                              F.element_at(F.col("__b"), i + 1 + step)))
-
-    width, cur_len = 1, 2 * num_bins
-    while width < num_bins:
-        new_len = cur_len - width
-        lvl = lvl.select(F.col(id_col), _level(width, new_len).alias("__b"))
-        width, cur_len = width * 2, new_len
-    dens = [(F.element_at(F.col("__b"), j + 1)
-             - F.lit(j).cast("bigint") * F.lit(OPH_DENS_BASE)).alias(f"__d{j}")
-            for j in range(num_bins)]
-    sig = lvl.select(F.col(id_col), *dens)
+        + F.try_element_at(F.col("__m"), i % num_bins))
+    widths = []
+    w = 1
+    while w < num_bins:
+        widths.append(w)
+        w *= 2
     rpb = num_bins // bands
-    band_structs = [
-        F.struct(F.lit(j).alias("band"),
-                 F.md5(F.concat_ws(",", *[F.col(f"__d{j * rpb + r}")
-                                          for r in range(rpb)])).alias("band_key"))
-        for j in range(bands)]
-    return (sig.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("b"))
+
+    def _finish(acc: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda j: F.struct(
+                j.alias("band"),
+                F.md5(F.concat_ws(",", *[
+                    F.element_at(acc, j * rpb + r + 1)
+                    - (j * rpb + r).cast("bigint") * F.lit(OPH_DENS_BASE)
+                    for r in range(rpb)])).alias("band_key")))
+
+    bands_arr = F.aggregate(
+        F.array(*[F.lit(x) for x in widths]), g,
+        lambda acc, step: F.transform(
+            F.sequence(F.lit(0), F.size(acc) - 1 - step),
+            lambda i: F.least(F.element_at(acc, i + 1),
+                              F.element_at(acc, i + 1 + step))),
+        _finish)
+    return (slot.select(F.col(id_col), F.explode(bands_arr).alias("b"))
             .select(F.col(id_col), F.col("b.band"), F.col("b.band_key")))
 
 

@@ -238,10 +238,11 @@ def similarity_join(df: DataFrame, id_col: str, col: str, threshold: float,
       join (lossless, join-bounded). ``sketch='oph'`` swaps the
       approximate-jaccard kernel for One-Permutation-Hashing MinHash
       (one draw per shingle instead of 64 — per-shingle sketch CPU 64x
-      lower, measured at parity on the short-doc test corpus and winning
-      as shingles/doc grows; recall audited by q_oph_recall_audit) —
-      only meaningful on that path, so any other dispatch rejects a
-      non-default value rather than silently ignoring it.
+      lower at a fixed per-doc assembly cost, so it wins on long-doc
+      corpora; measured trade in SCALE.md round 9, recall audited by
+      q_oph_recall_audit) — only meaningful on that path, so any other
+      dispatch rejects a non-default value rather than silently ignoring
+      it.
       cosine -> SRP-LSH (recall audited by
       q_lsh_recall_audit). ``metric='hamming'`` -> SimHash pigeonhole
       chunk join over a string column; for this family ``threshold`` is

@@ -949,10 +949,11 @@ def q_dedup_minhash_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
     draw per shingle (vs 64 in dedup_minhash_lsh), rotation-densified
     into the same 64-slot/16-band geometry, then the identical candidate
     equi-join + exact-jaccard verify. Per-shingle sketch work drops from
-    64 draw+aggregate updates to 1; measured at the 100x replica the
-    saving is offset by the extra slot shuffle on that short-doc corpus
-    (sketch-pass parity, SCALE.md round 9) and grows into a real win as
-    shingles/doc rises — the long-document regime a web corpus lives in.
+    64 draw+aggregate updates to 1; measured at the 100x replica under
+    full band materialization the per-doc assembly still outweighs the
+    saved draws on that short-doc corpus (4.35 s vs 2.81 s, SCALE.md
+    round 9) and the balance tips to OPH as shingles/doc rises — the
+    long-document regime a web corpus lives in.
     Candidates differ from the k-draw family (a different, equally-valid
     estimator of the same resemblance), so the oracle replays THIS
     pipeline; q_oph_recall_audit measures it against the exact-pair
