@@ -90,6 +90,26 @@ def test_oph_densification_fills_every_band(spark):
     assert all(per_doc[1][b] != per_doc[3][b] for b in per_doc[1])
 
 
+def test_oph_fold_evaluated_once_in_plan(spark):
+    """The densification fold + band assembly must survive optimization
+    as ONE aggregate expression. Round-9 regression: materializing the
+    fold (or the doubling levels) as named projection columns let
+    CollapseProject re-inline it into every lambda-body reference —
+    60-140x re-evaluation per row, invisible to .count() because column
+    pruning drops the band columns (full story in SCALE.md round 9). A
+    re-inlined plan shows one aggregate( per reference; the shipped
+    single-expression form shows exactly one."""
+    from nfl_data_engineering_spark.functions.hashing import oph_bands_fast
+    from nfl_data_engineering_spark.functions.text import explode_shingle_hashes
+    df = spark.createDataFrame([(1, "a b c d e f g")], "doc_id int, text string")
+    sh = explode_shingle_hashes(df, "doc_id", "text", 3)
+    bands = oph_bands_fast(sh, "doc_id", "sh60", hashed=True)
+    plan = bands._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("aggregate(") == 1, (
+        f"densification fold appears {plan.count('aggregate(')} times in "
+        f"the optimized plan — projection re-inlining is back")
+
+
 def test_simhash_identical_docs_hamming_zero(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "x y z w q")],
