@@ -999,6 +999,55 @@ def q_oph_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("recall_ppm")), *caches)
 
 
+def q_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-bucket size histogram for BOTH jaccard sketch families — the
+    pre-flight diagnostic a corpus dedup runs to choose its kernel and
+    spot candidate skew before paying for it. Candidate-join cost is
+    locally quadratic in bucket size (sum n*(n-1)/2 = the exact number
+    of candidate pair-slots the equi-join will emit), so the histogram
+    IS the cost model: the round-9 replica analysis that surfaced OPH's
+    short-doc borrow-correlation (max bucket 858 vs 393, +14% pair
+    slots, a 2x entry-level gap) is exactly this query. Buckets are
+    log2-sized via length(bin(n))-1 — integer-exact on both engines, no
+    float log. Two sketch passes + two (band, band_key) aggregates; the
+    shingle frame is computed once and shared."""
+    docs = load(spark, sf_dir, "documents")
+    sh = explode_shingle_hashes(docs, "doc_id", "text", n=3).cache()
+    sh.count()   # eager: both family branches race a lazy cache
+
+    def fam(tag: str, bands: DataFrame) -> DataFrame:
+        sizes = bands.groupBy("band", "band_key").agg(
+            F.count("*").alias("n"))
+        return (sizes
+                .groupBy((F.length(F.bin(F.col("n"))) - 1).alias("log2_size"))
+                .agg(F.count("*").alias("n_buckets"),
+                     F.sum(F.expr("n*(n-1) div 2")).alias("pair_slots"),
+                     F.max("n").alias("max_bucket"))
+                .select(F.lit(tag).alias("family"), "log2_size",
+                        "n_buckets", "pair_slots", "max_bucket"))
+
+    out = fam("kdraw", minhash_bands_fast(
+        sh, "doc_id", "sh60", NUM_HASHES, NUM_BANDS, hashed=True)
+    ).unionByName(fam("oph", oph_bands_fast(
+        sh, "doc_id", "sh60", OPH_BINS, OPH_NUM_BANDS, hashed=True)))
+    return finalize(out, sh)
+
+
+def _oracle_bucket_histogram() -> str:
+    def side(tag: str, band_ctes: str) -> str:
+        return f"""SELECT * FROM (
+  WITH {band_ctes},
+  sizes AS (SELECT band, band_key, COUNT(*) AS n FROM bands GROUP BY 1, 2)
+  SELECT '{tag}' AS family, length(bin(n)) - 1 AS log2_size,
+         COUNT(*) AS n_buckets,
+         CAST(SUM(n*(n-1)//2) AS BIGINT) AS pair_slots,
+         CAST(MAX(n) AS BIGINT) AS max_bucket
+  FROM sizes GROUP BY 2)"""
+    return (side("kdraw", sql_minhash_band_ctes(NUM_HASHES, NUM_BANDS))
+            + "\nUNION ALL\n"
+            + side("oph", sql_oph_band_ctes(OPH_BINS, OPH_NUM_BANDS)))
+
+
 ORACLE_OPH_RECALL = f"""
 WITH {_SQL_OPH_PAIR_CTES},
 rare AS (SELECT sh60 FROM shh GROUP BY sh60
@@ -2242,6 +2291,8 @@ TEXT_QUERIES = [
              "LLM-dedup-oph", bench=True),
     QueryDef("oph_recall_audit", q_oph_recall_audit, ORACLE_OPH_RECALL,
              "LLM-dedup-oph-recall"),
+    QueryDef("lsh_bucket_histogram", q_lsh_bucket_histogram,
+             _oracle_bucket_histogram(), "LLM-dedup-diagnostics"),
     QueryDef("prefix_filter_join", q_prefix_filter_join,
              ORACLE_PREFIX_FILTER_JOIN, "LLM-dedup-prefix-filter",
              bench=True),
