@@ -306,6 +306,17 @@ def oph_bands_fast(shingled: DataFrame, id_col: str, shingle_col: str,
     # band columns, so materialize with a noop write when benchmarking).
     if num_bins & (num_bins - 1):
         raise ValueError(f"num_bins must be a power of two, got {num_bins}")
+    if MERSENNE_P // num_bins >= OPH_DENS_BASE:
+        # the rotation-distance encoding needs every slot value strictly
+        # below OPH_DENS_BASE; below 32 bins a slot value can reach
+        # P/num_bins >= 2^26 and a doc's OWN slot minimum would lose to a
+        # distance-1 borrow — silently wrong bands on BOTH engines (the
+        # oracle replays the same formula), so fail loudly instead
+        # (round-9 review finding)
+        raise ValueError(
+            f"num_bins={num_bins} leaves slot values up to "
+            f"{MERSENNE_P // num_bins} >= OPH_DENS_BASE={OPH_DENS_BASE}; "
+            f"use num_bins >= 32 or derive a larger distance base")
     g = F.transform(
         F.sequence(F.lit(0), F.lit(2 * num_bins - 1)),
         lambda i: i.cast("bigint") * F.lit(OPH_DENS_BASE)

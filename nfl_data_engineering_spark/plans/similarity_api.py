@@ -74,14 +74,18 @@ def _verify_jaccard(sh: DataFrame, cand: DataFrame,
             .select("id1", "id2", jac.alias("score")))
 
 
-def _text_minhash_join(sh: DataFrame, threshold: float,
-                       caches: list[DataFrame]) -> DataFrame:
-    """MinHash band bucketing -> candidate equi-join -> exact verify
-    (the q_dedup_minhash_lsh pipeline, generic over threshold — the band
-    config is derived from the threshold, not module-constant)."""
+def _text_banded_join(sh: DataFrame, threshold: float,
+                      caches: list[DataFrame], kernel) -> DataFrame:
+    """Banded-sketch bucketing -> candidate equi-join -> exact verify,
+    generic over the sketch ``kernel`` (minhash_bands_fast /
+    oph_bands_fast — same (df, id, col, bins, bands, hashed) signature).
+    The band config is derived from the threshold, not module-constant,
+    and ONE copy of the candidate/verify tail serves both kernels
+    (round-9 review finding: a drifting copy would silently verify a
+    different truth)."""
     n_hashes, n_bands = minhash_band_config(threshold)
-    bands = minhash_bands_fast(sh, "doc_id", "sh60", n_hashes, n_bands,
-                               hashed=True).cache()
+    bands = kernel(sh, "doc_id", "sh60", n_hashes, n_bands,
+                   hashed=True).cache()
     caches.append(bands)
     bands.count()   # eager: both candidate sides race a lazy cache
     b1 = bands.select(F.col("doc_id").alias("id1"), "band", "band_key")
@@ -90,6 +94,12 @@ def _text_minhash_join(sh: DataFrame, threshold: float,
             .filter(F.col("id1") < F.col("id2"))
             .select("id1", "id2").distinct())
     return _verify_jaccard(sh, cand, threshold)
+
+
+def _text_minhash_join(sh: DataFrame, threshold: float,
+                       caches: list[DataFrame]) -> DataFrame:
+    """The q_dedup_minhash_lsh pipeline, generic over threshold."""
+    return _text_banded_join(sh, threshold, caches, minhash_bands_fast)
 
 
 def _text_oph_join(sh: DataFrame, threshold: float,
@@ -100,17 +110,7 @@ def _text_oph_join(sh: DataFrame, threshold: float,
     banding and the identical candidate/verify tail. Same S-curve recall
     law as the k-draw family under the shared band derivation; measured
     1e6 ppm at t=0.8 by q_oph_recall_audit."""
-    n_bins, n_bands = minhash_band_config(threshold)
-    bands = oph_bands_fast(sh, "doc_id", "sh60", n_bins, n_bands,
-                           hashed=True).cache()
-    caches.append(bands)
-    bands.count()   # eager: both candidate sides race a lazy cache
-    b1 = bands.select(F.col("doc_id").alias("id1"), "band", "band_key")
-    b2 = bands.select(F.col("doc_id").alias("id2"), "band", "band_key")
-    cand = (b1.join(b2, ["band", "band_key"])
-            .filter(F.col("id1") < F.col("id2"))
-            .select("id1", "id2").distinct())
-    return _verify_jaccard(sh, cand, threshold)
+    return _text_banded_join(sh, threshold, caches, oph_bands_fast)
 
 
 def _text_prefix_join(sh: DataFrame, threshold: float) -> DataFrame:

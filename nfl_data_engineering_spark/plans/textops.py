@@ -87,7 +87,8 @@ NUM_BANDS = minhash_band_config(JACCARD_THRESHOLD, NUM_HASHES)[1]
 
 def _minhash_pairs(spark: SparkSession, sf_dir: str,
                    caches: list[DataFrame] | None = None,
-                   sh: DataFrame | None = None) -> DataFrame:
+                   sh: DataFrame | None = None,
+                   bands_fn=None) -> DataFrame:
     """MinHash-LSH verified near-dup pairs: (d1, d2, jaccard) with
     jaccard >= JACCARD_THRESHOLD. Shared by the pairs query and the
     connected-components query. The eager caches it fills are appended
@@ -99,7 +100,14 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str,
     ``sh`` (cached + counted, tracked in its OWN caches list) so each
     plan is cached and released exactly once — re-caching the identical
     logical plan here would be a CacheManager no-op whose unpersist
-    fires twice (ADVICE r5)."""
+    fires twice (ADVICE r5).
+
+    ``bands_fn`` swaps the sketch kernel (shingles -> (doc_id, band,
+    band_key)); default is the k-draw 64x16 kernel. ONE copy of the
+    candidate self-join + sizes/intersection/jaccard verify tail serves
+    every banded sketch family — a second drifting copy would silently
+    verify a different truth (the round-7 exact_jaccard_count lesson;
+    round-9 review finding)."""
     if sh is None:
         docs = load(spark, sf_dir, "documents")
         sh = explode_shingle_hashes(docs, "doc_id", "text", n=3).cache()
@@ -111,8 +119,11 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str,
     # The count() after each cache is load-bearing: the downstream branches
     # launch CONCURRENTLY inside one job, and a lazy cache races — every
     # branch recomputes the subtree before any of them fills the cache.
-    bands = minhash_bands_fast(sh, "doc_id", "sh60", NUM_HASHES, NUM_BANDS,
-                               hashed=True).cache()
+    if bands_fn is None:
+        bands = minhash_bands_fast(sh, "doc_id", "sh60", NUM_HASHES,
+                                   NUM_BANDS, hashed=True).cache()
+    else:
+        bands = bands_fn(sh).cache()
     if caches is not None:
         caches.append(bands)
     bands.count()
@@ -912,36 +923,13 @@ def _oph_pairs(spark: SparkSession, sf_dir: str,
     """OPH-banded verified near-dup pairs: (d1, d2, jaccard) with
     jaccard >= JACCARD_THRESHOLD — _minhash_pairs with the sketch pass
     swapped for the one-draw-per-shingle OPH kernel
-    (functions/hashing.py:oph_bands_fast). Cache/release contract is
-    identical: fills `caches` for the caller to finalize."""
-    if sh is None:
-        docs = load(spark, sf_dir, "documents")
-        sh = explode_shingle_hashes(docs, "doc_id", "text", n=3).cache()
-        if caches is not None:
-            caches.append(sh)
-        sh.count()
-    bands = oph_bands_fast(sh, "doc_id", "sh60", OPH_BINS, OPH_NUM_BANDS,
-                           hashed=True).cache()
-    if caches is not None:
-        caches.append(bands)
-    bands.count()
-    b1 = bands.select(F.col("doc_id").alias("d1"), "band", "band_key")
-    b2 = bands.select(F.col("doc_id").alias("d2"), "band", "band_key")
-    cand = (b1.join(b2, ["band", "band_key"])
-            .filter(F.col("d1") < F.col("d2"))
-            .select("d1", "d2").distinct())
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    s1 = sh.select(F.col("doc_id").alias("d1"), "sh60")
-    s2 = sh.select(F.col("doc_id").alias("d2"), "sh60")
-    inter = (cand.join(s1, "d1").join(s2, ["d2", "sh60"])
-             .groupBy("d1", "d2").agg(F.count("*").alias("i")))
-    jac = (F.col("i").cast("double")
-           / (F.col("sz1") + F.col("sz2") - F.col("i")).cast("double"))
-    return (inter
-            .join(sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1")), "d1")
-            .join(sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2")), "d2")
-            .filter(jac >= JACCARD_THRESHOLD)
-            .select("d1", "d2", jac.alias("jaccard")))
+    (functions/hashing.py:oph_bands_fast); the candidate/verify tail is
+    the SAME code, not a copy. Cache/release contract is identical:
+    fills `caches` for the caller to finalize."""
+    return _minhash_pairs(
+        spark, sf_dir, caches, sh,
+        bands_fn=lambda s: oph_bands_fast(s, "doc_id", "sh60", OPH_BINS,
+                                          OPH_NUM_BANDS, hashed=True))
 
 
 def q_dedup_minhash_oph(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1443,28 +1443,36 @@ def q_token_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     — quantized to integer nano-nats BEFORE the per-source sum, so
     partial aggregation order can't perturb the result.
 
-    Plan shape at 100 TB: two token-keyed aggregates + one token-keyed
-    equi-join of the per-source counts against the global counts (both
-    sides already reduced to vocabulary size), one broadcast of the
-    per-source totals. No window, no skew key — 'the' is one row per
-    source after the first aggregate."""
+    Plan shape at 100 TB: ONE corpus tokenization pass into the
+    (source, token) count aggregate, which is cached (it is
+    vocabulary-sized — sources x distinct tokens, tiny next to the
+    corpus) and re-aggregated for the source totals, global counts, and
+    grand total; then one vocab-sized equi-join + two broadcasts. The
+    first cut ran the tokenizer explode four times — once per derived
+    aggregate plus an eager driver count (round-9 review finding); at
+    the design point that is three extra full-corpus scans. No window,
+    no skew key — 'the' is one row per source after the first
+    aggregate."""
     docs = load(spark, sf_dir, "documents")
     terms = docs.select("source",
                         F.explode(tokens(F.col("text"))).alias("token"))
-    st = terms.groupBy("source", "token").agg(F.count("*").alias("c"))
-    stot = terms.groupBy("source").agg(F.count("*").alias("ns"))
-    g = terms.groupBy("token").agg(F.count("*").alias("cg"))
-    total = terms.count()
+    st = terms.groupBy("source", "token").agg(F.count("*").alias("c")).cache()
+    st.count()   # eager: four derived consumers race a lazy cache
+    stot = st.groupBy("source").agg(F.sum("c").alias("ns"))
+    g = st.groupBy("token").agg(F.sum("c").alias("cg"))
+    tot = st.agg(F.sum("c").cast("double").alias("total"))
     p = F.col("c").cast("double") / F.col("ns").cast("double")
-    q = F.col("cg").cast("double") / F.lit(float(total))
+    q = F.col("cg").cast("double") / F.col("total")
     val = (st.join(g, "token").join(F.broadcast(stot), "source")
+           .crossJoin(F.broadcast(tot))
            .withColumn("iv", F.round(p * F.log(p / q) * 1e9).cast("bigint")))
-    return (val.groupBy("source")
-            .agg(F.max("ns").alias("n_tokens"),
-                 F.count("*").alias("vocab_size"),
-                 F.sum("iv").alias("s"))
-            .select("source", "n_tokens", "vocab_size",
-                    F.round(F.col("s") / 1e9, 6).alias("kl_nats")))
+    out = (val.groupBy("source")
+           .agg(F.max("ns").alias("n_tokens"),
+                F.count("*").alias("vocab_size"),
+                F.sum("iv").alias("s"))
+           .select("source", "n_tokens", "vocab_size",
+                   F.round(F.col("s") / 1e9, 6).alias("kl_nats")))
+    return finalize(out, st)
 
 
 def _oracle_token_kl() -> str:

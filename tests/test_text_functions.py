@@ -90,6 +90,23 @@ def test_oph_densification_fills_every_band(spark):
     assert all(per_doc[1][b] != per_doc[3][b] for b in per_doc[1])
 
 
+def test_oph_rejects_bins_without_distance_headroom(spark):
+    """num_bins < 32 leaves slot values that can reach OPH_DENS_BASE, so
+    a doc's own slot minimum could lose to a distance-1 borrow — and the
+    oracle replays the same formula, so parity would never catch the
+    silently-wrong bands. The kernel must fail loudly instead (round-9
+    review finding)."""
+    import pytest
+
+    from nfl_data_engineering_spark.functions.hashing import oph_bands_fast
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id int, text string")
+    sh = explode_shingles(df, "doc_id", "text", 3)
+    with pytest.raises(ValueError, match="num_bins must be a power of two"):
+        oph_bands_fast(sh, "doc_id", "shingle", num_bins=48, bands=16)
+    with pytest.raises(ValueError, match="OPH_DENS_BASE"):
+        oph_bands_fast(sh, "doc_id", "shingle", num_bins=16, bands=16)
+
+
 def test_oph_fold_evaluated_once_in_plan(spark):
     """The densification fold + band assembly must survive optimization
     as ONE aggregate expression. Round-9 regression: materializing the
