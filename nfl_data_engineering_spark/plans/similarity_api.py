@@ -46,7 +46,7 @@ from .base import QueryDef, finalize, load
 from .textops import (JACCARD_THRESHOLD, NGRAM_DF_CAP, NUM_BANDS, NUM_HASHES,
                       ORACLE_MINHASH_LSH, ORACLE_PREFIX_FILTER_JOIN,
                       ORACLE_SIMHASH, SIMHASH_BITS, SIMHASH_MAX_HAMMING,
-                      sql_minhash_pair_ctes)
+                      sql_minhash_pair_ctes, sql_oph_pair_ctes)
 from .vector import ORACLE_COSINE_LSH, SRP_THRESHOLD, _srp_bands, srp_bits
 
 # minhash_band_config / RECALL_FLOOR moved to functions.hashing (VERDICT
@@ -489,6 +489,58 @@ FROM exact CROSS JOIN lsh
 """
 
 
+def q_oph_recall_t05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPH recall at the second threshold — the audit that decides
+    whether the cheaper sketch stays safe when the banding loosens.
+    t=0.5 derives to 64 slots / 32 bands (rows-per-band 2), where a
+    LOW-fill doc's densified slots are most likely to dominate a 2-row
+    band key — exactly the correlation regime the round-9 replica
+    analysis flagged — so the independent S-curve argument is weakest
+    here and the measured number is the load-bearing one. Same
+    exact-pair truth (df-capped quadratic self-join at 0.5) and
+    integer-ppm discipline as every other recall audit; the sketch runs
+    through the same front door a user calls (sketch='oph')."""
+    from .textops import exact_jaccard_count
+    docs = load(spark, sf_dir, "documents")
+    caches: list[DataFrame] = []
+    sh = explode_shingle_hashes(docs, "doc_id", "text", n=3).cache()
+    caches.append(sh)
+    sh.count()   # eager: exact + oph branches race a lazy cache
+    exact = exact_jaccard_count(sh, MINHASH_T05)
+    oph = similarity_join(docs, "doc_id", "text", MINHASH_T05,
+                          caches=caches, shingles=sh, sketch="oph").agg(
+        F.count("*").alias("n_oph"))
+    return finalize(
+        exact.crossJoin(oph)
+        .select("n_exact", "n_oph",
+                F.expr("CASE WHEN n_exact > 0 "
+                       "THEN n_oph * 1000000 div n_exact END")
+                .alias("recall_ppm")), *caches)
+
+
+ORACLE_OPH_RECALL_T05 = f"""
+WITH {sql_oph_pair_ctes(_T05_HASHES, _T05_BANDS, MINHASH_T05)},
+rare AS (SELECT sh60 FROM shh GROUP BY sh60
+         HAVING COUNT(*) <= {NGRAM_DF_CAP}),
+capped AS (SELECT shh.doc_id, shh.sh60 FROM shh JOIN rare USING (sh60)),
+einter AS (
+  SELECT x.doc_id AS d1, y.doc_id AS d2, COUNT(*) AS i
+  FROM capped x JOIN capped y ON y.sh60 = x.sh60 AND x.doc_id < y.doc_id
+  GROUP BY 1, 2),
+exact AS (
+  SELECT COUNT(*) AS n_exact
+  FROM einter
+  JOIN sizes s1 ON s1.doc_id = d1
+  JOIN sizes s2 ON s2.doc_id = d2
+  WHERE i::DOUBLE / (s1.sz + s2.sz - i)::DOUBLE >= {MINHASH_T05}),
+oph_n AS (SELECT COUNT(*) AS n_oph FROM pairs)
+SELECT n_exact, n_oph,
+       CAST(CASE WHEN n_exact > 0 THEN n_oph * 1000000 // n_exact END
+            AS BIGINT) AS recall_ppm
+FROM exact CROSS JOIN oph_n
+"""
+
+
 def _wrap(oracle: str, family: str, c1: str, c2: str, sc: str) -> str:
     return (f"SELECT '{family}' AS family, {c1} AS id1, {c2} AS id2, "
             f"{sc} AS score FROM ({oracle})")
@@ -511,4 +563,6 @@ API_QUERIES = [
              ORACLE_SIMILARITY_JOIN_API, "LLM-dedup-api", bench=True),
     QueryDef("minhash_recall_t05", q_minhash_recall_t05,
              ORACLE_MINHASH_RECALL_T05, "LLM-dedup-minhash-recall"),
+    QueryDef("oph_recall_t05", q_oph_recall_t05,
+             ORACLE_OPH_RECALL_T05, "LLM-dedup-oph-recall"),
 ]
