@@ -266,8 +266,15 @@ def oph_bands_fast(shingled: DataFrame, id_col: str, shingle_col: str,
     if bands is None:
         bands = minhash_band_config(DEFAULT_JACCARD_THRESHOLD, num_bins)[1]
     base = F.col(shingle_col) if hashed else h60(F.col(shingle_col))
+    # NULL shingles are IGNORED, matching the k-draw kernel (whose MIN
+    # aggregates skip NULLs) and simhash's explicit null rule — without
+    # the filter a NULL __hm propagates to __bin and map_from_entries
+    # rejects the NULL map key with an opaque runtime error mid-job
+    # (ADVICE r9). Catalog paths never produce NULL shingles; an
+    # external hashed=True caller can.
     per = (shingled
            .select(F.col(id_col), (base % MERSENNE_P).alias("__hm"))
+           .filter(F.col("__hm").isNotNull())
            .select(F.col(id_col),
                    F.expr(f"__hm % {num_bins}").cast("int").alias("__bin"),
                    F.expr(f"__hm div {num_bins}").alias("__v")))

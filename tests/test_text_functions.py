@@ -107,6 +107,25 @@ def test_oph_rejects_bins_without_distance_headroom(spark):
         oph_bands_fast(sh, "doc_id", "shingle", num_bins=16, bands=16)
 
 
+def test_oph_null_shingles_ignored_like_kdraw(spark):
+    """ADVICE r9: a NULL shingle hash from an external hashed=True caller
+    must be IGNORED (the k-draw kernel's MIN skips NULLs; simhash filters
+    them), not propagated to a NULL map key that map_from_entries rejects
+    with an opaque runtime error. Bands must equal the null-free twin's."""
+    from nfl_data_engineering_spark.functions.hashing import oph_bands_fast
+    withnull = spark.createDataFrame(
+        [(1, 12345), (1, None), (1, 67890), (2, None)],
+        "doc_id int, sh60 bigint")
+    clean = spark.createDataFrame(
+        [(1, 12345), (1, 67890)], "doc_id int, sh60 bigint")
+    got = sorted(map(tuple, oph_bands_fast(
+        withnull, "doc_id", "sh60", 64, 16, hashed=True).collect()))
+    want = sorted(map(tuple, oph_bands_fast(
+        clean, "doc_id", "sh60", 64, 16, hashed=True).collect()))
+    assert got == want           # doc 2 (all-null) yields no rows
+    assert {t[0] for t in got} == {1}
+
+
 def test_oph_fold_evaluated_once_in_plan(spark):
     """The densification fold + band assembly must survive optimization
     as ONE aggregate expression. Round-9 regression: materializing the
