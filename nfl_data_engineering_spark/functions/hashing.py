@@ -19,6 +19,7 @@ embarrassingly parallel, no driver participation, no UDFs.
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -354,6 +355,23 @@ def oph_bands_fast(shingled: DataFrame, id_col: str, shingle_col: str,
         _finish)
     return (slot.select(F.col(id_col), F.explode(bands_arr).alias("b"))
             .select(F.col(id_col), F.col("b.band"), F.col("b.band_key")))
+
+
+def oph_auto_cutover(num_bins: int = OPH_BINS) -> float:
+    """Shingles/doc at which ``sketch='auto'`` routes to the OPH kernel:
+    K*ln(K) — the fill point where the expected number of EMPTY slots
+    after s uniform draws over K bins falls to ~1 (K*(1-1/K)^s ~
+    K*e^(-s/K) = 1  =>  s = K ln K; 64 bins -> ~266). Below it densified
+    (borrowed) slots are common and correlate across bands — the
+    measured short-doc regime where k-draw wins (~53 shingles/doc: +14%
+    candidate pair-slots, an 858-vs-393 max bucket, a 2x entry-level
+    gap); above it slots are full, the correlation vanishes (pair_slots
+    within 1% at ~2,120 shingles/doc) and OPH's 1-update-per-shingle
+    sketch pass wins 5.6x. Both measured at the 100x replica under full
+    materialization — SCALE.md round 9. Lives here, next to the kernels
+    and OPH_BINS, so a bin retune moves the cutover with it (VERDICT r9
+    item 3: the kernel guideline must be code, not a docstring)."""
+    return num_bins * math.log(num_bins)
 
 
 def simhash(tokened: DataFrame, id_col: str, token_col: str,

@@ -24,36 +24,43 @@ _ALL: list[QueryDef] = [*RELATIONAL_QUERIES, *TEXT_QUERIES,
 # prefix window of the catalog (50 entries/round), so rotation aims each
 # round's window at the entries with the most verification value.
 #
-# Round 9 window (50) — the staleness rotation the r8 verdict staged
-# (item 1: "no entry's newest driver attestation older than r5
-# afterward"):
-# (a) ALL 46 entries whose newest driver row is r4 vintage, name order
-#     (reproducible by folding _green over the CORRECTNESS_r0*.json
-#     files — the upsert/zorder/compaction lake ops, the streaming-r4
-#     cohort, kmeans/quantization, skew salting, weather fan-out);
-# (b) 4 fill slots from the equally-old r5 cohort, name order.
+# Round 10 window (50) — the rotation the r9 verdict staged (item 2:
+# rotate the six never-driver-attested round-9 entries first, then the
+# oldest vintages, so no entry's newest driver attestation is older
+# than r6 afterward):
+# (a) the 6 round-9 additions that postdate the r9 driver window
+#     (judge-verified at sf0.01 only so far), name order;
+# (b) the round-10 addition (similarity_join_staged), never attested;
+# (c) ALL 42 entries whose newest driver row is r5 vintage, name order
+#     (reproducible by folding _green over the CORRECTNESS_r*.json
+#     files);
+# (d) 1 fill slot from the next-oldest (r6) cohort, name order.
 # Names absent from this list keep catalog order after it.
 _PRIORITY: list[str] = [
-    # --- (a) the full round-4-vintage tail, name order ---
-    "ab_test_report", "basket_pair_rules", "bigram_logprob",
-    "bucketed_join_colocated", "cdc_merge_apply", "column_profile",
-    "compact_multifile", "compact_roundtrip", "embedding_int8_quant",
-    "feature_hashing", "filter_funnel", "hard_negative_mining",
-    "importance_resample", "interval_incident_join", "kmeans_embeddings",
-    "ks_drift", "last_touch_attribution", "multimodal_frame_sample",
-    "multimodal_resize", "pagerank_event_graph", "pit_feature_join",
-    "pmi_collocations", "pq_recall_audit", "revenue_bridge",
-    "rfm_segmentation", "rfm_segmentation_cutoffs", "sampled_quantiles",
-    "schema_evolution_read", "semantic_contamination", "skew_join_salted",
-    "spend_quartiles_cutoffs", "sql_api_report", "streaming_cdc_apply",
-    "streaming_dedup_ingest", "streaming_enrich", "streaming_keep_latest",
-    "streaming_sliding_rollup", "streaming_upsert_sink",
-    "time_to_conversion", "trailing_unique_users", "upsert_roundtrip",
-    "variant_extract", "weather_forecast_window", "weather_unit_convert",
-    "zorder_pruning", "zorder_pruning_3col",
-    # --- (b) oldest-r5 fill (4 slots), name order ---
-    "best_snapshot", "bpe_encode", "capped_sessions",
-    "cogrouped_asof_pandas",
+    # --- (a) never-driver-attested round-9 entries, name order ---
+    "curriculum_stages", "dedup_minhash_oph", "lsh_bucket_histogram",
+    "oph_recall_audit", "oph_recall_t05", "token_kl_divergence",
+    # --- (b) the round-10 addition ---
+    "similarity_join_staged",
+    # --- (c) the full round-5-vintage tail, name order ---
+    "cusum_changepoint", "dedup_full_row", "dedup_keep_latest",
+    "distinct_event_types", "exact_quantiles_twopass",
+    "expected_minus_found", "fd_violation_profile", "file_stats_manifest",
+    "histogram_quantile_merge", "hll_partition_merge",
+    "interval_overlap_join", "join_size_estimate", "lang_id",
+    "length_bucketing_waste", "market_share", "nearest_event_join",
+    "observed_metrics_audit", "ohlc_daily", "pricing_summary",
+    "priority_sample_weighted", "python_datasource_sink", "rank_twophase",
+    "record_linkage", "recursive_cte_hierarchy", "region_volume",
+    "rolling_mad_anomaly", "shipping_priority", "skyline_frontier",
+    "snapshot_diff", "streaming_append_rollup",
+    "streaming_checkpoint_restart", "streaming_full_outer_join",
+    "streaming_late_data_drop", "streaming_left_outer_join",
+    "streaming_multibatch_backfill", "table_counts", "table_sync_audit",
+    "trailing_unique_hll", "triangle_count", "udtf_polymorphic",
+    "vocab_coverage_curve", "weekday_seasonality",
+    # --- (d) oldest-r6 fill (1 slot), name order ---
+    "acctbal_pctrank",
 ]
 
 assert not set(_PRIORITY) - {q.name for q in _ALL}, \

@@ -40,7 +40,8 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql import types as T
 
 from ..functions.hashing import (RECALL_FLOOR, minhash_band_config,
-                                 minhash_bands_fast, oph_bands_fast, simhash)
+                                 minhash_bands_fast, oph_auto_cutover,
+                                 oph_bands_fast, simhash)
 from ..functions.text import explode_shingle_hashes, explode_tokens
 from .base import QueryDef, finalize, load
 from .textops import (JACCARD_THRESHOLD, NGRAM_DF_CAP, NUM_BANDS, NUM_HASHES,
@@ -111,6 +112,29 @@ def _text_oph_join(sh: DataFrame, threshold: float,
     law as the k-draw family under the shared band derivation; measured
     1e6 ppm at t=0.8 by q_oph_recall_audit."""
     return _text_banded_join(sh, threshold, caches, oph_bands_fast)
+
+
+def _resolve_auto_sketch(sh: DataFrame) -> str:
+    """Route the approximate-jaccard kernel on MEASURED corpus shape
+    (VERDICT r9 item 3 — the OPH-vs-k-draw guideline as code): ONE
+    aggregate over the already-computed (and cached) shingle frame —
+    count(*) beside an HLL approx_count_distinct(doc_id), a single-pass
+    partial-agg reduce, no re-shuffle of the data, one bounded driver
+    row — gives avg shingles/doc. At/above the K*ln(K) slot-fill
+    cutover (functions.hashing.oph_auto_cutover: ~266 at 64 bins) every
+    slot of an average doc's OPH sketch is expected filled, the
+    densification correlation vanishes and the 1-update-per-shingle
+    sketch pass wins (measured 5.6x on long docs); below it k-draw
+    avoids the borrowed-slot candidate skew (measured 2x entry-level on
+    short docs). The statistic only ROUTES — both kernels verify every
+    candidate with exact jaccard downstream — so the ~2% HLL error can
+    nudge the cutover point, never correctness. An empty corpus routes
+    to k-draw (either kernel yields no rows)."""
+    row = sh.agg(F.count("*").alias("n"),
+                 F.approx_count_distinct("doc_id").alias("d")).first()
+    if not row["d"]:
+        return "kdraw"
+    return "oph" if row["n"] / row["d"] >= oph_auto_cutover() else "kdraw"
 
 
 def _text_prefix_join(sh: DataFrame, threshold: float) -> DataFrame:
@@ -223,7 +247,7 @@ def similarity_join(df: DataFrame, id_col: str, col: str, threshold: float,
                     metric: str = "auto", exact: bool = False,
                     caches: list[DataFrame] | None = None,
                     shingles: DataFrame | None = None,
-                    sketch: str = "kdraw") -> DataFrame:
+                    sketch: str = "auto") -> DataFrame:
     """Self-similarity join: all (id1, id2, score) pairs with id1 < id2
     and similarity >= ``threshold`` over ``df[col]``.
 
@@ -235,14 +259,21 @@ def similarity_join(df: DataFrame, id_col: str, col: str, threshold: float,
       caller's t, not at a module constant; measured at t=0.8 by
       q_minhash_recall_audit and t=0.5 by q_minhash_recall_t05).
       jaccard + ``exact=True`` -> prefix-filter
-      join (lossless, join-bounded). ``sketch='oph'`` swaps the
-      approximate-jaccard kernel for One-Permutation-Hashing MinHash
-      (one draw per shingle instead of 64 — per-shingle sketch CPU 64x
-      lower at a fixed per-doc assembly cost, so it wins on long-doc
-      corpora; measured trade in SCALE.md round 9, recall audited by
-      q_oph_recall_audit) — only meaningful on that path, so any other
-      dispatch rejects a non-default value rather than silently ignoring
-      it.
+      join (lossless, join-bounded). ``sketch`` picks the
+      approximate-jaccard kernel: ``'auto'`` (the default) routes on
+      the MEASURED corpus shape — avg shingles/doc vs the K*ln(K)
+      slot-fill cutover, one aggregate over the already-computed
+      shingle frame (see _resolve_auto_sketch) — between ``'kdraw'``
+      (classic 64-draw MinHash; wins on short fragments, where OPH's
+      densified slots correlate across bands) and ``'oph'``
+      (One-Permutation Hashing: one draw per shingle instead of 64, so
+      per-shingle sketch CPU is 64x lower at a fixed per-doc assembly
+      cost — wins on long-doc corpora, measured 5.6x; trade in SCALE.md
+      round 9, recall audited by q_oph_recall_audit/q_oph_recall_t05).
+      The knob is only meaningful on that path, so any other dispatch
+      rejects an explicit kernel rather than silently ignoring it
+      (the exact-flag rule); ``'auto'`` is accepted everywhere because
+      it is the default.
       cosine -> SRP-LSH (recall audited by
       q_lsh_recall_audit). ``metric='hamming'`` -> SimHash pigeonhole
       chunk join over a string column; for this family ``threshold`` is
@@ -285,13 +316,14 @@ def similarity_join(df: DataFrame, id_col: str, col: str, threshold: float,
                 f"pass metric= explicitly")
     if caches is None:
         caches = []
-    if sketch not in ("kdraw", "oph"):
+    if sketch not in ("auto", "kdraw", "oph"):
         raise ValueError(f"unknown sketch {sketch!r} "
-                         "(expected 'kdraw' or 'oph')")
-    if sketch != "kdraw" and (exact or metric != "jaccard"):
+                         "(expected 'auto', 'kdraw' or 'oph')")
+    if sketch != "auto" and (exact or metric != "jaccard"):
         # the sketch knob only selects the approximate-jaccard kernel;
-        # silently ignoring it elsewhere would let a caller believe the
-        # cheaper sketch ran (the exact-flag rule, ADVICE r6)
+        # silently ignoring an EXPLICIT kernel elsewhere would let a
+        # caller believe that kernel ran (the exact-flag rule, ADVICE
+        # r6); 'auto' passes because it is the default, not a request
         raise ValueError(
             f"sketch={sketch!r} only applies to metric='jaccard' with "
             f"exact=False; got metric={metric!r}, exact={exact!r}")
@@ -308,6 +340,8 @@ def similarity_join(df: DataFrame, id_col: str, col: str, threshold: float,
             sh.count()
         if exact:
             return _text_prefix_join(sh, threshold)
+        if sketch == "auto":
+            sketch = _resolve_auto_sketch(sh)
         if sketch == "oph":
             return _text_oph_join(sh, threshold, caches)
         return _text_minhash_join(sh, threshold, caches)
@@ -355,9 +389,22 @@ def similarity_join_staged(specs: list[dict]) -> DataFrame:
 
     ``specs``: one dict per family, keys ``family`` (output tag),
     ``df``, ``id_col``, ``col``, ``threshold``, and optionally
-    ``metric`` / ``exact`` / ``sketch`` (similarity_join's contract). Output schema
-    is q_similarity_join_api's union: (family, id1, id2,
+    ``metric`` / ``exact`` / ``sketch`` / ``shingles``
+    (similarity_join's contract). Output schema is
+    q_similarity_join_api's union: (family, id1, id2,
     score double rounded 6).
+
+    ``shingles`` (VERDICT r9 item 6): a caller running several TEXT
+    families over ONE corpus can pass the same precomputed cached frame
+    from ``explode_shingle_hashes`` on each such spec, trading the
+    staged form's one re-shingling linear scan per family (the +27%
+    wall premium measured at the 10x replica) for a pinned cache that
+    lives ACROSS the family barriers — i.e. peak storage is no longer
+    strictly max(family): the shingle frame's blocks add to every
+    family's peak. The caller owns that frame's lifetime (it is NOT on
+    any family's cache list and survives every staging barrier); release
+    it after the union is consumed. Measured A/B at the 10x replica in
+    SCALE.md round 10.
 
     Lifetime: the returned union holds references to its checkpointed
     parts (``_staged_parts``), so the parts' blocks survive exactly as
@@ -375,7 +422,8 @@ def similarity_join_staged(specs: list[dict]) -> DataFrame:
             spec["df"], spec["id_col"], spec["col"], spec["threshold"],
             metric=spec.get("metric", "auto"),
             exact=bool(spec.get("exact", False)), caches=caches,
-            sketch=spec.get("sketch", "kdraw"))
+            shingles=spec.get("shingles"),
+            sketch=spec.get("sketch", "auto"))
         tagged = res.select(
             F.lit(spec["family"]).alias("family"), "id1", "id2",
             F.round(F.col("score").cast("double"), 6).alias("score"))
@@ -431,6 +479,38 @@ def q_similarity_join_api(spark: SparkSession, sf_dir: str) -> DataFrame:
            .unionByName(tag(hm, "hamming_simhash"))
            .unionByName(tag(sp, "cosine_srp")))
     return finalize(out, *caches, pair_table=True)
+
+
+def q_similarity_join_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The staged (family-SEQUENTIAL) similarity join as a checked
+    catalog entry (VERDICT r9 item 4 — the deployment-shape answer to
+    the engine's one measured spill hazard must be driver-exercised,
+    not library-only): the same four family dispatches as
+    q_similarity_join_api, but run through similarity_join_staged so
+    each family materializes (eager checkpoint) and releases its caches
+    BEFORE the next family dispatches — peak shuffle-spill disk is
+    max(family), not sum(families) (measured at the 100x replica: 34.7
+    GB peak vs the monolith's >78 GB budget blow — SCALE.md rounds 8-9).
+    The oracle is the identical UNION ALL of the four families'
+    independent specs, so a hash match proves staging changes the
+    execution SHAPE and nothing about the result. Text specs pin
+    sketch='kdraw' explicitly (the oracle replays k-draw banding; the
+    default 'auto' routes there on this corpus, but the oracle must not
+    depend on a data-dependent route)."""
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity_join_staged([
+        {"family": "jaccard_minhash", "df": docs, "id_col": "doc_id",
+         "col": "text", "threshold": JACCARD_THRESHOLD,
+         "sketch": "kdraw"},
+        {"family": "jaccard_prefix", "df": docs, "id_col": "doc_id",
+         "col": "text", "threshold": JACCARD_THRESHOLD, "exact": True},
+        {"family": "hamming_simhash", "df": docs, "id_col": "doc_id",
+         "col": "text", "threshold": SIMHASH_MAX_HAMMING,
+         "metric": "hamming"},
+        {"family": "cosine_srp", "df": emb, "id_col": "vec_id",
+         "col": "embedding", "threshold": SRP_THRESHOLD},
+    ])
 
 
 MINHASH_T05 = 0.5
@@ -561,6 +641,8 @@ ORACLE_SIMILARITY_JOIN_API = (
 API_QUERIES = [
     QueryDef("similarity_join_api", q_similarity_join_api,
              ORACLE_SIMILARITY_JOIN_API, "LLM-dedup-api", bench=True),
+    QueryDef("similarity_join_staged", q_similarity_join_staged,
+             ORACLE_SIMILARITY_JOIN_API, "LLM-dedup-api-staged"),
     QueryDef("minhash_recall_t05", q_minhash_recall_t05,
              ORACLE_MINHASH_RECALL_T05, "LLM-dedup-minhash-recall"),
     QueryDef("oph_recall_t05", q_oph_recall_t05,

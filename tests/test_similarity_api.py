@@ -162,6 +162,65 @@ def test_oph_sketch_route(spark, sf_dir):
     with pytest.raises(ValueError, match="sketch='oph' only applies"):
         similarity_join(emb, "vec_id", "embedding", SRP_THRESHOLD,
                         sketch="oph")
+    # an EXPLICIT 'kdraw' is a kernel request too: un-dispatched paths
+    # must reject it, not silently run something else (only the 'auto'
+    # default passes everywhere)
+    with pytest.raises(ValueError, match="sketch='kdraw' only applies"):
+        similarity_join(docs, "doc_id", "text", 0.8, exact=True,
+                        sketch="kdraw")
+
+
+def test_auto_sketch_routes_on_corpus_shape(spark, sf_dir):
+    """VERDICT r9 item 3: sketch='auto' (now the default) must route on
+    the measured avg shingles/doc vs the K*ln(K) slot-fill cutover —
+    k-draw below it (short fragments, densification-correlation regime),
+    OPH at/above it (long docs, slots full). Pin the router both ways on
+    synthetic shingle frames, the cutover's value, and that the catalog
+    corpus routes to k-draw (which is why the front-door entries' k-draw
+    band-replay oracles hold under the 'auto' default)."""
+    import math
+
+    from nfl_data_engineering_spark.functions.hashing import (
+        OPH_BINS, oph_auto_cutover)
+    from nfl_data_engineering_spark.functions.text import (
+        explode_shingle_hashes)
+    from nfl_data_engineering_spark.plans.similarity_api import (
+        _resolve_auto_sketch)
+
+    assert oph_auto_cutover() == OPH_BINS * math.log(OPH_BINS)  # ~266
+
+    short = spark.createDataFrame(
+        [(d, s) for d in (1, 2) for s in range(10)],
+        "doc_id int, sh60 bigint")
+    long_ = spark.createDataFrame(
+        [(d, s) for d in (1, 2) for s in range(300)],
+        "doc_id int, sh60 bigint")
+    assert _resolve_auto_sketch(short) == "kdraw"
+    assert _resolve_auto_sketch(long_) == "oph"
+
+    docs = load(spark, sf_dir, "documents")
+    sh = explode_shingle_hashes(docs, "doc_id", "text", n=3)
+    assert _resolve_auto_sketch(sh) == "kdraw"
+
+    # end-to-end: on a long-doc corpus the default route must equal the
+    # explicit OPH kernel's verified pair set
+    import random
+    rng = random.Random(7)
+    words = [f"w{i}" for i in range(400)]
+    base = " ".join(rng.choice(words) for _ in range(320))
+    docs2 = spark.createDataFrame(
+        [(1, base), (2, base), (3, " ".join(
+            rng.choice(words) for _ in range(320)))],
+        "doc_id int, text string")
+    caches = []
+    auto = _pairs(similarity_join(docs2, "doc_id", "text", 0.8,
+                                  caches=caches))
+    oph = _pairs(similarity_join(docs2, "doc_id", "text", 0.8,
+                                 caches=caches, sketch="oph"))
+    for c in caches:
+        c.unpersist()
+    release_deferred()
+    assert auto == oph == {(1, 2)}
 
 
 def test_staged_equals_monolithic_union(spark, sf_dir):
@@ -197,6 +256,47 @@ def test_staged_equals_monolithic_union(spark, sf_dir):
     assert got == want
     assert {r[0] for r in got} == {"jaccard_minhash", "jaccard_prefix",
                                    "hamming_simhash", "cosine_srp"}
+
+
+def test_staged_shared_shingles_passthrough(spark, sf_dir):
+    """VERDICT r9 item 6: text specs can share ONE precomputed cached
+    shingle frame (trading the per-family re-shingle scan for a pinned
+    cache that lives across the staging barriers). Results must be
+    identical to the re-shingling form, and the caller-owned frame must
+    still be cached (no family's finalize released it) until the caller
+    releases it."""
+    from pyspark.storagelevel import StorageLevel
+
+    from nfl_data_engineering_spark.functions.text import (
+        explode_shingle_hashes)
+    from nfl_data_engineering_spark.plans.similarity_api import (
+        similarity_join_staged)
+
+    docs = load(spark, sf_dir, "documents")
+    sh = explode_shingle_hashes(docs, "doc_id", "text", n=3).cache()
+    sh.count()
+    shared = similarity_join_staged([
+        {"family": "jaccard_minhash", "df": docs, "id_col": "doc_id",
+         "col": "text", "threshold": JACCARD_THRESHOLD, "shingles": sh},
+        {"family": "jaccard_prefix", "df": docs, "id_col": "doc_id",
+         "col": "text", "threshold": JACCARD_THRESHOLD, "exact": True,
+         "shingles": sh},
+    ])
+    got = {tuple(r) for r in shared.collect()}
+    # caller still owns the shared frame: the family barriers must not
+    # have unpersisted it
+    assert sh.storageLevel != StorageLevel.NONE
+    sh.unpersist()
+    release_deferred()
+    plain = similarity_join_staged([
+        {"family": "jaccard_minhash", "df": docs, "id_col": "doc_id",
+         "col": "text", "threshold": JACCARD_THRESHOLD},
+        {"family": "jaccard_prefix", "df": docs, "id_col": "doc_id",
+         "col": "text", "threshold": JACCARD_THRESHOLD, "exact": True},
+    ])
+    want = {tuple(r) for r in plain.collect()}
+    release_deferred()
+    assert got == want and got
 
 
 def test_staged_single_spec_no_self_cycle(spark, sf_dir):
