@@ -47,7 +47,8 @@ from .base import QueryDef, finalize, load
 from .textops import (JACCARD_THRESHOLD, NGRAM_DF_CAP, NUM_BANDS, NUM_HASHES,
                       ORACLE_MINHASH_LSH, ORACLE_PREFIX_FILTER_JOIN,
                       ORACLE_SIMHASH, SIMHASH_BITS, SIMHASH_MAX_HAMMING,
-                      sql_minhash_pair_ctes, sql_oph_pair_ctes)
+                      SQL_H60, _sql_shingles_cte, sql_minhash_pair_ctes,
+                      sql_oph_pair_ctes)
 from .vector import ORACLE_COSINE_LSH, SRP_THRESHOLD, _srp_bands, srp_bits
 
 # minhash_band_config / RECALL_FLOOR moved to functions.hashing (VERDICT
@@ -513,6 +514,59 @@ def q_similarity_join_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+# Integer per-mille form of the K*ln(K) routing cutover, embedded as the
+# SAME literal in the Spark plan and the oracle SQL so the hash-checked
+# decision column is engine-portable (a float ln() could differ in the
+# last ulp across libm builds).
+ROUTE_CUTOVER_X1000 = int(oph_auto_cutover() * 1000)
+
+
+def q_sketch_route_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch='auto' routing decision as a checked catalog entry: the
+    corpus-shape statistic (shingle rows, distinct docs, avg shingles/doc
+    in exact per-mille integers), the kernel the K*ln(K) cutover selects
+    from the EXACT statistic, and the kernel the LIVE router
+    (_resolve_auto_sketch — HLL approx_count_distinct, the code the
+    'auto' default actually runs) selected on this corpus. The oracle
+    recomputes the exact statistic and predicts both columns from it, so
+    a parity match additionally PROVES the HLL-based live decision
+    agrees with the exact-statistic decision on this corpus — the two
+    could only diverge within the sketch's ~2% error band around the
+    cutover, where both kernels are fine anyway (the statistic only
+    routes; every candidate is exact-verified downstream)."""
+    docs = load(spark, sf_dir, "documents")
+    sh = explode_shingle_hashes(docs, "doc_id", "text", n=3).cache()
+    sh.count()
+    routed = _resolve_auto_sketch(sh)   # the live router, HLL statistic
+    out = (sh.agg(F.count("*").alias("n_shingles"),
+                  F.countDistinct("doc_id").alias("n_docs"))
+           .select(
+               "n_shingles", "n_docs",
+               F.expr("n_shingles * 1000 div n_docs")
+                .alias("avg_shingles_x1000"),
+               F.when(F.expr(f"n_shingles * 1000 >= "
+                             f"n_docs * {ROUTE_CUTOVER_X1000}"),
+                      F.lit("oph")).otherwise(F.lit("kdraw"))
+                .alias("kernel"),
+               F.lit(routed).alias("routed_kernel")))
+    return finalize(out, sh)
+
+
+ORACLE_SKETCH_ROUTE_REPORT = f"""
+WITH {_sql_shingles_cte(3)},
+shh AS (SELECT DISTINCT doc_id, {SQL_H60.format(e='shingle')} AS sh60 FROM sh),
+stats AS (SELECT COUNT(*) AS n_shingles,
+                 COUNT(DISTINCT doc_id) AS n_docs FROM shh)
+SELECT n_shingles, n_docs,
+       n_shingles * 1000 // n_docs AS avg_shingles_x1000,
+       CASE WHEN n_shingles * 1000 >= n_docs * {ROUTE_CUTOVER_X1000}
+            THEN 'oph' ELSE 'kdraw' END AS kernel,
+       CASE WHEN n_shingles * 1000 >= n_docs * {ROUTE_CUTOVER_X1000}
+            THEN 'oph' ELSE 'kdraw' END AS routed_kernel
+FROM stats
+"""
+
+
 MINHASH_T05 = 0.5
 _T05_HASHES, _T05_BANDS = minhash_band_config(MINHASH_T05)
 
@@ -643,6 +697,8 @@ API_QUERIES = [
              ORACLE_SIMILARITY_JOIN_API, "LLM-dedup-api", bench=True),
     QueryDef("similarity_join_staged", q_similarity_join_staged,
              ORACLE_SIMILARITY_JOIN_API, "LLM-dedup-api-staged"),
+    QueryDef("sketch_route_report", q_sketch_route_report,
+             ORACLE_SKETCH_ROUTE_REPORT, "LLM-dedup-api-route"),
     QueryDef("minhash_recall_t05", q_minhash_recall_t05,
              ORACLE_MINHASH_RECALL_T05, "LLM-dedup-minhash-recall"),
     QueryDef("oph_recall_t05", q_oph_recall_t05,
