@@ -30,20 +30,22 @@ _ALL: list[QueryDef] = [*RELATIONAL_QUERIES, *TEXT_QUERIES,
 # than r6 afterward):
 # (a) the 6 round-9 additions that postdate the r9 driver window
 #     (judge-verified at sf0.01 only so far), name order;
-# (b) the 2 round-10 additions (similarity_join_staged,
-#     sketch_route_report), never attested;
-# (c) ALL 42 entries whose newest driver row is r5 vintage, name order
-#     (reproducible by folding _green over the CORRECTNESS_r*.json
-#     files).
-# 6 + 2 + 42 = the full 50-slot window; the r6 cohort (the next-oldest,
-# 46 entries) rotates in round 11. Names absent from this list keep
-# catalog order after it.
+# (b) the 3 round-10 additions (similarity_join_staged,
+#     sketch_route_report, dedup_quality_survivors), never attested;
+# (c) 41 of the 42 entries whose newest driver row is r5 vintage, name
+#     order (reproducible by folding _green over the CORRECTNESS_r*.json
+#     files) — weekday_seasonality, last in name order, yields its slot
+#     to the third round-10 addition and rotates with the r6 cohort
+#     (the next-oldest, 46 entries) in round 11.
+# 6 + 3 + 41 = the full 50-slot window. Names absent from this list
+# keep catalog order after it.
 _PRIORITY: list[str] = [
     # --- (a) never-driver-attested round-9 entries, name order ---
     "curriculum_stages", "dedup_minhash_oph", "lsh_bucket_histogram",
     "oph_recall_audit", "oph_recall_t05", "token_kl_divergence",
     # --- (b) the round-10 additions ---
     "similarity_join_staged", "sketch_route_report",
+    "dedup_quality_survivors",
     # --- (c) the full round-5-vintage tail, name order ---
     "cusum_changepoint", "dedup_full_row", "dedup_keep_latest",
     "distinct_event_types", "exact_quantiles_twopass",
@@ -60,7 +62,7 @@ _PRIORITY: list[str] = [
     "streaming_late_data_drop", "streaming_left_outer_join",
     "streaming_multibatch_backfill", "table_counts", "table_sync_audit",
     "trailing_unique_hll", "triangle_count", "udtf_polymorphic",
-    "vocab_coverage_curve", "weekday_seasonality",
+    "vocab_coverage_curve",
 ]
 
 assert not set(_PRIORITY) - {q.name for q in _ALL}, \

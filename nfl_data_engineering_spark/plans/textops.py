@@ -219,6 +219,48 @@ def q_dedup_survivor_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finalize_cc(out, labels)
 
 
+def q_dedup_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection: per near-dup component keep the
+    HIGHEST-QUALITY member (longest document by n_chars, deterministic
+    min-doc_id tiebreak) instead of q_dedup_survivor_table's min-id
+    canonical — the rule a production corpus build actually applies
+    (among near-duplicates, keep the most complete copy; min-id is the
+    right GRAPH identity but an arbitrary CONTENT choice). Same MinHash
+    pair graph + connected components as the survivor table; the
+    survivor pick is ONE map-side-combinable max(struct(quality,
+    -doc_id)) per component — the semantic-dedup fine-assignment shape,
+    no per-component window sort — and the finishing joins broadcast at
+    100 TB because only docs in >= 1 pair carry labels (the survivor
+    frame is one row per component).
+
+    Reference parity: generalizes the keep-one-per-key preference rule
+    of the odds dedup (odds_data_collector.py:40-44) from key equality
+    to near-dup clusters with a quality preference."""
+    from ..operators.dedup import connected_components
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    caches: list[DataFrame] = []
+    pairs = _minhash_pairs(spark, sf_dir, caches).select("d1", "d2")
+    labels = connected_components(pairs, "d1", "d2")
+    for c in caches:     # labels checkpointed -> caches out of lineage
+        c.unpersist()
+    member = (docs.join(labels.withColumnRenamed("n", "doc_id"),
+                        "doc_id", "left")
+              .select("doc_id",
+                      F.coalesce("label", "doc_id").alias("component"),
+                      "n_chars"))
+    surv = (member.groupBy("component")
+            .agg(F.max(F.struct(F.col("n_chars").alias("q"),
+                                (-F.col("doc_id")).alias("neg_id")))
+                 .alias("m"))
+            .select("component",
+                    (-F.col("m.neg_id")).alias("survivor_doc_id")))
+    out = (member.join(surv, "component")
+           .select("doc_id", "component", "survivor_doc_id",
+                   (F.col("doc_id") == F.col("survivor_doc_id"))
+                   .cast("int").alias("is_survivor")))
+    return finalize_cc(out, labels)
+
+
 def sql_minhash_band_ctes(num_hashes: int, num_bands: int) -> str:
     """DuckDB replay of the MinHash banding pipeline, parameterized over
     the band configuration so threshold-derived configs (the
@@ -333,6 +375,32 @@ SELECT d.doc_id,
        CASE WHEN COALESCE(comp.component, d.doc_id) = d.doc_id
             THEN 1 ELSE 0 END AS is_survivor
 FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id
+"""
+
+ORACLE_QUALITY_SURVIVORS = f"""
+WITH RECURSIVE {_SQL_MINHASH_PAIR_CTES},
+bi AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+nodes AS (SELECT DISTINCT a AS n FROM bi),
+r AS (
+  SELECT n AS a, n AS b FROM nodes
+  UNION
+  SELECT r.a, bi.b FROM r JOIN bi ON r.b = bi.a),
+comp AS (SELECT a AS doc_id, MIN(b) AS component FROM r GROUP BY a),
+member AS (
+  SELECT d.doc_id, COALESCE(comp.component, d.doc_id) AS component,
+         d.n_chars
+  FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id),
+surv AS (
+  SELECT component, doc_id AS survivor_doc_id,
+         ROW_NUMBER() OVER (PARTITION BY component
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM member)
+SELECT m.doc_id, m.component, s.survivor_doc_id,
+       CASE WHEN m.doc_id = s.survivor_doc_id THEN 1 ELSE 0
+       END AS is_survivor
+FROM member m
+JOIN (SELECT component, survivor_doc_id FROM surv WHERE rn = 1) s
+  ON s.component = m.component
 """
 
 
@@ -2263,6 +2331,8 @@ TEXT_QUERIES = [
     QueryDef("dedup_components", q_dedup_components, ORACLE_COMPONENTS, "LLM-dedup-components"),
     QueryDef("dedup_survivor_table", q_dedup_survivor_table,
              ORACLE_SURVIVOR_TABLE, "LLM-dedup-survivors"),
+    QueryDef("dedup_quality_survivors", q_dedup_quality_survivors,
+             ORACLE_QUALITY_SURVIVORS, "LLM-dedup-quality-survivors"),
     QueryDef("dedup_star_survivors", q_dedup_star_survivors,
              ORACLE_STAR_SURVIVORS, "LLM-dedup-star-scale", bench=True),
     QueryDef("leakage_safe_split", q_leakage_safe_split,

@@ -141,3 +141,38 @@ def test_event_cooccurrence_counts_users_not_events(spark, tmp_path):
     out = {(r["type_a"], r["type_b"]): r["n_users"]
            for r in q_event_cooccurrence(spark, str(tmp_path)).collect()}
     assert out == {("a", "b"): 1, ("a", "c"): 1}
+
+
+def test_quality_survivors_pick_longest_then_min_id(spark, sf_dir):
+    """dedup_quality_survivors: within every near-dup component the
+    survivor must hold the component's MAX n_chars (min doc_id among
+    ties), every member of a component shares that one survivor, and
+    singletons survive as themselves — the keep-the-most-complete-copy
+    rule, vs dedup_survivor_table's min-id canonical."""
+    from nfl_data_engineering_spark.plans.base import load, release_deferred
+    from nfl_data_engineering_spark.plans.registry import _BY_NAME
+
+    rows = _BY_NAME["dedup_quality_survivors"].spark(spark, sf_dir).collect()
+    release_deferred()
+    chars = {r["doc_id"]: r["n_chars"]
+             for r in load(spark, sf_dir, "documents")
+             .select("doc_id", "n_chars").collect()}
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], []).append(r)
+    assert len(rows) == len(chars)          # one row per document
+    saw_multi = False
+    for comp, members in by_comp.items():
+        survivors = {m["survivor_doc_id"] for m in members}
+        assert len(survivors) == 1          # one survivor per component
+        s = survivors.pop()
+        best = max(chars[m["doc_id"]] for m in members)
+        tied = [m["doc_id"] for m in members if chars[m["doc_id"]] == best]
+        assert s == min(tied)               # longest, then min id
+        assert {m["doc_id"]: m["is_survivor"] for m in members} == {
+            m["doc_id"]: int(m["doc_id"] == s) for m in members}
+        if len(members) > 1:
+            saw_multi = True
+        else:
+            assert s == members[0]["doc_id"]   # singleton survives itself
+    assert saw_multi, "testdata should contain at least one dup cluster"
