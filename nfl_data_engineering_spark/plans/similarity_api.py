@@ -129,10 +129,15 @@ def _resolve_auto_sketch(sh: DataFrame) -> str:
     avoids the borrowed-slot candidate skew (measured 2x entry-level on
     short docs). The statistic only ROUTES — both kernels verify every
     candidate with exact jaccard downstream — so the ~2% HLL error can
-    nudge the cutover point, never correctness. An empty corpus routes
-    to k-draw (either kernel yields no rows)."""
+    nudge the cutover point, never correctness. The rsd is pinned at
+    0.02 because Spark's approx_count_distinct DEFAULT is 0.05 — left
+    implicit, the divergence band would be 2.5x wider than this
+    docstring (and q_sketch_route_report's parity argument) states
+    (round-10 review finding). An empty corpus routes to k-draw (either
+    kernel yields no rows)."""
     row = sh.agg(F.count("*").alias("n"),
-                 F.approx_count_distinct("doc_id").alias("d")).first()
+                 F.approx_count_distinct("doc_id", rsd=0.02)
+                 .alias("d")).first()
     if not row["d"]:
         return "kdraw"
     return "oph" if row["n"] / row["d"] >= oph_auto_cutover() else "kdraw"
@@ -459,8 +464,12 @@ def q_similarity_join_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = explode_shingle_hashes(docs, "doc_id", "text", n=3).cache()
     caches.append(sh)
     sh.count()   # eager: minhash + prefix dispatches race a lazy cache
+    # sketch pinned: this entry's oracle replays k-draw banding, and an
+    # oracle must never depend on a data-dependent route (the 'auto'
+    # default would route here on corpus shape; its attestation lives in
+    # q_sketch_route_report) — round-10 review finding
     mh = similarity_join(docs, "doc_id", "text", JACCARD_THRESHOLD,
-                         caches=caches, shingles=sh)
+                         caches=caches, shingles=sh, sketch="kdraw")
     pf = similarity_join(docs, "doc_id", "text", JACCARD_THRESHOLD,
                          exact=True, caches=caches, shingles=sh)
     hm = similarity_join(docs, "doc_id", "text", SIMHASH_MAX_HAMMING,
@@ -589,8 +598,14 @@ def q_minhash_recall_t05(spark: SparkSession, sf_dir: str) -> DataFrame:
     caches.append(sh)
     sh.count()   # eager: exact + lsh branches race a lazy cache
     exact = exact_jaccard_count(sh, MINHASH_T05)
+    # sketch pinned: this audit's stated purpose is measuring the K-DRAW
+    # 64x32 band config (q_oph_recall_t05 is the OPH twin) and its
+    # oracle replays k-draw banding — the 'auto' default would silently
+    # measure OPH under the 'minhash' label on a long-doc corpus
+    # (round-10 review finding)
     lsh = similarity_join(docs, "doc_id", "text", MINHASH_T05,
-                          caches=caches, shingles=sh).agg(
+                          caches=caches, shingles=sh,
+                          sketch="kdraw").agg(
         F.count("*").alias("n_lsh"))
     return finalize(
         exact.crossJoin(lsh)

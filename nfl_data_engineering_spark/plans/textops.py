@@ -194,6 +194,17 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finalize_cc(out, labels)
 
 
+def _labeled_docs(docs: DataFrame, labels: DataFrame) -> DataFrame:
+    """Left-join CC labels onto the corpus: one row per document, label
+    NULL for docs in no near-dup pair. The labels frame is
+    |docs-in-pairs| rows — small against the corpus — so this join
+    broadcasts at 100 TB. ONE copy shared by the survivor entries so
+    they cannot drift on component identity (the _minhash_pairs
+    single-copy rule; round-10 review finding)."""
+    return docs.join(labels.withColumnRenamed("n", "doc_id"),
+                     "doc_id", "left")
+
+
 def q_dedup_survivor_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup deliverable itself: one row per document with its
     canonical id (component minimum over the MinHash near-dup graph;
@@ -211,8 +222,7 @@ def q_dedup_survivor_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in caches:     # labels checkpointed -> caches out of lineage
         c.unpersist()
     canon = F.coalesce(F.col("label"), F.col("doc_id"))
-    out = (docs.join(labels.withColumnRenamed("n", "doc_id"),
-                     "doc_id", "left")
+    out = (_labeled_docs(docs, labels)
            .select("doc_id", canon.alias("canonical_doc_id"),
                    (canon == F.col("doc_id")).cast("int")
                    .alias("is_survivor")))
@@ -226,12 +236,16 @@ def q_dedup_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical — the rule a production corpus build actually applies
     (among near-duplicates, keep the most complete copy; min-id is the
     right GRAPH identity but an arbitrary CONTENT choice). Same MinHash
-    pair graph + connected components as the survivor table; the
+    pair graph + connected components as the survivor table. The
     survivor pick is ONE map-side-combinable max(struct(quality,
     -doc_id)) per component — the semantic-dedup fine-assignment shape,
-    no per-component window sort — and the finishing joins broadcast at
-    100 TB because only docs in >= 1 pair carry labels (the survivor
-    frame is one row per component).
+    no per-component window sort — computed over LABELED members only
+    (|docs-in-pairs| rows; a full-corpus groupBy would shuffle ~|corpus|
+    rows because every singleton is its own component, and the finishing
+    join would be corpus-vs-corpus — round-10 review finding), so the
+    survivor frame is one row per MULTI-member component and both
+    finishing joins broadcast at 100 TB; singletons coalesce to
+    themselves.
 
     Reference parity: generalizes the keep-one-per-key preference rule
     of the odds dedup (odds_data_collector.py:40-44) from key equality
@@ -243,21 +257,21 @@ def q_dedup_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = connected_components(pairs, "d1", "d2")
     for c in caches:     # labels checkpointed -> caches out of lineage
         c.unpersist()
-    member = (docs.join(labels.withColumnRenamed("n", "doc_id"),
-                        "doc_id", "left")
-              .select("doc_id",
-                      F.coalesce("label", "doc_id").alias("component"),
-                      "n_chars"))
-    surv = (member.groupBy("component")
+    member = _labeled_docs(docs, labels).withColumn(
+        "component", F.coalesce("label", "doc_id"))
+    surv = (member.filter(F.col("label").isNotNull())
+            .groupBy("component")
             .agg(F.max(F.struct(F.col("n_chars").alias("q"),
                                 (-F.col("doc_id")).alias("neg_id")))
                  .alias("m"))
             .select("component",
                     (-F.col("m.neg_id")).alias("survivor_doc_id")))
-    out = (member.join(surv, "component")
-           .select("doc_id", "component", "survivor_doc_id",
-                   (F.col("doc_id") == F.col("survivor_doc_id"))
-                   .cast("int").alias("is_survivor")))
+    final_surv = F.coalesce("survivor_doc_id", "doc_id")
+    out = (member.join(surv, "component", "left")
+           .select("doc_id", "component",
+                   final_surv.alias("survivor_doc_id"),
+                   (F.col("doc_id") == final_surv).cast("int")
+                   .alias("is_survivor")))
     return finalize_cc(out, labels)
 
 
@@ -348,28 +362,30 @@ WITH {_SQL_MINHASH_PAIR_CTES}
 SELECT d1, d2, ROUND(jaccard, 6) AS jaccard FROM pairs
 """
 
-ORACLE_COMPONENTS = f"""
-WITH RECURSIVE {_SQL_MINHASH_PAIR_CTES},
+# DuckDB replay of connected components over verified `pairs`: min
+# reachable id per node, declaratively. ONE copy shared by the three
+# component-consuming oracles — a drifting copy would let two entries
+# verify a different component truth (round-10 review finding; the
+# _minhash_pairs rule, SQL side).
+_SQL_COMPONENT_CTES = """\
 bi AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
 nodes AS (SELECT DISTINCT a AS n FROM bi),
 r AS (
   SELECT n AS a, n AS b FROM nodes
   UNION
   SELECT r.a, bi.b FROM r JOIN bi ON r.b = bi.a),
-comp AS (SELECT a AS doc_id, MIN(b) AS component FROM r GROUP BY a)
+comp AS (SELECT a AS doc_id, MIN(b) AS component FROM r GROUP BY a)"""
+
+ORACLE_COMPONENTS = f"""
+WITH RECURSIVE {_SQL_MINHASH_PAIR_CTES},
+{_SQL_COMPONENT_CTES}
 SELECT component, COUNT(*) AS n_docs, MAX(doc_id) AS max_doc_id
 FROM comp GROUP BY component
 """
 
 ORACLE_SURVIVOR_TABLE = f"""
 WITH RECURSIVE {_SQL_MINHASH_PAIR_CTES},
-bi AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
-nodes AS (SELECT DISTINCT a AS n FROM bi),
-r AS (
-  SELECT n AS a, n AS b FROM nodes
-  UNION
-  SELECT r.a, bi.b FROM r JOIN bi ON r.b = bi.a),
-comp AS (SELECT a AS doc_id, MIN(b) AS component FROM r GROUP BY a)
+{_SQL_COMPONENT_CTES}
 SELECT d.doc_id,
        COALESCE(comp.component, d.doc_id) AS canonical_doc_id,
        CASE WHEN COALESCE(comp.component, d.doc_id) = d.doc_id
@@ -379,13 +395,7 @@ FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id
 
 ORACLE_QUALITY_SURVIVORS = f"""
 WITH RECURSIVE {_SQL_MINHASH_PAIR_CTES},
-bi AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
-nodes AS (SELECT DISTINCT a AS n FROM bi),
-r AS (
-  SELECT n AS a, n AS b FROM nodes
-  UNION
-  SELECT r.a, bi.b FROM r JOIN bi ON r.b = bi.a),
-comp AS (SELECT a AS doc_id, MIN(b) AS component FROM r GROUP BY a),
+{_SQL_COMPONENT_CTES},
 member AS (
   SELECT d.doc_id, COALESCE(comp.component, d.doc_id) AS component,
          d.n_chars
