@@ -184,7 +184,16 @@ def minhash_bands_fast(shingled: DataFrame, id_col: str, shingle_col: str,
     b = [h60_py(f"mh_b_{i}") % MERSENNE_P for i in range(num_hashes)]
     base = F.col(shingle_col) if hashed else h60(F.col(shingle_col))
     hm = (base % MERSENNE_P).alias("__hm")
-    per_shingle = shingled.select(F.col(id_col), hm).select(
+    # NULL shingles are IGNORED — same rule as oph_bands_fast. The MIN
+    # aggregates below skip NULLs anyway for a doc with SOME null
+    # shingles, but without this filter an ALL-null-shingle doc still
+    # emitted band rows (every __mh{i} NULL -> concat_ws skips them ->
+    # md5('') is one constant band key), silently banding every such doc
+    # together — a quadratic candidate bucket OPH's filtered kernel does
+    # not produce (ADVICE r10). With the filter both kernels share one
+    # contract: a doc with no (non-null) shingles yields no rows.
+    per_shingle = shingled.select(F.col(id_col), hm).filter(
+        F.col("__hm").isNotNull()).select(
         F.col(id_col),
         *[((F.lit(a[i]) * F.col("__hm") + F.lit(b[i])) % MERSENNE_P).alias(f"__mh{i}")
           for i in range(num_hashes)])
@@ -267,12 +276,15 @@ def oph_bands_fast(shingled: DataFrame, id_col: str, shingle_col: str,
     if bands is None:
         bands = minhash_band_config(DEFAULT_JACCARD_THRESHOLD, num_bins)[1]
     base = F.col(shingle_col) if hashed else h60(F.col(shingle_col))
-    # NULL shingles are IGNORED, matching the k-draw kernel (whose MIN
-    # aggregates skip NULLs) and simhash's explicit null rule — without
-    # the filter a NULL __hm propagates to __bin and map_from_entries
-    # rejects the NULL map key with an opaque runtime error mid-job
-    # (ADVICE r9). Catalog paths never produce NULL shingles; an
-    # external hashed=True caller can.
+    # NULL shingles are IGNORED, matching the k-draw kernel
+    # (minhash_bands_fast now carries the same explicit filter — per
+    # ADVICE r10 the earlier "MIN skips NULLs" argument covered per-
+    # shingle NULLs but not an ALL-null doc, which k-draw used to band
+    # under a constant md5('') key) and simhash's explicit null rule —
+    # without the filter a NULL __hm propagates to __bin and
+    # map_from_entries rejects the NULL map key with an opaque runtime
+    # error mid-job (ADVICE r9). Catalog paths never produce NULL
+    # shingles; an external hashed=True caller can.
     per = (shingled
            .select(F.col(id_col), (base % MERSENNE_P).alias("__hm"))
            .filter(F.col("__hm").isNotNull())

@@ -83,3 +83,35 @@ def test_handler_dispatch_and_backfill_date(spark, tmp_path):
         handler(spark, {"collectors_to_run": ["nope"]}, {"odds": fake_collector})
     # no collectors -> no-op, mirroring an empty event
     assert handler(spark, {}, {"odds": fake_collector}) == {}
+
+
+def test_run_datetime_central_rule(spark, tmp_path):
+    """The reference's US/Central run-timestamp rule (src/main.py:27-35),
+    mirrored per VERDICT r10 item 3: a dateless run near midnight UTC
+    stamps CENTRAL wall time — so it lands in the previous Central
+    year/month partition, not the UTC one — while an explicit backfill
+    date is taken as-is (localized, never shifted)."""
+    from nfl_data_engineering_spark.pipelines import resolve_run_datetime
+
+    # 2024-12-01T03:30Z is 2024-11-30 21:30 US/Central (CST, UTC-6):
+    # the reference stamps November; a raw now-UTC stamp would say December
+    run_dt = resolve_run_datetime(
+        None, now_utc=dt.datetime(2024, 12, 1, 3, 30,
+                                  tzinfo=dt.timezone.utc))
+    assert run_dt == dt.datetime(2024, 11, 30, 21, 30)
+    # DST side (CDT, UTC-5): 2025-07-01T04:30Z -> 2025-06-30 23:30
+    assert resolve_run_datetime(
+        None, now_utc=dt.datetime(2025, 7, 1, 4, 30,
+                                  tzinfo=dt.timezone.utc)
+    ) == dt.datetime(2025, 6, 30, 23, 30)
+    # explicit backfill: wall clock preserved ("don't shift to previous
+    # day" — main.py:29-31), whatever the runner's clock says
+    assert resolve_run_datetime("2024-11-18") == dt.datetime(2024, 11, 18)
+
+    # and the partition the near-midnight run actually lands in:
+    path = str(tmp_path / "odds_tz")
+    stats = run_odds_collection(spark, [json.dumps(PAYLOAD)], path, run_dt)
+    assert stats["rows_collected"] == 6
+    parts = (spark.read.parquet(path).select("year", "month")
+             .distinct().collect())
+    assert [(r["year"], r["month"]) for r in parts] == [(2024, 11)]

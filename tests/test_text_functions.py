@@ -126,6 +126,30 @@ def test_oph_null_shingles_ignored_like_kdraw(spark):
     assert {t[0] for t in got} == {1}
 
 
+def test_kdraw_null_shingles_ignored_like_oph(spark):
+    """ADVICE r10: the k-draw kernel's old "MIN skips NULLs" argument was
+    inexact for an ALL-null-shingle doc — it still emitted band rows
+    (every per-seed MIN NULL -> concat_ws skips them -> md5('') one
+    constant key), silently banding every such doc together in one
+    quadratic candidate bucket that the OPH kernel (filtered since r9)
+    never produces. Both kernels now share one contract: a doc with no
+    non-null shingles yields no rows; per-shingle NULLs never perturb
+    the bands."""
+    from nfl_data_engineering_spark.functions.hashing import (
+        minhash_bands_fast)
+    withnull = spark.createDataFrame(
+        [(1, 12345), (1, None), (1, 67890), (2, None), (3, None)],
+        "doc_id int, sh60 bigint")
+    clean = spark.createDataFrame(
+        [(1, 12345), (1, 67890)], "doc_id int, sh60 bigint")
+    got = sorted(map(tuple, minhash_bands_fast(
+        withnull, "doc_id", "sh60", 64, 16, hashed=True).collect()))
+    want = sorted(map(tuple, minhash_bands_fast(
+        clean, "doc_id", "sh60", 64, 16, hashed=True).collect()))
+    assert got == want        # docs 2+3 (all-null) yield NO rows — they
+    assert {t[0] for t in got} == {1}   # must not band together anymore
+
+
 def test_oph_fold_evaluated_once_in_plan(spark):
     """The densification fold + band assembly must survive optimization
     as ONE aggregate expression. Round-9 regression: materializing the
