@@ -1139,7 +1139,9 @@ def _fine_recenter(assigned: DataFrame) -> DataFrame:
             .select("ccl", "fcl", F.col("dc.c").alias("cent")))
 
 
-def _semdedup_two_level(emb: DataFrame, k: int) -> tuple[DataFrame, DataFrame]:
+def _semdedup_two_level(emb: DataFrame, k: int,
+                        cluster_size: int | None = None,
+                        ) -> tuple[DataFrame, DataFrame]:
     """SemDeDup's scaling path for derived K past the driver-broadcast
     gate (VERDICT r8 item 4): cluster the corpus COARSELY with
     k1 = ceil(sqrt(K)) driver-held centroids (the proven q_kmeans
@@ -1159,7 +1161,13 @@ def _semdedup_two_level(emb: DataFrame, k: int) -> tuple[DataFrame, DataFrame]:
     missed by the same documented design trade as cross-cluster ones in
     the single-level path. Returns (final (vec_id, embedding, cl) with
     cl = fine seed vec_id — the same id scheme as the single level — and
-    the coarse cache for the caller to release)."""
+    the coarse cache for the caller to release).
+
+    ``cluster_size`` (None -> the production SEMDEDUP_CLUSTER_SIZE)
+    parametrizes the per-cell fine-seed ceiling so the driver-checked
+    q_semantic_dedup_twolevel entry can pin a SMALL target and make the
+    fine level genuinely refine at catalog scale factors (VERDICT r10
+    item 4)."""
     k1 = _semdedup_coarse_k(k)
     cents = [(r["vec_id"], list(r["embedding"]))
              for r in emb.filter(F.col("vec_id") < k1).collect()]
@@ -1169,7 +1177,7 @@ def _semdedup_two_level(emb: DataFrame, k: int) -> tuple[DataFrame, DataFrame]:
               .select("vec_id", "embedding", F.col("cl").alias("ccl"))
               .cache())
     coarse.count()   # eager: the fine passes reference it repeatedly
-    size = SEMDEDUP_CLUSTER_SIZE
+    size = SEMDEDUP_CLUSTER_SIZE if cluster_size is None else cluster_size
     seeded = (coarse
               .withColumn("__cnt",
                           F.count(F.lit(1)).over(Window.partitionBy("ccl")))
@@ -1237,6 +1245,28 @@ def _semdedup_pair_kernel(threshold: float):
     return fn
 
 
+def _semdedup_survivors(final: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shared SemDeDup tail over a final (vec_id, embedding, cl)
+    assignment: within-cluster Arrow pairwise kernel at
+    SEMDEDUP_THRESHOLD -> connected components -> per-vector survivor
+    table (vec_id, cluster, canonical_vec_id, is_survivor). One copy
+    serves the single-level entry and the two-level entry — a drifting
+    copy would silently verify a different dedup contract (the
+    round-9 shared-tail doctrine)."""
+    from ..operators.dedup import connected_components
+    pairs = final.groupBy("cl").applyInPandas(
+        _semdedup_pair_kernel(float(SEMDEDUP_THRESHOLD)),
+        "v1 long, v2 long")
+    labels = connected_components(pairs, "v1", "v2")
+    canon = F.coalesce(F.col("label"), F.col("vec_id"))
+    out = (final.select("vec_id", F.col("cl").alias("cluster"))
+           .join(labels.withColumnRenamed("n", "vec_id"), "vec_id", "left")
+           .select("vec_id", "cluster", canon.alias("canonical_vec_id"),
+                   (canon == F.col("vec_id")).cast("int")
+                    .alias("is_survivor")))
+    return out, labels
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     'SemDeDup: Data-efficient learning at web-scale through semantic
@@ -1271,7 +1301,6 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (seeded by the K lowest vec_ids, exact-decimal recenter, argmax tie
     to lowest cluster id); pair cosine is the sequential fold both
     engines share; canonical = component-minimum vec_id."""
-    from ..operators.dedup import connected_components
     emb = (load(spark, sf_dir, "embeddings")
            .select("vec_id", "embedding").cache())
     k = _semdedup_k(emb.count())
@@ -1292,16 +1321,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         final = fine.cache()
     final.count()   # eager: pair kernel + survivor join race a lazy cache
     caches.append(final)
-    pairs = final.groupBy("cl").applyInPandas(
-        _semdedup_pair_kernel(float(SEMDEDUP_THRESHOLD)),
-        "v1 long, v2 long")
-    labels = connected_components(pairs, "v1", "v2")
-    canon = F.coalesce(F.col("label"), F.col("vec_id"))
-    out = (final.select("vec_id", F.col("cl").alias("cluster"))
-           .join(labels.withColumnRenamed("n", "vec_id"), "vec_id", "left")
-           .select("vec_id", "cluster", canon.alias("canonical_vec_id"),
-                   (canon == F.col("vec_id")).cast("int")
-                    .alias("is_survivor")))
+    out, labels = _semdedup_survivors(final)
     return finalize_cc(out, labels, *caches)
 
 
@@ -1339,17 +1359,21 @@ def _oracle_semantic_dedup() -> str:
             + _semdedup_tail("af", SEMDEDUP_THRESHOLD))
 
 
-def _semdedup_two_level_oracle(k1: int, cluster_size: int,
+def _semdedup_two_level_oracle(k1: int | str, cluster_size: int,
                                threshold: float) -> str:
     """DuckDB twin of the TWO-LEVEL path — the oracle discipline extended
     one level up (VERDICT r8 item 4): the coarse Lloyd reuses
-    _kmeans_cte_parts at K1, then the fine level unrolls per-cell seeds
-    (row_number <= per-cell ceiling count), KMEANS_REFITS
-    assign-then-recenter rounds keyed by (ccl, fcl), a final assignment,
-    and the shared CC/survivor tail. Exercised by the forced-low-cap
-    unit test (tests/test_semantic_dedup.py); the production entry's
-    driver oracle stays single-level because every test-SF corpus
-    derives K <= SEMDEDUP_MAX_K."""
+    _kmeans_cte_parts at K1 (an int literal, or a SQL expression that
+    derives K1 from the corpus size — the driver-checked entry passes
+    the latter so one static oracle string is correct at every SF), then
+    the fine level unrolls per-cell seeds (row_number <= per-cell
+    ceiling count), KMEANS_REFITS assign-then-recenter rounds keyed by
+    (ccl, fcl), a final assignment, and the shared CC/survivor tail.
+    Exercised by the forced-low-cap unit test
+    (tests/test_semantic_dedup.py) AND — since VERDICT r10 item 4 — by
+    the driver-checked q_semantic_dedup_twolevel catalog entry; the
+    production q_semantic_dedup driver oracle stays single-level because
+    every test-SF corpus derives K <= SEMDEDUP_MAX_K."""
     cos = SQL_COS.format(a="m.embedding", b="c.cent")
     parts = _kmeans_cte_parts(str(k1))
     parts.append("""cc AS (
@@ -1399,6 +1423,70 @@ def _semdedup_two_level_oracle(k1: int, cluster_size: int,
   WHERE rn = 1)""")
     return ("WITH RECURSIVE " + ",\n".join(parts) + ",\n"
             + _semdedup_tail("faf", threshold))
+
+
+# Pinned small target cluster size for the driver-checked two-level
+# entry: at the catalog SFs the PRODUCTION gate never trips (derived K
+# <= SEMDEDUP_MAX_K — only the gate error, not the two-level dataflow,
+# would ever execute), so this entry pins size=50 to make the corpus
+# derive K in the tens-to-hundreds and FORCES the two-level dispatch,
+# putting the coarse-Lloyd -> distributed-fine-Lloyd -> CC/survivor
+# pipeline itself under the driver's oracle hash (VERDICT r10 item 4).
+SEMDEDUP_TL_CLUSTER_SIZE = 50
+
+_SEMDEDUP_TL_K_SQL = (f"GREATEST({KMEANS_K}, "
+                      f"((SELECT COUNT(*) FROM embeddings)"
+                      f" + {SEMDEDUP_TL_CLUSTER_SIZE - 1})"
+                      f" // {SEMDEDUP_TL_CLUSTER_SIZE})")
+
+# Ceiling square root of the derived K, in float-error-robust integer
+# form (the ADVICE r7 integer-arithmetic doctrine): f = floor(sqrt(k))
+# can be off by one ulp either way, so the smallest s with s*s >= k is
+# picked by explicit integer comparison over {f-1, f, f+1} — the exact
+# twin of _semdedup_coarse_k's math.isqrt ceiling.
+_SEMDEDUP_TL_K1_SQL = f"""(
+  SELECT CASE WHEN (f - 1) * (f - 1) >= k THEN f - 1
+              WHEN f * f >= k THEN f
+              ELSE f + 1 END
+  FROM (SELECT k, CAST(FLOOR(SQRT(k)) AS BIGINT) AS f
+        FROM (SELECT {_SEMDEDUP_TL_K_SQL} AS k)))"""
+
+
+def q_semantic_dedup_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TWO-LEVEL SemDeDup path as a driver-checked catalog entry
+    (VERDICT r10 item 4: the 500k-centroid gate means q_semantic_dedup's
+    two-level branch never executes at catalog SF — only the forced
+    monkeypatch unit test exercised it, outside the driver's oracle).
+    Same contract as q_semantic_dedup (per-vector survivor table), but
+    the cluster-size target is PINNED small (SEMDEDUP_TL_CLUSTER_SIZE =
+    50) so every catalog corpus derives K past a sqrt split worth
+    taking, and the entry dispatches the two-level dataflow
+    UNCONDITIONALLY: coarse Lloyd with k1 = ceil(sqrt(K)) driver-held
+    centroids, then the fully distributed per-cell fine Lloyd
+    (_semdedup_two_level) whose centroid table never touches the driver
+    — the exact shape a >1.25e9-doc corpus takes through the production
+    entry. The oracle derives K and K1 from the corpus size in integer
+    SQL (one static string, correct at every SF) and replays both Lloyd
+    levels CTE-by-CTE plus the shared CC/survivor tail.
+
+    Scale note: at catalog SF the within-cell fine problem is tens of
+    vectors; at the production gate crossing it is ~2500*sqrt(K) per
+    coarse cell — both bounded, both distributed. The entry's purpose
+    is correctness attestation of the scale path, not speed at sf0.1."""
+    emb = (load(spark, sf_dir, "embeddings")
+           .select("vec_id", "embedding").cache())
+    n = emb.count()
+    k = max(KMEANS_K, -(-n // SEMDEDUP_TL_CLUSTER_SIZE))
+    fine, coarse = _semdedup_two_level(
+        emb, k, cluster_size=SEMDEDUP_TL_CLUSTER_SIZE)
+    final = fine.cache()
+    final.count()   # eager: pair kernel + survivor join race a lazy cache
+    out, labels = _semdedup_survivors(final)
+    return finalize_cc(out, labels, emb, coarse, final)
+
+
+ORACLE_SEMANTIC_DEDUP_TWOLEVEL = _semdedup_two_level_oracle(
+    _SEMDEDUP_TL_K1_SQL, SEMDEDUP_TL_CLUSTER_SIZE, SEMDEDUP_THRESHOLD)
 
 
 # ---------------------------------------------------------------------------
@@ -1530,6 +1618,8 @@ VECTOR_QUERIES = [
              "LLM-sim-pq-recall"),
     QueryDef("semantic_dedup", q_semantic_dedup, _oracle_semantic_dedup(),
              "LLM-dedup-semantic"),
+    QueryDef("semantic_dedup_twolevel", q_semantic_dedup_twolevel,
+             ORACLE_SEMANTIC_DEDUP_TWOLEVEL, "LLM-dedup-semantic-twolevel"),
     QueryDef("kmeans_embeddings", q_kmeans_embeddings, _oracle_kmeans(),
              "LLM-cluster-kmeans", bench=True),
     QueryDef("embedding_int8_quant", q_embedding_int8_quant,

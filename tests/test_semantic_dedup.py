@@ -62,6 +62,24 @@ def test_semdedup_k_derivation_and_cap():
         _semdedup_coarse_k(SEMDEDUP_MAX_K ** 2 + 1)
 
 
+def test_semantic_dedup_twolevel_entry_refines(spark, sf_dir):
+    """The driver-checked two-level entry (VERDICT r10 item 4) must
+    actually exercise the fine level: more final clusters than coarse
+    cells (else it silently degenerated to coarse-only clustering), the
+    survivor table covers the corpus, and the pinned-size K derivation
+    matches the Python twin."""
+    from nfl_data_engineering_spark.plans import vector as V
+    out = _BY_NAME["semantic_dedup_twolevel"].spark(spark, sf_dir).cache()
+    n = load(spark, sf_dir, "embeddings").count()
+    assert out.count() == n
+    k = max(V.KMEANS_K, -(-n // V.SEMDEDUP_TL_CLUSTER_SIZE))
+    k1 = V._semdedup_coarse_k(k)
+    n_clusters = out.select("cluster").distinct().count()
+    assert n_clusters > k1, "fine level must refine past the coarse cells"
+    assert out.filter(F.col("canonical_vec_id") > F.col("vec_id")).count() == 0
+    out.unpersist()
+
+
 def test_semantic_dedup_two_level_matches_oracle(spark, sf_dir, monkeypatch):
     """Force the two-level path at test scale (VERDICT r8 item 4): cap
     the gate at 4 and shrink the target cluster size so the 500-vector
