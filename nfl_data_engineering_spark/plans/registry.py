@@ -24,45 +24,42 @@ _ALL: list[QueryDef] = [*RELATIONAL_QUERIES, *TEXT_QUERIES,
 # prefix window of the catalog (50 entries/round), so rotation aims each
 # round's window at the entries with the most verification value.
 #
-# Round 10 window (50) — the rotation the r9 verdict staged (item 2:
-# rotate the six never-driver-attested round-9 entries first, then the
-# oldest vintages, so no entry's newest driver attestation is older
-# than r6 afterward):
-# (a) the 6 round-9 additions that postdate the r9 driver window
-#     (judge-verified at sf0.01 only so far), name order;
-# (b) the 3 round-10 additions (similarity_join_staged,
-#     sketch_route_report, dedup_quality_survivors), never attested;
-# (c) 41 of the 42 entries whose newest driver row is r5 vintage, name
-#     order (reproducible by folding _green over the CORRECTNESS_r*.json
-#     files) — weekday_seasonality, last in name order, yields its slot
-#     to the third round-10 addition and rotates with the r6 cohort
-#     (the next-oldest, 46 entries) in round 11.
-# 6 + 3 + 41 = the full 50-slot window. Names absent from this list
+# Round 11 window (50) — the rotation the r10 verdict staged (item 1:
+# rotate the r6-vintage cohort plus weekday_seasonality, whose newest
+# driver attestation is r5 because it yielded its r10 slot):
+# (a) the 2 round-11 additions, never driver-attested
+#     (semantic_dedup_twolevel — VERDICT r10 item 4;
+#     auto_route_oph_join — VERDICT r10 item 5), name order;
+# (b) weekday_seasonality, the single r5-vintage holdover;
+# (c) the full r6-vintage cohort (46 entries, reproducible by folding
+#     _green over the CORRECTNESS_r*.json files), name order;
+# (d) ann_ivf_multiprobe, first of the 49-entry r7 cohort in name order,
+#     taking the one spare slot — the rest of r7 rotates in round 12.
+# 2 + 1 + 46 + 1 = the full 50-slot window. Names absent from this list
 # keep catalog order after it.
 _PRIORITY: list[str] = [
-    # --- (a) never-driver-attested round-9 entries, name order ---
-    "curriculum_stages", "dedup_minhash_oph", "lsh_bucket_histogram",
-    "oph_recall_audit", "oph_recall_t05", "token_kl_divergence",
-    # --- (b) the round-10 additions ---
-    "similarity_join_staged", "sketch_route_report",
-    "dedup_quality_survivors",
-    # --- (c) the full round-5-vintage tail, name order ---
-    "cusum_changepoint", "dedup_full_row", "dedup_keep_latest",
-    "distinct_event_types", "exact_quantiles_twopass",
-    "expected_minus_found", "fd_violation_profile", "file_stats_manifest",
-    "histogram_quantile_merge", "hll_partition_merge",
-    "interval_overlap_join", "join_size_estimate", "lang_id",
-    "length_bucketing_waste", "market_share", "nearest_event_join",
-    "observed_metrics_audit", "ohlc_daily", "pricing_summary",
-    "priority_sample_weighted", "python_datasource_sink", "rank_twophase",
-    "record_linkage", "recursive_cte_hierarchy", "region_volume",
-    "rolling_mad_anomaly", "shipping_priority", "skyline_frontier",
-    "snapshot_diff", "streaming_append_rollup",
-    "streaming_checkpoint_restart", "streaming_full_outer_join",
-    "streaming_late_data_drop", "streaming_left_outer_join",
-    "streaming_multibatch_backfill", "table_counts", "table_sync_audit",
-    "trailing_unique_hll", "triangle_count", "udtf_polymorphic",
-    "vocab_coverage_curve",
+    # --- (a) never-driver-attested round-11 additions, name order ---
+    "auto_route_oph_join", "semantic_dedup_twolevel",
+    # --- (b) the r5-vintage holdover ---
+    "weekday_seasonality",
+    # --- (c) the full r6-vintage cohort, name order ---
+    "acctbal_pctrank", "anti_join", "asof_join", "clean_sentinels",
+    "clicks_before_purchase", "coerce_types", "cross_shard_dedup_audit",
+    "cube_sales", "daily_delta", "dedup_components",
+    "dedup_star_survivors", "dedup_survivor_table", "distinct_kmv",
+    "embedding_dedup_components", "exact_substring_spans", "except_all",
+    "exp_weighted_value", "explode_array", "filter_pushdown",
+    "grouping_sets", "hourly_interpolate", "hourly_zero_fill",
+    "json_extract", "kmv_set_ops", "matchup_differential",
+    "minhash_recall_audit", "multi_key_sort", "ngram_jaccard_pairs",
+    "pct_parse", "pivot_wide", "prefix_filter_join", "priority_extract",
+    "qty_price_corr", "record_split", "revenue_gini_binned",
+    "rollup_revenue", "semi_join", "spend_quartiles", "status_intersect",
+    "trailing_avg", "trimmed_mean_binned", "tz_hour_histogram",
+    "union_by_name", "user_sessions", "value_percentiles",
+    "weekly_rollup",
+    # --- (d) the first r7-vintage entry, name order ---
+    "ann_ivf_multiprobe",
 ]
 
 assert not set(_PRIORITY) - {q.name for q in _ALL}, \

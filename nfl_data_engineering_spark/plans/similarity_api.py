@@ -636,6 +636,74 @@ FROM stats
 """
 
 
+# --- sketch='auto' selecting OPH, end to end (VERDICT r10 item 5) ------
+# q_sketch_route_report attests the routing DECISION and the OPH entries
+# pin the kernel, but no driver-checked entry ran the 'auto' default and
+# had it SELECT OPH end-to-end. This fixture makes that route static by
+# construction: 32 consecutive documents concatenate into one super-doc,
+# so avg shingles/doc is ~32x the corpus's measured ~52 (minus cross-doc
+# overlap — >=800 even at 50% overlap), >=3x the ~266 K*ln(K) cutover at
+# every SF. Flipping the route would need member docs averaging < ~8.3
+# distinct shingles (~10 words) — an order of magnitude below the
+# generator's shape — and the router's ±2% HLL error cannot bridge a 3x
+# margin. Each super-doc is unioned with an id-offset replica so the
+# verified pair set is non-empty and deterministic (one jaccard-1.0 pair
+# per super-doc at minimum).
+AUTO_ROUTE_GROUP = 32
+AUTO_ROUTE_OFFSET = 1_000_000
+
+
+def q_auto_route_oph_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """similarity_join's default sketch='auto' path with the router
+    selecting OPH, attested end-to-end: build the long-doc fixture
+    (static-route argument in the module comment above), dispatch
+    through the SAME front door a user calls with the DEFAULT kernel
+    knob, and emit the verified pair set plus the routed kernel. The
+    oracle replays OPH banding (sql_oph_pair_ctes) over the identical
+    fixture CTE and pins routed_kernel to the literal 'oph' — so a
+    route flip fails parity on the column even when both kernels'
+    verified pair sets coincide (exact verification makes them agree on
+    everything but recall). The routed value is recomputed via
+    _resolve_auto_sketch on the same cached shingle frame the front
+    door receives — the same deterministic statistic the internal
+    dispatch runs."""
+    docs = load(spark, sf_dir, "documents")
+    g = (docs.groupBy(F.expr(f"doc_id div {AUTO_ROUTE_GROUP}").alias("gid"))
+         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "text")))
+              .alias("m")))
+    sup = g.select(F.col("gid").alias("doc_id"),
+                   F.array_join(F.col("m.text"), " ").alias("text"))
+    corpus = sup.unionByName(
+        sup.select((F.col("doc_id") + AUTO_ROUTE_OFFSET).alias("doc_id"),
+                   "text"))
+    caches: list[DataFrame] = []
+    sh = explode_shingle_hashes(corpus, "doc_id", "text", n=3).cache()
+    caches.append(sh)
+    sh.count()   # eager: router + banding + verify race a lazy cache
+    routed = _resolve_auto_sketch(sh)
+    pairs = similarity_join(corpus, "doc_id", "text", JACCARD_THRESHOLD,
+                            caches=caches, shingles=sh, sketch="auto")
+    out = pairs.select(F.col("id1").alias("d1"), F.col("id2").alias("d2"),
+                       F.round(F.col("score"), 6).alias("jaccard"),
+                       F.lit(routed).alias("routed_kernel"))
+    return finalize(out, *caches, pair_table=True)
+
+
+ORACLE_AUTO_ROUTE_OPH = f"""
+WITH sup AS (
+  SELECT doc_id // {AUTO_ROUTE_GROUP} AS gid,
+         string_agg(text, ' ' ORDER BY doc_id) AS text
+  FROM documents GROUP BY 1),
+corpus AS (
+  SELECT gid AS doc_id, text FROM sup
+  UNION ALL
+  SELECT gid + {AUTO_ROUTE_OFFSET}, text FROM sup),{sql_oph_pair_ctes(
+      NUM_HASHES, NUM_BANDS, JACCARD_THRESHOLD, rel="corpus")}
+SELECT d1, d2, ROUND(jaccard, 6) AS jaccard, 'oph' AS routed_kernel
+FROM pairs
+"""
+
+
 MINHASH_T05 = 0.5
 _T05_HASHES, _T05_BANDS = minhash_band_config(MINHASH_T05)
 
@@ -774,6 +842,8 @@ API_QUERIES = [
              ORACLE_SIMILARITY_JOIN_API, "LLM-dedup-api-staged"),
     QueryDef("sketch_route_report", q_sketch_route_report,
              ORACLE_SKETCH_ROUTE_REPORT, "LLM-dedup-api-route"),
+    QueryDef("auto_route_oph_join", q_auto_route_oph_join,
+             ORACLE_AUTO_ROUTE_OPH, "LLM-dedup-api-route-oph"),
     QueryDef("minhash_recall_t05", q_minhash_recall_t05,
              ORACLE_MINHASH_RECALL_T05, "LLM-dedup-minhash-recall"),
     QueryDef("oph_recall_t05", q_oph_recall_t05,

@@ -32,11 +32,13 @@ SQL_TOKENS = "list_filter(regexp_split_to_array(lower({col}), '\\s+'), t -> t !=
 SQL_H60 = "(('0x' || substr(md5({e}), 1, 15))::BIGINT)"
 
 
-def _sql_shingles_cte(n: int = 3) -> str:
-    """CTEs producing (doc_id, shingle) distinct word-3-gram rows."""
+def _sql_shingles_cte(n: int = 3, rel: str = "documents") -> str:
+    """CTEs producing (doc_id, shingle) distinct word-3-gram rows from
+    ``rel`` — the documents view by default, or a corpus CTE a caller
+    defined upstream (q_auto_route_oph_join's super-doc fixture)."""
     toks = SQL_TOKENS.format(col="text")
     return f"""
-toks AS (SELECT doc_id, {toks} AS tk FROM documents),
+toks AS (SELECT doc_id, {toks} AS tk FROM {rel}),
 sh AS (
   SELECT DISTINCT doc_id,
          unnest(list_transform(generate_series(1, greatest(len(tk) - {n - 1}, 0)),
@@ -325,13 +327,15 @@ def sql_minhash_pair_ctes(num_hashes: int, num_bands: int,
 {_sql_pair_tail(threshold)}"""
 
 
-def sql_oph_band_ctes(num_bins: int, num_bands: int) -> str:
+def sql_oph_band_ctes(num_bins: int, num_bands: int,
+                      rel: str = "documents") -> str:
     """DuckDB replay of oph_bands_fast (functions/hashing.py): one
     universal draw per shingle split into (bin, value), per-slot MIN,
     rotation densification with the distance in high bits, then the
-    same md5 band keys as the k-draw pipeline."""
+    same md5 band keys as the k-draw pipeline. ``rel`` is the corpus
+    relation the shingle CTE reads (see _sql_shingles_cte)."""
     rpb = num_bins // num_bands
-    return f"""{_sql_shingles_cte(3)},
+    return f"""{_sql_shingles_cte(3, rel)},
 shh AS (SELECT DISTINCT doc_id, {SQL_H60.format(e='shingle')} AS sh60 FROM sh),
 oph AS (SELECT doc_id, (sh60 % {MERSENNE_P}) % {num_bins} AS bin,
                (sh60 % {MERSENNE_P}) // {num_bins} AS v FROM shh),
@@ -347,9 +351,9 @@ bands AS (
   FROM slots GROUP BY 1, 2)"""
 
 
-def sql_oph_pair_ctes(num_bins: int, num_bands: int,
-                      threshold: float) -> str:
-    return f"""{sql_oph_band_ctes(num_bins, num_bands)},
+def sql_oph_pair_ctes(num_bins: int, num_bands: int, threshold: float,
+                      rel: str = "documents") -> str:
+    return f"""{sql_oph_band_ctes(num_bins, num_bands, rel)},
 {_sql_pair_tail(threshold)}"""
 
 
