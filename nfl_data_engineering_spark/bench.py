@@ -18,7 +18,9 @@ whole process, so JIT/codegen caches and heap history carry across reps
 suppresses machine-state noise by taking the min across repetitions,
 not by per-rep JVM isolation. Within each rep every query is still run
 twice back-to-back and takes the min (steady-state estimator; JIT/GC
-jitter dominates single runs at this data size).
+jitter dominates single runs at this data size); the three entries
+whose deltas rode the ±0.4 s noise floor across rounds 8-10 get a third
+in-rep run (EXTRA_RUN_QUERIES — VERDICT r10 item 7).
 
 Each query is executed to completion (noop sink materializes every
 output column; count() would let Catalyst skip projections) after a
@@ -43,6 +45,14 @@ from .plans.registry import bench_queries
 from .session import get_spark
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"
+
+# Queries whose run-to-run delta rode the ±0.4 s noise floor across
+# rounds 8-10 (VERDICT r10 item 7: three drift adjudications were jitter)
+# get a third in-rep run — min-of-3 within each rep, on top of the
+# min-across-reps — so round-over-round comparison stops tracking
+# machine state on exactly the entries where drift triage is expensive.
+EXTRA_RUN_QUERIES = frozenset({
+    "similarity_join_api", "leakage_safe_split", "dedup_star_survivors"})
 
 
 def _run(q, spark, sf_dir) -> float:
@@ -74,9 +84,10 @@ def _rep(sf_dir: str, rep: int) -> tuple[dict[str, float], dict[str, float]]:
             release_deferred()
             spark.catalog.clearCache()
             spark._jvm.System.gc()
-            r1, r2 = _run(q, spark, sf_dir), _run(q, spark, sf_dir)
-            timings[q.name] = min(r1, r2)
-            deltas[q.name] = abs(r1 - r2)
+            n_runs = 3 if q.name in EXTRA_RUN_QUERIES else 2
+            runs = [_run(q, spark, sf_dir) for _ in range(n_runs)]
+            timings[q.name] = min(runs)
+            deltas[q.name] = max(runs) - min(runs)
             print(f"# rep{rep} {q.name}: {timings[q.name]:.2f}s "
                   f"(delta {deltas[q.name]:.2f}s)", file=sys.stderr)
         return timings, deltas
