@@ -65,7 +65,8 @@ def _run(q, spark, sf_dir) -> float:
 def _rep(sf_dir: str, rep: int) -> tuple[dict[str, float], dict[str, float]]:
     """One full repetition of the pinned set in a fresh SparkSession:
     warm-up every plan shape at sf0.001, then per-query min-of-2 at the
-    target sf. Returns ({name: sec}, {name: run-to-run delta})."""
+    target sf (min-of-3 for EXTRA_RUN_QUERIES). Returns
+    ({name: sec}, {name: max-min spread across the in-rep runs})."""
     spark = get_spark(f"bench-rep{rep}")
     spark.sparkContext.setLogLevel("ERROR")
     try:
@@ -117,6 +118,12 @@ def _reps_requested(argv: list[str]) -> int:
 
 
 def main() -> None:
+    # stale names would silently degrade an entry back to min-of-2 and
+    # put its delta back on the noise floor — the exact triage cost the
+    # set exists to remove (round-11 review finding; same rule as
+    # registry._PRIORITY's stale-name assert)
+    stale = EXTRA_RUN_QUERIES - {q.name for q in bench_queries()}
+    assert not stale, f"EXTRA_RUN_QUERIES not in the bench set: {stale}"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     n_reps = _reps_requested(sys.argv)

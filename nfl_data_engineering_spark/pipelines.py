@@ -74,8 +74,12 @@ def run_rankings_collection(spark: SparkSession, registry: DataFrame,
 # backfill dates are LOCALIZED to US/Central (wall clock preserved — "use
 # it as-is ... don't shift to previous day"), dateless runs take now-UTC
 # CONVERTED to Central wall time. Collectors then stamp + partition on
-# that Central wall clock.
-RUN_TZ = zoneinfo.ZoneInfo("US/Central")
+# that Central wall clock. Canonical zone name, not the reference's
+# 'US/Central': US/* are deprecated BACKWARD links (identical rules)
+# that slim tzdata builds strip, and a module-import-time
+# ZoneInfoNotFoundError would break even explicit-date backfills that
+# never touch the zone (round-11 review finding).
+RUN_TZ = zoneinfo.ZoneInfo("America/Chicago")
 
 
 def resolve_run_datetime(date: str | None,

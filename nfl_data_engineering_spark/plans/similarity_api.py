@@ -650,7 +650,13 @@ FROM stats
 # verified pair set is non-empty and deterministic (one jaccard-1.0 pair
 # per super-doc at minimum).
 AUTO_ROUTE_GROUP = 32
-AUTO_ROUTE_OFFSET = 1_000_000
+# Replica-id offset far above any reachable super-doc gid: doc_ids are
+# bigint, so 2^40 leaves no collision cliff — the old 1e6 offset would
+# have silently merged a base super-doc with a replica one on any corpus
+# island holding >= 32M consecutive doc_ids (round-11 review finding;
+# both engines replay the same fixture, so parity would NOT have caught
+# the merged ids).
+AUTO_ROUTE_OFFSET = 1 << 40
 
 
 def q_auto_route_oph_join(spark: SparkSession, sf_dir: str) -> DataFrame:

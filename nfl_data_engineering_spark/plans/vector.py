@@ -1053,15 +1053,22 @@ SEMDEDUP_CLUSTER_SIZE = 2500   # target mean cluster size: the cluster
 SEMDEDUP_MAX_K = 500_000
 
 
-def _semdedup_k(n: int) -> int:
+def _semdedup_k(n: int, cluster_size: int | None = None) -> int:
     """Cluster count for a corpus of n vectors: at least the fixed-K
     report entry's 8, growing so mean cluster size stays bounded. At the
     test scale factors (<= 20k vectors) this IS 8, so the entry's
     verified results are unchanged; replicas get proportionally more
     clusters. Twin of the SQL expression in the oracle. Values past
     SEMDEDUP_MAX_K no longer raise here: q_semantic_dedup dispatches
-    them to the two-level path (_semdedup_two_level)."""
-    return max(KMEANS_K, -(-n // SEMDEDUP_CLUSTER_SIZE))
+    them to the two-level path (_semdedup_two_level).
+
+    ``cluster_size`` (None -> the production SEMDEDUP_CLUSTER_SIZE,
+    resolved at call time for monkeypatch compatibility) is the ONE
+    copy of the ceil-division rule — the two-level entry and its tests
+    pass SEMDEDUP_TL_CLUSTER_SIZE instead of re-inlining the arithmetic
+    (round-11 review finding)."""
+    size = SEMDEDUP_CLUSTER_SIZE if cluster_size is None else cluster_size
+    return max(KMEANS_K, -(-n // size))
 
 
 def _semdedup_coarse_k(k: int) -> int:
@@ -1475,8 +1482,7 @@ def q_semantic_dedup_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
     is correctness attestation of the scale path, not speed at sf0.1."""
     emb = (load(spark, sf_dir, "embeddings")
            .select("vec_id", "embedding").cache())
-    n = emb.count()
-    k = max(KMEANS_K, -(-n // SEMDEDUP_TL_CLUSTER_SIZE))
+    k = _semdedup_k(emb.count(), SEMDEDUP_TL_CLUSTER_SIZE)
     fine, coarse = _semdedup_two_level(
         emb, k, cluster_size=SEMDEDUP_TL_CLUSTER_SIZE)
     final = fine.cache()

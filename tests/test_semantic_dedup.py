@@ -72,7 +72,7 @@ def test_semantic_dedup_twolevel_entry_refines(spark, sf_dir):
     out = _BY_NAME["semantic_dedup_twolevel"].spark(spark, sf_dir).cache()
     n = load(spark, sf_dir, "embeddings").count()
     assert out.count() == n
-    k = max(V.KMEANS_K, -(-n // V.SEMDEDUP_TL_CLUSTER_SIZE))
+    k = V._semdedup_k(n, V.SEMDEDUP_TL_CLUSTER_SIZE)
     k1 = V._semdedup_coarse_k(k)
     n_clusters = out.select("cluster").distinct().count()
     assert n_clusters > k1, "fine level must refine past the coarse cells"
