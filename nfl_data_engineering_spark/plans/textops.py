@@ -838,6 +838,89 @@ WHERE i::DOUBLE / (s1.sz + s2.sz - i)::DOUBLE >= 0.7
 """
 
 
+# Asymmetric-containment gate, integer per-cent: C(sub, super) =
+# |S_sub ∩ S_super| / |S_sub| >= 0.90 is evaluated as i*100 >= sz_sub*90
+# so neither engine touches a float at the decision boundary (the
+# ADVICE r7 integer-arithmetic doctrine).
+CONTAINMENT_PCT = 90
+
+
+def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-CONTAINMENT join: ordered pairs (sub, super)
+    with |S_sub ∩ S_super| / |S_sub| >= 0.90 — the near-SUPERSET dedup
+    symmetric jaccard cannot express (a short document quoted inside a
+    boilerplate wrapper has jaccard ~ |sub|/|super| -> 0 against its
+    host, but containment 1.0: exactly the quote/wrapper duplication an
+    LLM corpus build wants to catch). Exact duplicates emit BOTH
+    directions by definition (each contains the other).
+
+    Same scale machinery as q_ngram_jaccard_pairs: candidates come from
+    the df-capped shingle equi-join (one shingle in k docs contributes
+    k^2/2 joined rows, so the NGRAM_DF_CAP bound is what keeps the
+    self-join linear-ish at 100 TB; the cap binds the INTERSECTION only,
+    set sizes stay exact, so a binding cap can only UNDERCOUNT
+    containment — the conservative direction for a >= gate). The
+    unordered (d1 < d2) intersection is computed ONCE and both ordered
+    gates are row-local projections of it — no second join. The
+    emitted score is integer per-mille (i*1000 div sz_sub), engine-
+    portable by construction. A sketch route for containment exists in
+    the literature (asymmetric minwise hashing); this entry is the
+    exact join-bounded form, the same role the df-capped jaccard join
+    plays beside the MinHash family.
+
+    Reference parity: generalizes the dedup contract of
+    odds_data_collector.py:40-44 to asymmetric near-superset identity."""
+    docs = load(spark, sf_dir, "documents")
+    sh = explode_shingle_hashes(docs, "doc_id", "text", n=3).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    rare = (sh.groupBy("sh60").agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= NGRAM_DF_CAP).select("sh60"))
+    capped = sh.join(rare, "sh60")
+    s1 = capped.select(F.col("doc_id").alias("d1"), "sh60")
+    s2 = capped.select(F.col("doc_id").alias("d2"), "sh60")
+    inter = (s1.join(s2, "sh60").filter(F.col("d1") < F.col("d2"))
+             .groupBy("d1", "d2").agg(F.count("*").alias("i")))
+    j = (inter
+         .join(sizes.select(F.col("doc_id").alias("d1"),
+                            F.col("sz").alias("sz1")), "d1")
+         .join(sizes.select(F.col("doc_id").alias("d2"),
+                            F.col("sz").alias("sz2")), "d2"))
+    fwd = (j.filter(F.expr(f"i * 100 >= sz1 * {CONTAINMENT_PCT}"))
+           .select(F.col("d1").alias("sub_doc_id"),
+                   F.col("d2").alias("super_doc_id"),
+                   F.expr("i * 1000 div sz1").alias("containment_x1000")))
+    bwd = (j.filter(F.expr(f"i * 100 >= sz2 * {CONTAINMENT_PCT}"))
+           .select(F.col("d2").alias("sub_doc_id"),
+                   F.col("d1").alias("super_doc_id"),
+                   F.expr("i * 1000 div sz2").alias("containment_x1000")))
+    return finalize(fwd.unionByName(bwd), sh, pair_table=True)
+
+
+ORACLE_CONTAINMENT_JOIN = f"""
+WITH {_sql_shingles_cte(3)},
+shh AS (SELECT DISTINCT doc_id, {SQL_H60.format(e='shingle')} AS sh60 FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shh GROUP BY 1),
+rare AS (SELECT sh60 FROM shh GROUP BY sh60
+         HAVING COUNT(*) <= {NGRAM_DF_CAP}),
+capped AS (SELECT shh.doc_id, shh.sh60 FROM shh JOIN rare USING (sh60)),
+inter AS (
+  SELECT x.doc_id AS d1, y.doc_id AS d2, COUNT(*) AS i
+  FROM capped x JOIN capped y ON y.sh60 = x.sh60 AND x.doc_id < y.doc_id
+  GROUP BY 1, 2),
+j AS (
+  SELECT d1, d2, i, s1.sz AS sz1, s2.sz AS sz2
+  FROM inter
+  JOIN sizes s1 ON s1.doc_id = d1
+  JOIN sizes s2 ON s2.doc_id = d2)
+SELECT d1 AS sub_doc_id, d2 AS super_doc_id,
+       i * 1000 // sz1 AS containment_x1000
+FROM j WHERE i * 100 >= sz1 * {CONTAINMENT_PCT}
+UNION ALL
+SELECT d2, d1, i * 1000 // sz2
+FROM j WHERE i * 100 >= sz2 * {CONTAINMENT_PCT}
+"""
+
+
 def exact_jaccard_count(sh: DataFrame, threshold: float) -> DataFrame:
     """1-row ``n_exact`` aggregate: the df-capped shingle self-join
     exact-jaccard pair count at ``threshold`` — the quadratic truth
@@ -2357,6 +2440,8 @@ TEXT_QUERIES = [
     QueryDef("cross_shard_dedup_audit", q_cross_shard_dedup_audit,
              _oracle_cross_shard_audit(), "LLM-dedup-shard-audit"),
     QueryDef("ngram_jaccard_pairs", q_ngram_jaccard_pairs, ORACLE_NGRAM_JACCARD, "LLM-dedup-jaccard"),
+    QueryDef("containment_join", q_containment_join, ORACLE_CONTAINMENT_JOIN,
+             "LLM-dedup-containment"),
     QueryDef("minhash_recall_audit", q_minhash_recall_audit,
              ORACLE_MINHASH_RECALL, "LLM-dedup-minhash-recall"),
     QueryDef("dedup_minhash_oph", q_dedup_minhash_oph, ORACLE_MINHASH_OPH,

@@ -176,3 +176,33 @@ def test_quality_survivors_pick_longest_then_min_id(spark, sf_dir):
         else:
             assert s == members[0]["doc_id"]   # singleton survives itself
     assert saw_multi, "testdata should contain at least one dup cluster"
+
+
+def test_containment_join_asymmetry(spark, tmp_path):
+    """The containment gate is ASYMMETRIC: a short doc fully quoted
+    inside a longer wrapper emits (sub=short, super=long) at 1000
+    per-mille and NOT the reverse direction (the wrapper's extra
+    shingles dilute containment below the 90% gate) — the exact
+    near-superset case symmetric jaccard cannot catch. Exact duplicates
+    emit both directions."""
+    import os as _os
+
+    import pandas as pd
+    short = "a b c d e f g h i j"                       # 8 shingles
+    wrapper = "x y z " + short + " p q r"               # superset + extras
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [short, wrapper, "u v w q s t u v w", short],
+        "lang": ["en"] * 4, "source": ["t"] * 4,
+        "n_chars": [len(short), len(wrapper), 17, len(short)],
+    })
+    d = str(tmp_path / "docs")
+    _os.makedirs(d, exist_ok=True)
+    docs.to_parquet(_os.path.join(d, "documents.parquet"))
+    from nfl_data_engineering_spark.plans.textops import q_containment_join
+    rows = {(r["sub_doc_id"], r["super_doc_id"]): r["containment_x1000"]
+            for r in q_containment_join(spark, d).collect()}
+    assert rows[(1, 2)] == 1000          # short fully inside wrapper
+    assert (2, 1) not in rows            # wrapper NOT inside short
+    assert rows[(1, 4)] == 1000 and rows[(4, 1)] == 1000  # exact dupes
+    assert not any(3 in k for k in rows) # unrelated doc pairs with nobody
