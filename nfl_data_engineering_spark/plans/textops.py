@@ -885,15 +885,25 @@ def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.col("sz").alias("sz1")), "d1")
          .join(sizes.select(F.col("doc_id").alias("d2"),
                             F.col("sz").alias("sz2")), "d2"))
-    fwd = (j.filter(F.expr(f"i * 100 >= sz1 * {CONTAINMENT_PCT}"))
-           .select(F.col("d1").alias("sub_doc_id"),
-                   F.col("d2").alias("super_doc_id"),
-                   F.expr("i * 1000 div sz1").alias("containment_x1000")))
-    bwd = (j.filter(F.expr(f"i * 100 >= sz2 * {CONTAINMENT_PCT}"))
-           .select(F.col("d2").alias("sub_doc_id"),
-                   F.col("d1").alias("super_doc_id"),
-                   F.expr("i * 1000 div sz2").alias("containment_x1000")))
-    return finalize(fwd.unionByName(bwd), sh, pair_table=True)
+    # BOTH ordered gates in one row-local explode over the unordered
+    # pair row — a fwd/bwd UNION would give the j frame two consumers
+    # and execute the whole df-capped join DAG twice (measured 26.0 s vs
+    # 17.8 s for the single-DAG jaccard twin at the 10x replica before
+    # this form). NULL array slots (direction fails its gate) are
+    # dropped by the isNotNull filter.
+    def _dir(sub: str, sup: str, sz: str):
+        return F.when(
+            F.expr(f"i * 100 >= {sz} * {CONTAINMENT_PCT}"),
+            F.struct(F.col(sub).alias("sub_doc_id"),
+                     F.col(sup).alias("super_doc_id"),
+                     F.expr(f"i * 1000 div {sz}")
+                      .alias("containment_x1000")))
+
+    out = (j.select(F.explode(F.array(_dir("d1", "d2", "sz1"),
+                                      _dir("d2", "d1", "sz2"))).alias("p"))
+           .filter(F.col("p").isNotNull())
+           .select("p.*"))
+    return finalize(out, sh, pair_table=True)
 
 
 ORACLE_CONTAINMENT_JOIN = f"""
