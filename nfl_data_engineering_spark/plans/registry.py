@@ -24,42 +24,48 @@ _ALL: list[QueryDef] = [*RELATIONAL_QUERIES, *TEXT_QUERIES,
 # prefix window of the catalog (50 entries/round), so rotation aims each
 # round's window at the entries with the most verification value.
 #
-# Round 11 window (50) — the rotation the r10 verdict staged (item 1:
-# rotate the r6-vintage cohort plus weekday_seasonality, whose newest
-# driver attestation is r5 because it yielded its r10 slot):
-# (a) the 2 round-11 additions, never driver-attested
-#     (semantic_dedup_twolevel — VERDICT r10 item 4;
-#     auto_route_oph_join — VERDICT r10 item 5), name order;
-# (b) weekday_seasonality, the single r5-vintage holdover;
-# (c) the full r6-vintage cohort (46 entries, reproducible by folding
-#     _green over the CORRECTNESS_r*.json files), name order;
-# (d) ann_ivf_multiprobe, first of the 49-entry r7 cohort in name order,
-#     taking the one spare slot — the rest of r7 rotates in round 12.
-# 2 + 1 + 46 + 1 = the full 50-slot window. Names absent from this list
-# keep catalog order after it.
+# Round 12 window (50) — the rotation the r11 verdict staged (item 1):
+# (a) containment_join, added round 11 after that round's window was
+#     staged — the only catalog entry the driver has never attested
+#     (VERDICT r11 "What's missing" #1);
+# (b) round-12 additions, never driver-attested, as they land
+#     (containment front-door dispatch, containment sketch join +
+#     recall audit, unigram-LM tokenizer — VERDICT r11 items 2/3/6);
+# (c) as much of the 48-entry r7-vintage cohort (newest attestation r7;
+#     reproducible by folding _green over the CORRECTNESS_r*.json
+#     files) as fits the remaining slots, name order — entries past
+#     slot 50 rotate first in round 13;
+# (d) if slots remain, the r8 cohort in name order (starts ann_pq_topk).
+# Names absent from this list keep catalog order after it.
+#
+# Round-13 staging: any r7-cohort tail displaced below by (b), then the
+# 50-entry r8 cohort in name order (ann_pq_topk, asof_tolerance,
+# behavior_set_overlap, bigram_topk, bloom_prefilter_audit, ...).
 _PRIORITY: list[str] = [
-    # --- (a) never-driver-attested round-11 additions, name order ---
-    "auto_route_oph_join", "semantic_dedup_twolevel",
-    # --- (b) the r5-vintage holdover ---
-    "weekday_seasonality",
-    # --- (c) the full r6-vintage cohort, name order ---
-    "acctbal_pctrank", "anti_join", "asof_join", "clean_sentinels",
-    "clicks_before_purchase", "coerce_types", "cross_shard_dedup_audit",
-    "cube_sales", "daily_delta", "dedup_components",
-    "dedup_star_survivors", "dedup_survivor_table", "distinct_kmv",
-    "embedding_dedup_components", "exact_substring_spans", "except_all",
-    "exp_weighted_value", "explode_array", "filter_pushdown",
-    "grouping_sets", "hourly_interpolate", "hourly_zero_fill",
-    "json_extract", "kmv_set_ops", "matchup_differential",
-    "minhash_recall_audit", "multi_key_sort", "ngram_jaccard_pairs",
-    "pct_parse", "pivot_wide", "prefix_filter_join", "priority_extract",
-    "qty_price_corr", "record_split", "revenue_gini_binned",
-    "rollup_revenue", "semi_join", "spend_quartiles", "status_intersect",
-    "trailing_avg", "trimmed_mean_binned", "tz_hour_histogram",
-    "union_by_name", "user_sessions", "value_percentiles",
-    "weekly_rollup",
-    # --- (d) the first r7-vintage entry, name order ---
-    "ann_ivf_multiprobe",
+    # --- (a) the never-driver-attested round-11 addendum entry ---
+    "containment_join",
+    # --- (b) round-12 additions, never driver-attested ---
+    "similarity_containment_api", "containment_sketch_join",
+    "containment_recall_audit", "unigram_lm_train", "unigram_lm_apply",
+    # --- (c) the r7-vintage cohort, name order (tail -> round 13) ---
+    "ann_ivf_topk", "big_order_customers", "contamination_check",
+    "cosine_neardup_lsh", "cosine_neardup_pairs", "csv_roundtrip",
+    "dedup_exact_text", "dedup_simhash", "distinct_hll",
+    "doc_fingerprint", "doc_length_histogram", "drift_tvd",
+    "embedding_topk", "fuzzy_editdist", "json_roundtrip", "lateral_topk",
+    "leakage_safe_split", "locf_fill", "lsh_recall_audit",
+    "median_value_udaf", "minhash_recall_t05", "multimodal_decode",
+    "multimodal_stats", "normalized_dedup", "norms_pandas_udf",
+    "odds_flatten", "odds_python_source", "orc_roundtrip", "pii_redact",
+    "record_expand_udtf", "repetition_score", "scd2_intervals",
+    "scraper_longform", "similarity_join_api", "sliding_windows",
+    "streaming_daily_rollup", "streaming_interval_join",
+    "streaming_sessionization", "substring_dedup_rewrite",
+    "text_quality", "token_counts", "topk_salted", "trailing_7d_sum",
+    "trimmed_mean",
+    # r7 tail displaced to round 13 by the five (b) additions (plus
+    # ann_pq_topk's spare slot yielding): unpivot_metrics,
+    # user_event_sequences, winsorized_stats, xlsx_roundtrip
 ]
 
 assert not set(_PRIORITY) - {q.name for q in _ALL}, \

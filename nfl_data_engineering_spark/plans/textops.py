@@ -931,6 +931,182 @@ FROM j WHERE i * 100 >= sz2 * {CONTAINMENT_PCT}
 """
 
 
+def containment_prefix_pairs(sh: DataFrame, t_pm: int) -> DataFrame:
+    """Ordered containment pairs via the ASYMMETRIC PREFIX BOUND — the
+    scale route for containment that q_containment_join's docstring
+    names (VERDICT r11 item 3), chosen over asymmetric minwise hashing
+    because a symmetric sketch cannot band containment: C(A,B) >= t
+    only implies jaccard >= t/(1 + |B|/|A| - t), which -> 0 as the
+    size ratio grows — the quote-inside-boilerplate pair the operator
+    exists to catch is exactly the pair a jaccard sketch never
+    candidates. The prefix bound has no such degeneracy AND is
+    lossless (set-containment-join literature: PRETTI/PIEJoin family).
+
+    Candidate rule: order each doc's shingles by global rarity (df asc,
+    sh60 asc) and probe only the SUB side's prefix of length
+    sz - ceil(t*sz) + 1 against the df-capped token INDEX (the super
+    side joins ALL its capped tokens — the asymmetric side cannot be
+    prefix-bounded since t does not constrain the super's share).
+    Completeness vs the df-capped truth spec (ORACLE_CONTAINMENT_JOIN):
+    a pair passing the capped gate shares i >= ceil(t*sz_sub) capped
+    tokens; the sub's suffix holds only ceil(t*sz_sub) - 1 tokens, so
+    by pigeonhole at least one shared capped token sits in the prefix
+    and (being capped) in the index — every truth pair is a candidate,
+    at any token ordering; rarity order is the FAN-OUT optimization
+    (prefix slots hold the lowest-df tokens, so per-token index matches
+    are minimal; the boilerplate shingle that forces the plain
+    self-join's df cap sits at the end of every ordering and never
+    probes). Verification recomputes the capped intersection on
+    candidates only — both direction gates row-local on the unordered
+    candidate row, exactly q_containment_join's explode form.
+
+    ``t_pm``: integer per-mille threshold (900 = the 0.90 gate);
+    ceil(t*sz) is the integer form (t_pm*sz + 999) div 1000, so no
+    float touches the decision boundary. Returns (sub_doc_id,
+    super_doc_id, i, sz_sub) — callers project the score shape they
+    need (integer per-mille or rounded double)."""
+    if not 0 < t_pm <= 1000:
+        raise ValueError(f"containment threshold per-mille must be in "
+                         f"(0, 1000], got {t_pm}")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    dfreq = sh.groupBy("sh60").agg(F.count("*").alias("df"))
+    ranked = (sh.join(dfreq, "sh60")
+              .withColumn("rn", F.row_number().over(
+                  Window.partitionBy("doc_id").orderBy("df", "sh60"))))
+    pre = (ranked.join(sizes, "doc_id")
+           .filter(F.col("rn") <= F.expr(
+               f"sz - (({t_pm} * sz + 999) div 1000) + 1"))
+           .select(F.col("doc_id").alias("d_sub"), "sh60"))
+    rare = dfreq.filter(F.col("df") <= NGRAM_DF_CAP).select("sh60")
+    capped = sh.join(rare, "sh60")
+    idx = capped.select(F.col("doc_id").alias("d_sup"), "sh60")
+    cand = (pre.join(idx, "sh60")
+            .filter(F.col("d_sub") != F.col("d_sup"))
+            .select(F.least("d_sub", "d_sup").alias("d1"),
+                    F.greatest("d_sub", "d_sup").alias("d2"))
+            .distinct())
+    s1 = capped.select(F.col("doc_id").alias("d1"), "sh60")
+    s2 = capped.select(F.col("doc_id").alias("d2"), "sh60")
+    inter = (cand.join(s1, "d1").join(s2, ["d2", "sh60"])
+             .groupBy("d1", "d2").agg(F.count("*").alias("i")))
+    j = (inter
+         .join(sizes.select(F.col("doc_id").alias("d1"),
+                            F.col("sz").alias("sz1")), "d1")
+         .join(sizes.select(F.col("doc_id").alias("d2"),
+                            F.col("sz").alias("sz2")), "d2"))
+
+    def _dir(sub: str, sup: str, sz: str):
+        return F.when(
+            F.expr(f"i * 1000 >= {sz} * {t_pm}"),
+            F.struct(F.col(sub).alias("sub_doc_id"),
+                     F.col(sup).alias("super_doc_id"),
+                     F.col("i"), F.col(sz).alias("sz_sub")))
+
+    return (j.select(F.explode(F.array(_dir("d1", "d2", "sz1"),
+                                       _dir("d2", "d1", "sz2"))).alias("p"))
+            .filter(F.col("p").isNotNull())
+            .select("p.*"))
+
+
+def q_containment_sketch_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The containment scale route as a checked entry (VERDICT r11 item
+    3): containment_prefix_pairs at the standard 0.90 gate, emitting the
+    SAME (sub_doc_id, super_doc_id, containment_x1000) schema as
+    q_containment_join. The oracle is the INDEPENDENT df-capped
+    quadratic spec (ORACLE_CONTAINMENT_JOIN, identical column aliases),
+    so a hash match proves the prefix-bound algebra LOSSLESS vs the
+    full self-join — the same oracle discipline as
+    q_prefix_filter_join's uncapped-quadratic spec. The candidate pass
+    probes ~(1-t) of each doc's tokens (its rarity prefix) against the
+    index instead of joining every token against every token — the
+    measured 10x-replica A/B vs the full df-capped self-join is in
+    SCALE.md round 12."""
+    docs = load(spark, sf_dir, "documents")
+    sh = explode_shingle_hashes(docs, "doc_id", "text", n=3).cache()
+    sh.count()   # eager: sizes/dfreq/prefix/index consumers race a lazy cache
+    out = (containment_prefix_pairs(sh, CONTAINMENT_PCT * 10)
+           .select("sub_doc_id", "super_doc_id",
+                   F.expr("i * 1000 div sz_sub")
+                    .alias("containment_x1000")))
+    return finalize(out, sh, pair_table=True)
+
+
+def q_containment_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Honest-metrics audit for the containment route, completing the
+    measured-recall discipline across every candidate-pruning family
+    (MinHash/OPH/SRP/PQ audits): ordered-pair count from the df-capped
+    self-join truth (q_containment_join's machinery) vs the
+    prefix-bounded route's verified pairs, as counts + recall in exact
+    integer ppm. The prefix bound is lossless BY THEOREM (see
+    containment_prefix_pairs), so the oracle predicts the route count
+    FROM THE TRUTH SPEC — recall_ppm must come back exactly 1000000,
+    and any lost pair hash-mismatches BOTH count columns; unlike the
+    probabilistic sketch audits there is no tolerance band to hide in.
+    Both counts share one shingle cache; the 1-row x 1-row crossJoin is
+    the audits' bounded scaffold shape."""
+    docs = load(spark, sf_dir, "documents")
+    sh = explode_shingle_hashes(docs, "doc_id", "text", n=3).cache()
+    sh.count()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    rare = (sh.groupBy("sh60").agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= NGRAM_DF_CAP).select("sh60"))
+    capped = sh.join(rare, "sh60")
+    s1 = capped.select(F.col("doc_id").alias("d1"), "sh60")
+    s2 = capped.select(F.col("doc_id").alias("d2"), "sh60")
+    inter = (s1.join(s2, "sh60").filter(F.col("d1") < F.col("d2"))
+             .groupBy("d1", "d2").agg(F.count("*").alias("i")))
+    j = (inter
+         .join(sizes.select(F.col("doc_id").alias("d1"),
+                            F.col("sz").alias("sz1")), "d1")
+         .join(sizes.select(F.col("doc_id").alias("d2"),
+                            F.col("sz").alias("sz2")), "d2"))
+    truth = j.select(
+        (F.expr(f"CASE WHEN i * 100 >= sz1 * {CONTAINMENT_PCT} "
+                f"THEN 1 ELSE 0 END")
+         + F.expr(f"CASE WHEN i * 100 >= sz2 * {CONTAINMENT_PCT} "
+                  f"THEN 1 ELSE 0 END")).alias("k")
+    ).agg(F.coalesce(F.sum("k"), F.lit(0)).alias("n_truth"))
+    route = (containment_prefix_pairs(sh, CONTAINMENT_PCT * 10)
+             .agg(F.count("*").alias("n_route")))
+    return finalize(
+        truth.crossJoin(route)
+        .select("n_truth", "n_route",
+                F.expr("CASE WHEN n_truth > 0 "
+                       "THEN n_route * 1000000 div n_truth END")
+                .alias("recall_ppm")), sh)
+
+
+ORACLE_CONTAINMENT_RECALL = f"""
+WITH {_sql_shingles_cte(3)},
+shh AS (SELECT DISTINCT doc_id, {SQL_H60.format(e='shingle')} AS sh60 FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shh GROUP BY 1),
+rare AS (SELECT sh60 FROM shh GROUP BY sh60
+         HAVING COUNT(*) <= {NGRAM_DF_CAP}),
+capped AS (SELECT shh.doc_id, shh.sh60 FROM shh JOIN rare USING (sh60)),
+inter AS (
+  SELECT x.doc_id AS d1, y.doc_id AS d2, COUNT(*) AS i
+  FROM capped x JOIN capped y ON y.sh60 = x.sh60 AND x.doc_id < y.doc_id
+  GROUP BY 1, 2),
+j AS (
+  SELECT i, s1.sz AS sz1, s2.sz AS sz2
+  FROM inter
+  JOIN sizes s1 ON s1.doc_id = d1
+  JOIN sizes s2 ON s2.doc_id = d2),
+truth AS (
+  SELECT CAST(COALESCE(SUM(
+           CASE WHEN i * 100 >= sz1 * {CONTAINMENT_PCT} THEN 1 ELSE 0 END
+         + CASE WHEN i * 100 >= sz2 * {CONTAINMENT_PCT} THEN 1 ELSE 0 END),
+         0) AS BIGINT) AS n_truth
+  FROM j)
+-- the prefix bound is lossless by theorem, so the independent spec
+-- predicts the route count from the truth count: a single lost pair
+-- hash-mismatches n_route (and recall_ppm) against the live route
+SELECT n_truth, n_truth AS n_route,
+       CAST(CASE WHEN n_truth > 0 THEN 1000000 END AS BIGINT) AS recall_ppm
+FROM truth
+"""
+
+
 def exact_jaccard_count(sh: DataFrame, threshold: float) -> DataFrame:
     """1-row ``n_exact`` aggregate: the df-capped shingle self-join
     exact-jaccard pair count at ``threshold`` — the quadratic truth
@@ -2452,6 +2628,10 @@ TEXT_QUERIES = [
     QueryDef("ngram_jaccard_pairs", q_ngram_jaccard_pairs, ORACLE_NGRAM_JACCARD, "LLM-dedup-jaccard"),
     QueryDef("containment_join", q_containment_join, ORACLE_CONTAINMENT_JOIN,
              "LLM-dedup-containment"),
+    QueryDef("containment_sketch_join", q_containment_sketch_join,
+             ORACLE_CONTAINMENT_JOIN, "LLM-dedup-containment-prefix"),
+    QueryDef("containment_recall_audit", q_containment_recall_audit,
+             ORACLE_CONTAINMENT_RECALL, "LLM-dedup-containment-recall"),
     QueryDef("minhash_recall_audit", q_minhash_recall_audit,
              ORACLE_MINHASH_RECALL, "LLM-dedup-minhash-recall"),
     QueryDef("dedup_minhash_oph", q_dedup_minhash_oph, ORACLE_MINHASH_OPH,

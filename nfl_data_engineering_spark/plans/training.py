@@ -771,6 +771,328 @@ ORACLE_BPE_MERGE_TRAIN, _BPE_CTES = _bpe_oracle()
 ORACLE_BPE_ENCODE = _bpe_encode_oracle(_BPE_CTES)
 
 
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) tokenizer: EM train + apply
+# (VERDICT r11 item 6 — completes the tokenizer-training story next to BPE)
+# ---------------------------------------------------------------------------
+
+# Candidate pieces are within-word char n-grams up to this length.
+UNIGRAM_MAX_PIECE = 3
+# Seed vocab = ALL single chars (coverage guarantee: Viterbi can always
+# fall back to char-by-char, so no word is unsegmentable) + the top-K
+# bigrams and top-K trigrams by weighted occurrence count (ties pinned
+# on piece asc — both engines binary-collate ASCII identically).
+UNIGRAM_SEED_PER_N = 20
+# Pinned EM rounds (hard-EM / Viterbi, the SentencePiece practical form):
+# each round = segment every distinct word under the current piece
+# scores, re-estimate scores from the weighted piece counts (+1 Laplace
+# so zero-count pieces stay finite). The oracle unrolls exactly this
+# many rounds.
+UNIGRAM_EM_ROUNDS = 2
+# Words are truncated to this many chars BEFORE anything else (both
+# engines): bounds the DP depth per word at 100 TB without a
+# data-dependent knob. Corpus max observed is 8, so inert at test SFs.
+UNIGRAM_MAX_WORD = 16
+# Missing-piece sentinel for the DP, in nano-nats: far below any real
+# path score (worst real path ~ 16 chars * ln(1/total)*1e9 ~ -7e11) yet
+# safe from int64 overflow when a candidate adds lp to it. The SQL
+# replay COALESCEs absent vocab joins to the SAME sentinel so the
+# tie-break CASE sees bit-equal candidate scores on both engines.
+UNIGRAM_SENT = -(10 ** 15)
+
+
+def _unigram_words(docs: DataFrame) -> DataFrame:
+    """(word, wfreq): DISTINCT truncated words with corpus
+    multiplicities — the scale pivot of the whole trainer: every
+    downstream pass (seeding, Viterbi, counts) runs over distinct
+    words and weights by wfreq, so a 100 TB corpus whose word
+    distribution is Zipfian costs one dedup shuffle plus work linear
+    in the (vastly smaller) distinct-word count."""
+    return (docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+            .select(F.substring("w", 1, UNIGRAM_MAX_WORD).alias("word"))
+            .groupBy("word").agg(F.count("*").alias("wfreq")))
+
+
+def _unigram_seed_vocab(words: DataFrame) -> DataFrame:
+    """Seed (piece, lp): occurrence-weighted counts of all within-word
+    n-grams (n=1..3), chars kept unconditionally, top-K per n>1 by
+    (count desc, piece asc); initial score lp = round(ln(c/total)*1e9)
+    nano-nats over the SELECTED vocab's count mass (the proven
+    integer-quantized-ln pattern of the unigram/KL drift entries)."""
+    parts = []
+    for n in (1, 2, 3):
+        parts.append(
+            words.filter(F.length("word") >= n)
+            .select(F.explode(F.sequence(
+                F.lit(1), F.length("word") - n + 1)).alias("i"),
+                "word", "wfreq")
+            .select(F.expr(f"substring(word, i, {n})").alias("piece"),
+                    "wfreq"))
+    occ = (parts[0].unionByName(parts[1]).unionByName(parts[2])
+           .groupBy("piece").agg(F.sum("wfreq").alias("c")))
+    chars = occ.filter(F.length("piece") == 1)
+    top = (occ.filter(F.length("piece") > 1)
+           .withColumn("rn", F.row_number().over(
+               Window.partitionBy(F.length("piece"))
+               .orderBy(F.col("c").desc(), "piece")))
+           .filter(F.col("rn") <= UNIGRAM_SEED_PER_N).drop("rn"))
+    sel = chars.unionByName(top)
+    tot = sel.agg(F.sum("c").alias("tc"))
+    return (sel.crossJoin(tot)      # 1-row total: bounded by definition
+            .select("piece",
+                    F.round(F.log(F.col("c").cast("double")
+                                  / F.col("tc").cast("double")) * 1e9, 0)
+                    .cast("bigint").alias("lp")))
+
+
+def _segment_words(words: DataFrame, lp: dict[str, int]) -> DataFrame:
+    """Viterbi segmentation of each distinct word under broadcast piece
+    scores: one (word, wfreq, piece) row per piece USE in the best
+    segmentation. The DP is genuinely imperative (per-position argmax
+    with backtracking), so this is the documented Arrow mapInPandas
+    slow-path exception; the vocab dict is tiny (chars + 2*K pieces)
+    and rides the closure, and the pass is linear in distinct words —
+    the 100 TB shape. EVERY arithmetic step mirrors the SQL replay in
+    _unigram_oracle() bit-for-bit: integer nano-nat scores, the
+    COALESCE-to-sentinel form for absent pieces (dp + SENT, never bare
+    SENT, when the dp cell exists), and the c3>=c2>=c1 longest-piece
+    tie-break CASE."""
+    def gen(batches):
+        import pandas as pd
+        for pdf in batches:
+            out_w: list[str] = []
+            out_f: list[int] = []
+            out_p: list[str] = []
+            for word, wf in zip(pdf["word"], pdf["wfreq"]):
+                n = len(word)
+                dp = [0] * (n + 1)
+                bl = [0] * (n + 1)
+                for j in range(1, n + 1):
+                    c1 = dp[j - 1] + lp.get(word[j - 1:j], UNIGRAM_SENT)
+                    c2 = (dp[j - 2] + lp.get(word[j - 2:j], UNIGRAM_SENT)
+                          if j >= 2 else UNIGRAM_SENT)
+                    c3 = (dp[j - 3] + lp.get(word[j - 3:j], UNIGRAM_SENT)
+                          if j >= 3 else UNIGRAM_SENT)
+                    if c3 >= c2 and c3 >= c1:
+                        b = 3
+                    elif c2 >= c1:
+                        b = 2
+                    else:
+                        b = 1
+                    dp[j] = c3 if b == 3 else (c2 if b == 2 else c1)
+                    bl[j] = b
+                pos = n
+                while pos > 0:
+                    b = bl[pos]
+                    out_w.append(word)
+                    out_f.append(wf)
+                    out_p.append(word[pos - b:pos])
+                    pos -= b
+            yield pd.DataFrame(
+                {"word": out_w, "wfreq": out_f, "piece": out_p})
+    return words.mapInPandas(gen, "word string, wfreq bigint, piece string")
+
+
+def _unigram_em(spark: SparkSession,
+                words: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The shared EM loop (the _bpe_loop pattern: trainer and encoder
+    run THIS code, so the two entries check one dataflow from two
+    angles). Per round: collect the vocab (V rows — a bounded driver
+    read, like the k-means centroid tables), one distributed Viterbi
+    pass over distinct words, weighted piece counts, Laplace re-score
+    IN SPARK (so the ln/round arithmetic that must match DuckDB runs
+    engine-side, never in driver Python). Returns (final_counts,
+    final_vocab) — counts from the LAST E-step, scores from the last
+    M-step."""
+    vocab = _unigram_seed_vocab(words)
+    cnt = None
+    for _ in range(UNIGRAM_EM_ROUNDS):
+        vrows = {r["piece"]: r["lp"] for r in vocab.collect()}
+        seg = _segment_words(words, vrows)
+        pieces = spark.createDataFrame(
+            [(p,) for p in sorted(vrows)], "piece string")
+        cnt = (pieces.join(
+            seg.groupBy("piece").agg(F.sum("wfreq").alias("cc")),
+            "piece", "left")
+            .select("piece",
+                    F.coalesce("cc", F.lit(0)).cast("bigint").alias("c")))
+        tot = cnt.agg(F.sum("c").alias("tc"), F.count("*").alias("nv"))
+        vocab = (cnt.crossJoin(tot)   # 1-row total: bounded
+                 .select("piece",
+                         F.round(F.log(
+                             (F.col("c") + 1).cast("double")
+                             / (F.col("tc") + F.col("nv")).cast("double"))
+                             * 1e9, 0).cast("bigint").alias("lp")))
+    return cnt, vocab
+
+
+def q_unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenizer TRAINING as iterative
+    relational ops + a Viterbi kernel: seed a piece vocab from weighted
+    char n-gram counts, then UNIGRAM_EM_ROUNDS rounds of hard EM
+    (Viterbi-segment every distinct word under current scores ->
+    re-estimate scores from weighted piece counts with +1 Laplace).
+    Reports the final vocab: (piece, em_count, logp_nanonats). All
+    scores are integer nano-nats (round(ln(p)*1e9)) so the DP argmax
+    and tie-breaks are exact-integer on both engines; the oracle
+    unrolls the SAME pinned rounds with the DP as recursive CTEs, so a
+    hash match checks the full EM dataflow — seeding, both
+    segmentation passes, both re-scores — not a proxy. Completes the
+    tokenizer-training story next to bpe_merge_train (the reference has
+    no tokenizer; parity target is the brief's text-analysis pillar)."""
+    words = _unigram_words(load(spark, sf_dir, "documents")).cache()
+    words.count()    # eager: seed + both E-passes race a lazy cache
+    cnt, vocab = _unigram_em(spark, words)
+    out = (cnt.join(vocab, "piece")
+           .select("piece", F.col("c").alias("em_count"),
+                   F.col("lp").alias("logp_nanonats")))
+    return finalize(out, words)
+
+
+def q_unigram_lm_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY for the unigram LM — segment the corpus with the
+    TRAINED model (the same _unigram_em loop the trainer checks, plus
+    one more Viterbi pass under the final scores) and report per-doc
+    char count, piece count, and floor-ppm compression. Aggregation
+    rides the distinct-word pivot: per-doc (word, k) multiplicities
+    join the per-word piece counts, so the corpus-size pass is one
+    groupBy — the encoded corpus itself is hash-verified (a right
+    merge list with an off-by-one apply pass is exactly what a
+    doc-level count catches, the bpe_encode discipline)."""
+    docs = load(spark, sf_dir, "documents")
+    words = _unigram_words(docs).cache()
+    words.count()
+    _, vocab = _unigram_em(spark, words)
+    final = {r["piece"]: r["lp"] for r in vocab.collect()}
+    np = (_segment_words(words, final)
+          .groupBy("word").agg(F.count("*").alias("np")))
+    dw = (docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+          .select("doc_id",
+                  F.substring("w", 1, UNIGRAM_MAX_WORD).alias("word"))
+          .groupBy("doc_id", "word").agg(F.count("*").alias("k")))
+    out = (dw.join(np, "word")
+           .groupBy("doc_id")
+           .agg(F.sum(F.col("k") * F.length("word")).alias("n_chars"),
+                F.sum(F.col("k") * F.col("np")).alias("n_pieces"))
+           .select("doc_id", "n_chars", "n_pieces",
+                   F.expr("n_pieces * 1000000 div n_chars")
+                   .alias("compression_ppm")))
+    return finalize(out, words)
+
+
+def _unigram_oracle() -> tuple[str, str]:
+    """Train + apply oracles: the EM loop unrolled as pinned-round CTEs,
+    with each Viterbi pass as a pair of RECURSIVE CTEs — forward DP
+    carrying the last three dp cells as columns (s0,s1,s2), so no
+    aggregate appears in a recursive term, then a backtrack walk from
+    pos=len(word) hopping by the recorded best-length bl. Candidate
+    scores use the identical COALESCE-to-sentinel arithmetic and the
+    identical c3>=c2>=c1 tie-break CASE as _segment_words — integer
+    nano-nats end to end, so the argmax is bit-portable."""
+    toks = SQL_TOKENS
+    s = UNIGRAM_SENT
+    k = UNIGRAM_SEED_PER_N
+    # AS MATERIALIZED on every non-recursive CTE a recursive term
+    # consumes: without it DuckDB may inline the whole upstream chain
+    # (v{{p}} -> pc{{p-1}} -> f{{p-1}} -> ...) into EVERY iteration of
+    # the next forward DP — observed as an exponential-reevaluation
+    # hang at sf0.001 before this fix.
+    ctes = [f"""words AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS wfreq
+  FROM (SELECT substr(w, 1, {UNIGRAM_MAX_WORD}) AS word
+        FROM (SELECT unnest({toks}) AS w FROM documents))
+  GROUP BY 1)""", f"""occ AS MATERIALIZED (
+  SELECT piece, CAST(SUM(wfreq) AS BIGINT) AS c
+  FROM (
+    SELECT substr(word, CAST(i AS INTEGER), 1) AS piece, wfreq
+    FROM (SELECT word, wfreq,
+                 unnest(range(1, length(word) + 1)) AS i FROM words)
+    UNION ALL
+    SELECT substr(word, CAST(i AS INTEGER), 2), wfreq
+    FROM (SELECT word, wfreq,
+                 unnest(range(1, length(word))) AS i FROM words)
+    UNION ALL
+    SELECT substr(word, CAST(i AS INTEGER), 3), wfreq
+    FROM (SELECT word, wfreq,
+                 unnest(range(1, length(word) - 1)) AS i FROM words))
+  GROUP BY 1)""", f"""sel AS MATERIALIZED (
+  SELECT piece, c FROM occ WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, c FROM (
+    SELECT piece, c, row_number() OVER (PARTITION BY length(piece)
+                                        ORDER BY c DESC, piece) AS rn
+    FROM occ WHERE length(piece) > 1) WHERE rn <= {k})""", f"""tot0 AS MATERIALIZED (
+  SELECT CAST(SUM(c) AS BIGINT) AS tc FROM sel)""", f"""v1 AS MATERIALIZED (
+  SELECT piece, CAST(round(ln(c::DOUBLE / tc::DOUBLE) * 1e9) AS BIGINT)
+           AS lp
+  FROM sel CROSS JOIN tot0)"""]
+    n_pass = UNIGRAM_EM_ROUNDS + 1   # E1, E2, apply
+    for p in range(1, n_pass + 1):
+        ctes.append(f"""f{p} AS (
+  SELECT word, wfreq, 0 AS j, CAST(0 AS BIGINT) AS s0,
+         CAST({s} AS BIGINT) AS s1, CAST({s} AS BIGINT) AS s2, 0 AS bl
+  FROM words
+  UNION ALL
+  SELECT word, wfreq, j, GREATEST(c3, c2, c1) AS s0, p0 AS s1, p1 AS s2,
+         CASE WHEN c3 >= c2 AND c3 >= c1 THEN 3
+              WHEN c2 >= c1 THEN 2 ELSE 1 END AS bl
+  FROM (
+    SELECT f.word, f.wfreq, f.j + 1 AS j, f.s0 AS p0, f.s1 AS p1,
+           f.s0 + COALESCE(x1.lp, {s}) AS c1,
+           CASE WHEN f.j >= 1 THEN f.s1 + COALESCE(x2.lp, {s})
+                ELSE {s} END AS c2,
+           CASE WHEN f.j >= 2 THEN f.s2 + COALESCE(x3.lp, {s})
+                ELSE {s} END AS c3
+    FROM f{p} f
+    LEFT JOIN v{p} x1 ON x1.piece = substr(f.word, f.j + 1, 1)
+    LEFT JOIN v{p} x2 ON f.j >= 1 AND x2.piece = substr(f.word, f.j, 2)
+    LEFT JOIN v{p} x3 ON f.j >= 2 AND x3.piece = substr(f.word, f.j - 1, 3)
+    WHERE f.j < length(f.word)) t)""")
+        ctes.append(f"""bt{p} AS (
+  SELECT word, wfreq, length(word) AS pos FROM words
+  UNION ALL
+  SELECT b.word, b.wfreq, b.pos - f.bl
+  FROM bt{p} b JOIN f{p} f ON f.word = b.word AND f.j = b.pos
+  WHERE b.pos > 0)""")
+        ctes.append(f"""pc{p} AS MATERIALIZED (
+  SELECT b.word, b.wfreq, substr(b.word, b.pos - f.bl + 1, f.bl) AS piece
+  FROM bt{p} b JOIN f{p} f ON f.word = b.word AND f.j = b.pos
+  WHERE b.pos > 0)""")
+        if p <= UNIGRAM_EM_ROUNDS:   # M-step after E1/E2 only
+            ctes.append(f"""cnt{p} AS MATERIALIZED (
+  SELECT v.piece, CAST(COALESCE(SUM(p.wfreq), 0) AS BIGINT) AS c
+  FROM v{p} v LEFT JOIN pc{p} p ON p.piece = v.piece
+  GROUP BY v.piece)""")
+            ctes.append(f"""tot{p} AS MATERIALIZED (
+  SELECT CAST(SUM(c) AS BIGINT) AS tc, COUNT(*) AS nv FROM cnt{p})""")
+            ctes.append(f"""v{p + 1} AS MATERIALIZED (
+  SELECT piece, CAST(round(ln((c + 1)::DOUBLE / (tc + nv)::DOUBLE) * 1e9)
+                  AS BIGINT) AS lp
+  FROM cnt{p} CROSS JOIN tot{p})""")
+    body = "WITH RECURSIVE " + ",\n".join(ctes)
+    r = UNIGRAM_EM_ROUNDS
+    train = body + f"""
+SELECT c.piece, c.c AS em_count, v.lp AS logp_nanonats
+FROM cnt{r} c JOIN v{r + 1} v USING (piece)"""
+    apply_ = body + f"""
+SELECT d.doc_id,
+       CAST(SUM(d.k * length(d.word)) AS BIGINT) AS n_chars,
+       CAST(SUM(d.k * np.np) AS BIGINT) AS n_pieces,
+       CAST(SUM(d.k * np.np) AS BIGINT) * 1000000
+         // CAST(SUM(d.k * length(d.word)) AS BIGINT) AS compression_ppm
+FROM (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS k
+      FROM (SELECT doc_id, substr(w, 1, {UNIGRAM_MAX_WORD}) AS word
+            FROM (SELECT doc_id, unnest({toks}) AS w FROM documents))
+      GROUP BY 1, 2) d
+JOIN (SELECT word, CAST(COUNT(*) AS BIGINT) AS np
+      FROM pc{r + 1} GROUP BY 1) np USING (word)
+GROUP BY d.doc_id"""
+    return train, apply_
+
+
+ORACLE_UNIGRAM_LM_TRAIN, ORACLE_UNIGRAM_LM_APPLY = _unigram_oracle()
+
+
 def q_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based source mixing (alpha = 0.5): sampling weight per
     source ∝ count^alpha, the standard rebalance that upweights small
@@ -2142,6 +2464,10 @@ TRAINING_QUERIES = [
              "LLM-bpe-train"),
     QueryDef("bpe_encode", q_bpe_encode, ORACLE_BPE_ENCODE,
              "LLM-bpe-apply"),
+    QueryDef("unigram_lm_train", q_unigram_lm_train,
+             ORACLE_UNIGRAM_LM_TRAIN, "LLM-unigram-train"),
+    QueryDef("unigram_lm_apply", q_unigram_lm_apply,
+             ORACLE_UNIGRAM_LM_APPLY, "LLM-unigram-apply"),
     QueryDef("sequence_packing", q_sequence_packing, ORACLE_SEQUENCE_PACKING,
              "LLM-seq-pack"),
 ]

@@ -56,9 +56,22 @@ def market_coverage_gaps(flat: DataFrame) -> list[str]:
     return sorted(set(EXPECTED_MARKETS) - found)
 
 
+def wall_clock_ts(collected_at: dt.datetime):
+    """A timestamp literal that preserves ``collected_at``'s WALL CLOCK
+    under the session timezone. ``F.lit(naive datetime)`` converts to
+    internal micros via the DRIVER-PROCESS zone, while ``year()/month()``
+    partition extraction uses ``spark.sql.session.timeZone`` — when the
+    two differ, a near-midnight run can land in the wrong year/month
+    partition (ADVICE r11). A string literal parsed by ``to_timestamp``
+    is interpreted in the session zone only, so stamp and extraction
+    always agree."""
+    return F.to_timestamp(
+        F.lit(collected_at.strftime("%Y-%m-%d %H:%M:%S.%f")))
+
+
 def build_odds_snapshot(raw: DataFrame, collected_at: dt.datetime) -> DataFrame:
     """Full ingest transform: flatten + stamp collection timestamp (T7,
     odds_data_collector.py:25). Pair with io.upsert_partitioned(key_cols=None)
     for the reference's append + full-row-dedup write (odds_data_collector.py:30-51)."""
     return flatten_odds(raw).withColumn(
-        "timestamp", F.lit(collected_at).cast("timestamp"))
+        "timestamp", wall_clock_ts(collected_at))

@@ -79,8 +79,13 @@ def test_handler_dispatch_and_backfill_date(spark, tmp_path):
                   {"odds": fake_collector})
     assert out == {"odds": {"ok": True}}
     assert seen["dt"] == dt.datetime(2024, 11, 18)   # explicit backfill date
-    with pytest.raises(KeyError, match="unknown collector"):
-        handler(spark, {"collectors_to_run": ["nope"]}, {"odds": fake_collector})
+    # unknown names are skipped with a warning and the REMAINING
+    # collectors still run — the reference guards with `if collector in
+    # eligible_collectors` and silently drops them (src/main.py:38-40)
+    with pytest.warns(UserWarning, match="unknown collector 'nope'"):
+        out = handler(spark, {"collectors_to_run": ["nope", "odds"]},
+                      {"odds": fake_collector})
+    assert out == {"odds": {"ok": True}}
     # no collectors -> no-op, mirroring an empty event
     assert handler(spark, {}, {"odds": fake_collector}) == {}
 
