@@ -960,6 +960,19 @@ def containment_prefix_pairs(sh: DataFrame, t_pm: int) -> DataFrame:
     candidates only — both direction gates row-local on the unordered
     candidate row, exactly q_containment_join's explode form.
 
+    WIN CONDITION (measured, SCALE.md round 12): the route beats the
+    plain df-capped self-join when the corpus has a torso of
+    mid-frequency shingles (templates/boilerplate with df in the
+    tens-to-hundreds, under the cap) and sparse true pairs — there the
+    self-join pays sum(df^2) over the torso while the route probes
+    only each doc's rare tail. On DENSE intersect-graphs (replicated
+    corpora where most candidate pairs are true pairs) the shared
+    verification stage dominates both routes and the plain join's
+    lower constant wins — that corpus is the one you exact-dedup
+    first. A PPJoin-style positional filter was measured and REJECTED:
+    the global rarity order correlates across docs, so it cut
+    candidates only ~17% while paying a second window-ranked pass.
+
     ``t_pm``: integer per-mille threshold (900 = the 0.90 gate);
     ceil(t*sz) is the integer form (t_pm*sz + 999) div 1000, so no
     float touches the decision boundary. Returns (sub_doc_id,
