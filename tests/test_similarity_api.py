@@ -335,3 +335,69 @@ def test_bench_reps_arg_parsing():
         _reps_requested(["bench.py", "--min-of"])
     with pytest.raises(SystemExit, match="needs an integer"):
         _reps_requested(["bench.py", "--min-of=two"])
+
+
+def test_containment_dispatch(spark, sf_dir):
+    """metric='containment' (VERDICT r11 item 2): the one ASYMMETRIC
+    family through the front door. Ordered (id1=sub, id2=super) pairs
+    must equal the standalone q_containment_join entry's pair set at
+    the same gate; exact= is accepted either way (the kernel is always
+    lossless — there is no approximate variant), while sketch= and an
+    out-of-range threshold fail fast like every family's
+    undispatchable input."""
+    from nfl_data_engineering_spark.plans.registry import _BY_NAME
+    from nfl_data_engineering_spark.plans.textops import CONTAINMENT_PCT
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    t = CONTAINMENT_PCT / 100
+    with pytest.raises(ValueError, match="needs a string column"):
+        similarity_join(emb, "vec_id", "embedding", t, metric="containment")
+    with pytest.raises(ValueError, match="containment threshold"):
+        similarity_join(docs, "doc_id", "text", 1.5, metric="containment")
+    with pytest.raises(ValueError, match="sketch="):
+        similarity_join(docs, "doc_id", "text", t, metric="containment",
+                        sketch="oph")
+    caches = []
+    got = {(r["id1"], r["id2"]) for r in
+           similarity_join(docs, "doc_id", "text", t,
+                           metric="containment", caches=caches).collect()}
+    # exact=True promises losslessness, which is what always runs
+    got_exact = {(r["id1"], r["id2"]) for r in
+                 similarity_join(docs, "doc_id", "text", t,
+                                 metric="containment", exact=True,
+                                 caches=caches).collect()}
+    for c in caches:
+        c.unpersist()
+    release_deferred()
+    ref = {(r["sub_doc_id"], r["super_doc_id"]) for r in
+           _BY_NAME["containment_join"].spark(spark, sf_dir).collect()}
+    release_deferred()
+    assert got == ref and got == got_exact
+    assert got, "expected at least one containment pair in testdata"
+    # the asymmetric family emits ORDERED pairs: exact-dup pairs appear
+    # in both directions by definition
+    assert any((b, a) in got for a, b in got)
+
+
+def test_staged_containment_spec(spark, sf_dir):
+    """A containment spec composes through similarity_join_staged like
+    every other family (the staged API routes via similarity_join, so
+    the new metric needs no staged-side code — pin that)."""
+    from nfl_data_engineering_spark.plans.registry import _BY_NAME
+    from nfl_data_engineering_spark.plans.similarity_api import (
+        similarity_join_staged)
+    from nfl_data_engineering_spark.plans.textops import CONTAINMENT_PCT
+
+    docs = load(spark, sf_dir, "documents")
+    staged = similarity_join_staged([
+        {"family": "containment", "df": docs, "id_col": "doc_id",
+         "col": "text", "threshold": CONTAINMENT_PCT / 100,
+         "metric": "containment"},
+    ])
+    got = {tuple(r) for r in staged.collect()}
+    want = {tuple(r) for r in
+            _BY_NAME["similarity_containment_api"].spark(
+                spark, sf_dir).collect()}
+    release_deferred()
+    assert got == want and got
