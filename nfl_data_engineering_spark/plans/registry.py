@@ -47,6 +47,7 @@ _PRIORITY: list[str] = [
     # --- (b) round-12 additions, never driver-attested ---
     "similarity_containment_api", "containment_sketch_join",
     "containment_recall_audit", "unigram_lm_train", "unigram_lm_apply",
+    "unigram_perplexity_filter",
     # --- (c) the r7-vintage cohort, name order (tail -> round 13) ---
     "ann_ivf_topk", "big_order_customers", "contamination_check",
     "cosine_neardup_lsh", "cosine_neardup_pairs", "csv_roundtrip",
@@ -62,9 +63,8 @@ _PRIORITY: list[str] = [
     "streaming_daily_rollup", "streaming_interval_join",
     "streaming_sessionization", "substring_dedup_rewrite",
     "text_quality", "token_counts", "topk_salted", "trailing_7d_sum",
-    "trimmed_mean",
-    # r7 tail displaced to round 13 by the five (b) additions (plus
-    # ann_pq_topk's spare slot yielding): unpivot_metrics,
+    # r7 tail displaced to round 13 by the six (b) additions (plus
+    # ann_pq_topk's spare slot yielding): trimmed_mean, unpivot_metrics,
     # user_event_sequences, winsorized_stats, xlsx_roundtrip
 ]
 

@@ -980,8 +980,54 @@ def q_unigram_lm_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finalize(out, words)
 
 
-def _unigram_oracle() -> tuple[str, str]:
-    """Train + apply oracles: the EM loop unrolled as pinned-round CTEs,
+def q_unigram_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filtering under the TRAINED unigram LM —
+    the flagship LLM-corpus quality gate this tokenizer family was
+    built to feed (score every doc by how surprising the in-domain LM
+    finds it; drop the high-perplexity tail). Per doc: total Viterbi
+    negative log-likelihood in integer nano-nats (nll = -sum of the
+    chosen pieces' logp over the best segmentation, weighted by word
+    multiplicity), pieces count, floor-div average nll/piece, and the
+    corpus-mean gate kept = (nll * total_pieces <= total_nll *
+    n_pieces) — the cross-multiplied integer form of avg_doc <=
+    avg_corpus, so the boundary never sees a float or a truncated
+    division on either engine (products bounded by corpus-total nll *
+    doc pieces ~ 1e17 at sf0.1, well under int64; a 100 TB corpus
+    would move this comparison to decimal). Rides the same
+    distinct-word pivot + EM loop as train/apply — a third
+    hash-checked angle on one dataflow — plus one vocab join to price
+    the pieces."""
+    docs = load(spark, sf_dir, "documents")
+    words = _unigram_words(docs).cache()
+    words.count()
+    _, vocab = _unigram_em(spark, words)
+    final = {r["piece"]: r["lp"] for r in vocab.collect()}
+    wn = (_segment_words(words, final)
+          .join(vocab, "piece")
+          .groupBy("word").agg(F.count("*").alias("np"),
+                               F.sum(-F.col("lp")).alias("nll")))
+    dw = (docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+          .select("doc_id",
+                  F.substring("w", 1, UNIGRAM_MAX_WORD).alias("word"))
+          .groupBy("doc_id", "word").agg(F.count("*").alias("k")))
+    stats = (dw.join(wn, "word")
+             .groupBy("doc_id")
+             .agg(F.sum(F.col("k") * F.col("np")).alias("n_pieces"),
+                  F.sum(F.col("k") * F.col("nll")).alias("nll_nanonats")))
+    tot = stats.agg(F.sum("nll_nanonats").alias("tn"),
+                    F.sum("n_pieces").alias("tp"))
+    out = (stats.crossJoin(tot)   # 1-row corpus total: bounded
+           .select("doc_id", "n_pieces", "nll_nanonats",
+                   F.expr("nll_nanonats div n_pieces")
+                   .alias("avg_nll_nanonats"),
+                   F.expr("CASE WHEN nll_nanonats * tp <= tn * n_pieces "
+                          "THEN 1 ELSE 0 END").cast("bigint").alias("kept")))
+    return finalize(out, words)
+
+
+def _unigram_oracle() -> tuple[str, str, str]:
+    """Train + apply + perplexity-filter oracles: the EM loop unrolled
+    as pinned-round CTEs,
     with each Viterbi pass as a pair of RECURSIVE CTEs — forward DP
     carrying the last three dp cells as columns (s0,s1,s2), so no
     aggregate appears in a recursive term, then a backtrack walk from
@@ -1087,10 +1133,36 @@ FROM (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS k
 JOIN (SELECT word, CAST(COUNT(*) AS BIGINT) AS np
       FROM pc{r + 1} GROUP BY 1) np USING (word)
 GROUP BY d.doc_id"""
-    return train, apply_
+    # perplexity filter: price the apply pass's pieces with the final
+    # vocab scores, roll up per doc, gate on the cross-multiplied
+    # integer form of avg_doc <= avg_corpus (no float, no truncated
+    # division at the boundary)
+    ppl = body + f""",
+word_nll AS MATERIALIZED (
+  SELECT p.word, CAST(COUNT(*) AS BIGINT) AS np,
+         CAST(SUM(-v.lp) AS BIGINT) AS nll
+  FROM pc{r + 1} p JOIN v{r + 1} v USING (piece) GROUP BY 1),
+docstats AS MATERIALIZED (
+  SELECT d.doc_id, CAST(SUM(d.k * wn.np) AS BIGINT) AS n_pieces,
+         CAST(SUM(d.k * wn.nll) AS BIGINT) AS nll_nanonats
+  FROM (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS k
+        FROM (SELECT doc_id, substr(w, 1, {UNIGRAM_MAX_WORD}) AS word
+              FROM (SELECT doc_id, unnest({toks}) AS w FROM documents))
+        GROUP BY 1, 2) d
+  JOIN word_nll wn USING (word)
+  GROUP BY 1),
+tot AS (SELECT CAST(SUM(nll_nanonats) AS BIGINT) AS tn,
+               CAST(SUM(n_pieces) AS BIGINT) AS tp FROM docstats)
+SELECT doc_id, n_pieces, nll_nanonats,
+       nll_nanonats // n_pieces AS avg_nll_nanonats,
+       CAST(CASE WHEN nll_nanonats * tp <= tn * n_pieces
+            THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM docstats CROSS JOIN tot"""
+    return train, apply_, ppl
 
 
-ORACLE_UNIGRAM_LM_TRAIN, ORACLE_UNIGRAM_LM_APPLY = _unigram_oracle()
+(ORACLE_UNIGRAM_LM_TRAIN, ORACLE_UNIGRAM_LM_APPLY,
+ ORACLE_UNIGRAM_PPL_FILTER) = _unigram_oracle()
 
 
 def q_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2468,6 +2540,8 @@ TRAINING_QUERIES = [
              ORACLE_UNIGRAM_LM_TRAIN, "LLM-unigram-train"),
     QueryDef("unigram_lm_apply", q_unigram_lm_apply,
              ORACLE_UNIGRAM_LM_APPLY, "LLM-unigram-apply"),
+    QueryDef("unigram_perplexity_filter", q_unigram_perplexity_filter,
+             ORACLE_UNIGRAM_PPL_FILTER, "LLM-unigram-ppl-filter"),
     QueryDef("sequence_packing", q_sequence_packing, ORACLE_SEQUENCE_PACKING,
              "LLM-seq-pack"),
 ]
