@@ -43,16 +43,17 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql import types as T
 
 from ..functions.hashing import (RECALL_FLOOR, minhash_band_config,
-                                 minhash_bands_fast, oph_auto_cutover,
+                                 minhash_bands_arrays, oph_auto_cutover,
                                  oph_bands_fast, simhash)
-from ..functions.text import explode_shingle_hashes, explode_tokens
+from ..functions.text import explode_tokens, shingle_hash_arrays
 from .base import QueryDef, finalize, load
 from .textops import (CONTAINMENT_PCT, JACCARD_THRESHOLD, NGRAM_DF_CAP,
                       NUM_BANDS, NUM_HASHES, ORACLE_MINHASH_LSH,
                       ORACLE_PREFIX_FILTER_JOIN, ORACLE_SIMHASH,
                       SIMHASH_BITS, SIMHASH_MAX_HAMMING, SQL_H60,
                       _sql_shingles_cte, containment_prefix_pairs,
-                      sql_minhash_pair_ctes, sql_oph_pair_ctes)
+                      sql_minhash_pair_ctes, sql_oph_pair_ctes,
+                      verify_jaccard_arrays)
 from .vector import ORACLE_COSINE_LSH, SRP_THRESHOLD, _srp_bands, srp_bits
 
 # minhash_band_config / RECALL_FLOOR moved to functions.hashing (VERDICT
@@ -60,38 +61,42 @@ from .vector import ORACLE_COSINE_LSH, SRP_THRESHOLD, _srp_bands, srp_bits
 # are re-exported above for existing importers.
 
 
-def _verify_jaccard(sh: DataFrame, cand: DataFrame,
+def _verify_jaccard(sharr: DataFrame, cand: DataFrame,
                     threshold: float) -> DataFrame:
     """Exact set-jaccard verification of (id1, id2) candidates against the
-    hashed-shingle frame; returns (id1, id2, score) passing the gate."""
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    s1 = sh.select(F.col("doc_id").alias("id1"), "sh60")
-    s2 = sh.select(F.col("doc_id").alias("id2"), "sh60")
-    inter = (cand.join(s1, "id1").join(s2, ["id2", "sh60"])
-             .groupBy("id1", "id2").agg(F.count("*").alias("i")))
-    jac = (F.col("i").cast("double")
-           / (F.col("sz1") + F.col("sz2") - F.col("i")).cast("double"))
-    return (inter
-            .join(sizes.select(F.col("doc_id").alias("id1"),
-                               F.col("sz").alias("sz1")), "id1")
-            .join(sizes.select(F.col("doc_id").alias("id2"),
-                               F.col("sz").alias("sz2")), "id2")
-            .filter(jac >= F.lit(float(threshold)))
-            .select("id1", "id2", jac.alias("score")))
+    per-doc shingle-hash ARRAY frame (round 12: the row-local
+    array-intersect tail — textops.verify_jaccard_arrays — replacing the
+    explode-join/groupBy/size-join chain; identical rows, three fewer
+    exchanges); returns (id1, id2, score) passing the gate."""
+    return verify_jaccard_arrays(sharr, cand, threshold,
+                                 c1="id1", c2="id2", score_col="score")
 
 
-def _text_banded_join(sh: DataFrame, threshold: float,
+def _kdraw_kernel(sharr: DataFrame, n_hashes: int, n_bands: int) -> DataFrame:
+    """Row-local k-draw band rows from the per-doc hash-array frame."""
+    return minhash_bands_arrays(sharr, "doc_id", "sh_arr", n_hashes, n_bands)
+
+
+def _oph_kernel(sharr: DataFrame, n_bins: int, n_bands: int) -> DataFrame:
+    """OPH band rows; the slot groupBy is OPH's own shape, so its input
+    stays per-shingle rows — derived from the cached arrays with one
+    row-local explode (no re-tokenize/re-hash)."""
+    return oph_bands_fast(
+        sharr.select("doc_id", F.explode("sh_arr").alias("sh60")),
+        "doc_id", "sh60", n_bins, n_bands, hashed=True)
+
+
+def _text_banded_join(sharr: DataFrame, threshold: float,
                       caches: list[DataFrame], kernel) -> DataFrame:
     """Banded-sketch bucketing -> candidate equi-join -> exact verify,
-    generic over the sketch ``kernel`` (minhash_bands_fast /
-    oph_bands_fast — same (df, id, col, bins, bands, hashed) signature).
+    generic over the sketch ``kernel`` (_kdraw_kernel / _oph_kernel —
+    same (sharr, bins, bands) signature over the per-doc array frame).
     The band config is derived from the threshold, not module-constant,
     and ONE copy of the candidate/verify tail serves both kernels
     (round-9 review finding: a drifting copy would silently verify a
     different truth)."""
     n_hashes, n_bands = minhash_band_config(threshold)
-    bands = kernel(sh, "doc_id", "sh60", n_hashes, n_bands,
-                   hashed=True).cache()
+    bands = kernel(sharr, n_hashes, n_bands).cache()
     caches.append(bands)
     bands.count()   # eager: both candidate sides race a lazy cache
     b1 = bands.select(F.col("doc_id").alias("id1"), "band", "band_key")
@@ -99,16 +104,16 @@ def _text_banded_join(sh: DataFrame, threshold: float,
     cand = (b1.join(b2, ["band", "band_key"])
             .filter(F.col("id1") < F.col("id2"))
             .select("id1", "id2").distinct())
-    return _verify_jaccard(sh, cand, threshold)
+    return _verify_jaccard(sharr, cand, threshold)
 
 
-def _text_minhash_join(sh: DataFrame, threshold: float,
+def _text_minhash_join(sharr: DataFrame, threshold: float,
                        caches: list[DataFrame]) -> DataFrame:
     """The q_dedup_minhash_lsh pipeline, generic over threshold."""
-    return _text_banded_join(sh, threshold, caches, minhash_bands_fast)
+    return _text_banded_join(sharr, threshold, caches, _kdraw_kernel)
 
 
-def _text_oph_join(sh: DataFrame, threshold: float,
+def _text_oph_join(sharr: DataFrame, threshold: float,
                    caches: list[DataFrame]) -> DataFrame:
     """One-Permutation-Hashing variant of the approximate jaccard path
     (q_dedup_minhash_oph's machinery, generic over threshold): one
@@ -116,7 +121,7 @@ def _text_oph_join(sh: DataFrame, threshold: float,
     banding and the identical candidate/verify tail. Same S-curve recall
     law as the k-draw family under the shared band derivation; measured
     1e6 ppm at t=0.8 by q_oph_recall_audit."""
-    return _text_banded_join(sh, threshold, caches, oph_bands_fast)
+    return _text_banded_join(sharr, threshold, caches, _oph_kernel)
 
 
 # Integer per-mille form of the K*ln(K) routing cutover. ONE quantization
@@ -145,7 +150,7 @@ ROUTE_CUTOVER_X1000 = int(oph_auto_cutover() * 1000)
 ROUTE_BOUNDARY_PM = 80
 
 
-def _resolve_auto_sketch(sh: DataFrame) -> str:
+def _resolve_auto_sketch(sharr: DataFrame) -> str:
     """Route the approximate-jaccard kernel on MEASURED corpus shape
     (VERDICT r9 item 3 — the OPH-vs-k-draw guideline as code): ONE
     aggregate over the already-computed (and cached) shingle frame —
@@ -171,23 +176,35 @@ def _resolve_auto_sketch(sh: DataFrame) -> str:
     and its oracle use, so all three share one decision boundary; the
     float K*ln(K) compare the router used before ADVICE r10 left a
     truncated sliver (exact per-mille avg in [floor(c*1000), c*1000))
-    where the report said 'oph' but the router picked 'kdraw'."""
-    row = sh.agg(F.count("*").alias("n"),
-                 F.approx_count_distinct("doc_id", rsd=0.02)
-                 .alias("d")).first()
+    where the report said 'oph' but the router picked 'kdraw'.
+
+    Round 12: the statistic is computed from the per-doc ARRAY frame —
+    n = sum(size(sh_arr)) equals the old exploded count(*) exactly, and
+    the HLL sketch over doc_id is insert-idempotent (adding a doc once
+    or once-per-shingle writes the same registers), so d is the
+    identical estimate; empty-array docs are filtered like the explode
+    dropped them. Same integers, |docs| aggregate rows instead of
+    |shingles|."""
+    row = (sharr.filter(F.size("sh_arr") > 0)
+           .agg(F.sum(F.size("sh_arr")).alias("n"),
+                F.approx_count_distinct("doc_id", rsd=0.02)
+                .alias("d")).first())
     if not row["d"]:
         return "kdraw"
     return ("oph" if row["n"] * 1000 >= row["d"] * ROUTE_CUTOVER_X1000
             else "kdraw")
 
 
-def _text_prefix_join(sh: DataFrame, threshold: float) -> DataFrame:
+def _text_prefix_join(sharr: DataFrame, threshold: float) -> DataFrame:
     """Prefix-filter exact set-similarity join (the q_prefix_filter_join
     pipeline, generic over threshold). The prefix-length and length-filter
     arithmetic runs on the EXACT rational p/q form of the threshold —
     float ceil(0.8*sz) rounds the wrong way on exact multiples (binary
     0.8*5 = 4.0000000000000002 -> ceil 5), which would shorten prefixes
-    and silently lose pairs."""
+    and silently lose pairs. Round 12: per-shingle rows derive from the
+    cached array frame with a row-local explode carrying size(sh_arr)
+    along (the per-doc COUNT aggregation and its join disappear), and
+    verification is the array-intersect tail."""
     frac = Fraction(threshold).limit_denominator(1_000_000)
     if frac > Fraction(threshold):
         # Never let the rationalized threshold exceed the float verify
@@ -197,12 +214,13 @@ def _text_prefix_join(sh: DataFrame, threshold: float) -> DataFrame:
         # prefixes (more candidates, same verified output).
         frac = Fraction(math.floor(Fraction(threshold) * 10**6), 10**6)
     p, q = frac.numerator, frac.denominator
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sh = sharr.select("doc_id", F.size("sh_arr").alias("sz"),
+                      F.explode("sh_arr").alias("sh60"))
     dfreq = sh.groupBy("sh60").agg(F.count("*").alias("df"))
     ranked = (sh.join(dfreq, "sh60")
               .withColumn("rn", F.row_number().over(
                   Window.partitionBy("doc_id").orderBy("df", "sh60"))))
-    pre = (ranked.join(sizes, "doc_id")
+    pre = (ranked
            .filter(F.col("rn")
                    <= F.expr(f"sz - (({p} * sz + {q - 1}) div {q}) + 1"))
            .select("doc_id", "sh60", "sz"))
@@ -213,7 +231,7 @@ def _text_prefix_join(sh: DataFrame, threshold: float) -> DataFrame:
     cand = (p1.join(p2, "sh60").filter(F.col("id1") < F.col("id2"))
             .filter(F.least("sz1", "sz2") * q >= F.greatest("sz1", "sz2") * p)
             .select("id1", "id2").distinct())
-    return _verify_jaccard(sh, cand, threshold)
+    return _verify_jaccard(sharr, cand, threshold)
 
 
 def _text_simhash_join(std: DataFrame, max_hamming: int,
@@ -345,14 +363,16 @@ def similarity_join(df: DataFrame, id_col: str, col: str, threshold: float,
       by the pigeonhole theorem at any bound. Every path is
       candidates-by-equi-join + exact verification: linear scans at
       100 TB, never all-pairs.
-    * ``caches`` collects the frames each kernel pins (shingles, band
-      sketches, norm tables) for the caller to release — route them
+    * ``caches`` collects the frames each kernel pins (shingle arrays,
+      band sketches, norm tables) for the caller to release — route them
       through plans.base.finalize / release_deferred, NOT a leak.
     * ``shingles``: a precomputed cached frame from
-      ``explode_shingle_hashes(df, id_col, col)`` (aliased doc_id/sh60),
-      so a caller running several text dispatches over one corpus
-      shingles it once — passing it twice would otherwise re-cache an
-      identical plan (a CacheManager no-op whose unpersist fires twice).
+      ``shingle_hash_arrays(df, id_col, col)`` (aliased doc_id/sh_arr —
+      the round-12 per-doc ARRAY form; kernels that need per-shingle
+      rows derive them with a row-local explode), so a caller running
+      several text dispatches over one corpus shingles it once —
+      passing it twice would otherwise re-cache an identical plan (a
+      CacheManager no-op whose unpersist fires twice).
 
     Peak-spill note for multi-family callers (round-8 sweep finding): the
     returned frame is lazy, so UNIONING several dispatches and executing
@@ -393,14 +413,14 @@ def similarity_join(df: DataFrame, id_col: str, col: str, threshold: float,
     if metric in ("jaccard", "containment"):
         if not isinstance(dt, T.StringType):
             raise ValueError(f"metric={metric!r} needs a string column")
-        sh = shingles
-        if sh is None:
-            sh = explode_shingle_hashes(
+        sharr = shingles
+        if sharr is None:
+            sharr = shingle_hash_arrays(
                 df.select(F.col(id_col).alias("doc_id"),
                           F.col(col).alias("text")),
                 "doc_id", "text", n=3).cache()
-            caches.append(sh)
-            sh.count()
+            caches.append(sharr)
+            sharr.count()
         if metric == "containment":
             # ASYMMETRIC family (VERDICT r11 item 2): ordered (id1=sub,
             # id2=super) pairs with |S_sub ∩ S_super| / |S_sub| >=
@@ -418,7 +438,12 @@ def similarity_join(df: DataFrame, id_col: str, col: str, threshold: float,
                 raise ValueError(
                     f"containment threshold must be in (0, 1], "
                     f"got {threshold!r}")
-            pairs = containment_prefix_pairs(sh, t_pm)
+            # the df-capped prefix kernel needs per-shingle rows (global
+            # df counts + the capped index): derive them from the cached
+            # arrays with one row-local explode
+            pairs = containment_prefix_pairs(
+                sharr.select("doc_id", F.explode("sh_arr").alias("sh60")),
+                t_pm)
             return pairs.select(
                 F.col("sub_doc_id").alias("id1"),
                 F.col("super_doc_id").alias("id2"),
@@ -426,12 +451,12 @@ def similarity_join(df: DataFrame, id_col: str, col: str, threshold: float,
                         / F.col("sz_sub").cast("double"), 6)
                  .alias("score"))
         if exact:
-            return _text_prefix_join(sh, threshold)
+            return _text_prefix_join(sharr, threshold)
         if sketch == "auto":
-            sketch = _resolve_auto_sketch(sh)
+            sketch = _resolve_auto_sketch(sharr)
         if sketch == "oph":
-            return _text_oph_join(sh, threshold, caches)
-        return _text_minhash_join(sh, threshold, caches)
+            return _text_oph_join(sharr, threshold, caches)
+        return _text_minhash_join(sharr, threshold, caches)
     if exact:
         # the simhash chunk join is already exact AT THE BOUND and the
         # SRP path has no lossless variant — silently ignoring the flag
@@ -484,7 +509,7 @@ def similarity_join_staged(specs: list[dict]) -> DataFrame:
 
     ``shingles`` (VERDICT r9 item 6): a caller running several TEXT
     families over ONE corpus can pass the same precomputed cached frame
-    from ``explode_shingle_hashes`` on each such spec, trading the
+    from ``shingle_hash_arrays`` on each such spec, trading the
     staged form's one re-shingling linear scan per family (the +27%
     wall premium measured at the 10x replica) for a pinned cache that
     lives ACROSS the family barriers — i.e. peak storage is no longer
@@ -543,17 +568,17 @@ def q_similarity_join_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     emb = load(spark, sf_dir, "embeddings")
     caches: list[DataFrame] = []
-    sh = explode_shingle_hashes(docs, "doc_id", "text", n=3).cache()
-    caches.append(sh)
-    sh.count()   # eager: minhash + prefix dispatches race a lazy cache
+    sharr = shingle_hash_arrays(docs, "doc_id", "text", n=3).cache()
+    caches.append(sharr)
+    sharr.count()   # eager: minhash + prefix dispatches race a lazy cache
     # sketch pinned: this entry's oracle replays k-draw banding, and an
     # oracle must never depend on a data-dependent route (the 'auto'
     # default would route here on corpus shape; its attestation lives in
     # q_sketch_route_report) — round-10 review finding
     mh = similarity_join(docs, "doc_id", "text", JACCARD_THRESHOLD,
-                         caches=caches, shingles=sh, sketch="kdraw")
+                         caches=caches, shingles=sharr, sketch="kdraw")
     pf = similarity_join(docs, "doc_id", "text", JACCARD_THRESHOLD,
-                         exact=True, caches=caches, shingles=sh)
+                         exact=True, caches=caches, shingles=sharr)
     hm = similarity_join(docs, "doc_id", "text", SIMHASH_MAX_HAMMING,
                          metric="hamming", caches=caches)
     sp = similarity_join(emb, "vec_id", "embedding", SRP_THRESHOLD,
@@ -681,14 +706,18 @@ def q_sketch_route_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shipped corpora the statistic is far outside the band, so the
     strong claim is what actually gets attested."""
     docs = load(spark, sf_dir, "documents")
-    sh = explode_shingle_hashes(docs, "doc_id", "text", n=3).cache()
-    sh.count()
-    routed = _resolve_auto_sketch(sh)   # the live router, HLL statistic
+    sharr = shingle_hash_arrays(docs, "doc_id", "text", n=3).cache()
+    sharr.count()
+    routed = _resolve_auto_sketch(sharr)   # the live router, HLL statistic
     in_band = F.expr(
         f"abs(n_shingles * 1000 - n_docs * {ROUTE_CUTOVER_X1000}) * 1000 "
         f"<= n_docs * {ROUTE_CUTOVER_X1000} * {ROUTE_BOUNDARY_PM}")
-    out = (sh.agg(F.count("*").alias("n_shingles"),
-                  F.countDistinct("doc_id").alias("n_docs"))
+    # exact statistic from the array frame: sum(size) == the exploded
+    # count(*), countDistinct over non-empty docs == the exploded
+    # countDistinct (the explode dropped empty docs) — same integers
+    out = (sharr.filter(F.size("sh_arr") > 0)
+           .agg(F.sum(F.size("sh_arr")).alias("n_shingles"),
+                F.countDistinct("doc_id").alias("n_docs"))
            .select(
                "n_shingles", "n_docs",
                F.expr("n_shingles * 1000 div n_docs")
@@ -699,7 +728,7 @@ def q_sketch_route_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("kernel"),
                F.when(in_band, F.lit("boundary"))
                 .otherwise(F.lit(routed)).alias("routed_kernel")))
-    return finalize(out, sh)
+    return finalize(out, sharr)
 
 
 ORACLE_SKETCH_ROUTE_REPORT = f"""
@@ -768,12 +797,12 @@ def q_auto_route_oph_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         sup.select((F.col("doc_id") + AUTO_ROUTE_OFFSET).alias("doc_id"),
                    "text"))
     caches: list[DataFrame] = []
-    sh = explode_shingle_hashes(corpus, "doc_id", "text", n=3).cache()
-    caches.append(sh)
-    sh.count()   # eager: router + banding + verify race a lazy cache
-    routed = _resolve_auto_sketch(sh)
+    sharr = shingle_hash_arrays(corpus, "doc_id", "text", n=3).cache()
+    caches.append(sharr)
+    sharr.count()   # eager: router + banding + verify race a lazy cache
+    routed = _resolve_auto_sketch(sharr)
     pairs = similarity_join(corpus, "doc_id", "text", JACCARD_THRESHOLD,
-                            caches=caches, shingles=sh, sketch="auto")
+                            caches=caches, shingles=sharr, sketch="auto")
     out = pairs.select(F.col("id1").alias("d1"), F.col("id2").alias("d2"),
                        F.round(F.col("score"), 6).alias("jaccard"),
                        F.lit(routed).alias("routed_kernel"))
@@ -813,17 +842,19 @@ def q_minhash_recall_t05(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .textops import exact_jaccard_count
     docs = load(spark, sf_dir, "documents")
     caches: list[DataFrame] = []
-    sh = explode_shingle_hashes(docs, "doc_id", "text", n=3).cache()
-    caches.append(sh)
-    sh.count()   # eager: exact + lsh branches race a lazy cache
-    exact = exact_jaccard_count(sh, MINHASH_T05)
+    sharr = shingle_hash_arrays(docs, "doc_id", "text", n=3).cache()
+    caches.append(sharr)
+    sharr.count()   # eager: exact + lsh branches race a lazy cache
+    exact = exact_jaccard_count(
+        sharr.select("doc_id", F.explode("sh_arr").alias("sh60")),
+        MINHASH_T05)
     # sketch pinned: this audit's stated purpose is measuring the K-DRAW
     # 64x32 band config (q_oph_recall_t05 is the OPH twin) and its
     # oracle replays k-draw banding — the 'auto' default would silently
     # measure OPH under the 'minhash' label on a long-doc corpus
     # (round-10 review finding)
     lsh = similarity_join(docs, "doc_id", "text", MINHASH_T05,
-                          caches=caches, shingles=sh,
+                          caches=caches, shingles=sharr,
                           sketch="kdraw").agg(
         F.count("*").alias("n_lsh"))
     return finalize(
@@ -871,12 +902,14 @@ def q_oph_recall_t05(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .textops import exact_jaccard_count
     docs = load(spark, sf_dir, "documents")
     caches: list[DataFrame] = []
-    sh = explode_shingle_hashes(docs, "doc_id", "text", n=3).cache()
-    caches.append(sh)
-    sh.count()   # eager: exact + oph branches race a lazy cache
-    exact = exact_jaccard_count(sh, MINHASH_T05)
+    sharr = shingle_hash_arrays(docs, "doc_id", "text", n=3).cache()
+    caches.append(sharr)
+    sharr.count()   # eager: exact + oph branches race a lazy cache
+    exact = exact_jaccard_count(
+        sharr.select("doc_id", F.explode("sh_arr").alias("sh60")),
+        MINHASH_T05)
     oph = similarity_join(docs, "doc_id", "text", MINHASH_T05,
-                          caches=caches, shingles=sh, sketch="oph").agg(
+                          caches=caches, shingles=sharr, sketch="oph").agg(
         F.count("*").alias("n_oph"))
     return finalize(
         exact.crossJoin(oph)

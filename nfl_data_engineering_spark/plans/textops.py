@@ -22,9 +22,11 @@ from ..functions.hashing import (
     DEFAULT_JACCARD_THRESHOLD as hashing_default_threshold, MERSENNE_P,
     NUM_HASHES, OPH_BINS, OPH_DENS_BASE, h60, h60_py, minhash_band_config,
     minhash_bands_fast, oph_bands_fast, simhash)
+from ..functions.hashing import minhash_bands_arrays
 from ..functions.text import (LANG_MARKERS, STOPWORDS, WORD_RE, doc_fingerprint,
                               explode_shingle_hashes, explode_tokens, lang_id,
-                              regex_token_count, shingles, tokens)
+                              regex_token_count, shingle_hash_arrays, shingles,
+                              tokens)
 from .base import QueryDef, finalize, finalize_cc, load
 
 # DuckDB twins of functions/text.py tokens() and functions/hashing.py h60().
@@ -87,9 +89,43 @@ JACCARD_THRESHOLD = hashing_default_threshold
 NUM_BANDS = minhash_band_config(JACCARD_THRESHOLD, NUM_HASHES)[1]
 
 
+def verify_jaccard_arrays(sharr: DataFrame, cand: DataFrame,
+                          threshold: float, c1: str = "d1", c2: str = "d2",
+                          score_col: str = "jaccard") -> DataFrame:
+    """Exact set-jaccard verification of (c1, c2) candidate pairs against
+    the per-doc shingle-hash ARRAY frame (functions.text.
+    shingle_hash_arrays): two equi-joins attach the arrays, then the
+    intersection size, set sizes, and the jaccard gate are all ROW-LOCAL
+    (size(array_intersect), size(arr)) — replacing the round-1..11
+    explode-join tail (candidates x shingle rows -> (pair)-keyed count
+    groupBy -> two size-lookup joins) with zero aggregations and two
+    fewer joins. Identical output by construction: the arrays are the
+    same distinct-hash sets the exploded frame held, so the intersection
+    count, sizes, and the double division are bit-equal (A/B'd at sf0.1:
+    0.24 s vs 0.61 s on the star candidate set, 0-row diff both ways).
+    At 100 TB the bytes shipped are unchanged (each candidate pulled its
+    partner's shingle rows through the old intersection join too) while
+    the (pair)-keyed exchange and both size-join exchanges disappear
+    (guide §2.4). ONE copy serves every banded family — the
+    _minhash_pairs single-copy rule.
+
+    ``__i`` is a NAMED column consumed by the filter and the score
+    projection, so the array_intersect runs once per candidate row
+    (CollapseProject keeps multi-referenced non-cheap expressions
+    materialized — SPARK-36718)."""
+    a1 = sharr.select(F.col("doc_id").alias(c1), F.col("sh_arr").alias("__a1"))
+    a2 = sharr.select(F.col("doc_id").alias(c2), F.col("sh_arr").alias("__a2"))
+    j = (cand.join(a1, c1).join(a2, c2)
+         .withColumn("__i", F.size(F.array_intersect("__a1", "__a2"))))
+    jac = (F.col("__i").cast("double")
+           / (F.size("__a1") + F.size("__a2") - F.col("__i")).cast("double"))
+    return (j.filter(jac >= F.lit(float(threshold)))
+            .select(c1, c2, jac.alias(score_col)))
+
+
 def _minhash_pairs(spark: SparkSession, sf_dir: str,
                    caches: list[DataFrame] | None = None,
-                   sh: DataFrame | None = None,
+                   sharr: DataFrame | None = None,
                    bands_fn=None) -> DataFrame:
     """MinHash-LSH verified near-dup pairs: (d1, d2, jaccard) with
     jaccard >= JACCARD_THRESHOLD. Shared by the pairs query and the
@@ -98,34 +134,37 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str,
     or an unpersist after components converge) — without that, a
     full-catalog session pins them for its lifetime (ADVICE r4).
 
-    A caller that already holds the cached shingle frame passes it via
-    ``sh`` (cached + counted, tracked in its OWN caches list) so each
-    plan is cached and released exactly once — re-caching the identical
-    logical plan here would be a CacheManager no-op whose unpersist
-    fires twice (ADVICE r5).
+    A caller that already holds the cached per-doc shingle-ARRAY frame
+    (functions.text.shingle_hash_arrays — the round-12 form; consumers
+    needing per-shingle rows derive them with a row-local explode)
+    passes it via ``sharr`` (cached + counted, tracked in its OWN caches
+    list) so each plan is cached and released exactly once — re-caching
+    the identical logical plan here would be a CacheManager no-op whose
+    unpersist fires twice (ADVICE r5).
 
-    ``bands_fn`` swaps the sketch kernel (shingles -> (doc_id, band,
-    band_key)); default is the k-draw 64x16 kernel. ONE copy of the
-    candidate self-join + sizes/intersection/jaccard verify tail serves
-    every banded sketch family — a second drifting copy would silently
-    verify a different truth (the round-7 exact_jaccard_count lesson;
-    round-9 review finding)."""
-    if sh is None:
+    ``bands_fn`` swaps the sketch kernel (array frame -> (doc_id, band,
+    band_key)); default is the row-local k-draw 64x16 kernel
+    (minhash_bands_arrays). ONE copy of the candidate self-join +
+    array-verify tail (verify_jaccard_arrays) serves every banded
+    sketch family — a second drifting copy would silently verify a
+    different truth (the round-7 exact_jaccard_count lesson; round-9
+    review finding)."""
+    if sharr is None:
         docs = load(spark, sf_dir, "documents")
-        sh = explode_shingle_hashes(docs, "doc_id", "text", n=3).cache()
+        sharr = shingle_hash_arrays(docs, "doc_id", "text", n=3).cache()
         if caches is not None:
-            caches.append(sh)
-        sh.count()
-    # cache: bands feeds both sides of the candidate self-join (sh is
+            caches.append(sharr)
+        sharr.count()
+    # cache: bands feeds both sides of the candidate self-join (sharr is
     # already cached; this additionally avoids re-running the 64-draw fold).
     # The count() after each cache is load-bearing: the downstream branches
     # launch CONCURRENTLY inside one job, and a lazy cache races — every
     # branch recomputes the subtree before any of them fills the cache.
     if bands_fn is None:
-        bands = minhash_bands_fast(sh, "doc_id", "sh60", NUM_HASHES,
-                                   NUM_BANDS, hashed=True).cache()
+        bands = minhash_bands_arrays(sharr, "doc_id", "sh_arr", NUM_HASHES,
+                                     NUM_BANDS).cache()
     else:
-        bands = bands_fn(sh).cache()
+        bands = bands_fn(sharr).cache()
     if caches is not None:
         caches.append(bands)
     bands.count()
@@ -134,18 +173,7 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str,
     cand = (b1.join(b2, ["band", "band_key"])
             .filter(F.col("d1") < F.col("d2"))
             .select("d1", "d2").distinct())
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    s1 = sh.select(F.col("doc_id").alias("d1"), "sh60")
-    s2 = sh.select(F.col("doc_id").alias("d2"), "sh60")
-    inter = (cand.join(s1, "d1").join(s2, ["d2", "sh60"])
-             .groupBy("d1", "d2").agg(F.count("*").alias("i")))
-    jac = (F.col("i").cast("double")
-           / (F.col("sz1") + F.col("sz2") - F.col("i")).cast("double"))
-    return (inter
-            .join(sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1")), "d1")
-            .join(sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2")), "d2")
-            .filter(jac >= JACCARD_THRESHOLD)
-            .select("d1", "d2", jac.alias("jaccard")))
+    return verify_jaccard_arrays(sharr, cand, JACCARD_THRESHOLD)
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -427,10 +455,10 @@ def _star_verified_pairs(spark: SparkSession, sf_dir: str,
     release (ADVICE r4)."""
     from pyspark.sql import Window
     docs = load(spark, sf_dir, "documents")
-    sh = explode_shingle_hashes(docs, "doc_id", "text", n=3).cache()
+    sharr = shingle_hash_arrays(docs, "doc_id", "text", n=3).cache()
     if caches is not None:
-        caches.append(sh)
-    sh.count()   # eager: the four sh consumers race a lazy cache
+        caches.append(sharr)
+    sharr.count()   # eager: the three sharr consumers race a lazy cache
     # bands has exactly ONE consumer here (the bucket-min window), so it
     # is deliberately NOT cached. The groupBy-min + member-join
     # alternative was A/B'd in round 6 (3-run min at sf0.1): window form
@@ -438,26 +466,17 @@ def _star_verified_pairs(spark: SparkSession, sf_dir: str,
     # fill + join overhead eats the per-stage window-sort savings, and
     # at 100 TB both forms sort |docs x bands| rows on (band, band_key)
     # (window sort vs SMJ sort), so there is no scale argument either.
-    bands = minhash_bands_fast(sh, "doc_id", "sh60", NUM_HASHES, NUM_BANDS,
-                               hashed=True)
+    # Round 12: the sketch is the row-local array kernel (same band rows,
+    # no explode/aggregation) and verification is the array-intersect
+    # tail — see verify_jaccard_arrays.
+    bands = minhash_bands_arrays(sharr, "doc_id", "sh_arr", NUM_HASHES,
+                                 NUM_BANDS)
     wmin = Window.partitionBy("band", "band_key")
     star = (bands.withColumn("rep", F.min("doc_id").over(wmin))
             .filter(F.col("doc_id") != F.col("rep"))
             .select(F.col("rep").alias("d1"), F.col("doc_id").alias("d2"))
             .distinct())
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    s1 = sh.select(F.col("doc_id").alias("d1"), "sh60")
-    s2 = sh.select(F.col("doc_id").alias("d2"), "sh60")
-    inter = (star.join(s1, "d1").join(s2, ["d2", "sh60"])
-             .groupBy("d1", "d2").agg(F.count("*").alias("i")))
-    jac = (F.col("i").cast("double")
-           / (F.col("sz1") + F.col("sz2") - F.col("i")).cast("double"))
-    return (inter
-            .join(sizes.select(F.col("doc_id").alias("d1"),
-                               F.col("sz").alias("sz1")), "d1")
-            .join(sizes.select(F.col("doc_id").alias("d2"),
-                               F.col("sz").alias("sz2")), "d2")
-            .filter(jac >= JACCARD_THRESHOLD)
+    return (verify_jaccard_arrays(sharr, star, JACCARD_THRESHOLD)
             .select("d1", "d2"))
 
 
@@ -706,32 +725,21 @@ def q_incremental_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
               .groupBy(F.md5("text").alias("h"))
               .agg(F.min("doc_id").alias("exact_ref")))
     inc = docs.filter(is_inc).select("doc_id", F.md5("text").alias("h"))
-    sh = explode_shingle_hashes(docs, "doc_id", "text", n=3).cache()
-    sh.count()   # eager: bands + sizes + both verify sides race a lazy cache
+    sharr = shingle_hash_arrays(docs, "doc_id", "text", n=3).cache()
+    sharr.count()   # eager: bands + both verify sides race a lazy cache
     # cache bands: the incoming and existing sides below each consume it,
     # and without the cache each side re-runs the 64-draw minhash fold
-    # over the full shingle table (measured ~0.7s of the entry at sf0.1)
-    bands = minhash_bands_fast(sh, "doc_id", "sh60", NUM_HASHES, NUM_BANDS,
-                               hashed=True).cache()
+    # over the full corpus (measured ~0.7s of the entry at sf0.1)
+    bands = minhash_bands_arrays(sharr, "doc_id", "sh_arr", NUM_HASHES,
+                                 NUM_BANDS).cache()
     bands.count()
     bi = (bands.filter(F.col("doc_id") % 4 == 0)
           .select(F.col("doc_id").alias("di"), "band", "band_key"))
     be = (bands.filter(F.col("doc_id") % 4 != 0)
           .select(F.col("doc_id").alias("de"), "band", "band_key"))
     cand = bi.join(be, ["band", "band_key"]).select("di", "de").distinct()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    s1 = sh.select(F.col("doc_id").alias("di"), "sh60")
-    s2 = sh.select(F.col("doc_id").alias("de"), "sh60")
-    inter = (cand.join(s1, "di").join(s2, ["de", "sh60"])
-             .groupBy("di", "de").agg(F.count("*").alias("i")))
-    jac = (F.col("i").cast("double")
-           / (F.col("sz1") + F.col("sz2") - F.col("i")).cast("double"))
-    near = (inter
-            .join(sizes.select(F.col("doc_id").alias("di"),
-                               F.col("sz").alias("sz1")), "di")
-            .join(sizes.select(F.col("doc_id").alias("de"),
-                               F.col("sz").alias("sz2")), "de")
-            .filter(jac >= JACCARD_THRESHOLD)
+    near = (verify_jaccard_arrays(sharr, cand, JACCARD_THRESHOLD,
+                                  c1="di", c2="de")
             .groupBy("di").agg(F.min("de").alias("near_ref")))
     status = (F.when(F.col("exact_ref").isNotNull(), F.lit("exact_dup"))
               .when(F.col("near_ref").isNotNull(), F.lit("near_dup"))
@@ -741,7 +749,7 @@ def q_incremental_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(near.withColumnRenamed("di", "doc_id"), "doc_id", "left")
         .select("doc_id", status.alias("status"),
                 F.coalesce("exact_ref", "near_ref", F.lit(-1))
-                .alias("ref_doc_id")), sh, bands)
+                .alias("ref_doc_id")), sharr, bands)
 
 
 ORACLE_INCREMENTAL_DEDUP = f"""
@@ -1161,13 +1169,16 @@ def q_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     before a corpus job; the exact side is the quadratic baseline, so
     sample first at 100 TB (recall estimates compose)."""
     docs = load(spark, sf_dir, "documents")
-    sh = explode_shingle_hashes(docs, "doc_id", "text", n=3).cache()
-    sh.count()   # eager: exact + lsh branches race a lazy cache
+    sharr = shingle_hash_arrays(docs, "doc_id", "text", n=3).cache()
+    sharr.count()   # eager: exact + lsh branches race a lazy cache
+    # the df-capped quadratic truth needs per-shingle rows: derive them
+    # from the cached arrays with one row-local explode (no re-hash)
+    sh = sharr.select("doc_id", F.explode("sh_arr").alias("sh60"))
     exact = exact_jaccard_count(sh, JACCARD_THRESHOLD)
-    caches: list[DataFrame] = [sh]
-    # hand the cached shingle frame down so _minhash_pairs doesn't
+    caches: list[DataFrame] = [sharr]
+    # hand the cached array frame down so _minhash_pairs doesn't
     # re-cache the identical plan (one cache, one release — ADVICE r5)
-    lsh = _minhash_pairs(spark, sf_dir, caches, sh=sh).agg(
+    lsh = _minhash_pairs(spark, sf_dir, caches, sharr=sharr).agg(
         F.count("*").alias("n_lsh"))
     return finalize(
         exact.crossJoin(lsh)
@@ -1197,14 +1208,22 @@ def q_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     uncapped shingle self-join), so the hash match proves the
     prefix-filter algebra lossless, not merely self-consistent."""
     docs = load(spark, sf_dir, "documents")
-    sh = explode_shingle_hashes(docs, "doc_id", "text", n=3).cache()
-    sh.count()   # eager: five sh consumers race a lazy cache (1.4x)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    # Round 12: the cached artifact is the per-doc hash ARRAY frame; the
+    # per-shingle rows the df count and the rarity ranking need derive
+    # from it with one row-local explode that carries the set size along
+    # (size(sh_arr)) — the old per-doc COUNT aggregation and the sizes
+    # join onto `ranked` both disappear, and verification is the
+    # array-intersect tail (verify_jaccard_arrays; same rows, fewer
+    # exchanges — guide §2.4).
+    sharr = shingle_hash_arrays(docs, "doc_id", "text", n=3).cache()
+    sharr.count()   # eager: the explode + verify consumers race a lazy cache
+    sh = sharr.select("doc_id", F.size("sh_arr").alias("sz"),
+                      F.explode("sh_arr").alias("sh60"))
     dfreq = sh.groupBy("sh60").agg(F.count("*").alias("df"))
     ranked = (sh.join(dfreq, "sh60")
               .withColumn("rn", F.row_number().over(
                   Window.partitionBy("doc_id").orderBy("df", "sh60"))))
-    pre = (ranked.join(sizes, "doc_id")
+    pre = (ranked
            .filter(F.col("rn") <= F.expr("sz - ((4 * sz + 4) div 5) + 1"))
            .select("doc_id", "sh60", "sz"))
     p1 = pre.select(F.col("doc_id").alias("d1"), "sh60",
@@ -1215,20 +1234,10 @@ def q_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.least("sz1", "sz2") * 5
                     >= F.greatest("sz1", "sz2") * 4)
             .select("d1", "d2").distinct())
-    s1 = sh.select(F.col("doc_id").alias("d1"), "sh60")
-    s2 = sh.select(F.col("doc_id").alias("d2"), "sh60")
-    inter = (cand.join(s1, "d1").join(s2, ["d2", "sh60"])
-             .groupBy("d1", "d2").agg(F.count("*").alias("i")))
-    jac = (F.col("i").cast("double")
-           / (F.col("sz1") + F.col("sz2") - F.col("i")).cast("double"))
+    verified = verify_jaccard_arrays(sharr, cand, JACCARD_THRESHOLD)
     return finalize(
-        inter
-        .join(sizes.select(F.col("doc_id").alias("d1"),
-                           F.col("sz").alias("sz1")), "d1")
-        .join(sizes.select(F.col("doc_id").alias("d2"),
-                           F.col("sz").alias("sz2")), "d2")
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select("d1", "d2", F.round(jac, 6).alias("jaccard")), sh,
+        verified.select("d1", "d2",
+                        F.round("jaccard", 6).alias("jaccard")), sharr,
         pair_table=True)
 
 
@@ -1283,17 +1292,20 @@ OPH_NUM_BANDS = minhash_band_config(JACCARD_THRESHOLD, OPH_BINS)[1]
 
 def _oph_pairs(spark: SparkSession, sf_dir: str,
                caches: list[DataFrame] | None = None,
-               sh: DataFrame | None = None) -> DataFrame:
+               sharr: DataFrame | None = None) -> DataFrame:
     """OPH-banded verified near-dup pairs: (d1, d2, jaccard) with
     jaccard >= JACCARD_THRESHOLD — _minhash_pairs with the sketch pass
     swapped for the one-draw-per-shingle OPH kernel
-    (functions/hashing.py:oph_bands_fast); the candidate/verify tail is
-    the SAME code, not a copy. Cache/release contract is identical:
-    fills `caches` for the caller to finalize."""
+    (functions/hashing.py:oph_bands_fast, fed by a row-local explode of
+    the cached array frame — the slot groupBy is OPH's own shape, so the
+    exploded rows stay its input); the candidate/verify tail is the SAME
+    code, not a copy. Cache/release contract is identical: fills
+    `caches` for the caller to finalize."""
     return _minhash_pairs(
-        spark, sf_dir, caches, sh,
-        bands_fn=lambda s: oph_bands_fast(s, "doc_id", "sh60", OPH_BINS,
-                                          OPH_NUM_BANDS, hashed=True))
+        spark, sf_dir, caches, sharr,
+        bands_fn=lambda s: oph_bands_fast(
+            s.select("doc_id", F.explode("sh_arr").alias("sh60")),
+            "doc_id", "sh60", OPH_BINS, OPH_NUM_BANDS, hashed=True))
 
 
 def q_dedup_minhash_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1337,11 +1349,12 @@ def q_oph_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     whether the 64x hash saving is free at a given threshold — run this
     before switching a corpus job's sketch kernel."""
     docs = load(spark, sf_dir, "documents")
-    sh = explode_shingle_hashes(docs, "doc_id", "text", n=3).cache()
-    sh.count()   # eager: exact + oph branches race a lazy cache
+    sharr = shingle_hash_arrays(docs, "doc_id", "text", n=3).cache()
+    sharr.count()   # eager: exact + oph branches race a lazy cache
+    sh = sharr.select("doc_id", F.explode("sh_arr").alias("sh60"))
     exact = exact_jaccard_count(sh, JACCARD_THRESHOLD)
-    caches: list[DataFrame] = [sh]
-    oph = _oph_pairs(spark, sf_dir, caches, sh=sh).agg(
+    caches: list[DataFrame] = [sharr]
+    oph = _oph_pairs(spark, sf_dir, caches, sharr=sharr).agg(
         F.count("*").alias("n_oph"))
     return finalize(
         exact.crossJoin(oph)
@@ -1364,8 +1377,9 @@ def q_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     float log. Two sketch passes + two (band, band_key) aggregates; the
     shingle frame is computed once and shared."""
     docs = load(spark, sf_dir, "documents")
-    sh = explode_shingle_hashes(docs, "doc_id", "text", n=3).cache()
-    sh.count()   # eager: both family branches race a lazy cache
+    sharr = shingle_hash_arrays(docs, "doc_id", "text", n=3).cache()
+    sharr.count()   # eager: both family branches race a lazy cache
+    sh = sharr.select("doc_id", F.explode("sh_arr").alias("sh60"))
 
     def fam(tag: str, bands: DataFrame) -> DataFrame:
         sizes = bands.groupBy("band", "band_key").agg(
@@ -1378,11 +1392,11 @@ def q_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select(F.lit(tag).alias("family"), "log2_size",
                         "n_buckets", "pair_slots", "max_bucket"))
 
-    out = fam("kdraw", minhash_bands_fast(
-        sh, "doc_id", "sh60", NUM_HASHES, NUM_BANDS, hashed=True)
+    out = fam("kdraw", minhash_bands_arrays(
+        sharr, "doc_id", "sh_arr", NUM_HASHES, NUM_BANDS)
     ).unionByName(fam("oph", oph_bands_fast(
         sh, "doc_id", "sh60", OPH_BINS, OPH_NUM_BANDS, hashed=True)))
-    return finalize(out, sh)
+    return finalize(out, sharr)
 
 
 def _oracle_bucket_histogram() -> str:
@@ -1461,11 +1475,16 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     c2 = chunks.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("h2"),
                        "chunk", "ckey")
     ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    # hamming gate BEFORE the distinct (round 12, mirroring the ADVICE-r6
+    # fix already in similarity_api._text_simhash_join): the distance is
+    # a pure function of the pair, so filtering first yields the same set
+    # while only PASSING candidates shuffle through the distinct — the
+    # old order shuffled every failing chunk-join candidate too
     return finalize(
         c1.join(c2, ["chunk", "ckey"])
         .filter(F.col("d1") < F.col("d2"))
-        .select("d1", "d2", ham.alias("hamming")).distinct()
-        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING), sims)
+        .filter(ham <= SIMHASH_MAX_HAMMING)
+        .select("d1", "d2", ham.alias("hamming")).distinct(), sims)
 
 
 ORACLE_SIMHASH = f"""

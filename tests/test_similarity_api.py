@@ -183,24 +183,26 @@ def test_auto_sketch_routes_on_corpus_shape(spark, sf_dir):
     from nfl_data_engineering_spark.functions.hashing import (
         OPH_BINS, oph_auto_cutover)
     from nfl_data_engineering_spark.functions.text import (
-        explode_shingle_hashes)
+        shingle_hash_arrays)
     from nfl_data_engineering_spark.plans.similarity_api import (
         _resolve_auto_sketch)
 
     assert oph_auto_cutover() == OPH_BINS * math.log(OPH_BINS)  # ~266
 
+    # round 12: the router reads the per-doc ARRAY frame (sum(size) /
+    # HLL over docs — same integers as the old exploded aggregate)
     short = spark.createDataFrame(
-        [(d, s) for d in (1, 2) for s in range(10)],
-        "doc_id int, sh60 bigint")
+        [(d, list(range(10))) for d in (1, 2)],
+        "doc_id int, sh_arr array<bigint>")
     long_ = spark.createDataFrame(
-        [(d, s) for d in (1, 2) for s in range(300)],
-        "doc_id int, sh60 bigint")
+        [(d, list(range(300))) for d in (1, 2)],
+        "doc_id int, sh_arr array<bigint>")
     assert _resolve_auto_sketch(short) == "kdraw"
     assert _resolve_auto_sketch(long_) == "oph"
 
     docs = load(spark, sf_dir, "documents")
-    sh = explode_shingle_hashes(docs, "doc_id", "text", n=3)
-    assert _resolve_auto_sketch(sh) == "kdraw"
+    sharr = shingle_hash_arrays(docs, "doc_id", "text", n=3)
+    assert _resolve_auto_sketch(sharr) == "kdraw"
 
     # end-to-end: on a long-doc corpus the default route must equal the
     # explicit OPH kernel's verified pair set
@@ -268,12 +270,12 @@ def test_staged_shared_shingles_passthrough(spark, sf_dir):
     from pyspark.storagelevel import StorageLevel
 
     from nfl_data_engineering_spark.functions.text import (
-        explode_shingle_hashes)
+        shingle_hash_arrays)
     from nfl_data_engineering_spark.plans.similarity_api import (
         similarity_join_staged)
 
     docs = load(spark, sf_dir, "documents")
-    sh = explode_shingle_hashes(docs, "doc_id", "text", n=3).cache()
+    sh = shingle_hash_arrays(docs, "doc_id", "text", n=3).cache()
     sh.count()
     shared = similarity_join_staged([
         {"family": "jaccard_minhash", "df": docs, "id_col": "doc_id",

@@ -288,3 +288,80 @@ def test_minhash_fast_path_matches_reference_path(spark):
     ref = {(r["doc_id"], r["band"], r["band_key"]) for r in
            lsh_band_keys(sig, "doc_id", num_hashes=16, bands=4).collect()}
     assert fast == ref
+
+
+def test_shingle_hash_arrays_matches_exploded_form(spark):
+    """Round-12 pivot: shingle_hash_arrays must be the exact pre-explode
+    form of explode_shingle_hashes — explode(sh_arr) reproduces its rows
+    (same distinct hash sets per doc), and empty docs keep a row with an
+    empty array where the exploded form drops them."""
+    from nfl_data_engineering_spark.functions.text import (
+        explode_shingle_hashes, shingle_hash_arrays)
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c a b c"), (3, "xx"), (4, None)],
+        "doc_id int, text string")
+    arr = shingle_hash_arrays(df, "doc_id", "text", 3)
+    got = {(r["doc_id"], r["sh60"]) for r in
+           arr.select("doc_id", F.explode("sh_arr").alias("sh60")).collect()}
+    want = {(r["doc_id"], r["sh60"]) for r in
+            explode_shingle_hashes(df, "doc_id", "text", 3).collect()}
+    assert got == want
+    rows = {r["doc_id"]: r["sh_arr"] for r in arr.collect()}
+    assert set(rows) == {1, 2, 3, 4}          # empty docs keep a row
+    assert rows[3] == [] and rows[4] == []
+    assert len(rows[2]) == len(set(rows[2]))  # within-doc distinct
+
+
+def test_minhash_bands_arrays_matches_exploded_kernel(spark):
+    """The row-local k-draw kernel must emit byte-identical band rows to
+    minhash_bands_fast over the exploded rows — including the shared
+    contracts: NULL elements ignored, all-null/empty docs yield no rows."""
+    from nfl_data_engineering_spark.functions.hashing import (
+        minhash_bands_arrays)
+    docarr = spark.createDataFrame(
+        [(1, [11, 22, 33, 44, 55]), (2, [22, 33, 66]),
+         (3, [None, 77]), (4, []), (5, [None])],
+        "doc_id int, sh_arr array<bigint>")
+    sh = docarr.select(
+        "doc_id", F.explode("sh_arr").alias("sh60")).filter(
+        F.col("sh60").isNotNull())
+    got = sorted(map(tuple, minhash_bands_arrays(
+        docarr, "doc_id", "sh_arr", 16, 4).collect()))
+    want = sorted(map(tuple, minhash_bands_fast(
+        sh, "doc_id", "sh60", 16, 4, hashed=True).collect()))
+    assert got == want
+    assert {t[0] for t in got} == {1, 2, 3}   # 4 (empty), 5 (all-null): none
+
+
+def test_verify_jaccard_arrays_matches_explode_join_tail(spark):
+    """The array-intersect verify tail must produce the same verified
+    pairs and the same double scores as the old explode-join /
+    pair-groupBy / size-join chain."""
+    from nfl_data_engineering_spark.plans.textops import (
+        verify_jaccard_arrays)
+    docarr = spark.createDataFrame(
+        [(1, [1, 2, 3, 4, 5]), (2, [1, 2, 3, 4, 6]),
+         (3, [1, 2]), (4, [7, 8, 9])],
+        "doc_id int, sh_arr array<bigint>")
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (3, 4)], "d1 int, d2 int")
+    got = {(r["d1"], r["d2"], r["jaccard"]) for r in
+           verify_jaccard_arrays(docarr, cand, 0.3).collect()}
+    sh = docarr.select("doc_id", F.explode("sh_arr").alias("sh60"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    s1 = sh.select(F.col("doc_id").alias("d1"), "sh60")
+    s2 = sh.select(F.col("doc_id").alias("d2"), "sh60")
+    inter = (cand.join(s1, "d1").join(s2, ["d2", "sh60"])
+             .groupBy("d1", "d2").agg(F.count("*").alias("i")))
+    jac = (F.col("i").cast("double")
+           / (F.col("sz1") + F.col("sz2") - F.col("i")).cast("double"))
+    want = {(r["d1"], r["d2"], r["jaccard"]) for r in
+            (inter
+             .join(sizes.select(F.col("doc_id").alias("d1"),
+                                F.col("sz").alias("sz1")), "d1")
+             .join(sizes.select(F.col("doc_id").alias("d2"),
+                                F.col("sz").alias("sz2")), "d2")
+             .filter(jac >= 0.3)
+             .select("d1", "d2", jac.alias("jaccard"))).collect()}
+    assert got == want
+    assert got == {(1, 2, 4.0 / 6.0), (1, 3, 2.0 / 5.0)}
