@@ -195,7 +195,8 @@ def _resolve_auto_sketch(sharr: DataFrame) -> str:
             else "kdraw")
 
 
-def _text_prefix_join(sharr: DataFrame, threshold: float) -> DataFrame:
+def _text_prefix_join(sharr: DataFrame, threshold: float,
+                      caches: list[DataFrame]) -> DataFrame:
     """Prefix-filter exact set-similarity join (the q_prefix_filter_join
     pipeline, generic over threshold). The prefix-length and length-filter
     arithmetic runs on the EXACT rational p/q form of the threshold —
@@ -204,7 +205,13 @@ def _text_prefix_join(sharr: DataFrame, threshold: float) -> DataFrame:
     and silently lose pairs. Round 12: per-shingle rows derive from the
     cached array frame with a row-local explode carrying size(sh_arr)
     along (the per-doc COUNT aggregation and its join disappear), and
-    verification is the array-intersect tail."""
+    verification is the array-intersect tail. The prefix table is cached
+    before the candidate self-join: both join sides consume it, and
+    uncached each side re-runs the df-count aggregate + rarity-rank
+    window over the full shingle explode (profiled at sf0.1: the two
+    duplicated subtrees were the entry's top stages, 12.5 s + 7.7 s task
+    time — guide §2.4's shared-subtree rule; the cache also halves the
+    plan the driver re-optimizes per AQE stage)."""
     frac = Fraction(threshold).limit_denominator(1_000_000)
     if frac > Fraction(threshold):
         # Never let the rationalized threshold exceed the float verify
@@ -223,7 +230,9 @@ def _text_prefix_join(sharr: DataFrame, threshold: float) -> DataFrame:
     pre = (ranked
            .filter(F.col("rn")
                    <= F.expr(f"sz - (({p} * sz + {q - 1}) div {q}) + 1"))
-           .select("doc_id", "sh60", "sz"))
+           .select("doc_id", "sh60", "sz")).cache()
+    caches.append(pre)
+    pre.count()   # eager: both candidate sides race a lazy cache
     p1 = pre.select(F.col("doc_id").alias("id1"), "sh60",
                     F.col("sz").alias("sz1"))
     p2 = pre.select(F.col("doc_id").alias("id2"), "sh60",
@@ -451,7 +460,7 @@ def similarity_join(df: DataFrame, id_col: str, col: str, threshold: float,
                         / F.col("sz_sub").cast("double"), 6)
                  .alias("score"))
         if exact:
-            return _text_prefix_join(sharr, threshold)
+            return _text_prefix_join(sharr, threshold, caches)
         if sketch == "auto":
             sketch = _resolve_auto_sketch(sharr)
         if sketch == "oph":

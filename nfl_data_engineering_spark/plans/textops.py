@@ -1223,9 +1223,14 @@ def q_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = (sh.join(dfreq, "sh60")
               .withColumn("rn", F.row_number().over(
                   Window.partitionBy("doc_id").orderBy("df", "sh60"))))
+    # cache the prefix table: BOTH candidate sides consume it, and
+    # uncached each side re-runs the df aggregate + rarity-rank window
+    # over the full shingle explode (profiled as the entry's two top
+    # stages at sf0.1 — guide §2.4 shared-subtree rule)
     pre = (ranked
            .filter(F.col("rn") <= F.expr("sz - ((4 * sz + 4) div 5) + 1"))
-           .select("doc_id", "sh60", "sz"))
+           .select("doc_id", "sh60", "sz")).cache()
+    pre.count()   # eager: both candidate sides race a lazy cache
     p1 = pre.select(F.col("doc_id").alias("d1"), "sh60",
                     F.col("sz").alias("sz1"))
     p2 = pre.select(F.col("doc_id").alias("d2"), "sh60",
@@ -1237,7 +1242,7 @@ def q_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified = verify_jaccard_arrays(sharr, cand, JACCARD_THRESHOLD)
     return finalize(
         verified.select("d1", "d2",
-                        F.round("jaccard", 6).alias("jaccard")), sharr,
+                        F.round("jaccard", 6).alias("jaccard")), sharr, pre,
         pair_table=True)
 
 

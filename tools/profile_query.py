@@ -29,11 +29,18 @@ def main() -> None:
     from nfl_data_engineering_spark.plans.registry import CATALOG
     from nfl_data_engineering_spark.session import get_spark
 
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     reps = 2
-    for i, a in enumerate(sys.argv):
-        if a == "--reps":
-            reps = int(sys.argv[i + 1])
+    args: list[str] = []
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--reps":      # consume the flag AND its value so
+            reps = int(argv[i + 1])  # the count can't leak into sf_dir
+            i += 2
+            continue
+        if not argv[i].startswith("--"):
+            args.append(argv[i])
+        i += 1
     name = args[0]
     sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
     q = next(qd for qd in CATALOG if qd.name == name)
