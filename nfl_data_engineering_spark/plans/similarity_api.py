@@ -584,14 +584,35 @@ def q_similarity_join_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle must never depend on a data-dependent route (the 'auto'
     # default would route here on corpus shape; its attestation lives in
     # q_sketch_route_report) — round-10 review finding
-    mh = similarity_join(docs, "doc_id", "text", JACCARD_THRESHOLD,
-                         caches=caches, shingles=sharr, sketch="kdraw")
-    pf = similarity_join(docs, "doc_id", "text", JACCARD_THRESHOLD,
-                         exact=True, caches=caches, shingles=sharr)
-    hm = similarity_join(docs, "doc_id", "text", SIMHASH_MAX_HAMMING,
-                         metric="hamming", caches=caches)
-    sp = similarity_join(emb, "vec_id", "embedding", SRP_THRESHOLD,
-                         caches=caches)
+    #
+    # Round 12 (guide §2.6 — overlap independent jobs): each family
+    # dispatch eagerly fills its own sketch caches (bands / prefix table
+    # / simhash signatures / SRP norms), and running the four dispatches
+    # sequentially serializes those cache-fill jobs even though none of
+    # them depends on another — only on the ALREADY-filled shared
+    # shingle cache. Dispatching from a small thread pool lets the
+    # scheduler back-fill each job's straggler tail with the next
+    # family's tasks (measured at sf0.1: 5.2-5.5 s vs 7.7-9.6 s warm,
+    # identical union). Same result set by construction: the dispatches
+    # share only the immutable cached sharr, and caches.append is
+    # GIL-atomic. The STAGED entry (q_similarity_join_staged) keeps its
+    # deliberately sequential shape — its contract is bounding peak
+    # storage to max(family), the opposite trade.
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_mh = pool.submit(
+            similarity_join, docs, "doc_id", "text", JACCARD_THRESHOLD,
+            caches=caches, shingles=sharr, sketch="kdraw")
+        f_pf = pool.submit(
+            similarity_join, docs, "doc_id", "text", JACCARD_THRESHOLD,
+            exact=True, caches=caches, shingles=sharr)
+        f_hm = pool.submit(
+            similarity_join, docs, "doc_id", "text", SIMHASH_MAX_HAMMING,
+            metric="hamming", caches=caches)
+        f_sp = pool.submit(
+            similarity_join, emb, "vec_id", "embedding", SRP_THRESHOLD,
+            caches=caches)
+        mh, pf, hm, sp = (f.result() for f in (f_mh, f_pf, f_hm, f_sp))
 
     def tag(dfp: DataFrame, family: str) -> DataFrame:
         # hamming scores are exact-int distances; the double cast makes
