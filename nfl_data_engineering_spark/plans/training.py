@@ -1377,17 +1377,19 @@ TFIDF_TOPK = 3
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF top terms per document (the keyword-extraction step):
     tf = in-doc term count, idf = ln(N / doc-frequency), top-3 terms per doc
-    by (tfidf desc, term). Two token-keyed aggregations + one broadcast-able
-    doc-frequency join; ln agrees across engines to the ulp, far inside the
-    round(6) comparison."""
+    by (tfidf desc, term). Round 12 (guide §2.4): the tf rows ARE the
+    distinct (doc, term) pairs, so the doc frequency is a count(*) window
+    over the tf aggregate partitioned by token — the second
+    tokenize/explode pass, its distinct, and the tf x df join all
+    disappear (one corpus pass, 3 exchanges vs 4 plus a join; identical
+    rows A/B'd at sf0.1). ln agrees across engines to the ulp, far
+    inside the round(6) comparison."""
     docs = load(spark, sf_dir, "documents")
     n_docs = docs.count()
     terms = docs.select("doc_id",
                         F.explode(tokens(F.col("text"))).alias("token"))
     tf = terms.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    df_counts = (terms.select("doc_id", "token").distinct()
-                 .groupBy("token").agg(F.count("*").alias("df")))
-    tfidf = (tf.join(df_counts, "token")
+    tfidf = (tf.withColumn("df", F.count("*").over(Window.partitionBy("token")))
              .withColumn("tfidf",
                          F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))))
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
