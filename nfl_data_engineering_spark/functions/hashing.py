@@ -192,21 +192,21 @@ def minhash_bands_fast(shingled: DataFrame, id_col: str, shingle_col: str,
     # together — a quadratic candidate bucket OPH's filtered kernel does
     # not produce (ADVICE r10). With the filter both kernels share one
     # contract: a doc with no (non-null) shingles yields no rows.
+    # The draw/band expressions are built as SQL TEXT parsed JVM-side in a
+    # handful of py4j calls, not as composed Column objects: profiling the
+    # round-12 bench showed ~0.75 s of pure DRIVER time per call just
+    # constructing the 64 draw Columns through py4j (one round-trip per
+    # nested call), visible as a zero-jobs-running gap in the job timeline
+    # (guide §7.3 — driver-side work). Identical parsed plan, A/B'd
+    # byte-identical band rows.
     per_shingle = shingled.select(F.col(id_col), hm).filter(
-        F.col("__hm").isNotNull()).select(
-        F.col(id_col),
-        *[((F.lit(a[i]) * F.col("__hm") + F.lit(b[i])) % MERSENNE_P).alias(f"__mh{i}")
+        F.col("__hm").isNotNull()).selectExpr(
+        f"`{id_col}`",
+        *[f"({a[i]}L * __hm + {b[i]}L) % {MERSENNE_P}L AS __mh{i}"
           for i in range(num_hashes)])
     sig = per_shingle.groupBy(id_col).agg(
-        *[F.min(f"__mh{i}").alias(f"__mh{i}") for i in range(num_hashes)])
-    rpb = num_hashes // bands
-    band_structs = [
-        F.struct(F.lit(j).alias("band"),
-                 F.md5(F.concat_ws(",", *[F.col(f"__mh{j * rpb + r}")
-                                          for r in range(rpb)])).alias("band_key"))
-        for j in range(bands)]
-    return (sig.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("b"))
-            .select(F.col(id_col), F.col("b.band"), F.col("b.band_key")))
+        *[F.expr(f"min(__mh{i}) AS __mh{i}") for i in range(num_hashes)])
+    return _band_assembly_expr(sig, id_col, num_hashes, bands)
 
 
 def minhash_bands_arrays(docarr: DataFrame, id_col: str, arr_col: str,
@@ -242,28 +242,40 @@ def minhash_bands_arrays(docarr: DataFrame, id_col: str, arr_col: str,
         bands = minhash_band_config(DEFAULT_JACCARD_THRESHOLD, num_hashes)[1]
     a = [1 + h60_py(f"mh_a_{i}") % (MERSENNE_P - 1) for i in range(num_hashes)]
     b = [h60_py(f"mh_b_{i}") % MERSENNE_P for i in range(num_hashes)]
-    hm = F.filter(
-        F.transform(F.col(arr_col), lambda s: s % MERSENNE_P),
-        lambda x: x.isNotNull())
-    src = (docarr.select(F.col(id_col), hm.alias("__hm"))
-           .filter(F.size("__hm") > 0))
-    def _draw(i: int):
-        # single-arg lambda (a 2-arg transform lambda would receive the
-        # ELEMENT INDEX as its second argument), i captured per draw
-        return F.array_min(F.transform(
-            F.col("__hm"),
-            lambda x: (F.lit(a[i]) * x + F.lit(b[i])) % MERSENNE_P)
-        ).alias(f"__mh{i}")
+    # Built as SQL TEXT parsed JVM-side (3 py4j calls total), not composed
+    # Column objects: constructing the 64 transform/array_min draw Columns
+    # through py4j cost ~1.0 s of pure driver time PER CALL (measured,
+    # round 12 — the zero-jobs gap in every jaccard entry's job timeline;
+    # guide §7.3). Same parsed plan, A/B'd byte-identical band rows,
+    # construction 0.97 s -> 0.09 s.
+    src = (docarr.selectExpr(
+        f"`{id_col}`",
+        f"filter(transform(`{arr_col}`, s -> s % {MERSENNE_P}L), "
+        "x -> x IS NOT NULL) AS __hm")
+        .filter(F.size("__hm") > 0))
+    # single-arg lambda (a 2-arg transform lambda would receive the
+    # ELEMENT INDEX as its second argument), i interpolated per draw
+    sig = src.selectExpr(
+        f"`{id_col}`",
+        *[f"array_min(transform(__hm, x -> ({a[i]}L * x + {b[i]}L) "
+          f"% {MERSENNE_P}L)) AS __mh{i}" for i in range(num_hashes)])
+    return _band_assembly_expr(sig, id_col, num_hashes, bands)
 
-    sig = src.select(F.col(id_col),
-                     *[_draw(i) for i in range(num_hashes)])
+
+def _band_assembly_expr(sig: DataFrame, id_col: str, num_hashes: int,
+                        bands: int) -> DataFrame:
+    """(id, __mh0..__mh{n-1}) -> (id, band, band_key): md5 band keys over
+    rows-per-band minhash groups, emitted via one explode. Shared tail of
+    minhash_bands_fast / minhash_bands_arrays (identical md5/concat_ws
+    semantics as the round-11 struct-array form; SQL-text construction for
+    the same py4j reason as the kernels)."""
     rpb = num_hashes // bands
     band_structs = [
-        F.struct(F.lit(j).alias("band"),
-                 F.md5(F.concat_ws(",", *[F.col(f"__mh{j * rpb + r}")
-                                          for r in range(rpb)])).alias("band_key"))
+        "struct({j} AS band, md5(concat_ws(',', {cols})) AS band_key)".format(
+            j=j, cols=", ".join(f"__mh{j * rpb + r}" for r in range(rpb)))
         for j in range(bands)]
-    return (sig.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("b"))
+    return (sig.selectExpr(f"`{id_col}`",
+                           f"explode(array({', '.join(band_structs)})) AS b")
             .select(F.col(id_col), F.col("b.band"), F.col("b.band_key")))
 
 
@@ -461,19 +473,23 @@ def simhash(tokened: DataFrame, id_col: str, token_col: str,
     # tokens but different null counts would sketch differently (round-8
     # review finding). A doc whose tokens are ALL null gets no sketch row
     # (more honest than the all-zeros sketch the bias produced).
+    # Vote/assembly expressions as SQL TEXT parsed JVM-side: composing the
+    # 60 conditional-sum + 60 bit-assembly Columns through py4j cost
+    # ~0.95 s of pure driver time per call (measured, round 12 — the
+    # zero-jobs gap of guide §7.3). Identical parsed plan and semantics
+    # (shiftright/&/CASE mirror the former Column form exactly).
     th = (tokened.select(F.col(id_col), h60(F.col(token_col)).alias("__th"))
           .filter(F.col("__th").isNotNull()))
     votes = [
-        F.sum(F.when(F.shiftright(F.col("__th"), j).bitwiseAND(F.lit(1)) == 1,
-                     F.lit(1)).otherwise(F.lit(-1))).alias(f"__v{j}")
+        F.expr(f"sum(CASE WHEN (shiftright(__th, {j}) & 1) = 1 "
+               f"THEN 1 ELSE -1 END) AS __v{j}")
         for j in range(bits)]
     summed = th.groupBy(id_col).agg(*votes)
-    sketch = None
-    for j in range(bits):
-        bitval = F.when(F.col(f"__v{j}") > 0,
-                        F.lit(1 << j).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-        sketch = bitval if sketch is None else sketch + bitval
-    return summed.select(F.col(id_col), sketch.alias(out_col))
+    sketch_sql = " + ".join(
+        f"(CASE WHEN __v{j} > 0 THEN CAST({1 << j} AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END)"
+        for j in range(bits))
+    return summed.selectExpr(f"`{id_col}`", f"({sketch_sql}) AS `{out_col}`")
 
 
 def hamming64(a: Column, b: Column) -> Column:
