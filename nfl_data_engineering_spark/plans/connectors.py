@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..io import upsert_partitioned
 from ..sources.html_table import scrape_tables_long
 from ..sources.rest_json import flatten_odds, odds_from_json_strings
+from ..localdf import local_df
 from .base import QueryDef, load
 
 
@@ -315,8 +316,8 @@ def q_scraper_longform(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
         return pd.DataFrame(cells_by_table[table_name])
 
-    registry = spark.createDataFrame(
-        _SCRAPE_REGISTRY,
+    registry = local_df(
+        spark, _SCRAPE_REGISTRY,
         "category string, table_name string, base_url string, cols_to_keep string, record_cols string")
     out = scrape_tables_long(registry, _SCRAPE_DATE, fetcher=fetcher,
                              num_tasks=2)

@@ -15,6 +15,7 @@ from ..operators.joins import asof_join, matchup_join
 from ..operators.records import split_record
 from ..operators.timeseries import zero_filled_counts
 from ..operators.windows import exp_weighted_mean, topk_per_group, trailing_mean
+from ..localdf import local_df
 from .base import QueryDef, cents, dec as _dec, finalize, load
 
 
@@ -2201,9 +2202,9 @@ def q_trimmed_mean_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
                         targets.append((flag, which, k, b, k - cum))
                         break
                     cum += cnt
-    tdf = spark.createDataFrame(
-        targets, "l_returnflag string, which string, k bigint, "
-                 "b bigint, rk bigint")
+    tdf = local_df(
+        spark, targets, "l_returnflag string, which string, k bigint, "
+                        "b bigint, rk bigint")
 
     # pass 2: exact order statistics inside targeted buckets only
     tb = {(t[0], t[3]) for t in targets}
@@ -2232,8 +2233,8 @@ def q_trimmed_mean_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             v_up = kv[(flag, which, k_up)] / 100.0
             bounds[which] = v_lo + (v_up - v_lo) * frac
         brows.append((flag, bounds["lo"], bounds["hi"]))
-    bdf = spark.createDataFrame(
-        brows, "l_returnflag string, lo double, hi double")
+    bdf = local_df(
+        spark, brows, "l_returnflag string, lo double, hi double")
 
     kept = (li.join(F.broadcast(bdf), "l_returnflag")
             .filter(F.col("l_extendedprice")
@@ -3466,9 +3467,9 @@ def q_observed_metrics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_dec("l_extendedprice")).alias("sum_kept_price"))
     clean.write.format("noop").mode("overwrite").save()
     m = {**obs_in.get, **obs_out.get}
-    return spark.createDataFrame(
-        [(m["n_input"], m["n_returned"], m["n_kept"],
-          float(m["sum_kept_price"]))],
+    return local_df(
+        spark, [(m["n_input"], m["n_returned"], m["n_kept"],
+                 float(m["sum_kept_price"]))],
         "n_input bigint, n_returned bigint, n_kept bigint, "
         "sum_kept_price double")
 
@@ -3938,7 +3939,7 @@ def q_exact_quantiles_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
                 targets.append((q, b, k - cum))
                 break
             cum += cnt
-    tdf = spark.createDataFrame(targets, "pct int, b bigint, rk bigint")
+    tdf = local_df(spark, targets, "pct int, b bigint, rk bigint")
 
     # pass 2: per-value counts inside targeted buckets only, then the
     # crossing value per target (cum >= rk and cum - cnt < rk is unique)

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.hashing import h60
 from ..functions.text import tokens
+from ..localdf import local_df
 from .base import QueryDef, finalize, finalize_cc, load
 
 SQL_H60 = "(('0x' || substr(md5({e}), 1, 15))::BIGINT)"
@@ -674,8 +675,9 @@ def q_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint is dead on arrival; release it explicitly
     from ..storage import unpersist_rdd_ids
     unpersist_rdd_ids(spark, getattr(final_tok, "_ckpt_ids", set()))
-    return spark.createDataFrame(
-        out_rows, "step int, left_tok string, right_tok string, n_merged bigint")
+    return local_df(
+        spark, out_rows,
+        "step int, left_tok string, right_tok string, n_merged bigint")
 
 
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -909,8 +911,8 @@ def _unigram_em(spark: SparkSession,
     for _ in range(UNIGRAM_EM_ROUNDS):
         vrows = {r["piece"]: r["lp"] for r in vocab.collect()}
         seg = _segment_words(words, vrows)
-        pieces = spark.createDataFrame(
-            [(p,) for p in sorted(vrows)], "piece string")
+        pieces = local_df(
+            spark, [(p,) for p in sorted(vrows)], "piece string")
         cnt = (pieces.join(
             seg.groupBy("piece").agg(F.sum("wfreq").alias("cc")),
             "piece", "left")

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ..functions.hashing import h60_py
 from ..functions.similarity import (brute_force_topk, cosine, cosine_arrow,
                                     dot)
+from ..localdf import local_df
 from .base import QueryDef, finalize, finalize_cc, load
 
 TOPK = 5
@@ -733,8 +734,8 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     part += qv[m * PQ_SUBDIM + d] * cmat[li, m * PQ_SUBDIM + d]
                 tbl_rows.append((int(qr["vec_id"]), m, int(lab),
                                  float(part)))
-    tbl = spark.createDataFrame(
-        tbl_rows, "q_id bigint, m int, code int, part double")
+    tbl = local_df(spark,
+                   tbl_rows, "q_id bigint, m int, code int, part double")
     parts = (coded.join(F.broadcast(tbl), ["m", "code"])
              .filter(F.col("vec_id") != F.col("q_id")))
     scored = (parts.groupBy("q_id", "vec_id")
