@@ -33,6 +33,17 @@ def get_spark(app_name: str = "nfl-data-engineering-spark",
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalescing keeps parallelismFirst semantics (target =
+        # max(shuffle_bytes / parallelism, minPartitionSize)), but the
+        # default 1 MB floor caps compute-dense small shuffles at
+        # bytes/1MB tasks — e.g. the 6 MB pair self-join feeding
+        # triangle_count ran 5 tasks on 32 cores (guide §2.2). 256 KB
+        # frees those stages to use the cores; at production scale
+        # bytes/parallelism >> 1 MB, so the floor never binds and the
+        # partition sizing is unchanged. Env-overridable for cluster
+        # profiles that want the stock floor.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+                os.environ.get("SPARK_GRAFT_AQE_MIN_PART", "256k"))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
