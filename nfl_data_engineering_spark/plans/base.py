@@ -30,6 +30,7 @@ Determinism rules (the driver hash-compares Spark vs DuckDB values):
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 from dataclasses import dataclass
 from typing import Callable
 
@@ -53,6 +54,34 @@ class QueryDef:
 # call release_deferred() between entries; a runner that never calls it
 # degrades to the pre-round-5 behavior (caches live until session end).
 _DEFERRED: list[DataFrame] = []
+
+
+@contextmanager
+def stream_state_partitions(spark: SparkSession, n: int | None = None):
+    """Scope ``spark.sql.shuffle.partitions`` around a streaming query's
+    start/awaitTermination so its STATE STORE partitioning is sized to the
+    aggregation, not to the session's batch default.
+
+    Every state partition pays a fixed per-micro-batch cost (store open,
+    delta file write, commit, maintenance) regardless of how many keys it
+    holds — measured 2.95 s vs 1.26 s for the 150-key daily rollup drain
+    at 32 vs 8 state partitions (guide §2.2's fixed-per-partition overhead
+    applied to state stores). The right count tracks key cardinality and
+    throughput, not the core count; the default (8, env
+    SPARK_GRAFT_STREAM_PARTITIONS) is sized for the catalog's ~10^2-key
+    streaming aggregations, and a 100 TB deployment raises it to its key
+    volume. Only the streaming query started inside the scope binds this
+    number (state layout is fixed at first start); the follow-up batch
+    read of the sink runs at the restored session default. Results are
+    partitioning-invariant — only placement changes."""
+    if n is None:
+        n = int(os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def _no_finalize() -> bool:

@@ -27,7 +27,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..io import write_bucketed
-from .base import QueryDef, cents, dec as _dec, finalize, load
+from .base import QueryDef, cents, dec as _dec, finalize, load, stream_state_partitions
 
 
 # ---------------------------------------------------------------------------
@@ -527,9 +527,10 @@ def q_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 value_cols=["value", "op"],
                                 tiebreak_cols=["event_id"])
     sink = "streaming_cdc_apply_sink"
-    q = (latest.writeStream.format("memory").queryName(sink)
-         .outputMode("update").trigger(availableNow=True).start())
-    q.awaitTermination()
+    with stream_state_partitions(spark):
+        q = (latest.writeStream.format("memory").queryName(sink)
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination()
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").desc(), F.col("event_id").desc())
     return (spark.table(sink)
@@ -625,9 +626,10 @@ def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .agg(F.count("*").alias("n_user_clicks")))
     enriched = enrich_stream(purchases, clicks_dim, key="user_id")
     sink = "streaming_enrich_sink"
-    q = (enriched.writeStream.format("memory").queryName(sink)
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination()
+    with stream_state_partitions(spark):
+        q = (enriched.writeStream.format("memory").queryName(sink)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
     return spark.table(sink).select("event_id", "user_id", "value",
                                     "n_user_clicks")
 
@@ -943,9 +945,14 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the wedge join's worst case is O(m^1.5) rows, which still fits one
     # task comfortably for any support threshold that keeps the graph
     # meaningful (3.6k edges -> <=220k wedges).
+    # repartition(1), NOT coalesce(1): coalesce pulls its 1-partition
+    # constraint up through the aggregation, so the whole 1.2M-pair
+    # reduce ran in ONE task (measured 0.72 s serial at sf0.1); with a
+    # repartition the agg keeps the shuffle's full parallelism and only
+    # the ~3.6k surviving edges cross the extra (trivial) exchange.
     edges = (op.groupBy("u", "v").agg(F.count("*").alias("supp"))
              .filter(F.col("supp") >= _TRI_MIN_SUPPORT)
-             .select("u", "v")).coalesce(1).persist()
+             .select("u", "v")).repartition(1).persist()
     edges.count()
     deg = (edges.select(F.col("u").alias("node"))
            .unionAll(edges.select(F.col("v").alias("node")))
@@ -1481,9 +1488,10 @@ def q_streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     dd = deduped_stream(stream, watermark="40 days", key_cols=["event_id"])
     sink = "streaming_dedup_ingest_sink"
-    q = (dd.writeStream.format("memory").queryName(sink)
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination()
+    with stream_state_partitions(spark):
+        q = (dd.writeStream.format("memory").queryName(sink)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
     return (spark.table(sink)
             .groupBy("event_type")
             .agg(F.count("*").alias("n"),

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ..functions.hashing import h60
 from ..functions.text import tokens
 from ..localdf import local_df
-from .base import QueryDef, finalize, finalize_cc, load
+from .base import QueryDef, finalize, finalize_cc, load, stream_state_partitions
 
 SQL_H60 = "(('0x' || substr(md5({e}), 1, 15))::BIGINT)"
 # the one DuckDB-side twin of functions.text.tokens(); every oracle that
@@ -97,9 +97,10 @@ def q_streaming_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
                  .alias("sum_value")))
     sink = "streaming_daily_rollup_sink"
-    q = (agg.writeStream.format("memory").queryName(sink)
-         .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination()
+    with stream_state_partitions(spark):
+        q = (agg.writeStream.format("memory").queryName(sink)
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination()
     return (spark.table(sink)
             .select(F.col("w.start").alias("day"), "event_type", "n",
                     "sum_value"))
@@ -134,9 +135,10 @@ def q_streaming_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
                  .alias("sum_value")))
     sink = "streaming_sliding_rollup_sink"
-    q = (agg.writeStream.format("memory").queryName(sink)
-         .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination()
+    with stream_state_partitions(spark):
+        q = (agg.writeStream.format("memory").queryName(sink)
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination()
     return (spark.table(sink)
             .select(F.col("w.start").alias("window_start"), "event_type",
                     "n", "sum_value"))
@@ -195,9 +197,10 @@ def q_streaming_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ts_col="ts", value_cols=["value"],
                                 tiebreak_cols=["event_id"])
     sink = "streaming_keep_latest_sink"
-    q = (latest.writeStream.format("memory").queryName(sink)
-         .outputMode("update").trigger(availableNow=True).start())
-    q.awaitTermination()
+    with stream_state_partitions(spark):
+        q = (latest.writeStream.format("memory").queryName(sink)
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination()
     w = Window.partitionBy("user_id", "event_type").orderBy(
         F.col("ts").desc(), F.col("event_id").desc())
     return (spark.table(sink)
@@ -232,9 +235,10 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    ts_col="ts", lookback="1 hour",
                                    watermark="1 day")
     sink = "streaming_interval_join_sink"
-    q = (joined.writeStream.format("memory").queryName(sink)
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination()
+    with stream_state_partitions(spark):
+        q = (joined.writeStream.format("memory").queryName(sink)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
     return (spark.table(sink)
             .select("user_id", F.col("ts").alias("purchase_ts"),
                     F.col("event_id").alias("purchase_event_id"),
@@ -329,9 +333,10 @@ def q_streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    ts_col="ts", lookback="1 hour",
                                    watermark="1 day", how="leftOuter")
     sink = "streaming_left_outer_join_sink"
-    q = (joined.writeStream.format("memory").queryName(sink)
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination()
+    with stream_state_partitions(spark):
+        q = (joined.writeStream.format("memory").queryName(sink)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
     return (spark.table(sink).filter(F.col("user_id") >= 0)
             .select("user_id", F.col("ts").alias("purchase_ts"),
                     F.col("event_id").alias("purchase_event_id"),
@@ -372,9 +377,10 @@ def q_streaming_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    ts_col="ts", lookback="1 hour",
                                    watermark="1 day", how="fullOuter")
     sink = "streaming_full_outer_join_sink"
-    q = (joined.writeStream.format("memory").queryName(sink)
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination()
+    with stream_state_partitions(spark):
+        q = (joined.writeStream.format("memory").queryName(sink)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
     return (spark.table(sink).filter(F.col("user_id") >= 0)
             .select("user_id", F.col("ts").alias("purchase_ts"),
                     F.col("event_id").alias("purchase_event_id"),
@@ -482,9 +488,10 @@ def q_streaming_append_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
                  .cast("double").alias("sum_value")))
     sink = "streaming_append_rollup_sink"
-    q = (agg.writeStream.format("memory").queryName(sink)
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination()
+    with stream_state_partitions(spark):
+        q = (agg.writeStream.format("memory").queryName(sink)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
     # the sentinel sits 30 days past the real max, so a cutoff 15 days
     # before flush cleanly separates its window from every real one
     from datetime import timedelta
@@ -549,9 +556,10 @@ def q_streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
                  .alias("sum_value")))
     sink = "streaming_sessionization_sink"
-    q = (agg.writeStream.format("memory").queryName(sink)
-         .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination()
+    with stream_state_partitions(spark):
+        q = (agg.writeStream.format("memory").queryName(sink)
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination()
     return (spark.table(sink)
             .select("user_id",
                     F.col("w.start").alias("session_start"),
@@ -2213,9 +2221,10 @@ def q_streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
            .groupBy(F.window("ts", "1 day").alias("w"))
            .agg(F.count("*").alias("n")))
     sink = "streaming_late_drop_sink"
-    q = (agg.writeStream.format("memory").queryName(sink)
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination()
+    with stream_state_partitions(spark):
+        q = (agg.writeStream.format("memory").queryName(sink)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
     global _LAST_LATEDROP_PROGRESS
     _LAST_LATEDROP_PROGRESS = [
         {"rows": p.get("numInputRows"),
@@ -2367,9 +2376,10 @@ def q_streaming_multibatch_backfill(spark: SparkSession, sf_dir: str) -> DataFra
                 F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
                  .alias("sum_value")))
     sink = "streaming_multibatch_backfill_sink"
-    q = (agg.writeStream.format("memory").queryName(sink)
-         .outputMode("update").trigger(availableNow=True).start())
-    q.awaitTermination()
+    with stream_state_partitions(spark):
+        q = (agg.writeStream.format("memory").queryName(sink)
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination()
     global _LAST_BACKFILL_NUM_BATCHES
     _LAST_BACKFILL_NUM_BATCHES = sum(
         1 for p in q.recentProgress
