@@ -474,19 +474,41 @@ def simhash(tokened: DataFrame, id_col: str, token_col: str,
     # review finding). A doc whose tokens are ALL null gets no sketch row
     # (more honest than the all-zeros sketch the bias produced).
     # Vote/assembly expressions as SQL TEXT parsed JVM-side: composing the
-    # 60 conditional-sum + 60 bit-assembly Columns through py4j cost
-    # ~0.95 s of pure driver time per call (measured, round 12 — the
-    # zero-jobs gap of guide §7.3). Identical parsed plan and semantics
-    # (shiftright/&/CASE mirror the former Column form exactly).
+    # conditional-sum + bit-assembly Columns through py4j cost ~0.95 s of
+    # pure driver time per call (measured, round 12 — the zero-jobs gap of
+    # guide §7.3).
+    # PACKED COUNTERS (round 12, guide §2.3 narrower-shuffle + fewer
+    # aggregate-buffer updates): instead of ``bits`` ±1 vote sums, each
+    # int64 aggregate packs the set-bit COUNTS of TWO sketch positions in
+    # 31-bit slots — sum((h>>j & 1) + ((h>>j' & 1) << 31)) — halving the
+    # per-row buffer updates AND the shuffled aggregate width. The vote
+    # sign is recovered exactly: vote_j = 2*cnt_j - n > 0  <=>
+    # 2*cnt_j > n, with cnt_j = (packed >> slot) & (2^31-1). No
+    # cross-slot carry while a doc has < 2^31 (non-null) tokens — a
+    # multi-gigabyte single row, far past the engine's row-size envelope.
+    # Measured at sf0.1: the 60-sum vote aggregate added ~0.65 s over the
+    # bare per-doc count; the packed form ~0.1 s. Sketches byte-identical
+    # (pinned by test_text_functions' packed-vs-unpacked pin).
     th = (tokened.select(F.col(id_col), h60(F.col(token_col)).alias("__th"))
           .filter(F.col("__th").isNotNull()))
-    votes = [
-        F.expr(f"sum(CASE WHEN (shiftright(__th, {j}) & 1) = 1 "
-               f"THEN 1 ELSE -1 END) AS __v{j}")
-        for j in range(bits)]
-    summed = th.groupBy(id_col).agg(*votes)
+    n_groups = (bits + 1) // 2
+    packed = []
+    for g in range(n_groups):
+        lo, hi = 2 * g, 2 * g + 1
+        addend = f"(shiftright(__th, {lo}) & 1)"
+        if hi < bits:
+            addend += f" + shiftleft(shiftright(__th, {hi}) & 1, 31)"
+        packed.append(f"sum({addend}) AS __p{g}")
+    summed = th.groupBy(id_col).agg(
+        F.expr("count(*) AS __n"), *[F.expr(p) for p in packed])
+
+    def cnt(j: int) -> str:
+        g, slot = j // 2, j % 2
+        return (f"(__p{g} & {(1 << 31) - 1})" if slot == 0
+                else f"(shiftright(__p{g}, 31))")
+
     sketch_sql = " + ".join(
-        f"(CASE WHEN __v{j} > 0 THEN CAST({1 << j} AS BIGINT) "
+        f"(CASE WHEN 2 * {cnt(j)} > __n THEN CAST({1 << j} AS BIGINT) "
         "ELSE CAST(0 AS BIGINT) END)"
         for j in range(bits))
     return summed.selectExpr(f"`{id_col}`", f"({sketch_sql}) AS `{out_col}`")

@@ -181,6 +181,28 @@ def test_simhash_identical_docs_hamming_zero(spark):
     assert sims[1] != sims[3]
 
 
+def test_simhash_packed_counters_match_unpacked_votes(spark):
+    """The packed-counter vote aggregate (two 31-bit set-bit counts per
+    int64 sum — round 12) must reproduce the original per-bit ±1 vote
+    form exactly: vote_j = 2*cnt_j - n > 0 <=> 2*cnt_j > n."""
+    from nfl_data_engineering_spark.functions.hashing import h60
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toked = df.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("token"))
+    new = simhash(toked, "doc_id", "token")
+    th = (toked.select(F.col("doc_id"), h60(F.col("token")).alias("__th"))
+          .filter(F.col("__th").isNotNull()))
+    votes = [F.expr(f"sum(CASE WHEN (shiftright(__th, {j}) & 1) = 1 "
+                    f"THEN 1 ELSE -1 END) AS __v{j}") for j in range(60)]
+    sk = " + ".join(
+        f"(CASE WHEN __v{j} > 0 THEN CAST({1 << j} AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END)" for j in range(60))
+    old = (th.groupBy("doc_id").agg(*votes)
+           .selectExpr("doc_id", f"({sk}) AS simhash"))
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0
+
+
 def test_fingerprint_is_position_sensitive(spark):
     df = spark.createDataFrame(
         [(1, "a b c"), (2, "c b a"), (3, "a b c")], "doc_id int, text string")
