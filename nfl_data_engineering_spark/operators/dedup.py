@@ -56,61 +56,40 @@ def connected_components(edges: DataFrame, src: str = "a",
     all live round checkpoints this call created are released before the
     exception propagates.
     """
-    # bi_cached keeps its own name: unpersist must target the EXACT plan
-    # that was cached — after `bi = bi.coalesce(parts)` the name points at
-    # a coalesce wrapping the cached Deduplicate, and unpersisting THAT is
-    # a CacheManager miss, leaking the entry for the session's lifetime
-    # (found by tests/test_endurance.py's full-catalog sweep, round 6).
     # Symmetrize via explode, NOT union of two selects: the union form
     # executes the (often expensive — a 5-join verified-pair plan in the
-    # star entries) upstream `edges` plan TWICE while filling this cache;
-    # explode reads it once and emits both directions per row. Measured
-    # on q_dedup_star_survivors at sf0.1: 5.6 s -> ~3 s steady-state.
-    bi_cached = (edges
-                 .select(F.explode(F.array(
-                     F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
-                     F.struct(F.col(dst).alias("a"), F.col(src).alias("b"))))
-                     .alias("e"))
-                 .select("e.a", "e.b")
-                 .distinct().cache())
-    # right-size the iteration to the measured edge count: near-dup pair
-    # graphs are typically tiny relative to the corpus (hundreds of edges
-    # from millions of docs), and min-label rounds over 32+ near-empty
-    # partitions pay pure scheduling overhead per round (measured: 4.6 s
-    # of CC on a 247-edge graph before this, ~1 s after). The count also
-    # eager-fills bi's cache before the loop fans out over it. parts
-    # scales back up with the graph, so a 100 TB pair graph still spreads.
-    # the cache-filling count and the fast-path collect sit BEFORE the
-    # loop's failure handler, so they need their own release-on-raise —
-    # otherwise an executor loss right here leaks the edge cache for the
-    # session's lifetime, the exact contract the docstring promises
-    # against (ADVICE r8)
-    try:
-        n_edges = bi_cached.count()
-    except BaseException:
-        try:
-            bi_cached.unpersist()
-        except Exception:
-            pass
-        raise
-    # Small-graph fast path: below _CC_DRIVER_EDGE_CAP bidirectional
-    # edges, collect and run union-find on the driver. Near-dup graphs
-    # at ANY corpus scale are usually tiny relative to the corpus (247
-    # verified edges from 60k docs at sf0.1), and the distributed
-    # min-label loop pays ~0.3 s of scheduling per round regardless of
-    # data size — measured ~2 s of pure overhead on that 247-edge graph.
-    # The collect is a bounded driver read (<= cap rows of two ids, the
-    # same bound class as the centroid/cut-table reads audited in
-    # VERDICT r5); past the cap — the actual 100 TB regime — the
-    # distributed loop below engages unchanged.
-    if n_edges <= _CC_DRIVER_EDGE_CAP:
-        try:
-            rows = bi_cached.collect()
-        finally:
-            try:
-                bi_cached.unpersist()
-            except Exception:
-                pass
+    # star entries) upstream `edges` plan TWICE, explode reads it once and
+    # emits both directions per row. Measured on q_dedup_star_survivors at
+    # sf0.1: 5.6 s -> ~3 s steady-state.
+    bi_plan = (edges
+               .select(F.explode(F.array(
+                   F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                   F.struct(F.col(dst).alias("a"), F.col(src).alias("b"))))
+                   .alias("e"))
+               .select("e.a", "e.b")
+               .distinct())
+    # Small-graph fast path: at or below _CC_DRIVER_EDGE_CAP bidirectional
+    # edges, run union-find on the driver. Near-dup graphs at ANY corpus
+    # scale are usually tiny relative to the corpus (247 verified edges
+    # from 60k docs at sf0.1), and the distributed min-label loop pays
+    # ~0.3 s of scheduling per round regardless of data size — measured
+    # ~2 s of pure overhead on that 247-edge graph.
+    #
+    # ONE capped driver read both DECIDES the path and, below the cap, IS
+    # the edge set (round 12 — previously a count job filled a cache and
+    # a second job collected it; the common small-graph path paid cache
+    # registration + two jobs + unpersist for data it read once). The
+    # read is bounded to cap+1 rows of two ids — the same driver-read
+    # class as the centroid/cut tables audited in VERDICT r5. limit's
+    # CollectLimit scans all partitions in its FIRST attempt because
+    # session.py raises spark.sql.limit.initialNumPartitions (these
+    # capped guards want one pass, not the incremental scale-up, and the
+    # shuffle feeding the distinct is reused across attempts anyway on a
+    # stock session). Past the cap — the actual 100 TB regime — the
+    # returned cap+1 rows are discarded and the distributed loop engages
+    # on the full (then cached) edge frame, exactly as before.
+    rows = bi_plan.limit(_CC_DRIVER_EDGE_CAP + 1).collect()
+    if len(rows) <= _CC_DRIVER_EDGE_CAP:
         parent: dict = {}
 
         def find(x):
@@ -136,8 +115,8 @@ def connected_components(edges: DataFrame, src: str = "a",
         # exceed the src column's type — and the distributed path returns
         # the widened type, which the fast path must match (round-8
         # review finding).
-        schema = bi_cached.select(F.col("a").alias("n"),
-                                  F.col("a").alias("label")).schema
+        schema = bi_plan.select(F.col("a").alias("n"),
+                                F.col("a").alias("label")).schema
         # pandas+Arrow local table, not the 32-slice pickle parallelize —
         # measured 0.44 s -> 0.11 s warm per call on local[32] (localdf.py)
         from ..localdf import local_df
@@ -160,6 +139,28 @@ def connected_components(edges: DataFrame, src: str = "a",
     # be weakref-swept).
     from ..storage import CheckpointRotator
     spark = edges.sparkSession
+    # Distributed path only: cache the edge frame (the loop reads it every
+    # round) and right-size the iteration to the measured edge count —
+    # min-label rounds over 32+ near-empty partitions pay pure scheduling
+    # overhead per round (measured: 4.6 s of CC on a 247-edge graph before
+    # the right-sizing, ~1 s after). parts scales back up with the graph,
+    # so a 100 TB pair graph still spreads. bi_cached keeps its own name:
+    # unpersist must target the EXACT plan that was cached — after
+    # `bi = bi_cached.coalesce(parts)` the name points at a coalesce
+    # wrapping the cached Deduplicate, and unpersisting THAT is a
+    # CacheManager miss, leaking the entry for the session's lifetime
+    # (tests/test_endurance.py, round 6). The cache-filling count sits
+    # BEFORE the loop's failure handler, so it needs its own
+    # release-on-raise (ADVICE r8).
+    bi_cached = bi_plan.cache()
+    try:
+        n_edges = bi_cached.count()
+    except BaseException:
+        try:
+            bi_cached.unpersist()
+        except Exception:
+            pass
+        raise
     # exact convergence scalar at any scale: see docstring
     label_sum = F.sum(F.col("label").cast("decimal(38,0)"))
     rot = CheckpointRotator(spark)

@@ -46,6 +46,12 @@ def get_spark(app_name: str = "nfl-data-engineering-spark",
                 os.environ.get("SPARK_GRAFT_AQE_MIN_PART", "256k"))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # CollectLimit's incremental partition scan (1, then x4 per
+        # attempt) re-runs post-shuffle work per attempt; the engine's
+        # limits are capped driver-read GUARDS over already-computed
+        # frames (the CC edge-cap probe), not top-k early exits, so one
+        # all-partition pass is strictly cheaper. Result-invariant.
+        .config("spark.sql.limit.initialNumPartitions", "10000")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Python Data Source connectors (sources/datasource.py) declare
         # pushFilters; without this flag Spark refuses the reader outright
