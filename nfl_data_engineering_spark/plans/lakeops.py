@@ -914,18 +914,24 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     the canonical id-ordered three-way self-join (orientation is a
     counting-invariant permutation, so the two formulations must agree
     exactly)."""
-    # dedupe at the ITEM level, not the pair level: a part repeated on
-    # several lines of one order must count once, and collapsing it
-    # before the self-join both shrinks the join input and makes every
-    # emitted (u, v, order) unique by construction — no pair-level
-    # distinct over the (much larger) pair set. Measured: the edge build
-    # drops 3.1 s -> 1.9 s at sf0.1.
-    li = (load(spark, sf_dir, "lineitem")
-          .select("l_orderkey", "l_partkey").distinct())
-    op = (li.alias("a").join(li.alias("b"), "l_orderkey")
-          .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-          .select(F.col("a.l_partkey").alias("u"),
-                  F.col("b.l_partkey").alias("v")))
+    # Pair generation is ROW-LOCAL (round 12, guide §2.4 — remove the
+    # shuffle): one aggregation builds the per-order sorted distinct part
+    # set (collect_set dedupes repeated parts — a part on several lines
+    # of one order counts once), and the (u < v) pairs are enumerated
+    # inside the row with array expressions. The former shape —
+    # distinct + self-join on l_orderkey — paid a second shuffle of the
+    # item table and the join hash-build for pairs that never leave
+    # their order; measured 0.89 -> 0.66 s to the support-filtered edge
+    # list at sf0.1, byte-identical edges (exceptAll empty both ways).
+    # Skew is unchanged: a d-part basket emits d(d-1)/2 pairs in one
+    # task either way (the self-join also keys the blow-up on one order).
+    ps = (load(spark, sf_dir, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps")))
+    op = ps.selectExpr(
+        "inline(flatten(transform(ps, (x, i) -> "
+        "transform(slice(ps, i + 2, size(ps) - i - 1), "
+        "y -> struct(x AS u, y AS v)))))")
     # the support-filtered edge list feeds FIVE consumers (degree table,
     # two orientation joins, the closing semi-join, the edge count) and
     # Spark's ReuseExchange does NOT fire across them (branch-specific
