@@ -84,6 +84,63 @@ def stream_state_partitions(spark: SparkSession, n: int | None = None):
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+@contextmanager
+def cached_plan_aqe(spark: SparkSession):
+    """Scope ``spark.sql.optimizer.canChangeCachedPlanOutputPartitioning``
+    = true around an entry whose caches are TINY relative to the session
+    and whose consumers are per-partition-fixed-cost bound (Arrow
+    mapInPandas passes, chains of near-empty stages).
+
+    Spark leaves the flag false by default so a cache's output
+    partitioning is stable for downstream reuse — but that also disables
+    AQE coalescing on the cache-filling plan, so a 31-row distinct-word
+    table caches as 32 near-empty partitions and every Viterbi
+    mapInPandas over it launches 32 Python tasks that each pay the
+    ~0.25 s fixed Arrow/worker cost for a row or two of work (measured:
+    the whole unigram family, guide §2.2's fixed-per-partition overhead
+    at the Python boundary). Inside the scope AQE right-sizes the cache
+    to its actual bytes; at 100 TB the same caches are GB-scale and AQE's
+    bytes/parallelism target keeps them wide, so nothing degrades — the
+    flag only matters where the cache is small, exactly where the fixed
+    cost dominates.
+
+    NOT session-global: the jaccard-star family's shingle-array caches
+    feed compute-dense row-local JVM passes, and coalescing them starves
+    those cores (measured: leakage_safe_split 1.85 -> 2.46 s,
+    dedup_star_survivors 1.30 -> 2.02 s with the flag on) — so each
+    entry opts in only where its cache consumers are fixed-cost bound.
+    The flag must be set while the cache MATERIALIZES (every scoped
+    entry fills its caches eagerly inside the scope); results are
+    partitioning-invariant per the determinism doctrine."""
+    key = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    spark.conf.set(key, "true")
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
+def scoped_cached_plan_aqe(fn):
+    """Entry decorator for :func:`cached_plan_aqe` — the scoped form for
+    QueryDef.spark callables (every scoped entry fills its caches
+    eagerly inside the function body, so the flag is live exactly while
+    they materialize)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+        with cached_plan_aqe(spark):
+            return fn(spark, sf_dir)
+    return wrap
+
+
 def _no_finalize() -> bool:
     """Opt-out flag, truthy ONLY for explicit on-values — '0'/'false'/''
     keep finalization ON (ADVICE r5: any-non-empty was backwards for a

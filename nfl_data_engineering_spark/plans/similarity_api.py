@@ -46,7 +46,7 @@ from ..functions.hashing import (RECALL_FLOOR, minhash_band_config,
                                  minhash_bands_arrays, oph_auto_cutover,
                                  oph_bands_fast, simhash)
 from ..functions.text import explode_tokens, shingle_hash_arrays
-from .base import QueryDef, finalize, load
+from .base import QueryDef, finalize, load, scoped_cached_plan_aqe
 from .textops import (CONTAINMENT_PCT, JACCARD_THRESHOLD, NGRAM_DF_CAP,
                       NUM_BANDS, NUM_HASHES, ORACLE_MINHASH_LSH,
                       ORACLE_PREFIX_FILTER_JOIN, ORACLE_SIMHASH,
@@ -660,6 +660,7 @@ def q_similarity_join_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+@scoped_cached_plan_aqe
 def q_similarity_containment_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contract test for the containment dispatch through the
     similarity_join front door (VERDICT r11 item 2 — containment was

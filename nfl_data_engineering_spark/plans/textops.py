@@ -27,7 +27,8 @@ from ..functions.text import (LANG_MARKERS, STOPWORDS, WORD_RE, doc_fingerprint,
                               explode_shingle_hashes, explode_tokens, lang_id,
                               regex_token_count, shingle_hash_arrays, shingles,
                               tokens)
-from .base import QueryDef, finalize, finalize_cc, load
+from .base import (QueryDef, finalize, finalize_cc, load,
+                   scoped_cached_plan_aqe)
 
 # DuckDB twins of functions/text.py tokens() and functions/hashing.py h60().
 SQL_TOKENS = "list_filter(regexp_split_to_array(lower({col}), '\\s+'), t -> t != '')"
@@ -853,6 +854,7 @@ WHERE i::DOUBLE / (s1.sz + s2.sz - i)::DOUBLE >= 0.7
 CONTAINMENT_PCT = 90
 
 
+@scoped_cached_plan_aqe
 def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric shingle-CONTAINMENT join: ordered pairs (sub, super)
     with |S_sub ∩ S_super| / |S_sub| >= 0.90 — the near-SUPERSET dedup
@@ -880,6 +882,8 @@ def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     odds_data_collector.py:40-44 to asymmetric near-superset identity."""
     docs = load(spark, sf_dir, "documents")
     sh = explode_shingle_hashes(docs, "doc_id", "text", n=3).cache()
+    sh.count()   # eager: sizes/rare/capped consumers race a lazy cache,
+    #              and the fill must land inside the cached-plan-AQE scope
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     rare = (sh.groupBy("sh60").agg(F.count("*").alias("df"))
             .filter(F.col("df") <= NGRAM_DF_CAP).select("sh60"))
@@ -1029,6 +1033,7 @@ def containment_prefix_pairs(sh: DataFrame, t_pm: int) -> DataFrame:
             .select("p.*"))
 
 
+@scoped_cached_plan_aqe
 def q_containment_sketch_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The containment scale route as a checked entry (VERDICT r11 item
     3): containment_prefix_pairs at the standard 0.90 gate, emitting the
@@ -1052,6 +1057,7 @@ def q_containment_sketch_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finalize(out, sh, pair_table=True)
 
 
+@scoped_cached_plan_aqe
 def q_containment_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Honest-metrics audit for the containment route, completing the
     measured-recall discipline across every candidate-pruning family

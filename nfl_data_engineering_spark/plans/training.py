@@ -25,7 +25,8 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ..functions.hashing import h60
 from ..functions.text import tokens
 from ..localdf import local_df
-from .base import QueryDef, finalize, finalize_cc, load, stream_state_partitions
+from .base import (QueryDef, finalize, finalize_cc, load,
+                   scoped_cached_plan_aqe, stream_state_partitions)
 
 SQL_H60 = "(('0x' || substr(md5({e}), 1, 15))::BIGINT)"
 # the one DuckDB-side twin of functions.text.tokens(); every oracle that
@@ -936,6 +937,7 @@ def _unigram_em(spark: SparkSession,
     return cnt, vocab
 
 
+@scoped_cached_plan_aqe
 def q_unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM (SentencePiece-style) tokenizer TRAINING as iterative
     relational ops + a Viterbi kernel: seed a piece vocab from weighted
@@ -959,6 +961,7 @@ def q_unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finalize(out, words)
 
 
+@scoped_cached_plan_aqe
 def q_unigram_lm_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer APPLY for the unigram LM — segment the corpus with the
     TRAINED model (the same _unigram_em loop the trainer checks, plus
@@ -990,6 +993,7 @@ def q_unigram_lm_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finalize(out, words)
 
 
+@scoped_cached_plan_aqe
 def q_unigram_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity filtering under the TRAINED unigram LM —
     the flagship LLM-corpus quality gate this tokenizer family was

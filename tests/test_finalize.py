@@ -161,3 +161,37 @@ def test_sweep_retries_on_transient_release_error(spark, monkeypatch):
     monkeypatch.setattr(storage, "unpersist_rdd_ids", orig)
     assert storage.sweep_dead_checkpoints() >= len(created)   # retried
     assert not (registry_rdd_ids(spark) & created)
+
+
+def test_cached_plan_aqe_scope_sets_restores_and_rightsizes(spark):
+    """cached_plan_aqe (plans/base.py): inside the scope AQE may coalesce
+    a cache-filling plan (a tiny post-shuffle cache materializes in far
+    fewer partitions than spark.sql.shuffle.partitions — the fixed
+    per-partition Arrow/task cost the round-12 unigram/containment
+    entries pay without it); the conf is restored on exit and on error."""
+    key = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    from nfl_data_engineering_spark.plans.base import cached_plan_aqe
+
+    before = spark.conf.get(key)
+    assert before == "false"  # Spark default: cache partitioning pinned
+
+    tiny = (_frame(spark).groupBy("k").agg(F.count("*").alias("n")))
+    with cached_plan_aqe(spark):
+        assert spark.conf.get(key) == "true"
+        c = tiny.cache()
+        try:
+            c.count()
+            # 7 groups over a 32-partition shuffle: AQE coalesces the
+            # cached plan to a handful of partitions instead of 32
+            assert c.rdd.getNumPartitions() < int(
+                spark.conf.get("spark.sql.shuffle.partitions"))
+        finally:
+            c.unpersist()
+    assert spark.conf.get(key) == before
+
+    try:
+        with cached_plan_aqe(spark):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get(key) == before
