@@ -24,48 +24,39 @@ _ALL: list[QueryDef] = [*RELATIONAL_QUERIES, *TEXT_QUERIES,
 # prefix window of the catalog (50 entries/round), so rotation aims each
 # round's window at the entries with the most verification value.
 #
-# Round 12 window (50) — the rotation the r11 verdict staged (item 1):
-# (a) containment_join, added round 11 after that round's window was
-#     staged — the only catalog entry the driver has never attested
-#     (VERDICT r11 "What's missing" #1);
-# (b) round-12 additions, never driver-attested, as they land
-#     (containment front-door dispatch, containment sketch join +
-#     recall audit, unigram-LM tokenizer — VERDICT r11 items 2/3/6);
-# (c) as much of the 48-entry r7-vintage cohort (newest attestation r7;
-#     reproducible by folding _green over the CORRECTNESS_r*.json
-#     files) as fits the remaining slots, name order — entries past
-#     slot 50 rotate first in round 13;
-# (d) if slots remain, the r8 cohort in name order (starts ann_pq_topk).
+# Round 13 window (50) — the staging the round-12 registry documented:
+# (a) the r7-vintage tail displaced below the round-12 window by that
+#     round's never-attested additions (newest attestation r7;
+#     reproducible by folding hash_match over CORRECTNESS_r*.json);
+# (b) the r8-vintage cohort (50 entries, newest attestation r8) in name
+#     order — the first 45 fit this round's 50 slots; the remaining 5
+#     (trailing_median, train_test_split, unigram_logprob, vocab_topk,
+#     zscore_groups) lead the round-14 staging, then the r9 cohort.
 # Names absent from this list keep catalog order after it.
-#
-# Round-13 staging: any r7-cohort tail displaced below by (b), then the
-# 50-entry r8 cohort in name order (ann_pq_topk, asof_tolerance,
-# behavior_set_overlap, bigram_topk, bloom_prefilter_audit, ...).
 _PRIORITY: list[str] = [
-    # --- (a) the never-driver-attested round-11 addendum entry ---
-    "containment_join",
-    # --- (b) round-12 additions, never driver-attested ---
-    "similarity_containment_api", "containment_sketch_join",
-    "containment_recall_audit", "unigram_lm_train", "unigram_lm_apply",
-    "unigram_perplexity_filter",
-    # --- (c) the r7-vintage cohort, name order (tail -> round 13) ---
-    "ann_ivf_topk", "big_order_customers", "contamination_check",
-    "cosine_neardup_lsh", "cosine_neardup_pairs", "csv_roundtrip",
-    "dedup_exact_text", "dedup_simhash", "distinct_hll",
-    "doc_fingerprint", "doc_length_histogram", "drift_tvd",
-    "embedding_topk", "fuzzy_editdist", "json_roundtrip", "lateral_topk",
-    "leakage_safe_split", "locf_fill", "lsh_recall_audit",
-    "median_value_udaf", "minhash_recall_t05", "multimodal_decode",
-    "multimodal_stats", "normalized_dedup", "norms_pandas_udf",
-    "odds_flatten", "odds_python_source", "orc_roundtrip", "pii_redact",
-    "record_expand_udtf", "repetition_score", "scd2_intervals",
-    "scraper_longform", "similarity_join_api", "sliding_windows",
-    "streaming_daily_rollup", "streaming_interval_join",
-    "streaming_sessionization", "substring_dedup_rewrite",
-    "text_quality", "token_counts", "topk_salted", "trailing_7d_sum",
-    # r7 tail displaced to round 13 by the six (b) additions (plus
-    # ann_pq_topk's spare slot yielding): trimmed_mean, unpivot_metrics,
-    # user_event_sequences, winsorized_stats, xlsx_roundtrip
+    # --- (a) r7-vintage tail (oldest attestation in the catalog) ---
+    "trimmed_mean", "unpivot_metrics", "user_event_sequences",
+    "winsorized_stats", "xlsx_roundtrip",
+    # --- (b) the r8-vintage cohort, name order (tail -> round 14) ---
+    "ann_pq_topk", "asof_tolerance", "behavior_set_overlap",
+    "bigram_topk", "bloom_prefilter_audit", "box_scores_schedule",
+    "bpe_merge_train", "brand_max_price", "cohort_retention",
+    "corpus_filter", "corrupt_record_audit", "dedup_minhash_lsh",
+    "doc_chunking", "domain_topk", "dormant_high_balance",
+    "event_cooccurrence", "event_transition_matrix",
+    "first_digit_profile", "forecast_revenue", "full_outer_reconcile",
+    "funnel_stages", "heavy_hitters_cms", "incremental_agg_merge",
+    "incremental_corpus_dedup", "inverted_index", "key_skew_profile",
+    "kfold_assignment", "late_shipment_audit", "mad_outliers",
+    "minmax_scale", "monthly_rank_report", "promo_revenue_share",
+    "referential_integrity_audit", "rename_normalize",
+    "returned_item_customers", "revenue_gini", "segment_dedup",
+    "semantic_dedup", "sequence_packing", "shard_balance",
+    "source_mixture", "stratified_sample", "temperature_mixing",
+    "tfidf_top_terms", "top_supplier",
+    # slot 50 boundary falls inside the r8 cohort: the five names after
+    # top_supplier in name order (trailing_median, train_test_split,
+    # unigram_logprob, vocab_topk, zscore_groups) rotate to r14
 ]
 
 assert not set(_PRIORITY) - {q.name for q in _ALL}, \
