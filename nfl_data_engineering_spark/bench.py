@@ -62,12 +62,21 @@ def _run(q, spark, sf_dir) -> float:
     return time.time() - t0
 
 
-def _rep(sf_dir: str, rep: int) -> tuple[dict[str, float], dict[str, float]]:
+def _rep(sf_dir: str, rep: int,
+         env_out: dict | None = None) -> tuple[dict[str, float], dict[str, float]]:
     """One full repetition of the pinned set in a fresh SparkSession:
     warm-up every plan shape at sf0.001, then per-query min-of-2 at the
     target sf (min-of-3 for EXTRA_RUN_QUERIES). Returns
-    ({name: sec}, {name: max-min spread across the in-rep runs})."""
+    ({name: sec}, {name: max-min spread across the in-rep runs}).
+    ``env_out``, if given, receives the session's effective master and
+    scheduler parallelism so the JSON line can attest the core count it
+    actually ran with (VERDICT r12 item 2: the driver's scaling check
+    could not distinguish "ignores $SPARK_GRAFT_CPUS" from "driver-bound
+    at this SF" because the bench never echoed the effective master)."""
     spark = get_spark(f"bench-rep{rep}")
+    if env_out is not None:
+        env_out["master"] = spark.sparkContext.master
+        env_out["parallelism"] = spark.sparkContext.defaultParallelism
     spark.sparkContext.setLogLevel("ERROR")
     try:
         for q in bench_queries():
@@ -130,8 +139,9 @@ def main() -> None:
 
     best: dict[str, float] = {}
     deltas: dict[str, float] = {}
+    env: dict = {}
     for rep in range(1, n_reps + 1):
-        timings, rep_deltas = _rep(sf_dir, rep)
+        timings, rep_deltas = _rep(sf_dir, rep, env)
         rep_total = sum(timings.values())
         print(f"# rep{rep} total: {rep_total:.2f}s", file=sys.stderr)
         for name, t in timings.items():
@@ -149,12 +159,19 @@ def main() -> None:
           + json.dumps({n: round(d, 3) for n, d in deltas.items()}),
           file=sys.stderr)
     # field order is deliberate: queries first, headline total LAST, so a
-    # tail-truncated capture still ends with the machine-readable total
+    # tail-truncated capture still ends with the machine-readable total.
+    # master/parallelism/sf_dir are ADDITIONS (VERDICT r12 item 2): they
+    # attest the effective core count so a ~1 scaling ratio is verifiable
+    # as "driver-bound at this SF" rather than "harness ignores CPUS".
     print(json.dumps({
         "metric": "headline_queries_total_wall",
         "unit": "sec",
         "queries": queries,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf_dir": sf_dir,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+        "master": env.get("master"),
+        "parallelism": env.get("parallelism"),
         "reps": n_reps,
         "value": round(sum(best.values()), 3),
     }))
