@@ -86,4 +86,24 @@ def get_spark(app_name: str = "nfl-data-engineering-spark",
         # files.maxPartitionBytes default 128m is right for the target; on
         # the tiny local testdata AQE coalescing handles the small files.
     )
+    # Python worker daemon with (a) importlib cache invalidation memoized
+    # on the spark-files state and (b) the Arrow stack preloaded pre-fork
+    # — kills the measured ~0.2 s PER-TASK fixed cost every Python-
+    # boundary task pays (the zipimporters on the worker PYTHONPATH
+    # re-read their zip central directory on every task's
+    # importlib.invalidate_caches; see pydaemon.py and
+    # tools/probe_arrow.py for the measurement). Paid once per task —
+    # millions of times over a 100 TB run; semantics unchanged
+    # (addPyFile/addFile still re-invalidate). executorEnv.PYTHONPATH
+    # makes the module importable by the worker python (the factory
+    # MERGES it with Spark's own python path, never replaces).
+    # SPARK_GRAFT_STOCK_PYDAEMON=1 restores the stock daemon.
+    if os.environ.get("SPARK_GRAFT_STOCK_PYDAEMON", "").lower() not in (
+            "1", "true", "yes"):
+        pkg_parent = os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))
+        builder = (builder
+                   .config("spark.python.daemon.module",
+                           "nfl_data_engineering_spark.pydaemon")
+                   .config("spark.executorEnv.PYTHONPATH", pkg_parent))
     return builder.getOrCreate()
