@@ -117,3 +117,20 @@ def test_write_partitioned_layout(spark, tmp_path):
     assert os.path.isdir(os.path.join(path, "year=2024", "month=4"))
     back = spark.read.parquet(path)
     assert back.count() == 2 and "year" in back.columns
+
+
+def test_fullrow_dedup_rides_the_layout_exchange(spark):
+    """The key_cols=None upsert path plans ONE exchange: identical rows
+    share (year, month), and hash(year, month) satisfies the all-columns
+    dedup's clustered distribution because the partition columns are a
+    subset of the grouping keys — so dropDuplicates after the layout
+    repartition must introduce no second shuffle (round-13 optimization;
+    a Spark behavior this test pins)."""
+    from pyspark.sql import functions as F
+
+    from nfl_data_engineering_spark.io import with_partition_cols
+    df = with_partition_cols(_batch(
+        spark, [(1, "a", dt.datetime(2024, 1, 15))]), "timestamp")
+    deduped = df.repartition(F.col("year"), F.col("month")).dropDuplicates()
+    plan = deduped._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
