@@ -7,7 +7,8 @@ SURVEY.md §2 inventory. See plans/base.py for the determinism rules.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import (Column, DataFrame, SparkSession, Window,
+                         functions as F)
 
 from ..operators.clean import clean_string, pct_to_fraction
 from ..operators.dedup import dedup_full_row, dedup_keep_latest
@@ -742,6 +743,47 @@ FROM events GROUP BY user_id
 """
 
 
+def sorted_group_vals(value) -> Column:
+    """Aggregate expression for the sorted-array exact-percentile kernel:
+    the group's non-null values as one ascending double array. Paired with
+    :func:`percentile_from_sorted` this computes `percentile(v, p)`
+    BIT-IDENTICALLY (hex-compared per bound at all three SFs, round 13)
+    but ~2x faster at sf0.1: `Percentile` builds a per-group value->count
+    OpenHashMap in update, serializes it through the partial aggregation,
+    merges 32 of them and SORTS the keys at eval — `collect_list` rides
+    the same partial aggregation as primitive double arrays (same shuffle
+    bytes as the raw values when duplication ~ 1, which the sf corpora
+    measure at ~1.0) and `array_sort` replaces the map machinery with one
+    primitive sort per group. Memory bound unchanged: both forms buffer
+    the whole group per aggregator (the documented reason the binned
+    twins remain the 100 TB path). NULL handling matches: collect_list
+    drops nulls exactly as Percentile skips them."""
+    return F.array_sort(F.collect_list(value.cast("double")))
+
+
+def percentile_from_sorted(arr, p: float) -> Column:
+    """`Percentile.getPercentile`'s EXACT arithmetic over a sorted array
+    `arr`: pos = p * (n-1); lower = floor(pos); higher = ceil(pos);
+    result = a[lower] when higher == lower else
+    (higher - pos) * a[lower] + (pos - lower) * a[higher] — the same
+    expression tree Spark evaluates, NOT the algebraically-equal
+    lo + d*(hi-lo) form, whose last ulp differs (observed on sf0.1 flag
+    'R'). Empty array (all-null group) yields NULL like Percentile; the
+    when-guard keeps element_at's 1-based index in [1, n] so ANSI mode
+    never raises."""
+    if isinstance(arr, str):
+        arr = F.col(arr)
+    pos = F.lit(float(p)).cast("double") * (F.size(arr) - 1)
+    lower = F.floor(pos)
+    higher = F.ceil(pos)
+    v_lo = F.element_at(arr, (lower + 1).cast("int"))
+    v_hi = F.element_at(arr, (higher + 1).cast("int"))
+    return (F.when(F.size(arr) == 0, F.lit(None).cast("double"))
+            .when(higher == lower, v_lo)
+            .otherwise((higher.cast("double") - pos) * v_lo
+                       + (pos - lower.cast("double")) * v_hi))
+
+
 def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per event type (Spark ``percentile`` ==
     ANSI continuous quantile == DuckDB ``quantile_cont``) plus a
@@ -755,18 +797,17 @@ def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # try_divide: a single-row group makes (n-1)=0, which under ANSI mode is
     # a DIVIDE_BY_ZERO error; NULL matches DuckDB's x/0 behavior
     var = F.try_divide(sum_sq - sum_v * sum_v / n, (n - 1).cast("double"))
-    # one percentile buffer for all three ranks (array form), not three
-    # aggregates each holding its own value->count map of the whole group
-    # (the q_trimmed_mean measurement: array form 1.85x faster; identical
-    # output — same buffer, same per-rank interpolation)
+    # all three ranks from ONE sorted-array buffer (sorted_group_vals /
+    # percentile_from_sorted — Percentile's exact arithmetic, so output
+    # identical; round-13 kernel, ~2x over the map-buffer percentile())
     return (ev.groupBy("event_type").agg(
         n.alias("n"),
-        F.expr("percentile(value, array(0.5, 0.9, 0.99))").alias("__ps"),
+        sorted_group_vals(F.col("value")).alias("__a"),
         F.round(var, 6).alias("var_sample"))
         .select("event_type", "n",
-                F.round(F.col("__ps")[0], 6).alias("p50"),
-                F.round(F.col("__ps")[1], 6).alias("p90"),
-                F.round(F.col("__ps")[2], 6).alias("p99"),
+                F.round(percentile_from_sorted("__a", 0.5), 6).alias("p50"),
+                F.round(percentile_from_sorted("__a", 0.9), 6).alias("p90"),
+                F.round(percentile_from_sorted("__a", 0.99), 6).alias("p99"),
                 "var_sample"))
 
 
@@ -802,19 +843,21 @@ def q_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = F.concat(F.col("l_orderkey").cast("string"), F.lit("_"),
                    F.col("l_linenumber").cast("string"))
     samp = li.filter(h60(key) % SAMPLE_QUANT_MOD == 0)
-    # one percentile buffer for all four ranks over the DOUBLE cast (the
-    # q_trimmed_mean measurements: array form 1.85x over separate
-    # aggregates; double keys ~1.2x over BigDecimal keys; both
-    # bit-identical — same buffer, monotone cast, same interpolation)
+    # all four ranks from ONE sorted-array buffer over the (monotone)
+    # DOUBLE cast — the round-13 sorted kernel; identical output (same
+    # sorted values, Percentile's exact interpolation arithmetic)
     return (samp.groupBy("l_returnflag")
             .agg(F.count("*").alias("n_sampled"),
-                 F.expr("percentile(cast(l_extendedprice as double),"
-                        " array(0.25, 0.5, 0.9, 0.99))").alias("__ps"))
+                 sorted_group_vals(F.col("l_extendedprice")).alias("__a"))
             .select("l_returnflag", "n_sampled",
-                    F.round(F.col("__ps")[0], 6).alias("p25"),
-                    F.round(F.col("__ps")[1], 6).alias("p50"),
-                    F.round(F.col("__ps")[2], 6).alias("p90"),
-                    F.round(F.col("__ps")[3], 6).alias("p99")))
+                    F.round(percentile_from_sorted("__a", 0.25), 6)
+                     .alias("p25"),
+                    F.round(percentile_from_sorted("__a", 0.5), 6)
+                     .alias("p50"),
+                    F.round(percentile_from_sorted("__a", 0.9), 6)
+                     .alias("p90"),
+                    F.round(percentile_from_sorted("__a", 0.99), 6)
+                     .alias("p99")))
 
 
 def _oracle_sampled_quantiles() -> str:
@@ -2125,21 +2168,20 @@ def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     this entry's oracle. approx_percentile remains the one-pass sketch
     option where rank error is acceptable."""
     li = load(spark, sf_dir, "lineitem")
-    # both quantiles from ONE percentile buffer (array form) — measured
-    # 1.85x faster than two separate percentile aggregates at sf0.1.
-    # percentile over the DOUBLE cast, not the decimal: Percentile keys
-    # its value->count map on the raw input, so decimal input pays
-    # BigDecimal boxing/compares in update, merge and the final sort —
-    # measured 0.98 vs 0.80 s for this aggregate at sf0.1. Bit-identical
-    # bounds: decimal->double is monotone and Percentile's interpolation
-    # converts via the same toDouble at eval time anyway (verified
-    # per-bound via hex at sf0.01 + sf0.1, round 12).
+    # both quantiles from ONE sorted-array buffer (sorted_group_vals /
+    # percentile_from_sorted — Percentile's exact arithmetic, bounds
+    # hex-compared identical at all three SFs): replaces the percentile()
+    # map-buffer aggregate, whose per-group value->count OpenHashMap
+    # build/merge/key-sort measured 1.02 s vs 0.57 s for the same bounds
+    # at sf0.1 (round 13; earlier round-12 steps — array form over
+    # separate aggregates 1.85x, double keys over BigDecimal ~1.2x —
+    # are subsumed by this kernel). Double cast stays monotone; the
+    # interpolation converts via the same toDouble Percentile uses.
     bounds = (li.groupBy("l_returnflag")
-              .agg(F.expr("percentile(cast(l_extendedprice as double),"
-                          " array(0.05, 0.95))")
-                   .alias("b"))
-              .select("l_returnflag", F.col("b")[0].alias("lo"),
-                      F.col("b")[1].alias("hi")))
+              .agg(sorted_group_vals(F.col("l_extendedprice")).alias("a"))
+              .select("l_returnflag",
+                      percentile_from_sorted("a", 0.05).alias("lo"),
+                      percentile_from_sorted("a", 0.95).alias("hi")))
     kept = (li.join(F.broadcast(bounds), "l_returnflag")
             .filter(F.col("l_extendedprice").between(F.col("lo"), F.col("hi"))))
     return (kept.groupBy("l_returnflag")
@@ -2993,11 +3035,19 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical plan shape. Exact interpolated percentile matches DuckDB
     quantile_cont bit-for-bit (same doctrine as value_percentiles)."""
     ev = load(spark, sf_dir, "events")
-    med = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5)").alias("med"))
+    # both exact medians through the sorted-array kernel (bit-identical
+    # to percentile(); see sorted_group_vals — measured ~2x on the
+    # trimmed_mean bounds at sf0.1, round 13)
+    med = (ev.groupBy("event_type")
+           .agg(sorted_group_vals(F.col("value")).alias("a"))
+           .select("event_type",
+                   percentile_from_sorted("a", 0.5).alias("med")))
     j = ev.join(F.broadcast(med), "event_type")
-    mad = j.groupBy("event_type").agg(
-        F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
+    mad = (j.groupBy("event_type")
+           .agg(sorted_group_vals(F.abs(F.col("value") - F.col("med")))
+                .alias("a"))
+           .select("event_type",
+                   percentile_from_sorted("a", 0.5).alias("mad")))
     j2 = j.join(F.broadcast(mad), "event_type")
     is_out = (F.abs(F.col("value") - F.col("med"))
               > F.lit(MAD_K) * F.col("mad")).cast("int")
