@@ -2353,38 +2353,58 @@ def _dup_window_spans(t: DataFrame, k: int,
     k-token window hashes over the tokenized corpus ``t`` (doc_id, tk),
     corpus-repeat filter (window content occurring more than once
     anywhere, including its own doc), gaps-and-islands merge of the
-    duplicated positions, returning the per-island maximal spans
-    (doc_id, island, s, e) in 1-based token coordinates with
-    e = last_window_start + k - 1. The window frame is cached (appended
-    to ``caches``) because the repeat table and the semi join both read
-    it. One implementation feeds BOTH the audit (q_exact_substring_spans)
-    and the rewrite (q_substring_dedup_rewrite) so the two entries'
+    duplicated positions, returning per doc the maximal spans as ONE
+    array row ``(doc_id, spans: array<struct<s, e>>)`` in 1-based token
+    coordinates with e = last_window_start + k - 1; docs without
+    duplicated windows have no row. One implementation feeds BOTH the
+    audit (q_exact_substring_spans) and the rewrite
+    (q_substring_dedup_rewrite) so the two entries'
     removed_tokens == dup_tokens contract cannot drift (round-7 review
-    finding)."""
-    wins = (t.filter(F.size("tk") >= k)
-            .select("doc_id", "tk",
-                    F.explode(F.sequence(F.lit(1), F.size("tk") - k + 1))
-                     .alias("pos"))
-            .select("doc_id", "pos",
-                    h60(F.concat_ws(" ", F.slice(F.col("tk"), F.col("pos"),
-                                                 k))).alias("w60"))
-            .cache())
-    caches.append(wins)
-    wins.count()   # eager: repeat table + semi join race a lazy cache
+    finding).
+
+    Round-13 shape (guide §2.3/§2.4 — the round-12 row-local array
+    doctrine applied to the window-hash frame): the per-doc hash ARRAY is
+    what's cached (|docs| rows instead of |windows| exploded rows; the
+    hash at 0-based index i is the window at position i+1, so positions
+    are implicit), and the gaps-and-islands merge is row-local array
+    arithmetic over the per-doc duplicated-position list (no per-doc
+    sort window, no (doc_id, island) aggregation). The corpus-repeat
+    decision keeps the groupBy + semi-join shape: a count window over
+    one w60 exchange was built and MEASURED SLOWER (1.93 vs 1.63 s at
+    sf0.1) — the dup table broadcasts here, so the semi probe pays no
+    second shuffle, and the window's full |windows| sort is pure cost."""
+    wh_arr = (t.filter(F.size("tk") >= k)
+              .select("doc_id",
+                      F.transform(
+                          F.sequence(F.lit(1), F.size("tk") - k + 1),
+                          lambda pos: h60(F.concat_ws(
+                              " ", F.slice(F.col("tk"), pos, k))))
+                       .alias("wh"))
+              .cache())
+    caches.append(wh_arr)
+    wh_arr.count()   # eager: both explode consumers race a lazy cache
+    wins = wh_arr.select("doc_id", F.posexplode("wh").alias("pos0", "w60"))
     dup = (wins.groupBy("w60").agg(F.count("*").alias("cnt"))
            .filter(F.col("cnt") > 1).select("w60"))
-    dp = wins.join(dup, "w60", "left_semi")
-    wd = Window.partitionBy("doc_id").orderBy("pos")
-    brk = F.when(F.lag("pos").over(wd).isNull()
-                 | (F.col("pos") - F.lag("pos").over(wd) > k),
-                 1).otherwise(0)
-    isl = (dp.withColumn("brk", brk)
-           .withColumn("island", F.sum("brk").over(
-               wd.rowsBetween(Window.unboundedPreceding,
-                              Window.currentRow))))
-    return (isl.groupBy("doc_id", "island")
-            .agg(F.min("pos").alias("s"),
-                 (F.max("pos") + k - 1).alias("e")))
+    dp = (wins.join(dup, "w60", "left_semi")
+          .groupBy("doc_id")
+          .agg(F.sort_array(F.collect_list(F.col("pos0") + 1)).alias("dp")))
+    # islands row-locally: starts = positions opening a chain (first, or
+    # gap > k from the previous); ends = positions closing one (last, or
+    # gap > k to the next); zip pairs them — islands are disjoint with
+    # >= 1 token between spans (s_next >= e_prev + 2 by the gap rule)
+    starts = F.filter(
+        "dp", lambda p, i: (i == F.lit(0))
+        | (p - F.element_at("dp", i.cast("int")) > k))
+    ends = F.filter(
+        "dp", lambda p, i: (i == F.size("dp") - 1)
+        | (F.element_at("dp", (i + 2).cast("int")) - p > k))
+    return dp.select(
+        "doc_id",
+        F.zip_with(starts, ends,
+                   lambda s, e: F.struct(s.alias("s"),
+                                         (e + k - 1).alias("e")))
+        .alias("spans"))
 
 
 def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2399,14 +2419,13 @@ def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (gaps-and-islands: positions p, q chain while q - p <= K) and the
     report gives span count, covered tokens and integer-ppm coverage.
 
-    Scale shape: window explode is row-local (positions 1..len-K+1,
-    stride 1 — |tokens| rows, the token_counts profile); the repeat
-    table is ONE window-hash groupBy (map-side combined, state =
-    |distinct windows| like the shingle df tables); the island merge
-    windows only over DUPLICATED positions per doc. The position frame
-    is cached across its two consumers (repeat table + semi join) and
-    released via finalize — at 100 TB persist it to a scratch table
-    instead, same plan either way."""
+    Scale shape (round 13): the window-hash derivation is row-local (a
+    per-doc hash ARRAY — positions implicit in the index); the corpus-
+    repeat decision is a count window over ONE w60 exchange; the island
+    merge and the span report are row-local array arithmetic per doc.
+    The hash-array frame is cached across its two consumers and released
+    via finalize — at 100 TB persist it to a scratch table instead, same
+    plan either way."""
     docs = load(spark, sf_dir, "documents")
     k = SPAN_TOKENS
     caches: list[DataFrame] = []
@@ -2417,12 +2436,14 @@ def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     caches.append(t)
     base = t.select("doc_id", F.size("tk").cast("bigint").alias("n_tokens"))
     spans = _dup_window_spans(t, k, caches)
-    # cov = e - s + 1 == max(pos) - min(pos) + k, the island's token span
-    per_doc = (spans.select("doc_id",
-                            (F.col("e") - F.col("s") + 1).alias("cov"))
-               .groupBy("doc_id")
-               .agg(F.count("*").alias("n_dup_spans"),
-                    F.sum("cov").cast("bigint").alias("dup_tokens")))
+    # the span report is row-local over the per-doc spans array (cov per
+    # island = e - s + 1); no (doc_id, island) aggregation exists anymore
+    per_doc = spans.select(
+        "doc_id",
+        F.size("spans").cast("bigint").alias("n_dup_spans"),
+        F.aggregate("spans", F.lit(0).cast("bigint"),
+                    lambda acc, sp: acc + (sp["e"] - sp["s"] + 1))
+        .alias("dup_tokens"))
     out = (base.join(per_doc, "doc_id", "left")
            .select("doc_id", "n_tokens",
                    F.coalesce("n_dup_spans", F.lit(0)).cast("bigint")
@@ -2489,15 +2510,14 @@ def q_substring_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens joined by single spaces (the token-level contract; original
     whitespace is not preserved).
 
-    Scale shape: the span machinery is q_exact_substring_spans'
-    (row-local stride-1 window explode, ONE map-side-combined hash
-    groupBy for the repeat table, islands windowed over duplicated
-    positions only — 21.9 s at the 100x replica, SCALE.md). The rewrite
-    adds one posexplode of the token arrays (|tokens| rows, row-local)
-    anti-joined to the per-doc span table on (doc_id equi + pos range) —
-    spans per doc are few, so the range residual rides the doc_id hash
-    join — and one per-doc sorted reassembly (collect_list + array_sort,
-    state = the doc's own tokens, the same bound as holding the doc)."""
+    Scale shape (round 13): the span machinery is
+    q_exact_substring_spans' (row-local window-hash arrays, ONE w60
+    exchange for the repeat decision, row-local island merge). The
+    rewrite itself adds NO token-level dataflow at all: spans per doc
+    are disjoint and sorted, so the kept tokens are the native slices
+    between spans, flattened in position order — one doc-level join
+    against the span table replaces the old |tokens|-row posexplode +
+    (doc_id, pos-range) anti-join + per-doc collect_list reassembly."""
     docs = load(spark, sf_dir, "documents")
     k = SPAN_TOKENS
     caches: list[DataFrame] = []
@@ -2505,31 +2525,34 @@ def q_substring_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # all read it (3 scans of documents otherwise — round-7 review)
     t = docs.select("doc_id", tokens(F.col("text")).alias("tk")).cache()
     caches.append(t)
-    base = t.select("doc_id", F.size("tk").cast("bigint").alias("n_tokens"))
-    spans = (_dup_window_spans(t, k, caches)
-             .select(F.col("doc_id").alias("sdoc"), "s", "e"))
-    toks = t.select("doc_id",
-                    F.posexplode("tk").alias("pos0", "tok")) \
-            .select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
-    kept = toks.join(
-        spans,
-        (F.col("doc_id") == F.col("sdoc"))
-        & F.col("pos").between(F.col("s"), F.col("e")),
-        "left_anti")
-    ka = (kept.groupBy("doc_id")
-          .agg(F.count("*").alias("kept_tokens"),
-               F.concat_ws(" ", F.transform(
-                   F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                   lambda x: x["tok"])).alias("cleaned")))
-    out = (base.join(ka, "doc_id", "left")
+    spans = _dup_window_spans(t, k, caches)
+    # Round 13: the surgery is ROW-LOCAL. Spans per doc are disjoint,
+    # sorted, with >= 1 kept token between islands (the gap rule), so the
+    # kept tokens are exactly the slices BETWEEN spans: kept ranges
+    # [1, s1-1], [e1+1, s2-1], ..., [em+1, n] — materialized with one
+    # native slice per range and flattened, in position order by
+    # construction. This removes the old |tokens|-row posexplode, the
+    # (doc_id equi + pos range) anti-join, and the per-doc
+    # collect_list + array_sort reassembly aggregation (two exchanges of
+    # token-level rows -> one doc-level broadcast/hash join).
+    sp = F.coalesce(
+        "spans", F.array().cast("array<struct<s: int, e: int>>"))
+    n = F.size("tk")
+    starts = F.concat(F.array(F.lit(1)),
+                      F.transform(sp, lambda x: x["e"] + 1))
+    ends = F.concat(F.transform(sp, lambda x: x["s"] - 1), F.array(n))
+    kept = F.flatten(F.zip_with(
+        starts, ends,
+        lambda a, b: F.slice(F.col("tk"), a, F.greatest(b - a + 1,
+                                                        F.lit(0)))))
+    out = (t.join(spans, "doc_id", "left")
+           .select("doc_id", n.cast("bigint").alias("n_tokens"),
+                   kept.alias("kept"))
            .select("doc_id", "n_tokens",
-                   F.coalesce("kept_tokens", F.lit(0)).cast("bigint")
-                    .alias("kept_tokens"),
-                   (F.col("n_tokens")
-                    - F.coalesce("kept_tokens", F.lit(0))).cast("bigint")
+                   F.size("kept").cast("bigint").alias("kept_tokens"),
+                   (F.col("n_tokens") - F.size("kept")).cast("bigint")
                     .alias("removed_tokens"),
-                   F.md5(F.coalesce("cleaned", F.lit("")))
-                    .alias("cleaned_hash")))
+                   F.md5(F.concat_ws(" ", "kept")).alias("cleaned_hash")))
     return finalize(out, *caches)
 
 
