@@ -959,10 +959,22 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (op.groupBy("u", "v").agg(F.count("*").alias("supp"))
              .filter(F.col("supp") >= _TRI_MIN_SUPPORT)
              .select("u", "v")).repartition(1).persist()
-    edges.count()
+    n_edges = edges.count()   # cache fill doubles as the edge census
+    # deg and oriented are each consumed by SEVERAL branches below (deg
+    # three times, oriented three times), and oriented's lineage contains
+    # deg twice — uncached, the final 1-row report's logical plan inlines
+    # ~10 copies of these multi-join subtrees and Catalyst spent a
+    # measured 0.71 s of pure driver time optimizing it (the largest
+    # single cost left in this entry at sf0.1, round-13 job timeline).
+    # Caching the two dimension-sized frames collapses every consumer to
+    # an InMemoryRelation ref; the fills are one near-trivial job each
+    # over the 1-partition edge cache (guide §7.3 / §3.3 — very wide
+    # reuse makes planning itself the bottleneck; materialize to
+    # truncate the plan).
     deg = (edges.select(F.col("u").alias("node"))
            .unionAll(edges.select(F.col("v").alias("node")))
-           .groupBy("node").agg(F.count("*").alias("d"))).coalesce(1)
+           .groupBy("node").agg(F.count("*").alias("d"))) \
+        .coalesce(1).persist()
     e = (edges
          .join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")),
                "u")
@@ -973,7 +985,9 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     oriented = e.select(
         F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        F.when(lo_first, F.col("dv")).otherwise(F.col("du")).alias("ddst"))
+        F.when(lo_first, F.col("dv")).otherwise(F.col("du")).alias("ddst")) \
+        .persist()
+    oriented.count()   # fill before the three-branch fan-out
     w1 = oriented.select("src", F.col("dst").alias("x"),
                          F.col("ddst").alias("dx"))
     w2 = oriented.select("src", F.col("dst").alias("y"),
@@ -985,13 +999,16 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select(F.col("x").alias("src"), F.col("y").alias("dst")))
     tri = wedges.join(oriented.select("src", "dst"),
                       ["src", "dst"], "left_semi")
-    # finalize: materialize the 1-row summary, then release the edge
-    # cache — without it the persisted graph outlives the entry for the
-    # whole session (ADVICE r4)
+    # finalize: materialize the 1-row summary, then release the caches —
+    # without it the persisted graph outlives the entry for the whole
+    # session (ADVICE r4). n_edges is the cache-fill count the entry
+    # already ran — same number, one fewer 1-row aggregate branch.
     return finalize(
         deg.agg(F.count("*").alias("n_nodes"))
-        .crossJoin(edges.agg(F.count("*").alias("n_edges")))
-        .crossJoin(tri.agg(F.count("*").alias("n_triangles"))), edges)
+        .withColumn("n_edges", F.lit(n_edges).cast("bigint"))
+        .crossJoin(tri.agg(F.count("*").alias("n_triangles")))
+        .select("n_nodes", "n_edges", "n_triangles"),
+        edges, deg, oriented)
 
 
 ORACLE_TRIANGLE_COUNT = f"""
