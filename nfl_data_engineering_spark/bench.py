@@ -51,8 +51,13 @@ WARMUP_SF_DIR = "/root/testdata/sf0.001"
 # get a third in-rep run — min-of-3 within each rep, on top of the
 # min-across-reps — so round-over-round comparison stops tracking
 # machine state on exactly the entries where drift triage is expensive.
+# pricing_summary joined in round 13 (VERDICT r12 item 6: it breached the
+# >10% band two rounds running with identical plans — scan-bound, so its
+# wall tracks machine state; the round-13 re-measure put it back inside
+# the r11 band, and min-of-3 keeps it there).
 EXTRA_RUN_QUERIES = frozenset({
-    "similarity_join_api", "leakage_safe_split", "dedup_star_survivors"})
+    "similarity_join_api", "leakage_safe_split", "dedup_star_survivors",
+    "pricing_summary"})
 
 
 def _run(q, spark, sf_dir) -> float:

@@ -452,14 +452,18 @@ def _star_verified_pairs(spark: SparkSession, sf_dir: str,
     """Bucket -> star edges (member -> bucket minimum, O(members) per
     bucket) -> exact-jaccard verification against the representative.
     Shared by the star survivor table and the cross-shard audit; the
-    eager shingle cache is appended to `caches` for the caller to
-    release (ADVICE r4)."""
+    shingle cache is appended to `caches` for the caller to release
+    (ADVICE r4). The cache fills LAZILY (round 13): all three sharr
+    consumers (bands + both verify sides) materialize inside the ONE
+    connected-components probe job, where BlockManager's per-partition
+    loading locks guarantee each partition computes once — the old
+    eager count() was a whole extra pass-shaped job per entry
+    (leakage/star walls 1.83/1.48 -> 1.79/1.41 s at sf0.1 without it)."""
     from pyspark.sql import Window
     docs = load(spark, sf_dir, "documents")
     sharr = shingle_hash_arrays(docs, "doc_id", "text", n=3).cache()
     if caches is not None:
         caches.append(sharr)
-    sharr.count()   # eager: the three sharr consumers race a lazy cache
     # bands has exactly ONE consumer here (the bucket-min window), so it
     # is deliberately NOT cached. The groupBy-min + member-join
     # alternative was A/B'd in round 6 (3-run min at sf0.1): window form
