@@ -155,12 +155,14 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str,
         sharr = shingle_hash_arrays(docs, "doc_id", "text", n=3).cache()
         if caches is not None:
             caches.append(sharr)
-        sharr.count()
     # cache: bands feeds both sides of the candidate self-join (sharr is
     # already cached; this additionally avoids re-running the 64-draw fold).
-    # The count() after each cache is load-bearing: the downstream branches
-    # launch CONCURRENTLY inside one job, and a lazy cache races — every
-    # branch recomputes the subtree before any of them fills the cache.
+    # ONE eager fill (round 13): bands.count() reads sharr, so it fills
+    # BOTH caches in a single job; the verify tail then reads the warm
+    # sharr, and within any one job concurrent readers of an unfilled
+    # partition are serialized by the block manager's loading locks (each
+    # partition computes once) — the separate sharr.count() was a
+    # redundant pass-shaped job per entry.
     if bands_fn is None:
         bands = minhash_bands_arrays(sharr, "doc_id", "sh_arr", NUM_HASHES,
                                      NUM_BANDS).cache()
@@ -731,10 +733,13 @@ def q_incremental_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.min("doc_id").alias("exact_ref")))
     inc = docs.filter(is_inc).select("doc_id", F.md5("text").alias("h"))
     sharr = shingle_hash_arrays(docs, "doc_id", "text", n=3).cache()
-    sharr.count()   # eager: bands + both verify sides race a lazy cache
     # cache bands: the incoming and existing sides below each consume it,
     # and without the cache each side re-runs the 64-draw minhash fold
-    # over the full corpus (measured ~0.7s of the entry at sf0.1)
+    # over the full corpus (measured ~0.7s of the entry at sf0.1).
+    # ONE eager fill: bands.count() reads sharr, so it fills BOTH caches
+    # in a single job — the separate sharr.count() was a redundant
+    # pass-shaped job (1.71 -> 1.52 s at sf0.1, round 13); the verify
+    # tail then reads the already-warm sharr.
     bands = minhash_bands_arrays(sharr, "doc_id", "sh_arr", NUM_HASHES,
                                  NUM_BANDS).cache()
     bands.count()
@@ -1226,7 +1231,8 @@ def q_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # array-intersect tail (verify_jaccard_arrays; same rows, fewer
     # exchanges — guide §2.4).
     sharr = shingle_hash_arrays(docs, "doc_id", "text", n=3).cache()
-    sharr.count()   # eager: the explode + verify consumers race a lazy cache
+    # no eager sharr fill: pre.count() below computes through sharr and
+    # fills both caches in one job (round 13 — see _minhash_pairs)
     sh = sharr.select("doc_id", F.size("sh_arr").alias("sz"),
                       F.explode("sh_arr").alias("sh60"))
     dfreq = sh.groupBy("sh60").agg(F.count("*").alias("df"))
