@@ -1480,7 +1480,13 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     toked = explode_tokens(docs, "doc_id", "text")
     sims = simhash(toked, "doc_id", "token", bits=SIMHASH_BITS).cache()
-    sims.count()   # eager: both chunk-join sides race a lazy cache
+    # eager: both chunk-join sides race a lazy cache — and HERE the eager
+    # fill is load-bearing by measurement: the round-13 lazy-fill variant
+    # (the single-fill doctrine that won on the jaccard family) measured
+    # 1.44 -> 2.25+ s at sf0.1 and degrading, so it was reverted. The
+    # difference from the jaccard family: no second derived cache whose
+    # fill would compute this one as a by-product.
+    sims.count()
     chunk_width = SIMHASH_BITS // SIMHASH_CHUNKS
     mask = (1 << chunk_width) - 1
     chunks = sims.select(
